@@ -1,0 +1,115 @@
+"""DuckDB oracle SQL for every entry in plans/queries.py.
+
+Column names/aliases match the Spark side exactly (the driver sorts columns
+by name before hashing). Engine-semantics notes:
+
+- DuckDB CAST(double AS BIGINT) rounds half-away-from-zero; the Spark side
+  uses ROUND(...,0)::bigint to match (q01).
+- Session timezone is UTC on both sides (q02, q05, q14).
+- q17 phrasing differs per engine (declared capability query): DuckDB
+  list_distance vs Spark zip_with/aggregate; ordering by L2 == ordering by
+  squared L2, ties broken by nid.
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "q01": """
+        SELECT event_id, user_id, event_type, CAST(value AS BIGINT) AS value_i
+        FROM events WHERE event_type <> 'delete' AND user_id % 10 = 3
+        ORDER BY event_id
+    """,
+    "q02": """
+        SELECT event_id, REPLACE(event_type, '-', '_') AS event_type_s,
+               STRFTIME(ts, '%Y-%m-%d') AS dt
+        FROM events ORDER BY event_id
+    """,
+    "q03": """
+        SELECT event_type, COUNT(*) AS cnt, MIN(event_id) AS first_id,
+               MAX(event_id) AS last_id
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q04": """
+        SELECT user_id, MAX(event_id) AS last_offset
+        FROM events WHERE event_type <> 'read'
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "q05": """
+        SELECT COUNT(*) AS record_count, MAX(ts) AS last_event_timestamp
+        FROM events
+    """,
+    "q06": """
+        SELECT event_id, user_id, event_type FROM (
+          SELECT event_id, user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM events WHERE event_type <> 'read') t
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    "q07": """
+        SELECT user_id, event_type AS last_op, value AS last_value FROM (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    "q08": r"""
+        SELECT doc_id, lang FROM documents
+        WHERE REGEXP_MATCHES(text, '(?i)(create|drop|alter)\s')
+        ORDER BY doc_id
+    """,
+    "q09": """
+        SELECT n.n_name, r.r_name FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY n.n_name
+    """,
+    "q10": """
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment HAVING COUNT(*) > 10
+        ORDER BY c.c_mktsegment
+    """,
+    "q11": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey
+    """,
+    "q12": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "q13": """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT SELECT s_nationkey AS k FROM supplier
+        ORDER BY k
+    """,
+    "q14": """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)),2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+    "q15": """
+        SELECT lang, source, COUNT(*) AS n FROM (
+          SELECT DISTINCT text, lang, source FROM documents) t
+        GROUP BY lang, source ORDER BY lang, source
+    """,
+    "q16": """
+        SELECT doc_id, n_chars, LENGTH(text) AS len_check,
+               CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS bucket
+        FROM documents WHERE lang = 'en' ORDER BY doc_id
+    """,
+    "q17": """
+        WITH s AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings ORDER BY vec_id LIMIT 100
+        ), p AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_distance(a.emb, b.emb), b.vec_id) AS rn
+          FROM s a JOIN s b ON a.vec_id <> b.vec_id
+        )
+        SELECT qid, nid FROM p WHERE rn = 1 ORDER BY qid
+    """,
+}

@@ -1,0 +1,346 @@
+"""Declared query surface (SURVEY.md §2.12): q01-q17 as Spark DataFrame plans.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+row-set, column names and types match the DuckDB oracle SQL in
+``plans/oracle.py`` (driver compares row count + schema + order-insensitive
+value hash at sf0.01).
+
+Scale notes are inline: these run on local[32] for tests but are written for
+a 1000-executor cluster over ~100 TB — broadcast the dimension side of every
+star join, pre-aggregate before joining where the join only feeds an
+aggregate, never collect, and let AQE coalesce post-shuffle partitions.
+
+Capability mapping to the reference (citations are reference file:line):
+ q01-q02 envelope project/filter (MySQLDebeziumToJSONDeserializer.java:106-182)
+ q03     side-output routing manifest (SideInputProcessFunction.java:37-132)
+ q04     offset store argmax (BinlogOffsetStoreProcessFunction.java:53-55)
+ q05     status store count/max (StatusStoreProcessFunction.java:48-58)
+ q06     snapshot-completion first-event marker (DelayedStopSignalProcessFunction.java:62-135)
+ q07     CDC last-image materialization (the engine's flagship semantic)
+ q08     DDL regex classification (DelayedStopSignalProcessFunction.java:166-195)
+ q09-q14 relational surface absent from the reference, provided by Spark SQL
+ q15-q17 LLM-pipeline extensions (SURVEY.md §2.11)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan; Catalyst handles column pruning + predicate pushdown.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark only
+    reads via ``spark.sql.legacy.parquet.nanosAsLong``; normalize it back to
+    a microsecond timestamp with integer division (DuckDB truncates ns→us
+    the same way), so both engines see identical values.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# --------------------------------------------------------------------------
+# CDC-shaped queries over `events` (event_id = monotone offset,
+# event_type = op role, user_id = key)
+# --------------------------------------------------------------------------
+
+
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope-style filter + project.
+
+    NOTE: DuckDB CAST(double AS BIGINT) rounds half-to-even (84.5→84,
+    85.5→86) while Spark's cast truncates; Spark's banker's-rounding
+    ``bround`` + cast reproduces the oracle exactly.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter((F.col("event_type") != "delete") & (F.col("user_id") % 10 == 3))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.bround(F.col("value"), 0).cast("bigint").alias("value_i"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name sanitization (Sanitizer.java:4-8) + dt bucketing
+    (DateBucketAssigner.java:32-41) as a projection."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.replace(F.col("event_type"), F.lit("-"), F.lit("_")).alias("event_type_s"),
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+    ).orderBy("event_id")
+
+
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing manifest: records per target table (R1 as a grouped agg)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-store argmax per key; snapshot READs carry no offset and are
+    skipped (BinlogOffsetStoreProcessFunction.java:42-47)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") != "read")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("last_offset"))
+        .orderBy("user_id")
+    )
+
+
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status store: running count + last event timestamp (ST8)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count("*").alias("record_count"),
+        F.max("ts").alias("last_event_timestamp"),
+    )
+
+
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key first non-read marker (snapshot-completion tracking, ST1)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        events.filter(F.col("event_type") != "read")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC last-image materialization: latest row per key == current table
+    state. The engine's flagship semantic — order-insensitive reduction over
+    the monotone offset replaces the reference's single-thread total order
+    (SURVEY.md §7.5)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL classification predicate (F4 regex gate) as rlike."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(r"(?i)(create|drop|alter)\s"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational surface (absent from the reference — SURVEY.md §2.8 — provided
+# here via Spark SQL built-ins)
+# --------------------------------------------------------------------------
+
+
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; region is tiny → broadcast (no shuffle at any scale)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join + grouped agg + having.
+
+    Scale: pre-aggregate orders by o_custkey BEFORE the join so the shuffle
+    moves one row per customer instead of one per order (orders >> customer
+    at any SF); then the customer join input is minimal and the final
+    mktsegment agg is a near-free rollup of ~few segments.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_ord"), F.sum("o_totalprice").alias("rev")
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_ord").alias("n_orders"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 10)
+        .orderBy("c_mktsegment")
+    )
+
+
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join (IN / NOT IN with non-null keys)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F")
+    return (
+        with_orders.join(finished, with_orders.c_custkey == finished.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, no global sort at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT (distinct semantics in both engines)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("k"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pushdown-able filter + grouped agg; partial (map-side)
+    aggregation makes the shuffle ~|groups| per partition regardless of SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension surface (SURVEY.md §2.11): dedup / text / similarity
+# --------------------------------------------------------------------------
+
+
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup then manifest (distinct is a hash-agg; partial agg keeps
+    the shuffle at |distinct| not |rows|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("text", "lang", "source")
+        .distinct()
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "source")
+    )
+
+
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis projection + filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length("text").alias("len_check"),
+            F.when(F.col("n_chars") > 500, "long").otherwise("short").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity capability check: exact top-1 L2 neighbor per vector over
+    the 100 smallest vec_ids. Squared L2 via zip_with+aggregate (JVM-side,
+    no UDF); ordering by squared distance == ordering by list_distance.
+    Both sides compute in float64 with the same left-to-right summation
+    order, so the neighbor ranking matches bit-for-bit short of exact ties
+    (tie-broken by nid). Scale path for the full table is
+    operators/similarity.py (brute-force top-k and LSH-bucketed ANN).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .orderBy("vec_id")
+        .limit(100)
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dist2 = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            dist2.alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "nid")
+        .orderBy("qid")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01": q01,
+    "q02": q02,
+    "q03": q03,
+    "q04": q04,
+    "q05": q05,
+    "q06": q06,
+    "q07": q07,
+    "q08": q08,
+    "q09": q09,
+    "q10": q10,
+    "q11": q11,
+    "q12": q12,
+    "q13": q13,
+    "q14": q14,
+    "q15": q15,
+    "q16": q16,
+    "q17": q17,
+}

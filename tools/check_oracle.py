@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
+count, column names, and an order-insensitive value rendering.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime, timezone
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from flink_cdc_multi_spark import TABLES  # noqa: E402
+from flink_cdc_multi_spark.session import get_spark  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    return repr(v)
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2:]) or set(qs)
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name in sorted(qs):
+        if name not in only:
+            continue
+        sdf = qs[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)} rows) [no oracle]")
+            continue
+        cur = con.execute(oracles[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        ok = True
+        if len(srows) != len(drows):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        if sorted(scols) != sorted(dcols):
+            print(f"{name}: COLUMN MISMATCH spark={scols} duckdb={dcols}")
+            ok = False
+        if ok:
+            sm = rows_to_multiset(srows, scols)
+            dm = rows_to_multiset(drows, dcols)
+            if sm != dm:
+                ok = False
+                diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
+                print(f"{name}: VALUE MISMATCH; first diffs: {diffs}")
+        print(f"{name}: {'OK' if ok else 'FAIL'} ({len(srows)} rows)")
+        if not ok:
+            failures.append(name)
+
+    print("\nFAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
