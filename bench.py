@@ -1,0 +1,68 @@
+"""Benchmark the declared-query suite (q01-q14 = the BASELINE gate; the
+extension queries are timed too but reported separately in `ext`).
+
+Runs each query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total q01-q14 sec>, "unit": "sec",
+   "queries": {"q01": sec, ...}, "sf": 0.1}
+
+Each query executes its full plan through the noop sink (no driver-side
+collect — measures engine time, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_cdc_multi_spark.plans.queries import QUERIES  # noqa: E402
+from flink_cdc_multi_spark.session import get_spark  # noqa: E402
+
+GATE = [f"q{i:02d}" for i in range(1, 15)]  # q01-q14: the BASELINE suite
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # Warmup pass: JVM JIT + whole-stage-codegen compile + shuffle service
+    # init are one-time costs that would dominate at this tiny SF; report
+    # steady-state engine time (second pass) like any JVM benchmark.
+    for name in sorted(QUERIES):
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Two timed passes, min per query: the host is shared, and min-of-N is
+    # the standard estimator for "what the engine actually costs".
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in sorted(QUERIES):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    total = round(sum(timings[q] for q in GATE), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "q01-q14 suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": {q: timings[q] for q in GATE},
+                "ext": {q: t for q, t in timings.items() if q not in GATE},
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
