@@ -1,0 +1,94 @@
+"""Job config: same JSON keys as the reference
+(`src/main/resources/example-configs/*.json`; required-key validation at
+java/FlinkCDCMulti.java:519-521 via java/utils/Validator.java:10-16).
+
+Only the keys that drive behavior in this engine are typed; everything else
+is retained in ``raw`` (connector endpoint keys like source.hostname are
+consumed by the JDBC/Mongo snapshot adapters when present).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+REQUIRED_KEYS = ("source.id", "source.type", "sink.path")
+SOURCE_TYPES = ("mysql", "postgres", "oracle", "mongodb")
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class JobConfig:
+    source_id: str
+    source_type: str
+    sink_path: str
+    job_name: str | None = None
+    snapshot_only: bool = False
+    checkpoint_interval_s: int = 30  # FlinkCDCMulti.java:418 default
+    checkpoint_directory: str | None = None
+    offset_store_path: str | None = None
+    status_store_path: str | None = None
+    startup_mode: str = "initial"  # initial|earliest|latest|offset|timestamp
+    offset_value: str | None = None
+    datetime_offset: str | None = None
+    database_name_map: dict[str, str] = field(default_factory=dict)
+    table_name_map: dict[str, str] = field(default_factory=dict)
+    source_table_list: list[str] = field(default_factory=list)
+    source_database_list: list[str] = field(default_factory=list)
+    mongodb_deserialization_mode: str = "top-level-type"
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, cfg: dict[str, Any]) -> "JobConfig":
+        missing = [k for k in REQUIRED_KEYS if not cfg.get(k)]
+        if missing:
+            raise ConfigError(f"missing required config keys: {missing}")
+        source_type = str(cfg["source.type"]).lower()
+        if source_type not in SOURCE_TYPES:
+            raise ConfigError(f"unknown source.type: {source_type}")
+
+        def _list(key: str) -> list[str]:
+            v = cfg.get(key)
+            if not v:
+                return []
+            if isinstance(v, str):
+                return [s.strip() for s in v.split(",") if s.strip()]
+            return list(v)
+
+        # `_`-prefixed keys are commented out, reference convention
+        # (the example configs ship `_offset.value`).
+        offset_value = cfg.get("offset.value")
+        if isinstance(offset_value, dict):
+            offset_value = f"{offset_value.get('file')},{offset_value.get('pos')}"
+
+        return cls(
+            source_id=cfg["source.id"],
+            source_type=source_type,
+            sink_path=cfg["sink.path"],
+            job_name=cfg.get("job.name"),
+            snapshot_only=str(cfg.get("snapshot.only", "false")).lower() == "true",
+            checkpoint_interval_s=int(cfg.get("checkpoint.interval", 30)),
+            checkpoint_directory=cfg.get("checkpoint.directory"),
+            offset_store_path=cfg.get("offset.store.path"),
+            status_store_path=cfg.get("status.store.path"),
+            startup_mode=cfg.get("startup.mode", "initial"),
+            offset_value=offset_value,
+            datetime_offset=cfg.get("datetime.offset"),
+            database_name_map=dict(cfg.get("database.name.map") or {}),
+            table_name_map=dict(cfg.get("table.name.map") or {}),
+            source_table_list=_list("source.table.list") or _list("source.table.array"),
+            source_database_list=_list("source.database.list"),
+            mongodb_deserialization_mode=cfg.get(
+                "mongodb.deserialization.mode", "top-level-type"
+            ),
+            raw=dict(cfg),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "JobConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

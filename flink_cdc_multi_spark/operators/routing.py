@@ -1,0 +1,115 @@
+"""Per-table demultiplex — the Spark-native replacement for the reference's
+side-output router (R1-R4, java/processfunctions/mysql/SideInputProcessFunction.java:37-132
+and per-table sink loop FlinkCDCMulti.java:345-391).
+
+One envelope DataFrame in; for every registered table: filter its rows,
+project the JSON payload through that table's typed schema (T5 boundary),
+strip routing-only columns (:54-63), add the ``dt`` bucket (T7), and append
+to ``<sink>/<source_id>_<db>__<tbl>/dt=YYYY-MM-DD/``.
+
+Scale notes:
+- The batch is persisted once and each table writer reuses it; with K tables
+  this is K column-pruned passes over an in-memory columnar batch, not K
+  re-reads of the source.
+- Writes are per-table ``partitionBy("dt")`` appends; no global
+  ``repartition(1)`` — per-record CDC order is recoverable from the offset
+  columns (SURVEY.md §7.5), so writers parallelize freely.
+- Unknown-table detection is an aggregation over the distinct observed
+  (db, tbl) keys (a handful of rows), not a per-record check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.catalog import TableRegistry, TableSpec
+from flink_cdc_multi_spark.functions.datetime_utils import dt_bucket
+
+
+class UnknownTableError(RuntimeError):
+    """Record for a table not in the registry → job-failing error, matching
+    SideInputProcessFunction.java:117-131 (README.md:160 notes a default-skip
+    intent via fail.on.unknown.tables; both policies supported)."""
+
+
+@dataclass
+class RouteResult:
+    per_table_rows: dict[str, int] = field(default_factory=dict)
+    unknown_tables: list[tuple[str, str]] = field(default_factory=list)
+    ddl_rows: int = 0
+
+
+def observed_tables(envelope: DataFrame) -> list[tuple[str, str]]:
+    rows = envelope.select("_db", "_tbl").distinct().collect()
+    return [(r["_db"], r["_tbl"]) for r in rows]
+
+
+def project_table(
+    envelope: DataFrame,
+    registry: TableRegistry,
+    spec: TableSpec,
+    db: str,
+    tbl: str,
+) -> DataFrame:
+    """Rows observed under source identity (db, tbl), typed with the schema
+    of the (possibly name-mapped) target ``spec``. Keeps the sink metadata
+    the reference keeps (envelope _op/_ts always; *_internal binlog twins for
+    MySQL; offset cols only on DDL tables —
+    SideInputProcessFunction.java:54-63)."""
+    rows = envelope.filter((F.col("_db") == db) & (F.col("_tbl") == tbl))
+    if spec.is_ddl:
+        cols = [F.col(f.name) for f in spec.payload_schema.fields]
+        return rows.select(*cols)
+    payload = F.from_json(F.col("payload"), spec.payload_schema).alias("r")
+    keep_meta = ["_op", "_ts"]
+    if registry.source.name == "mysql":
+        keep_meta += ["_binlog_file_internal", "_binlog_pos_internal"]
+    if registry.source.name == "mongodb":
+        keep_meta += ["_txn_op_index"]
+    return rows.select(payload, *keep_meta).select("r.*", *keep_meta)
+
+
+def route_batch(
+    envelope: DataFrame,
+    registry: TableRegistry,
+    sink_path: str,
+    source_id: str,
+    write: bool = True,
+) -> RouteResult:
+    """Demux one (micro-)batch to per-table parquet appends."""
+    result = RouteResult()
+    envelope = envelope.persist()
+    try:
+        # Unknown-table policy first (fail before any partial writes).
+        routed: list[tuple[str, str, TableSpec]] = []
+        for db, tbl in observed_tables(envelope):
+            spec = registry.lookup(db, tbl)
+            if spec is None:
+                result.unknown_tables.append((db, tbl))
+            else:
+                routed.append((db, tbl, spec))
+        if result.unknown_tables and registry.fail_on_unknown_tables:
+            raise UnknownTableError(
+                f"unknown tables: {result.unknown_tables}; known: {sorted(registry.specs)}"
+            )
+
+        for db, tbl, spec in routed:
+            typed = project_table(envelope, registry, spec, db, tbl)
+            typed = typed.withColumn("dt", dt_bucket(F.col("_ts")))
+            n = typed.count()
+            if spec.is_ddl:
+                result.ddl_rows += n
+            else:
+                result.per_table_rows[spec.key] = result.per_table_rows.get(spec.key, 0) + n
+            if write and n > 0:
+                (
+                    typed.write.mode("append")
+                    .partitionBy("dt")
+                    .parquet(f"{sink_path}/{source_id}_{spec.output_name}")
+                )
+        return result
+    finally:
+        envelope.unpersist()

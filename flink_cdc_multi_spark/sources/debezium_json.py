@@ -1,0 +1,181 @@
+"""Debezium-style JSON change feed → typed envelope DataFrame.
+
+The reference's deserializers (T1-T4, e.g.
+java/deserializers/MySQLDebeziumToJSONDeserializer.java:26-185) turn Debezium
+``SourceRecord``s into flat JSON strings. Here the equivalent is a pure
+DataFrame transform over a feed of raw Debezium-style JSON lines (file, Kafka,
+or socket — anything ``spark.read[Stream]`` can deliver as a string column):
+
+1. one ``from_json`` against a fixed raw-envelope schema for the metadata
+   (op, ts_ms, source.db/table, offsets, ddl),
+2. image pick: DELETE → before, else after
+   (MySQLDebeziumToJSONDeserializer.java:106-110) — kept as a JSON *string*
+   column so routing stays payload-agnostic; the per-table typed projection
+   happens at the routing boundary (T5 equivalent,
+   JSONToGenericRecordMapFunction.java:31-45) via ``from_json`` with that
+   table's schema,
+3. op normalization (Oracle r/c/u/d; Mongo REPLACE→UPDATE, snapshot
+   INSERT→READ; Debezium's enum name CREATE → INSERT),
+4. ``_ts`` wall-clock fallback when < 1 (:166).
+
+No strings are shuttled between operators beyond the single payload column —
+Tungsten keeps the envelope columnar, and Catalyst prunes the raw JSON parse
+to exactly the fields used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_multi_spark.envelope import OP_DELETE
+from flink_cdc_multi_spark.functions.sanitizer import sanitize_col
+
+# Raw Debezium-ish wire schema (subset we consume). `before`/`after` are
+# intentionally NOT parsed here — extracted as JSON strings below.
+_RAW_SOURCE = T.StructType(
+    [
+        T.StructField("db", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("collection", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("scn", T.StringType()),
+        T.StructField("snapshot", T.StringType()),
+    ]
+)
+
+RAW_META_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("ddl", T.StringType()),
+        T.StructField("source", _RAW_SOURCE),
+        # offset the connector would checkpoint (sourceOffset in the
+        # reference, :168-171): the *starting* offset of the transaction.
+        T.StructField("offset_file", T.StringType()),
+        T.StructField("offset_pos", T.LongType()),
+        T.StructField("txn_op_index", T.StringType()),
+        T.StructField("_id", T.StringType()),
+    ]
+)
+
+_OP_CODES = {
+    "r": "READ",
+    "c": "INSERT",
+    "u": "UPDATE",
+    "d": "DELETE",
+    "CREATE": "INSERT",  # Debezium Envelope.Operation enum name
+    "REPLACE": "UPDATE",  # Mongo (MongoDBDebeziumToJSONDeserializer.java:188)
+}
+
+
+def _canonical_op(op, snapshotting):
+    out = op
+    for code, canon in _OP_CODES.items():
+        out = F.when(op == code, canon).otherwise(out)
+    # Mongo snapshot INSERTs are READs (:175-182); harmless for sources whose
+    # snapshot READs already arrive as 'r'.
+    return F.when(snapshotting & (out == "INSERT"), "READ").otherwise(out)
+
+
+def decode_raw(raw: DataFrame, source_type: str, value_col: str = "value") -> DataFrame:
+    """Raw Debezium JSON lines → flat envelope DataFrame with columns
+    ``_db _tbl _database _op _ts _ddl _ddl_tbl payload`` + per-source offset
+    columns. ``payload`` is the chosen image as a JSON string."""
+    v = F.col(value_col)
+    meta = F.from_json(v, RAW_META_SCHEMA).alias("m")
+    df = raw.select(v.alias("_raw"), meta)
+
+    src = F.col("m.source")
+    snapshotting = F.coalesce(src["snapshot"], F.lit("false")).isin("true", "TRUE", "last")
+    op = _canonical_op(F.col("m.op"), snapshotting)
+    is_ddl = F.col("m.ddl").isNotNull()
+
+    database = F.coalesce(src["db"], src["schema"])
+    table = F.coalesce(src["table"], src["collection"])
+
+    cols = [
+        sanitize_col(database).alias("_db"),
+        F.when(is_ddl, F.concat(F.lit("_"), sanitize_col(database), F.lit("_ddl")))
+        .otherwise(sanitize_col(table))
+        .alias("_tbl"),
+        database.alias("_database"),
+        F.when(is_ddl, F.lit(None).cast("string")).otherwise(op).alias("_op"),
+        F.when(F.col("m.ts_ms") < 1, F.unix_millis(F.current_timestamp()))
+        .otherwise(F.col("m.ts_ms"))
+        .alias("_ts"),
+        F.col("m.ddl").alias("_ddl"),
+        F.when(is_ddl, sanitize_col(table)).otherwise(F.lit(None)).alias("_ddl_tbl"),
+        F.when(op == OP_DELETE, F.get_json_object(F.col("_raw"), "$.before"))
+        .otherwise(F.get_json_object(F.col("_raw"), "$.after"))
+        .alias("payload"),
+        snapshotting.alias("_snapshotting"),
+    ]
+
+    if source_type == "mysql":
+        # sourceOffset (txn start) for resume; source struct (event pos) kept
+        # in the sink schema as *_internal (MySQLStreamer.java:438-439).
+        cols += [
+            F.coalesce(F.col("m.offset_file"), src["file"]).alias("_binlog_file"),
+            F.coalesce(F.col("m.offset_pos"), src["pos"]).alias("_binlog_pos_end"),
+            src["file"].alias("_binlog_file_internal"),
+            src["pos"].alias("_binlog_pos_internal"),
+        ]
+    elif source_type == "postgres":
+        cols += [src["schema"].alias("_schema"), src["lsn"].alias("_lsn")]
+    elif source_type == "oracle":
+        # _scn defaults to "0" (OracleDebeziumToJSONDeserializer.java:31-34)
+        cols += [
+            src["schema"].alias("_schema"),
+            F.coalesce(src["scn"], F.lit("0")).alias("_scn"),
+        ]
+    elif source_type == "mongodb":
+        cols += [
+            sanitize_col(table).alias("_coll"),
+            F.coalesce(F.get_json_object(F.col("m._id"), "$.$oid"), F.col("m._id")).alias(
+                "_id"
+            ),
+            F.col("m.txn_op_index").alias("_txn_op_index"),
+        ]
+    else:
+        raise ValueError(f"unknown source type: {source_type}")
+
+    return df.select(*cols)
+
+
+def unwrap_mongo_extended_json(payload: DataFrame | None = None):
+    """Column rewriter for Mongo extended-JSON ``$``-wrappers
+    ($numberLong/$date/$oid/$numberDecimal/$numberDouble/$timestamp —
+    MongoDBDebeziumToJSONDeserializer.java:123-135). Applied per field at
+    projection time: coalesce of the wrapped extraction and the raw value."""
+
+    def unwrap(col_json: F.Column, field: str) -> F.Column:
+        base = f"$.{field}"
+        return F.coalesce(
+            F.get_json_object(col_json, base + ".$numberLong"),
+            F.get_json_object(col_json, base + ".$numberDecimal"),
+            F.get_json_object(col_json, base + ".$numberDouble"),
+            F.get_json_object(col_json, base + ".$date"),
+            F.get_json_object(col_json, base + ".$oid"),
+            F.get_json_object(col_json, base + ".$timestamp.t"),
+            F.get_json_object(col_json, base),
+        )
+
+    return unwrap
+
+
+def read_raw_batch(spark: SparkSession, path: str, source_type: str) -> DataFrame:
+    return decode_raw(spark.read.text(path), source_type)
+
+
+def read_raw_stream(
+    spark: SparkSession, path: str, source_type: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return decode_raw(reader.load(path), source_type)

@@ -1,0 +1,134 @@
+"""Offset store: per-source offset reduction + single-file persistence +
+startup resume (reference ST4-ST7, W2, S6).
+
+The reference keeps the last-seen offset in keyed state and flushes it to a
+single overwritten text file on checkpoint-complete
+(BinlogOffsetStoreProcessFunction.java:33-80,
+SingleFileSinkFunction.java:31-39, read back at FlinkCDCMulti.java:187-257).
+Spark mapping: the micro-batch IS the checkpoint alignment — reduce the
+batch to one offset value with ``max_by`` (order-insensitive, SURVEY.md
+§7.5) and overwrite the file after the batch's writes commit. Contract
+preserved: at-least-once, resume from the *starting* offset of the last
+transaction, duplicates tolerated downstream (README.md:212-218).
+
+File formats (FIXTURES.md §B5): MySQL ``file,pos``; Postgres LSN digits;
+Oracle SCN digits; Mongo epoch-millis digits.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.envelope import OP_READ
+
+# startup validation (MySQLStreamer.java:205-206, MongoDBStreamer.java:169)
+_MYSQL_OFFSET_RE = re.compile(r"^[^,]+,[0-9]+$")
+_NUMERIC_RE = re.compile(r"^[0-9]+$")
+
+
+def reduce_offset(envelope: DataFrame, source_type: str) -> str | None:
+    """One (micro-)batch → the offset string to persist, or None if the batch
+    carries no offset-bearing records (snapshot READs are skipped — they
+    have no binlog/LSN position, BinlogOffsetStoreProcessFunction.java:42-47;
+    DDL records DO carry offsets and count)."""
+    if source_type == "mysql":
+        rows = envelope.filter(
+            (F.col("_op").isNull() | (F.col("_op") != OP_READ))
+            & F.col("_binlog_file").isNotNull()
+        )
+        row = rows.agg(
+            F.max_by(
+                F.struct("_binlog_file", "_binlog_pos_end"),
+                F.struct("_binlog_file", "_binlog_pos_end"),
+            ).alias("o")
+        ).first()
+        if row is None or row["o"] is None:
+            return None
+        return f"{row['o']['_binlog_file']},{row['o']['_binlog_pos_end']}"
+    if source_type == "postgres":
+        row = envelope.filter(
+            (F.col("_op").isNull() | (F.col("_op") != OP_READ)) & F.col("_lsn").isNotNull()
+        ).agg(F.max("_lsn").alias("o")).first()
+        return None if row is None or row["o"] is None else str(row["o"])
+    if source_type == "oracle":
+        # ST7 emits _scn on change; batch equivalent: numerically-last SCN.
+        row = (
+            envelope.filter(F.col("_scn").isNotNull() & (F.col("_scn") != "0"))
+            .agg(F.max(F.col("_scn").cast("decimal(38,0)")).alias("o"))
+            .first()
+        )
+        return None if row is None or row["o"] is None else str(row["o"])
+    if source_type == "mongodb":
+        row = (
+            envelope.filter(F.col("_op") != OP_READ)
+            .agg(F.max("_ts").alias("o"))
+            .first()
+        )
+        return None if row is None or row["o"] is None else str(row["o"])
+    raise ValueError(f"unknown source type: {source_type}")
+
+
+class OffsetFileStore:
+    """``<store>/<source_id>_offset.txt``, overwritten atomically per flush
+    (FlinkCDCMulti.java:206; SingleFileSinkFunction truncates+rewrites)."""
+
+    def __init__(self, store_path: str, source_id: str):
+        self.path = os.path.join(store_path, f"{source_id}_offset.txt")
+
+    def write(self, offset: str) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
+        with os.fdopen(fd, "w") as f:
+            f.write(offset)
+        os.replace(tmp, self.path)
+
+    def read(self) -> str | None:
+        """Missing or empty file → no resume offset
+        (FlinkCDCMulti.java:242-253)."""
+        try:
+            with open(self.path) as f:
+                content = f.read().strip()
+        except FileNotFoundError:
+            return None
+        return content or None
+
+
+def validate_offset(offset: str, source_type: str) -> bool:
+    if source_type == "mysql":
+        return bool(_MYSQL_OFFSET_RE.match(offset))
+    if source_type in ("postgres", "oracle", "mongodb"):
+        return bool(_NUMERIC_RE.match(offset))
+    return False
+
+
+def resume_filter(envelope: DataFrame, source_type: str, offset: str | None) -> DataFrame:
+    """Re-position a replayed feed past a stored offset. A real binlog/WAL
+    client seeks server-side; for file-fed feeds the equivalent is a
+    pushdown-able predicate on the offset columns. Records AT the stored
+    offset are re-emitted (at-least-once resume: the stored offset is the
+    *start* of the last transaction, README.md:212-218)."""
+    if not offset:
+        return envelope
+    if not validate_offset(offset, source_type):
+        raise ValueError(f"invalid {source_type} offset: {offset!r}")
+    if source_type == "mysql":
+        file_, pos = offset.split(",", 1)
+        return envelope.filter(
+            F.col("_op").isNull()  # DDL rows pass through
+            | (F.col("_binlog_file") > file_)
+            | ((F.col("_binlog_file") == file_) & (F.col("_binlog_pos_end") >= int(pos)))
+        )
+    if source_type == "postgres":
+        return envelope.filter(F.col("_op").isNull() | (F.col("_lsn") >= int(offset)))
+    if source_type == "oracle":
+        return envelope.filter(
+            F.col("_scn").cast("decimal(38,0)") >= int(offset)
+        )
+    if source_type == "mongodb":
+        return envelope.filter(F.col("_ts") >= int(offset))
+    raise ValueError(f"unknown source type: {source_type}")

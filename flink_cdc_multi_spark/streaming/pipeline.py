@@ -1,0 +1,213 @@
+"""The streaming CDC pipeline: one input stream → foreachBatch →
+{per-table parquet, DDL tables, offset file, status file, stop control}.
+
+Topology parity with the reference (SURVEY.md §3.2-3.3):
+
+    Flink:  source → deserializer → keyBy(null) → stop-controller →
+            keyBy(null) → router → [per-table map→FileSink]
+            (+ offset-store branch, + status-store branch, checkpoint-aligned)
+
+    here:   readStream(text) → decode_raw (envelope) → foreachBatch:
+              1. route_batch: per-table typed parquet appends (dt-bucketed)
+              2. reduce_offset → offset file   (after writes: at-least-once)
+              3. status accumulate → status file
+              4. control: DDL classification / snapshot-completion → stop
+
+The micro-batch replaces Flink's checkpoint alignment: everything that the
+reference does "on checkpoint complete" happens after the batch's writes
+return. The 10 s delayed-stop timer (DelayedStopSignalProcessFunction.java:215)
+becomes batch-aligned stop: the triggering batch commits fully, then the
+query stops before the next batch — same contract ("flush in-flight, then
+halt", README.md:26) with a cleaner guarantee (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.catalog import TableRegistry
+from flink_cdc_multi_spark.config import JobConfig
+from flink_cdc_multi_spark.envelope import OP_READ
+from flink_cdc_multi_spark.operators.ddl import DDLDecision, classify, is_truncate
+from flink_cdc_multi_spark.operators.routing import route_batch
+from flink_cdc_multi_spark.sources.debezium_json import read_raw_stream
+from flink_cdc_multi_spark.sources.offsets import (
+    OffsetFileStore,
+    reduce_offset,
+    resume_filter,
+)
+from flink_cdc_multi_spark.streaming.status import StatusStore
+
+LOG = logging.getLogger(__name__)
+
+
+class SnapshotPhaseError(RuntimeError):
+    """Non-READ op while in snapshot-only mode after completion — the
+    reference errors (DelayedStopSignalProcessFunction.java:69-78)."""
+
+
+@dataclass
+class StopController:
+    """ST1-ST3 equivalent. All of the reference's 'global keyed state'
+    (tiny per-table sets) lives driver-side — the idiomatic Spark home for
+    singleton control state; the data path stays fully parallel."""
+
+    snapshot_only: bool
+    dialect: str = "mysql"
+    target_tables: set[str] | None = None  # {"db.tbl"} sanitized; None = all
+    stop_requested: bool = False
+    stop_reason: str | None = None
+    snapshot_complete: bool = False
+
+    def on_ddl_rows(self, ddl_rows: list[dict]) -> None:
+        """Structural DDL → arm stop (F3/F4 + ST1 CDC-mode). `ddl_rows` is
+        the collected DDL slice of one batch (DDL volume is ~zero)."""
+        for row in ddl_rows:
+            ddl = row.get("_ddl")
+            if not ddl:
+                continue
+            db, ddl_tbl = row.get("_db"), row.get("_ddl_tbl")
+            if self.target_tables is not None and f"{db}.{ddl_tbl}" not in self.target_tables:
+                LOG.info("DDL for non-target table ignored: %s.%s", db, ddl_tbl)
+                continue
+            if is_truncate(ddl):
+                LOG.info("TRUNCATE TABLE found; should use snapshot-only mode")
+            if classify(ddl, self.dialect) is DDLDecision.IGNORE:
+                LOG.info("non-structural DDL ignored: %s", ddl)
+                continue
+            self.stop_requested = True
+            self.stop_reason = f"structural DDL: {ddl}"
+            return
+
+    def on_batch_ops(self, has_non_read: bool) -> None:
+        """Snapshot-only completion: first non-READ op marks snapshot end
+        (simplified ST1/ST3 contract; per-table completion sets collapse to
+        this because completion is observed per batch, not per record)."""
+        if not self.snapshot_only:
+            return
+        if self.snapshot_complete and has_non_read:
+            raise SnapshotPhaseError(
+                "non-READ op after snapshot completion in snapshot-only mode"
+            )
+        if has_non_read:
+            self.snapshot_complete = True
+            self.stop_requested = True
+            self.stop_reason = "snapshot complete (non-READ op observed)"
+
+
+@dataclass
+class CDCPipeline:
+    config: JobConfig
+    registry: TableRegistry
+    controller: StopController = field(init=False)
+    status: StatusStore = field(init=False)
+    offset_store: OffsetFileStore | None = field(init=False)
+    batches_processed: int = 0
+
+    def __post_init__(self):
+        cfg = self.config
+        self.controller = StopController(
+            snapshot_only=cfg.snapshot_only,
+            dialect="oracle" if cfg.source_type == "oracle" else "mysql",
+            target_tables=set(cfg.source_table_list) or None,
+        )
+        job_name = cfg.job_name or f"JOB-{cfg.source_id}"
+        self.status = StatusStore(
+            cfg.status_store_path or cfg.sink_path, cfg.source_id, job_name
+        )
+        self.offset_store = (
+            OffsetFileStore(cfg.offset_store_path, cfg.source_id)
+            if cfg.offset_store_path
+            else None
+        )
+
+    # -- batch body (also usable standalone for batch-mode ingestion) -----
+
+    def process_batch(self, envelope: DataFrame, batch_id: int) -> None:
+        cfg = self.config
+        if self.controller.stop_requested:
+            # F1 suppression: after the stop signal is armed, drop all
+            # subsequent records (DelayedStopSignalProcessFunction.java:138-141)
+            return
+        envelope = envelope.persist()
+        try:
+            # 4a. control-plane reads (tiny slices, collected driver-side)
+            ddl_rows = [
+                r.asDict()
+                for r in envelope.filter(F.col("_ddl").isNotNull())
+                .select("_db", "_ddl", "_ddl_tbl")
+                .collect()
+            ]
+            agg = envelope.agg(
+                F.count("*").alias("n"),
+                F.max("_ts").alias("max_ts"),
+                F.count(F.when(F.col("_op").isNotNull() & (F.col("_op") != OP_READ), 1)).alias(
+                    "non_read"
+                ),
+            ).first()
+
+            # snapshot-only: drop post-completion READs (F2); error non-READ
+            data = envelope
+            if cfg.snapshot_only and self.controller.snapshot_complete:
+                data = envelope.filter(F.col("_op") == OP_READ).limit(0)
+
+            # 1. route + write
+            route_batch(data, self.registry, cfg.sink_path, cfg.source_id)
+
+            # 2. offset file, AFTER data writes commit (at-least-once, ST4)
+            if self.offset_store is not None:
+                offset = reduce_offset(envelope, cfg.source_type)
+                if offset is not None:
+                    self.offset_store.write(offset)
+
+            # 3. status file (ST8; checkpoint-complete == batch end)
+            self.status.update(int(agg["n"]), agg["max_ts"])
+            self.status.flush()
+
+            # 4b. stop decisions take effect before the next batch
+            self.controller.on_batch_ops(has_non_read=int(agg["non_read"]) > 0)
+            self.controller.on_ddl_rows(ddl_rows)
+            self.batches_processed += 1
+        finally:
+            envelope.unpersist()
+
+    # -- streaming driver --------------------------------------------------
+
+    def start(self, spark: SparkSession, input_path: str, checkpoint_dir: str):
+        cfg = self.config
+        stream = read_raw_stream(spark, input_path, cfg.source_type)
+        stored = self.offset_store.read() if self.offset_store else None
+        offset = cfg.offset_value or stored
+        # file offset overrides config (configureOffset, FlinkCDCMulti.java:187-257)
+        if stored:
+            offset = stored
+        if offset:
+            stream = resume_filter(stream, cfg.source_type, offset)
+
+        query = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{cfg.checkpoint_interval_s} seconds")
+            .start()
+        )
+        return query
+
+    def run_until_stopped(self, query, poll_s: float = 0.25, timeout_s: float | None = None):
+        """Await the stop controller: the triggering batch commits, then the
+        query stops before the next trigger (batch-aligned stop, §7.5)."""
+        import time
+
+        t0 = time.time()
+        while query.isActive:
+            if self.controller.stop_requested:
+                query.stop()
+                break
+            if timeout_s is not None and time.time() - t0 > timeout_s:
+                break
+            time.sleep(poll_s)
+        query.awaitTermination(10)
+        return self.controller.stop_reason

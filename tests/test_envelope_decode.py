@@ -1,0 +1,103 @@
+"""decode_raw: raw Debezium-style JSON → typed envelope (T1-T4 semantics)."""
+
+import json
+
+from conftest import make_mysql_ddl, make_mysql_row
+
+from flink_cdc_multi_spark.sources.debezium_json import decode_raw
+
+
+def _decode(spark, lines, source_type):
+    df = spark.createDataFrame([(line,) for line in lines], "value string")
+    return decode_raw(df, source_type)
+
+
+def test_mysql_image_pick_and_ops(spark):
+    lines = [
+        make_mysql_row(op="r", after={"id": 1, "v": "a"}, snapshot="true", file=None, pos=None),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=100),
+        make_mysql_row(op="u", before={"id": 2, "v": "b"}, after={"id": 2, "v": "c"}, pos=200),
+        make_mysql_row(op="d", before={"id": 2, "v": "c"}, after=None, pos=300),
+    ]
+    rows = _decode(spark, lines, "mysql").orderBy("_ts", "_binlog_pos_end").collect()
+    ops = [r["_op"] for r in rows]
+    assert ops == ["READ", "INSERT", "UPDATE", "DELETE"]
+    payloads = [json.loads(r["payload"]) for r in rows]
+    assert payloads[1] == {"id": 2, "v": "b"}
+    assert payloads[2] == {"id": 2, "v": "c"}  # UPDATE carries after
+    assert payloads[3] == {"id": 2, "v": "c"}  # DELETE carries before
+    assert rows[1]["_db"] == "testdb" and rows[1]["_tbl"] == "users"
+    assert rows[1]["_binlog_file_internal"] == "mysql-bin.000001"
+
+
+def test_ts_wall_clock_fallback(spark):
+    rows = _decode(
+        spark, [make_mysql_row(op="c", after={"id": 1}, ts_ms=0)], "mysql"
+    ).collect()
+    assert rows[0]["_ts"] > 1_600_000_000_000  # wall clock, not 0
+
+
+def test_name_sanitization(spark):
+    line = make_mysql_row(db="my-db.x", table="my-table", op="c", after={"id": 1})
+    r = _decode(spark, [line], "mysql").first()
+    assert r["_db"] == "my_db_x"
+    assert r["_tbl"] == "my_table"
+    assert r["_database"] == "my-db.x"  # original retained for name maps
+
+
+def test_mysql_ddl_routing_fields(spark):
+    line = make_mysql_ddl(ddl="ALTER TABLE users ADD COLUMN x INT", table="users")
+    r = _decode(spark, [line], "mysql").first()
+    assert r["_tbl"] == "_testdb_ddl"
+    assert r["_ddl_tbl"] == "users"
+    assert r["_op"] is None
+    assert r["_ddl"].startswith("ALTER")
+
+
+def test_oracle_op_codes_and_scn_default(spark):
+    line = json.dumps(
+        {
+            "op": "u",
+            "ts_ms": 1700000000001,
+            "before": {"ID": "1", "V": "a"},
+            "after": {"ID": "1", "V": "b"},
+            "source": {"db": "ORCL", "schema": "HR", "table": "EMP"},
+        }
+    )
+    r = _decode(spark, [line], "oracle").first()
+    assert r["_op"] == "UPDATE"
+    assert r["_scn"] == "0"  # default when missing
+    assert r["_schema"] == "HR"
+
+
+def test_mongo_replace_snapshot_and_oid(spark):
+    lines = [
+        json.dumps(
+            {
+                "op": "REPLACE",
+                "ts_ms": 1,
+                "after": {"a": 1},
+                "source": {"db": "d", "collection": "c", "snapshot": "false"},
+                "_id": json.dumps({"$oid": "65f0a"}),
+            }
+        ),
+        json.dumps(
+            {
+                "op": "INSERT",
+                "ts_ms": 2,
+                "after": {"a": 2},
+                "source": {"db": "d", "collection": "c", "snapshot": "true"},
+                "_id": "plain-id",
+            }
+        ),
+    ]
+    rows = _decode(spark, lines, "mongodb").orderBy("_ts").collect()
+    assert rows[0]["_op"] == "UPDATE"  # REPLACE → UPDATE
+    assert rows[0]["_id"] == "65f0a"  # $oid extracted
+    assert rows[1]["_op"] == "READ"  # snapshot INSERT → READ
+    assert rows[1]["_id"] == "plain-id"
+
+
+def test_debezium_enum_name_create(spark):
+    line = make_mysql_row(op="CREATE", after={"id": 9})
+    assert _decode(spark, [line], "mysql").first()["_op"] == "INSERT"

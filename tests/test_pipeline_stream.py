@@ -1,0 +1,163 @@
+"""End-to-end streaming: file-fed Debezium JSON → per-table parquet + offset
++ status + stop control (SURVEY.md §5 streaming layer)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conftest import make_mysql_ddl, make_mysql_row
+
+from flink_cdc_multi_spark.catalog import TableRegistry
+from flink_cdc_multi_spark.config import JobConfig
+from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline, StopController
+
+USERS = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def _pipeline(tmp_path, **cfg_overrides):
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "s1",
+            "source.type": "mysql",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+            **cfg_overrides,
+        }
+    )
+    reg = TableRegistry.build("mysql", {("testdb", "users"): USERS})
+    return CDCPipeline(cfg, reg)
+
+
+def _feed(tmp_path, name, lines):
+    feed = tmp_path / "feed"
+    feed.mkdir(exist_ok=True)
+    (feed / name).write_text("\n".join(lines) + "\n")
+    return str(feed)
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    lines = [
+        make_mysql_row(op="r", after={"id": 1, "v": "a"}, snapshot="true", pos=1),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=100, ts_ms=1700000001000),
+        make_mysql_row(op="u", before={"id": 2, "v": "b"}, after={"id": 2, "v": "c"},
+                       pos=200, ts_ms=1700000002000),
+        make_mysql_row(op="d", before={"id": 1, "v": "a"}, after=None,
+                       pos=300, ts_ms=1700000003000),
+    ]
+    pipe = _pipeline(tmp_path)
+    feed = _feed(tmp_path, "f1.json", lines)
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    query.processAllAvailable()
+    query.stop()
+
+    users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
+    assert users.count() == 4
+    # CDC last-image materialization (q07 semantics) over the written table
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("_binlog_pos_internal").desc())
+    latest = (
+        users.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("id", "_op", "v")
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r["id"], r["_op"]) for r in latest] == [(1, "DELETE"), (2, "UPDATE")]
+
+    # offset file: max (file,pos) over non-READ
+    assert pipe.offset_store.read() == "mysql-bin.000001,300"
+    # status file
+    status = json.loads((tmp_path / "store" / "s1_status.json").read_text())
+    assert status["record_count"] == 4
+    assert status["last_event_timestamp"] == 1700000003000
+    assert status["job_name"] == "JOB-s1"
+
+
+def test_stream_structural_ddl_stops(spark, tmp_path):
+    pipe = _pipeline(tmp_path)
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+            make_mysql_ddl(ddl="ALTER TABLE users ADD COLUMN x INT", pos=20),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    reason = pipe.run_until_stopped(query, timeout_s=60)
+    assert reason and "structural DDL" in reason
+    assert not query.isActive
+    # the triggering batch still committed (flush-then-halt, README.md:26)
+    users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
+    assert users.count() == 1
+    ddl_tbl = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb___testdb_ddl"))
+    assert ddl_tbl.count() == 1
+
+
+def test_stream_non_structural_ddl_continues(spark, tmp_path):
+    pipe = _pipeline(tmp_path)
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+            make_mysql_ddl(ddl="CREATE INDEX i ON users (id)", pos=20),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    query.processAllAvailable()
+    assert pipe.controller.stop_requested is False
+    query.stop()
+
+
+def test_snapshot_only_stops_on_first_non_read(spark, tmp_path):
+    pipe = _pipeline(tmp_path, **{"snapshot.only": "true"})
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="r", after={"id": 1, "v": "a"}, snapshot="true", pos=1),
+            make_mysql_row(op="r", after={"id": 2, "v": "b"}, snapshot="true", pos=2),
+            make_mysql_row(op="c", after={"id": 3, "v": "c"}, pos=100),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    reason = pipe.run_until_stopped(query, timeout_s=60)
+    assert reason and "snapshot complete" in reason
+
+
+def test_resume_from_offset_file(spark, tmp_path):
+    pipe = _pipeline(tmp_path)
+    pipe.offset_store.write("mysql-bin.000001,200")
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=100),
+            make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=200),
+            make_mysql_row(op="c", after={"id": 3, "v": "c"}, pos=300),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt2"))
+    query.processAllAvailable()
+    query.stop()
+    users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
+    # resume replays the record AT the stored offset (at-least-once)
+    assert sorted(r["id"] for r in users.collect()) == [2, 3]
+
+
+def test_stop_controller_ignores_non_target_ddl():
+    ctl = StopController(snapshot_only=False, target_tables={"testdb.users"})
+    ctl.on_ddl_rows([{"_db": "testdb", "_ddl": "DROP TABLE other", "_ddl_tbl": "other"}])
+    assert ctl.stop_requested is False
+    ctl.on_ddl_rows([{"_db": "testdb", "_ddl": "ALTER TABLE users DROP COLUMN v",
+                      "_ddl_tbl": "users"}])
+    assert ctl.stop_requested is True

@@ -1,0 +1,116 @@
+"""route_batch: demux to per-table parquet, name maps, unknown-table policy."""
+
+import pytest
+from pyspark.sql import types as T
+
+from conftest import make_mysql_ddl, make_mysql_row
+
+from flink_cdc_multi_spark.catalog import TableRegistry
+from flink_cdc_multi_spark.operators.routing import UnknownTableError, route_batch
+from flink_cdc_multi_spark.sources.debezium_json import decode_raw
+
+USERS = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+ORDERS = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def _envelope(spark, lines):
+    df = spark.createDataFrame([(line,) for line in lines], "value string")
+    return decode_raw(df, "mysql")
+
+
+def _registry(**kw):
+    return TableRegistry.build(
+        "mysql",
+        {("testdb", "users"): USERS, ("testdb", "orders"): ORDERS},
+        **kw,
+    )
+
+
+def test_demux_writes_per_table(spark, tmp_path):
+    lines = [
+        make_mysql_row(table="users", op="c", after={"id": 1, "name": "a"}, pos=10),
+        make_mysql_row(table="users", op="c", after={"id": 2, "name": "b"}, pos=20),
+        make_mysql_row(table="orders", op="c", after={"id": 7, "amount": 3.5}, pos=30),
+    ]
+    reg = _registry()
+    res = route_batch(_envelope(spark, lines), reg, str(tmp_path), "src1")
+    assert res.per_table_rows == {"testdb.users": 2, "testdb.orders": 1}
+
+    users = spark.read.parquet(str(tmp_path / "src1_testdb__users"))
+    assert users.count() == 2
+    cols = set(users.columns)
+    # typed payload + retained sink metadata + dt bucket
+    assert {"id", "name", "_op", "_ts", "_binlog_file_internal", "dt"} <= cols
+    # routing-only fields stripped (SideInputProcessFunction.java:54-63)
+    assert "_db" not in cols and "_tbl" not in cols and "_binlog_pos_end" not in cols
+    # dt=YYYY-MM-DD directory layout (read back via partition inference)
+    assert str(users.select("dt").distinct().first()["dt"]) == "2023-11-14"
+
+    orders = spark.read.parquet(str(tmp_path / "src1_testdb__orders"))
+    assert orders.select("amount").first()["amount"] == 3.5
+
+
+def test_ddl_routed_to_ddl_table(spark, tmp_path):
+    lines = [
+        make_mysql_row(table="users", op="c", after={"id": 1, "name": "a"}),
+        make_mysql_ddl(ddl="CREATE INDEX i ON users (id)", table="users", pos=99),
+    ]
+    res = route_batch(_envelope(spark, lines), _registry(), str(tmp_path), "s")
+    assert res.ddl_rows == 1
+    ddl = spark.read.parquet(str(tmp_path / "s_testdb___testdb_ddl"))
+    row = ddl.first()
+    assert row["_ddl"].startswith("CREATE INDEX")
+    assert row["_ddl_tbl"] == "users"
+    assert row["_binlog_pos_end"] == 99  # DDL rows KEEP offset cols
+
+
+def test_unknown_table_fails(spark, tmp_path):
+    lines = [make_mysql_row(table="ghost", op="c", after={"id": 1})]
+    with pytest.raises(UnknownTableError):
+        route_batch(_envelope(spark, lines), _registry(), str(tmp_path), "s")
+
+
+def test_unknown_table_skip_policy(spark, tmp_path):
+    lines = [
+        make_mysql_row(table="ghost", op="c", after={"id": 1}),
+        make_mysql_row(table="users", op="c", after={"id": 1, "name": "a"}),
+    ]
+    reg = _registry(fail_on_unknown_tables=False)
+    res = route_batch(_envelope(spark, lines), reg, str(tmp_path), "s")
+    assert res.unknown_tables == [("testdb", "ghost")]
+    assert res.per_table_rows == {"testdb.users": 1}
+
+
+def test_table_name_map(spark, tmp_path):
+    # table.name.map is keyed by original db.table with the reference's lossy
+    # '_'→'-' reverse sanitization (SideInputProcessFunction.java:86-106)
+    reg = TableRegistry.build(
+        "mysql",
+        {("testdb", "users_v2"): USERS},
+        table_name_map={"testdb.users": "users_v2"},
+    )
+    lines = [make_mysql_row(table="users", op="c", after={"id": 5, "name": "x"})]
+    res = route_batch(_envelope(spark, lines), reg, str(tmp_path), "s")
+    assert res.per_table_rows == {"testdb.users_v2": 1}
+    assert spark.read.parquet(str(tmp_path / "s_testdb__users_v2")).count() == 1
+
+
+def test_database_name_map(spark, tmp_path):
+    reg = TableRegistry.build(
+        "mysql",
+        {("prod_db", "users"): USERS},
+        database_name_map={"testdb": "prod_db"},
+    )
+    lines = [make_mysql_row(db="testdb", table="users", op="c", after={"id": 1, "name": "a"})]
+    res = route_batch(_envelope(spark, lines), reg, str(tmp_path), "s")
+    assert res.per_table_rows == {"prod_db.users": 1}
