@@ -12,15 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_cdc_multi_spark.plans.oracle import ORACLE_SQL
-from flink_cdc_multi_spark.plans.queries import QUERIES
+from flink_cdc_multi_spark.plans import ALL_ORACLE_SQL, ALL_QUERIES
 from flink_cdc_multi_spark.session import configure_existing
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     configure_existing(spark)
-    return QUERIES["q14"](spark, "/root/testdata/sf0.001")
+    return ALL_QUERIES["q14"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -33,9 +32,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(fn) for name, fn in QUERIES.items()}
+    return {name: _wrap(fn) for name, fn in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query key."""
-    return dict(ORACLE_SQL)
+    """DuckDB-runnable ANSI SQL per query key. Keys absent here (hash-based
+    ops: ext_dedup_minhash/simhash, ext_ann_lsh) get the driver's rows-only
+    check; their semantics are unit-tested against hand-built fixtures."""
+    return dict(ALL_ORACLE_SQL)

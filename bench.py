@@ -20,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from flink_cdc_multi_spark.plans.queries import QUERIES  # noqa: E402
+from flink_cdc_multi_spark.plans import ALL_QUERIES as QUERIES  # noqa: E402
 from flink_cdc_multi_spark.session import get_spark  # noqa: E402
 
 GATE = [f"q{i:02d}" for i in range(1, 15)]  # q01-q14: the BASELINE suite

@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+- Exact dedup groups on a 128-bit digest of the content, never on the raw
+  text — the shuffle moves 16-byte keys, not documents.
+- MinHash/LSH follows the standard shingle → K minhashes → B bands →
+  bucket-join pipeline; candidate generation is an equi-join on
+  (band_index, band_hash), so Catalyst shuffles both sides on a compact key
+  and skew from hot buckets is handled by AQE.
+- SimHash pairs come from the pigeonhole block trick (hamming ≤ d ⇒ at
+  least one of d+1 blocks equal), turning an O(n²) hamming search into an
+  equi-join + cheap verify with ``bit_count(a ^ b)``.
+- Everything is built-in Column expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.operators.text import normalize_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one representative (min/max id) per distinct content. Returns the
+    full rows of the representatives."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(digest).orderBy(order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: candidate pairs share ≥1
+    shingle (equi-join on the shingle), intersection counted by the join,
+    union from per-doc distinct-shingle counts. Output: (a_id, b_id,
+    jaccard) with a_id < b_id, jaccard rounded to 4dp."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .withColumn("shingle", F.explode("sh"))
+        .drop("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """K minhashes per document: h_k(doc) = min over shingles of
+    xxhash64(k, shingle). One explode + one groupBy with K min-aggregates —
+    map-side partial aggregation keeps the shuffle at K longs per doc."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("s"))).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH over minhash signatures, verified by
+    signature-estimated Jaccard (fraction of agreeing minhashes ≥ threshold).
+    Output: (a_id, b_id, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select("id", "sig", band_idx).select(
+        "id",
+        "sig",
+        "band",
+        F.xxhash64(
+            "band", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
+        ).alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    est = F.round(agree / F.lit(num_hashes), 4)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit b is 1 iff the sum over
+    tokens of ±1 (sign = bit b of xxhash64(token)) is positive. Explode +
+    one groupBy with per-bit conditional sums — all JVM-side."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit = lambda b: F.shiftright("h", b).bitwiseAND(F.lit(1))
+    aggs = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}") for b in range(bits)
+    ]
+    per_bit = tok.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+        )
+    return per_bit.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via the pigeonhole block
+    join: split 64 bits into `blocks` blocks (blocks > max_hamming ⇒ any
+    qualifying pair agrees on ≥1 whole block). Verify with bit_count(xor).
+    Output: (a_id, b_id, hamming)."""
+    assert blocks > max_hamming, "need more blocks than allowed bit-errors"
+    width = 64 // blocks
+    sig = simhash(df, id_col, text_col)
+    blk = sig.select(
+        F.col("id"),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
+    ).withColumn(
+        # shiftrightunsigned only takes a literal bit count in the Python
+        # API; the SQL form accepts a column expression
+        "blk_val",
+        F.expr(f"shiftrightunsigned(simhash, blk * {width}) & {(1 << width) - 1}"),
+    )
+    a, b = blk.alias("a"), blk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two array<double> columns, left-to-right fold —
+    bit-identical to the DuckDB oracle's evaluation order."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold. Quadratic — intended for verify
+    passes and small partitions; the scale path is LSH bucketing
+    (operators/similarity.py) feeding this as the verifier within buckets."""
+    arr = F.col(vec_col).cast("array<double>")
+    v = df.select(
+        F.col(id_col).alias("id"),
+        arr.alias("v"),
+        # norms precomputed once per vector, not once per pair (the dot is
+        # the only per-pair fold); same arithmetic as cosine_sim, so the
+        # result is bit-identical
+        F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x)).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id")
+    )

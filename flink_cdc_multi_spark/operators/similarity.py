@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11): brute-force
+cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
+variant as the scale path.
+
+Scale design (100 TB / billions of vectors):
+- Brute-force joins broadcast the (small) query set against the corpus and
+  reduce with a per-query top-k window — one scan, no corpus shuffle.
+- The LSH path computes an R-bit hyperplane signature per vector with a
+  single vectorized pandas_udf (Arrow batches, numpy matmul — the one place
+  Python earns its keep), buckets on the signature, and only scores within
+  matching buckets (+ optional multiprobe by flipping each bit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_multi_spark.operators.dedup import cosine_sim
+
+LSH_SEED = 42  # deterministic hyperplanes; fixed for reproducible bucketing
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query. Output: (qid, rank, nid)."""
+    arr = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x))
+    c = corpus.select(arr.alias("cv"), F.col(id_col).alias("nid"), norm.alias("cn"))
+    q = queries.select(arr.alias("qv"), F.col(id_col).alias("qid"), norm.alias("qn"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    # norms precomputed per vector (same arithmetic as cosine_sim → same
+    # bits); the per-pair work is one fold, not three
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """R-bit random-hyperplane signature (sign of W·v per plane) as a long.
+    W is a fixed seeded Gaussian matrix regenerated identically inside every
+    Arrow batch — no closure-captured broadcast needed at this size."""
+
+    @F.pandas_udf(T.LongType())
+    def sig(vs: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(LSH_SEED)
+        planes = rng.standard_normal((dim, n_planes))
+        mat = np.stack(vs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), sig(F.col(vec_col).cast("array<double>")).alias(out_col)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 12,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose signature matches
+    the query's (or differs by one bit with multiprobe). Recall/cost is
+    tuned by n_planes; candidates join on a compact long key."""
+    c = hyperplane_signature(corpus, dim, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+    )
+    q = hyperplane_signature(queries, dim, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col("bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.expr(f"bucket ^ {1 << b}").alias(f"p{b}")
+                for b in range(n_planes)
+            ],
+        )
+        q = q.select("qid", "qv", F.explode(probes).alias("bucket"))
+    cand = c.join(F.broadcast(q), F.col("cbucket") == F.col("bucket")).dropDuplicates(
+        ["qid", "nid"]
+    )
+    scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §2.11 extension surface): tokenization stats, quality scoring,
+language ID, document fingerprinting.
+
+All operators are pure Column expressions (JVM-side, whole-stage-codegen) —
+no Python in the hot path. Each has a DuckDB-expressible twin in
+plans/oracle.py; regex/semantics are chosen to evaluate identically in both
+engines (``\\s+`` tokenization, md5 hex fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the heuristic n-gram/stopword
+# language ID. Deliberately deterministic + SQL-expressible (the oracle runs
+# the same rules); a production system would plug a real model in via
+# pandas_udf without changing the operator surface.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array (split of '' yields
+    [''] — guarded)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """chars/4 heuristic — the standard back-of-envelope BPE estimate."""
+    return F.ceil(F.length(text) / F.lit(4)).cast("bigint")
+
+
+def type_token_ratio(text: Column) -> Column:
+    """distinct tokens / tokens, 4 decimals; 0.0 for empty text."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.size(F.array_distinct(toks)) / n, 4)
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(total / n, 4))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: token counts, type-token ratio,
+    mean token length, BPE estimate. Narrow projection — scans prune to
+    (id, text) and everything stays in one codegen stage."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        type_token_ratio(t).alias("ttr"),
+        mean_token_len(t).alias("mean_tok_len"),
+        bpe_token_estimate(t).alias("bpe_est"),
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word vote: first language (in fixed order) with a marker hit;
+    'und' (undetermined) otherwise. Padded containment so markers match as
+    whole tokens."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        hit = None
+        for marker in LANG_MARKERS[lang]:
+            cond = padded.contains(f" {marker} ")
+            hit = cond if hit is None else (hit | cond)
+        expr = F.when(hit, lang).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapse + lowercase — the canonical form fingerprints
+    hash (rolling-hash equivalent; md5 of the normalized form gives the
+    same dedup partitioning with a portable function). Collapse BEFORE
+    trim: trim() strips only spaces, so tabs/newlines at the edges must be
+    collapsed to spaces first."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    return F.md5(normalize_text(text))
+
+
+def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(id_col, fingerprint(F.col(text_col)).alias("fp"))

@@ -1,0 +1,288 @@
+"""Extension query surface (SURVEY.md §2.11): dedup / similarity / text /
+multimodal as driver-checkable queries over the synthetic tables.
+
+Oracle-parity design rules:
+- Ratio-style metrics are emitted as exact integer numerator/denominator
+  pairs (jaccard → inter/union, TTR → unique/total) so no cross-engine
+  floating-round divergence can occur; thresholds are applied in integer
+  arithmetic (5*inter >= union  ⇔  jaccard >= 0.2).
+- Hash-dependent operators (MinHash, SimHash, hyperplane LSH) use
+  engine-local hash functions and are registered WITHOUT an oracle — the
+  driver records the weaker rows-only check; their semantics are covered by
+  unit tests against hand-computed fixtures instead.
+- Pair queries are scoped to bounded id prefixes so the quadratic verify
+  stays bounded at every SF; the unbounded scale path is the LSH variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.operators import dedup as D
+from flink_cdc_multi_spark.operators import similarity as S
+from flink_cdc_multi_spark.operators import text as X
+from flink_cdc_multi_spark.plans.queries import load_table
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup representatives: one doc per distinct text (min doc_id),
+    grouped on a 128-bit digest so the shuffle key is 16 bytes, not the
+    document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id").orderBy("doc_id")
+
+
+def ext_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint histogram (whitespace/case-insensitive
+    near-exact dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.fingerprint_docs(docs)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .orderBy("fp")
+    )
+
+
+def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (doc_id < 300 scope), exact
+    integer output: (a_id, b_id, inter, union_sz) for jaccard >= 0.2."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # exact-integer variant of operators.dedup.ngram_jaccard_pairs (which
+    # returns a rounded ratio for API use)
+    sh = (
+        docs.select(F.col("doc_id").alias("id"), D.shingles(F.col("text"), 3).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .withColumn("shingle", F.explode("sh"))
+        .drop("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * 5 >= F.col("union_sz"))  # jaccard >= 0.2, exact
+        .select("a_id", "b_id", "inter", "union_sz")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.35, vec_id < 1000 scope)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return D.embedding_neardup_pairs(emb, threshold=0.35).orderBy("a_id", "b_id")
+
+
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only check: xxhash64 is
+    Spark-local). 64 hashes, 16 bands → catches est. jaccard >= ~0.5."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
+
+
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 via pigeonhole block join
+    (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def ext_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for the first 20 vectors against the
+    rest of the corpus (broadcast queries; corpus never shuffles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return S.brute_force_topk(corpus, queries, k=3).orderBy("qid", "rank")
+
+
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-3 (rows-only check; numpy-seeded
+    hyperplanes are engine-local). Same output shape as ext_ann_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return S.lsh_topk(corpus, queries, dim=64, k=3, n_planes=10).orderBy("qid", "rank")
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features as exact integers: token count, distinct tokens,
+    non-whitespace chars, BPE estimate."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    t = F.col("text")
+    toks = X.tokens(t)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length(F.regexp_replace(t, r"\s", "")).alias("n_nonspace_chars"),
+        X.bpe_token_estimate(t).alias("bpe_est"),
+    ).orderBy("doc_id")
+
+
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+def ext_text_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per (lang, source) — the partial-agg
+    shuffle is |groups|, independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(X.bpe_token_estimate(F.col("text"))).alias("total_bpe_est"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def ext_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary accounting: byte length of each document's content as
+    a binary payload (the text column stands in for a media blob; the
+    decode kernels are stubbed — operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("bigint").alias("byte_len"),
+    ).orderBy("doc_id")
+
+
+EXT_QUERIES = {
+    "ext_dedup_exact": ext_dedup_exact,
+    "ext_dedup_fingerprint": ext_dedup_fingerprint,
+    "ext_dedup_ngram": ext_dedup_ngram,
+    "ext_dedup_embedding": ext_dedup_embedding,
+    "ext_dedup_minhash": ext_dedup_minhash,
+    "ext_dedup_simhash": ext_dedup_simhash,
+    "ext_ann_topk": ext_ann_topk,
+    "ext_ann_lsh": ext_ann_lsh,
+    "ext_text_quality": ext_text_quality,
+    "ext_text_langid": ext_text_langid,
+    "ext_text_tokens_by_lang": ext_text_tokens_by_lang,
+    "ext_multimodal_bytes": ext_multimodal_bytes,
+}
+
+# DuckDB oracles for the deterministic (non-hash-dependent) extensions.
+EXT_ORACLE_SQL = {
+    "ext_dedup_exact": """
+        SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+          FROM documents) t
+        WHERE rn = 1 ORDER BY doc_id
+    """,
+    "ext_dedup_fingerprint": r"""
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+               COUNT(*) AS n
+        FROM documents GROUP BY fp ORDER BY fp
+    """,
+    "ext_dedup_ngram": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 300
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), e AS (
+          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter,
+               any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*) AS union_sz
+        FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) * 5 >= any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)
+        ORDER BY a_id, b_id
+    """,
+    "ext_dedup_embedding": """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
+          WHERE vec_id < 1000
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+        ORDER BY a_id, b_id
+    """,
+    "ext_ann_topk": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 20),
+        c AS (SELECT * FROM e WHERE vec_id >= 20),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+          FROM q CROSS JOIN c
+        )
+        SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    "ext_text_quality": r"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+               END AS n_unique_tokens,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace_chars,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est
+        FROM documents WHERE lang = 'en' ORDER BY doc_id
+    """,
+    "ext_text_langid": """
+        SELECT doc_id, lang,
+               CASE
+                 WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+                   OR ' ' || lower(text) || ' ' LIKE '% and %'
+                   OR ' ' || lower(text) || ' ' LIKE '% of %' THEN 'en'
+                 WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+                   OR ' ' || lower(text) || ' ' LIKE '% und %'
+                   OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+                 WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+                   OR ' ' || lower(text) || ' ' LIKE '% et %'
+                   OR ' ' || lower(text) || ' ' LIKE '% les %' THEN 'fr'
+                 WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+                   OR ' ' || lower(text) || ' ' LIKE '% y %'
+                   OR ' ' || lower(text) || ' ' LIKE '% los %' THEN 'es'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM documents ORDER BY doc_id
+    """,
+    "ext_text_tokens_by_lang": r"""
+        SELECT lang, source,
+               SUM(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+               SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS total_bpe_est,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    "ext_multimodal_bytes": """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        FROM documents ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,184 @@
+"""Extension operators: dedup / similarity / text / multimodal semantics on
+hand-built fixtures (the hash-based ops have no DuckDB oracle, so their
+correctness is pinned here)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.operators import dedup as D
+from flink_cdc_multi_spark.operators import multimodal as M
+from flink_cdc_multi_spark.operators import similarity as S
+from flink_cdc_multi_spark.operators import text as X
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different content about spark engines"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(docs, ["text"], "doc_id").collect())
+    assert kept == [1, 2, 4, 5]  # 3 deduped into 1
+
+
+def test_shingles_semantics(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    sh = sorted(df.select(F.explode(D.shingles(F.col("text"), 3)).alias("s")).toPandas()["s"])
+    assert sh == ["a b c", "b c d"]
+    # short text falls back to the whole string as one shingle
+    df2 = spark.createDataFrame([(1, "a b")], "id long, text string")
+    sh2 = df2.select(D.shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sh2 == ["a b"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc joins nothing
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["a_id"], r["b_id"]) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 3) in pairs  # exact dup always collides in every band
+    assert (1, 2) in pairs  # high-jaccard near-dup
+    assert not any(4 in p for a_b in pairs for p in [a_b])
+
+
+def test_minhash_exact_dup_signature_identical(docs):
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(docs).collect() if r["id"] in (1, 3)}
+    assert sigs[1] == sigs[3]
+
+
+def test_simhash_properties(docs):
+    h = {r["id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert h[1] == h[3]  # identical text → identical simhash
+    ham_near = bin(h[1] ^ h[2]).count("1")
+    ham_far = bin(h[1] ^ h[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_hamming(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 3)) == 0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),  # ~same direction as 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a_id"], r["b_id"]) for r in D.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_brute_force_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0]), (13, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    got = [(r["rank"], r["nid"]) for r in S.brute_force_topk(corpus, queries, k=3).collect()]
+    assert got == [(1, 10), (2, 11), (3, 12)]
+
+
+def test_lsh_topk_recall_vs_exact(spark, tmp_path):
+    # deterministic synthetic corpus; LSH with multiprobe should recover the
+    # exact top-1 for most queries (recall tolerance, not exactness)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i + 100, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qvecs = vecs[:10] + rng.standard_normal((10, 16)) * 0.05  # perturbed corpus vecs
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(qvecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        r["qid"]: r["nid"]
+        for r in S.brute_force_topk(corpus, queries, k=1).collect()
+    }
+    approx = {
+        r["qid"]: r["nid"]
+        for r in S.lsh_topk(corpus, queries, dim=16, k=1, n_planes=8).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= 7  # ≥70% top-1 recall with multiprobe
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "a bb  ccc a"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in X.quality_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["ttr"] == 0.75  # 3 distinct / 4
+    assert rows[1]["mean_tok_len"] == 1.75  # (1+2+3+1)/4
+    assert rows[2]["n_tokens"] == 0 and rows[2]["ttr"] == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),
+            (2, "der Hund und die Katze"),
+            (3, "le chat et les chiens"),
+            (4, "el gato y los perros"),
+            (5, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", X.lang_id(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " hello   WORLD \t")],
+        "doc_id long, text string",
+    )
+    fps = {r["fp"] for r in X.fingerprint_docs(df).collect()}
+    assert len(fps) == 1  # all normalize to the same fingerprint
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    df = spark.createDataFrame([(1, bytearray(b"img-bytes"))], "doc_id long, media binary")
+    with pytest.raises(NotImplementedError):
+        M.decode_image_features(df)
+
+
+def test_multimodal_fake_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(f"media-{i}".encode())) for i in range(5)],
+        "doc_id long, media binary",
+    )
+    out = M.decode_image_features(df, fake=True).collect()
+    assert len(out) == 5
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["byte_len"] == len(b"media-0")
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in out)
+    assert all(0.0 <= r["mean_luma"] <= 1.0 for r in out)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 2500)], "doc_id long, duration_ms long")
+    ts = [r["frame_ts_ms"] for r in M.frame_sample_plan(df, every_ms=1000).collect()]
+    assert ts == [0, 1000, 2000]
