@@ -213,6 +213,8 @@ class TableRegistry:
     database_name_map: dict[str, str] = field(default_factory=dict)
     table_name_map: dict[str, str] = field(default_factory=dict)
     fail_on_unknown_tables: bool = True
+    # mongodb.deserialization.mode (MongoDBDebeziumToJSONDeserializer.java:30-34)
+    mongo_mode: str = "top-level-type"
 
     @classmethod
     def build(
@@ -223,12 +225,14 @@ class TableRegistry:
         database_name_map: dict[str, str] | None = None,
         table_name_map: dict[str, str] | None = None,
         fail_on_unknown_tables: bool = True,
+        mongo_mode: str = "top-level-type",
     ) -> "TableRegistry":
         reg = cls(
             source=SOURCE_KINDS[source_type],
             database_name_map=database_name_map or {},
             table_name_map=table_name_map or {},
             fail_on_unknown_tables=fail_on_unknown_tables,
+            mongo_mode=mongo_mode,
         )
         dbs = set()
         for (db, tbl), schema in tables.items():

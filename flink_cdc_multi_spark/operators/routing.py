@@ -63,12 +63,23 @@ def project_table(
     if spec.is_ddl:
         cols = [F.col(f.name) for f in spec.payload_schema.fields]
         return rows.select(*cols)
-    payload = F.from_json(F.col("payload"), spec.payload_schema).alias("r")
     keep_meta = ["_op", "_ts"]
     if registry.source.name == "mysql":
         keep_meta += ["_binlog_file_internal", "_binlog_pos_internal"]
     if registry.source.name == "mongodb":
-        keep_meta += ["_txn_op_index"]
+        keep_meta += ["_id", "_txn_op_index"]
+        # mode-aware projection: $-unwrap + drift contract (sources/mongo.py)
+        from flink_cdc_multi_spark.sources.mongo import project_mongo_payload
+
+        with_meta = rows.select("payload", *keep_meta)
+        return project_mongo_payload(
+            with_meta,
+            "payload",
+            spec.payload_schema,
+            mode=registry.mongo_mode,
+            fail_on_extra=registry.fail_on_unknown_tables,
+        )
+    payload = F.from_json(F.col("payload"), spec.payload_schema).alias("r")
     return rows.select(payload, *keep_meta).select("r.*", *keep_meta)
 
 

@@ -1,0 +1,139 @@
+"""MongoDB deserialization modes + schema conformance (reference T4,
+java/deserializers/MongoDBDebeziumToJSONDeserializer.java:30-258).
+
+Three modes (``mongodb.deserialization.mode``):
+- ``top-level-type``: payload parsed against the inferred typed schema
+- ``top-level-string``: every field a string
+- ``doc-string``: two columns — ``_id`` + the whole document as JSON
+
+Schema-drift contract (:209-255), applied per micro-batch:
+- missing fields → null-filled (from_json does this natively) + warning
+- EXTRA fields → hard failure instructing the user to version the table
+  via table.name.map (evolution is manual, README.md:136-147)
+
+Extra-field detection is set algebra on ``json_object_keys`` — an
+aggregation over distinct key-sets, not a per-record Python check.
+
+Extended-JSON ``$``-wrappers ($numberLong/$date/$oid/$numberDecimal/
+$numberDouble/$timestamp) are unwrapped per field at projection time
+(:123-135).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_multi_spark.functions.sanitizer import sanitize
+
+
+class SchemaDriftError(RuntimeError):
+    """Extra field(s) beyond the pinned schema
+    (MongoDBDebeziumToJSONDeserializer.java:232-254)."""
+
+
+_DOLLAR_WRAPPERS = (
+    "$numberLong",
+    "$numberDecimal",
+    "$numberDouble",
+    "$date",
+    "$oid",
+)
+
+
+def unwrap_field(payload: Column, field: str) -> Column:
+    """coalesce over the extended-JSON wrappers, then the raw value;
+    $timestamp unwraps to its seconds component."""
+    base = f"$.{field}"
+    candidates = [F.get_json_object(payload, f"{base}.{w}") for w in _DOLLAR_WRAPPERS]
+    candidates.append(F.get_json_object(payload, f"{base}.$timestamp.t"))
+    candidates.append(F.get_json_object(payload, base))
+    return F.coalesce(*candidates)
+
+
+def check_extra_fields(
+    df: DataFrame, payload_col: str, schema: T.StructType
+) -> list[str]:
+    """Distinct payload keys not covered by the pinned schema. Cheap: one
+    explode over json_object_keys + distinct (key-universe is tiny)."""
+    allowed = {f.name for f in schema.fields} | {"_id"}
+    observed = (
+        df.select(F.explode(F.json_object_keys(F.col(payload_col))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted({sanitize(r["k"]) for r in observed} - allowed)
+
+
+def project_mongo_payload(
+    df: DataFrame,
+    payload_col: str,
+    schema: T.StructType,
+    mode: str = "top-level-type",
+    fail_on_extra: bool = True,
+) -> DataFrame:
+    """Typed projection of the payload per deserialization mode, with the
+    drift contract applied. Keeps all non-payload columns."""
+    if fail_on_extra and mode != "doc-string":
+        extra = check_extra_fields(df, payload_col, schema)
+        if extra:
+            raise SchemaDriftError(
+                f"extra fields {extra} not in pinned schema; version the "
+                f"collection via table.name.map (e.g. mytable_v20240401)"
+            )
+
+    others = [c for c in df.columns if c != payload_col]
+    if mode == "doc-string":
+        doc = _strip_id_udf()(F.col(payload_col))
+        return df.select(*others, doc.alias("doc"))
+
+    if mode == "top-level-string":
+        fields = [
+            unwrap_field(F.col(payload_col), f.name).alias(sanitize(f.name))
+            for f in schema.fields
+        ]
+        return df.select(*others, *fields)
+
+    # top-level-type: unwrap $-wrappers then cast to the inferred type
+    fields = [
+        unwrap_field(F.col(payload_col), f.name)
+        .cast(f.dataType)
+        .alias(sanitize(f.name))
+        for f in schema.fields
+    ]
+    return df.select(*others, *fields)
+
+
+def _strip_id_udf():
+    """doc-string repack: whole document minus ``_id`` as a JSON string
+    (:195-201). JSON-structural, so a (vectorized) Python step; doc-string
+    mode is explicitly the no-schema slow path."""
+
+    @F.pandas_udf(T.StringType())
+    def strip_id(payloads: pd.Series) -> pd.Series:
+        def go(p):
+            if p is None:
+                return None
+            try:
+                obj = json.loads(p)
+            except (TypeError, ValueError):
+                return p
+            obj.pop("_id", None)
+            return json.dumps(obj, separators=(",", ":"))
+
+        return payloads.map(go)
+
+    return strip_id
+
+
+def normalize_mongo_id(payload: Column) -> Column:
+    """``_id`` normalization (:76-93, README.md:225-228): $oid extracted,
+    any other literal stringified."""
+    return F.coalesce(
+        F.get_json_object(payload, "$._id.$oid"), F.get_json_object(payload, "$._id")
+    )

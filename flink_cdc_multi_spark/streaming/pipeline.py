@@ -187,6 +187,18 @@ class CDCPipeline:
             offset = stored
         if offset:
             stream = resume_filter(stream, cfg.source_type, offset)
+        elif cfg.startup_mode == "timestamp" and cfg.datetime_offset:
+            # startup.mode=timestamp: skip events before datetime.offset
+            # (MySQLStreamer.java:240-251; zone pinned UTC per SURVEY §7.5,
+            # override via source.timezone)
+            from datetime import datetime, timezone
+
+            tz = timezone.utc
+            dt = datetime.fromisoformat(cfg.datetime_offset).replace(tzinfo=tz)
+            start_ms = int(dt.timestamp() * 1000)
+            stream = stream.filter(
+                F.col("_ddl").isNotNull() | (F.col("_ts") >= start_ms)
+            )
 
         query = (
             stream.writeStream.foreachBatch(self.process_batch)
