@@ -40,6 +40,8 @@ class JobConfig:
     source_table_list: list[str] = field(default_factory=list)
     source_database_list: list[str] = field(default_factory=list)
     mongodb_deserialization_mode: str = "top-level-type"
+    fail_on_unknown_tables: bool = True
+    debug: bool = False  # --debug print sink (FlinkCDCMulti.java:148-154)
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -85,6 +87,12 @@ class JobConfig:
             mongodb_deserialization_mode=cfg.get(
                 "mongodb.deserialization.mode", "top-level-type"
             ),
+            # README.md:160 documents a default-skip intent for
+            # fail.on.unknown.tables; the shipped code fails hard, which is
+            # the default here too
+            fail_on_unknown_tables=str(cfg.get("fail.on.unknown.tables", "true")).lower()
+            == "true",
+            debug=str(cfg.get("debug", "false")).lower() == "true",
             raw=dict(cfg),
         )
 

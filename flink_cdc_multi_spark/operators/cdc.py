@@ -1,0 +1,107 @@
+"""CDC table materialization & maintenance — the consumer-side half of the
+engine: turn an append-only change log (what the router writes) into the
+current table state, and compact change-log tables in place.
+
+This is the q07 semantic as a reusable operator (SURVEY.md §7.3): latest
+row per key by the monotone offset ordering, DELETEs dropped. Because the
+reduction is over the offset columns it is order- and duplicate-insensitive,
+which is exactly what makes the at-least-once resume contract
+(README.md:212-218) safe downstream.
+
+Scale: one hash shuffle on the key columns; row_number over each key group
+(no global sort). Compaction rewrites per dt-partition output with
+AQE-coalesced files — the antidote to micro-batch small-file buildup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.envelope import OP_DELETE
+
+
+def latest_image(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """Current state of a table from its change log.
+
+    order_cols: monotone per-source offset columns, e.g.
+    ['_binlog_file_internal', '_binlog_pos_internal'] (MySQL), ['_lsn'],
+    ['_scn'], or ['_ts', '_txn_op_index'] (Mongo). Ties (replayed
+    duplicates) are broken arbitrarily but the rows are identical by
+    construction, so the result is stable.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if drop_deletes:
+        latest = latest.filter(F.col("_op") != OP_DELETE)
+    return latest
+
+
+def deletes_applied_count(changes: DataFrame, key_cols: list[str], order_cols: list[str]) -> int:
+    """Keys whose latest change is a DELETE (rows removed by materialization)."""
+    return (
+        latest_image(changes, key_cols, order_cols, drop_deletes=False)
+        .filter(F.col("_op") == OP_DELETE)
+        .count()
+    )
+
+
+def compact_table(
+    spark,
+    table_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    target_files_per_partition: int = 1,
+) -> int:
+    """Rewrite a change-log table as its materialized state, dt-partitioned,
+    coalescing the micro-batch small files. Returns the row count of the
+    compacted table.
+
+    Writes to a sibling `<path>__compact` then swaps — the parquet
+    equivalent of the reference's roll-on-checkpoint atomicity (a real
+    deployment on a table format would use MERGE; plain parquet gets
+    swap-by-rename).
+    """
+    import shutil
+
+    df = spark.read.parquet(table_path)
+    state = latest_image(df, key_cols, order_cols)
+    tmp = f"{table_path}__compact"
+    (
+        state.repartition(target_files_per_partition, *key_cols)
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(table_path)
+    shutil.move(tmp, table_path)
+    return n
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup (§2.11): dropDuplicatesWithinWatermark when an
+    event-time column is given (bounded state — duplicates only need to be
+    tracked inside the watermark window), plain dropDuplicates otherwise
+    (unbounded state; only for bounded key universes)."""
+    if event_time_col is not None:
+        return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return stream.dropDuplicates(key_cols)

@@ -45,6 +45,20 @@ from flink_cdc_multi_spark.streaming.status import StatusStore
 LOG = logging.getLogger(__name__)
 
 
+def registry_from_config(cfg: JobConfig, tables) -> TableRegistry:
+    """TableRegistry wired from a JobConfig: name maps, unknown-table
+    policy, mongo deserialization mode (configureTableNameMap,
+    FlinkCDCMulti.java:112)."""
+    return TableRegistry.build(
+        cfg.source_type,
+        tables,
+        database_name_map=cfg.database_name_map,
+        table_name_map=cfg.table_name_map,
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+        mongo_mode=cfg.mongodb_deserialization_mode,
+    )
+
+
 class SnapshotPhaseError(RuntimeError):
     """Non-READ op while in snapshot-only mode after completion — the
     reference errors (DelayedStopSignalProcessFunction.java:69-78)."""
@@ -135,6 +149,9 @@ class CDCPipeline:
             return
         envelope = envelope.persist()
         try:
+            if cfg.debug:
+                # W3/F7 debug print sink (FlinkCDCMulti.java:148-154)
+                envelope.show(20, truncate=False)
             # 4a. control-plane reads (tiny slices, collected driver-side)
             ddl_rows = [
                 r.asDict()

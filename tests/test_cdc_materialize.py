@@ -1,0 +1,96 @@
+"""CDC materialization operators: latest_image, compaction, streaming dedup."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conftest import make_mysql_row
+
+from flink_cdc_multi_spark.catalog import TableRegistry
+from flink_cdc_multi_spark.operators.cdc import (
+    compact_table,
+    latest_image,
+    streaming_dedup,
+)
+from flink_cdc_multi_spark.operators.routing import route_batch
+from flink_cdc_multi_spark.sources.debezium_json import decode_raw
+
+USERS = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+ORDER = ["_binlog_file_internal", "_binlog_pos_internal"]
+
+
+def _write_changes(spark, tmp_path, lines):
+    env = decode_raw(
+        spark.createDataFrame([(line,) for line in lines], "value string"), "mysql"
+    )
+    reg = TableRegistry.build("mysql", {("testdb", "users"): USERS})
+    route_batch(env, reg, str(tmp_path), "s")
+    return str(tmp_path / "s_testdb__users")
+
+
+LINES = [
+    make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10, ts_ms=1700000001000),
+    make_mysql_row(op="u", before={"id": 1, "v": "a"}, after={"id": 1, "v": "a2"},
+                   pos=20, ts_ms=1700000002000),
+    make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=30, ts_ms=1700000003000),
+    make_mysql_row(op="d", before={"id": 2, "v": "b"}, after=None, pos=40,
+                   ts_ms=1700000004000),
+    # replayed duplicate of the UPDATE (at-least-once resume)
+    make_mysql_row(op="u", before={"id": 1, "v": "a"}, after={"id": 1, "v": "a2"},
+                   pos=20, ts_ms=1700000002000),
+]
+
+
+def test_latest_image_semantics(spark, tmp_path):
+    path = _write_changes(spark, tmp_path, LINES)
+    changes = spark.read.parquet(path)
+    state = latest_image(changes, ["id"], ORDER)
+    rows = {r["id"]: r["v"] for r in state.collect()}
+    assert rows == {1: "a2"}  # id=2 deleted; duplicate replay harmless
+
+
+def test_latest_image_keeps_delete_rows_when_asked(spark, tmp_path):
+    path = _write_changes(spark, tmp_path, LINES)
+    changes = spark.read.parquet(path)
+    state = latest_image(changes, ["id"], ORDER, drop_deletes=False)
+    ops = {r["id"]: r["_op"] for r in state.collect()}
+    assert ops == {1: "UPDATE", 2: "DELETE"}
+
+
+def test_compact_table_rewrites_in_place(spark, tmp_path):
+    path = _write_changes(spark, tmp_path, LINES)
+    assert spark.read.parquet(path).count() == 5  # change log incl. replay
+    n = compact_table(spark, path, ["id"], ORDER)
+    assert n == 1
+    compacted = spark.read.parquet(path)
+    assert compacted.count() == 1
+    assert compacted.first()["v"] == "a2"
+    assert "dt" in compacted.columns  # partition layout preserved
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "v": 1.0},
+        {"event_id": 1, "ts": "2024-01-01T00:00:01", "v": 1.0},  # dup key
+        {"event_id": 2, "ts": "2024-01-01T00:00:02", "v": 2.0},
+    ]
+    (feed / "f.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "event_id long, ts timestamp, v double"
+    stream = spark.readStream.schema(schema).json(str(feed))
+    deduped = streaming_dedup(stream, ["event_id"], event_time_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2]
