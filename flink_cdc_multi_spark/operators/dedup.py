@@ -168,6 +168,62 @@ def minhash_lsh_pairs(
     )
 
 
+def _md5_hash60(col) -> "F.Column":
+    """Portable 60-bit hash: first 15 hex chars of md5 → bigint. Identical
+    in Spark (conv base16→10) and DuckDB (('0x'||hex)::BIGINT); 60 bits
+    stays exact inside a signed 64-bit in both engines. Slower than
+    xxhash64 (md5 + string conv) — used by the *_md5 oracle-verifiable
+    variants; the xxhash64 variants are the fast path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash: h_k(doc) = min over shingles of
+    md5-hash60(k || ':' || shingle). Long output (id, k, minhash) so the
+    DuckDB oracle can reproduce it row for row."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    ks = sh.select(
+        "id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    )
+    hv = _md5_hash60(F.concat_ws(":", F.col("k"), F.col("s")))
+    return (
+        ks.withColumn("hv", hv)
+        .groupBy("id", "k")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """Engine-portable SimHash over md5-hash60 of each token (term
+    frequency weighted — tokens are NOT deduplicated, matching the
+    classical definition). Docs with no tokens drop out (explode of an
+    empty array)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", _md5_hash60(F.col("t")))
+    bit = lambda b: F.shiftright("h", b).bitwiseAND(F.lit(1))
+    aggs = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}") for b in range(bits)
+    ]
+    per_bit = tok.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+        )
+    return per_bit.select("id", sim.alias("simhash"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
