@@ -94,9 +94,14 @@ def route_batch(
     result = RouteResult()
     envelope = envelope.persist()
     try:
-        # Unknown-table policy first (fail before any partial writes).
+        # One pass for routing keys AND per-table counts (not K count jobs),
+        # then the unknown-table policy BEFORE any partial writes.
+        counts = {
+            (r["_db"], r["_tbl"]): r["n"]
+            for r in envelope.groupBy("_db", "_tbl").agg(F.count("*").alias("n")).collect()
+        }
         routed: list[tuple[str, str, TableSpec]] = []
-        for db, tbl in observed_tables(envelope):
+        for db, tbl in counts:
             spec = registry.lookup(db, tbl)
             if spec is None:
                 result.unknown_tables.append((db, tbl))
@@ -107,20 +112,36 @@ def route_batch(
                 f"unknown tables: {result.unknown_tables}; known: {sorted(registry.specs)}"
             )
 
-        for db, tbl, spec in routed:
+        def _write_one(db: str, tbl: str, spec: TableSpec) -> None:
             typed = project_table(envelope, registry, spec, db, tbl)
             typed = typed.withColumn("dt", dt_bucket(F.col("_ts")))
-            n = typed.count()
+            (
+                typed.write.mode("append")
+                .partitionBy("dt")
+                .parquet(f"{sink_path}/{source_id}_{spec.output_name}")
+            )
+
+        for db, tbl, spec in routed:
+            n = counts[(db, tbl)]
             if spec.is_ddl:
                 result.ddl_rows += n
             else:
                 result.per_table_rows[spec.key] = result.per_table_rows.get(spec.key, 0) + n
-            if write and n > 0:
-                (
-                    typed.write.mode("append")
-                    .partitionBy("dt")
-                    .parquet(f"{sink_path}/{source_id}_{spec.output_name}")
-                )
+
+        if write:
+            # Per-table writers are independent jobs over the cached batch —
+            # submit them concurrently and let the scheduler pack the cores
+            # (a K-table CDC stream shouldn't serialize K writes).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, max(1, len(routed)))) as ex:
+                futures = [
+                    ex.submit(_write_one, db, tbl, spec)
+                    for db, tbl, spec in routed
+                    if counts[(db, tbl)] > 0
+                ]
+                for f in futures:
+                    f.result()  # propagate the first failure
         return result
     finally:
         envelope.unpersist()

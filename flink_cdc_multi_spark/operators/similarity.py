@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from flink_cdc_multi_spark.operators.dedup import cosine_sim
 
 LSH_SEED = 42  # deterministic hyperplanes; fixed for reproducible bucketing
+IVF_SEED = 42  # deterministic kmeans for reproducible IVF partitions
 
 
 def brute_force_topk(
@@ -116,6 +117,68 @@ def lsh_topk(
         ["qid", "nid"]
     )
     scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    into n_clusters cells; each query scores only the members of its
+    n_probe nearest cells.
+
+    Scale shape: the index assign is one ML transform over the corpus; the
+    probe step broadcasts (query × n_probe) rows and equi-joins on the cell
+    id, so the per-query candidate set is |corpus|·n_probe/n_clusters.
+    Deterministic via a fixed seed. Recall/cost is tuned with
+    n_clusters/n_probe exactly like FAISS IVF.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    arr = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x))
+    c = corpus.select(
+        arr.alias("cv"), F.col(id_col).alias("nid"), norm.alias("cn")
+    ).withColumn("features", array_to_vector(F.col("cv")))
+
+    km = KMeans(k=n_clusters, seed=IVF_SEED, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    indexed = model.transform(c).select("nid", "cv", "cn", "cell")
+
+    centers = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    q = queries.select(
+        arr.alias("qv"), F.col(id_col).alias("qid"), norm.alias("qn")
+    ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = indexed.join(F.broadcast(q), "cell").select(
+        "qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("cos")
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -130,6 +130,17 @@ def ext_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(corpus, queries, k=3).orderBy("qid", "rank")
 
 
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (kmeans-cell) approximate top-3 (rows-only check; kmeans is
+    engine-local). Same output shape as ext_ann_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return S.ivf_topk(corpus, queries, k=3, n_clusters=16, n_probe=4).orderBy(
+        "qid", "rank"
+    )
+
+
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3 (rows-only check; numpy-seeded
     hyperplanes are engine-local). Same output shape as ext_ann_topk."""
@@ -204,6 +215,7 @@ EXT_QUERIES = {
     "ext_dedup_simhash_md5": ext_dedup_simhash_md5,
     "ext_ann_topk": ext_ann_topk,
     "ext_ann_lsh": ext_ann_lsh,
+    "ext_ann_ivf": ext_ann_ivf,
     "ext_text_quality": ext_text_quality,
     "ext_text_langid": ext_text_langid,
     "ext_text_tokens_by_lang": ext_text_tokens_by_lang,

@@ -182,3 +182,26 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 2500)], "doc_id long, duration_ms long")
     ts = [r["frame_ts_ms"] for r in M.frame_sample_plan(df, every_ms=1000).collect()]
     assert ts == [0, 1000, 2000]
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((300, 16)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i + 100, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qvecs = vecs[:10] + rng.standard_normal((10, 16)) * 0.05
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(qvecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {r["qid"]: r["nid"] for r in S.brute_force_topk(corpus, queries, k=1).collect()}
+    approx = {
+        r["qid"]: r["nid"]
+        for r in S.ivf_topk(corpus, queries, k=1, n_clusters=8, n_probe=3).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= 8  # near-identical queries land in probed cells
