@@ -49,7 +49,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid")
     )
@@ -119,7 +119,7 @@ def lsh_topk(
     scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid")
     )
@@ -181,7 +181,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid")
     )

@@ -103,7 +103,7 @@ def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return (
         D.minhash_signatures_md5(docs, num_hashes=16)
-        .select(F.col("id").alias("doc_id"), "k", "minhash")
+        .select(F.col("id").alias("doc_id"), F.col("k").cast("bigint").alias("k"), "minhash")
         .orderBy("doc_id", "k")
     )
 
@@ -161,9 +161,11 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokens(t)
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.length(F.regexp_replace(t, r"\s", "")).alias("n_nonspace_chars"),
+        # bigint casts: DuckDB len()/length() yield BIGINT; keep schemas
+        # identical under a type-strict compare
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("n_nonspace_chars"),
         X.bpe_token_estimate(t).alias("bpe_est"),
     ).orderBy("doc_id")
 
@@ -289,7 +291,8 @@ EXT_ORACLE_SQL = {
           GROUP BY doc_id, b.b
         )
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                 AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id
     """,
     "ext_dedup_embedding": """
@@ -346,9 +349,11 @@ EXT_ORACLE_SQL = {
     """,
     "ext_text_tokens_by_lang": r"""
         SELECT lang, source,
-               SUM(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
-               SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS total_bpe_est,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+                 AS total_tokens,
+               CAST(SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+                 AS total_bpe_est,
                COUNT(*) AS n_docs
         FROM documents GROUP BY lang, source ORDER BY lang, source
     """,

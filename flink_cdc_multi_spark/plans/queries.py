@@ -281,7 +281,8 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_chars",
-            F.length("text").alias("len_check"),
+            # bigint to match DuckDB LENGTH() in case of type-strict compare
+            F.length("text").cast("bigint").alias("len_check"),
             F.when(F.col("n_chars") > 500, "long").otherwise("short").alias("bucket"),
         )
         .orderBy("doc_id")

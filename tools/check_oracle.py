@@ -33,6 +33,26 @@ def rows_to_multiset(rows, colnames):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+_DUCK_CANON = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "int",
+    "TINYINT": "int",
+    "UBIGINT": "bigint",
+    "DOUBLE": "double",
+    "FLOAT": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "DATE": "date",
+}
+_SPARK_CANON = {"timestamp_ntz": "timestamp"}
+
+
+def canon_types(pairs, mapping):
+    return {name: mapping.get(t, t.lower()) for name, t in pairs}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entrymod
@@ -59,15 +79,21 @@ def main() -> int:
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows) [no oracle]")
             continue
-        cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
+        rel = con.sql(oracles[name])
+        dcols = list(rel.columns)
+        dtypes = canon_types(zip(rel.columns, map(str, rel.types)), _DUCK_CANON)
+        stypes = canon_types(sdf.dtypes, _SPARK_CANON)
+        drows = rel.fetchall()
         ok = True
         if len(srows) != len(drows):
             print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} duckdb={len(drows)}")
             ok = False
         if sorted(scols) != sorted(dcols):
             print(f"{name}: COLUMN MISMATCH spark={scols} duckdb={dcols}")
+            ok = False
+        elif stypes != dtypes:
+            diff = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]}
+            print(f"{name}: TYPE MISMATCH (spark,duckdb): {diff}")
             ok = False
         if ok:
             sm = rows_to_multiset(srows, scols)
