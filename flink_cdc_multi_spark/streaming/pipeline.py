@@ -76,6 +76,12 @@ class StopController:
     stop_requested: bool = False
     stop_reason: str | None = None
     snapshot_complete: bool = False
+    # ST1 per-table sets (processedTablesState / completedTablesState,
+    # DelayedStopSignalProcessFunction.java:84-118): a table is "complete"
+    # once it has seen a non-READ op; stop arms when every target table
+    # completed (or, with no table list, processed == completed).
+    processed_tables: set[str] = field(default_factory=set)
+    completed_tables: set[str] = field(default_factory=set)
 
     def on_ddl_rows(self, ddl_rows: list[dict]) -> None:
         """Structural DDL → arm stop (F3/F4 + ST1 CDC-mode). `ddl_rows` is
@@ -97,20 +103,37 @@ class StopController:
             self.stop_reason = f"structural DDL: {ddl}"
             return
 
-    def on_batch_ops(self, has_non_read: bool) -> None:
-        """Snapshot-only completion: first non-READ op marks snapshot end
-        (simplified ST1/ST3 contract; per-table completion sets collapse to
-        this because completion is observed per batch, not per record)."""
-        if not self.snapshot_only:
+    def on_batch_tables(self, table_ops: list[tuple[str, bool]]) -> None:
+        """Snapshot-only completion over one batch's (table_key,
+        saw_non_read) pairs — the micro-batch granularity of ST1's
+        per-record loop (:83-131). Post-completion: READs ignored,
+        non-READs error (:69-78)."""
+        if not self.snapshot_only or not table_ops:
             return
-        if self.snapshot_complete and has_non_read:
-            raise SnapshotPhaseError(
-                "non-READ op after snapshot completion in snapshot-only mode"
+        if self.snapshot_complete:
+            if any(non_read for _, non_read in table_ops):
+                raise SnapshotPhaseError(
+                    "non-READ op after snapshot completion in snapshot-only mode"
+                )
+            return
+        for key, non_read in table_ops:
+            self.processed_tables.add(key)
+            if non_read:
+                self.completed_tables.add(key)
+        if self.target_tables:
+            all_done = self.target_tables <= self.completed_tables
+        else:
+            all_done = (
+                bool(self.completed_tables)
+                and self.processed_tables == self.completed_tables
             )
-        if has_non_read:
+        if all_done:
             self.snapshot_complete = True
             self.stop_requested = True
-            self.stop_reason = "snapshot complete (non-READ op observed)"
+            self.stop_reason = (
+                f"snapshot complete (all tables saw non-READ ops: "
+                f"{sorted(self.completed_tables)})"
+            )
 
 
 @dataclass
@@ -162,10 +185,15 @@ class CDCPipeline:
             agg = envelope.agg(
                 F.count("*").alias("n"),
                 F.max("_ts").alias("max_ts"),
-                F.count(F.when(F.col("_op").isNotNull() & (F.col("_op") != OP_READ), 1)).alias(
-                    "non_read"
-                ),
             ).first()
+            # per-table op presence for ST1 (one grouped pass, ~|tables| rows)
+            table_ops = [
+                (f"{r['_db']}.{r['_tbl']}", bool(r["non_read"]))
+                for r in envelope.filter(F.col("_op").isNotNull())
+                .groupBy("_db", "_tbl")
+                .agg(F.max(F.col("_op") != OP_READ).alias("non_read"))
+                .collect()
+            ]
 
             # snapshot-only: drop post-completion READs (F2); error non-READ
             data = envelope
@@ -186,7 +214,7 @@ class CDCPipeline:
             self.status.flush()
 
             # 4b. stop decisions take effect before the next batch
-            self.controller.on_batch_ops(has_non_read=int(agg["non_read"]) > 0)
+            self.controller.on_batch_tables(table_ops)
             self.controller.on_ddl_rows(ddl_rows)
             self.batches_processed += 1
         finally:

@@ -161,3 +161,38 @@ def test_stop_controller_ignores_non_target_ddl():
     ctl.on_ddl_rows([{"_db": "testdb", "_ddl": "ALTER TABLE users DROP COLUMN v",
                       "_ddl_tbl": "users"}])
     assert ctl.stop_requested is True
+
+
+def test_snapshot_only_waits_for_all_tables():
+    """ST1: stop arms only when EVERY target table completed its snapshot
+    (DelayedStopSignalProcessFunction.java:104-129)."""
+    ctl = StopController(
+        snapshot_only=True, target_tables={"testdb.users", "testdb.orders"}
+    )
+    ctl.on_batch_tables([("testdb.users", True)])  # users complete, orders not
+    assert ctl.stop_requested is False
+    ctl.on_batch_tables([("testdb.orders", False)])  # orders still snapshotting
+    assert ctl.stop_requested is False
+    ctl.on_batch_tables([("testdb.orders", True)])  # now both complete
+    assert ctl.stop_requested is True
+    assert "snapshot complete" in ctl.stop_reason
+
+
+def test_snapshot_only_no_target_list_processed_equals_completed():
+    ctl = StopController(snapshot_only=True, target_tables=None)
+    ctl.on_batch_tables([("db.a", True), ("db.b", False)])
+    assert ctl.stop_requested is False  # b processed but not completed
+    ctl.on_batch_tables([("db.b", True)])
+    assert ctl.stop_requested is True
+
+
+def test_snapshot_only_post_completion_non_read_errors():
+    import pytest as _pytest
+
+    from flink_cdc_multi_spark.streaming.pipeline import SnapshotPhaseError
+
+    ctl = StopController(snapshot_only=True, target_tables={"db.a"})
+    ctl.on_batch_tables([("db.a", True)])
+    assert ctl.snapshot_complete
+    with _pytest.raises(SnapshotPhaseError):
+        ctl.on_batch_tables([("db.a", True)])
