@@ -82,13 +82,20 @@ def _canonical_op(op, snapshotting):
     return F.when(snapshotting & (out == "INSERT"), "READ").otherwise(out)
 
 
-def decode_raw(raw: DataFrame, source_type: str, value_col: str = "value") -> DataFrame:
+def decode_raw(
+    raw: DataFrame,
+    source_type: str,
+    value_col: str = "value",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Raw Debezium JSON lines → flat envelope DataFrame with columns
     ``_db _tbl _database _op _ts _ddl _ddl_tbl payload`` + per-source offset
-    columns. ``payload`` is the chosen image as a JSON string."""
+    columns. ``payload`` is the chosen image as a JSON string.
+    ``passthrough`` columns (e.g. Kafka topic/partition/offset) are carried
+    into the envelope unchanged."""
     v = F.col(value_col)
     meta = F.from_json(v, RAW_META_SCHEMA).alias("m")
-    df = raw.select(v.alias("_raw"), meta)
+    df = raw.select(v.alias("_raw"), meta, *[F.col(c) for c in passthrough])
 
     src = F.col("m.source")
     snapshotting = F.coalesce(src["snapshot"], F.lit("false")).isin("true", "TRUE", "last")
@@ -144,6 +151,7 @@ def decode_raw(raw: DataFrame, source_type: str, value_col: str = "value") -> Da
     else:
         raise ValueError(f"unknown source type: {source_type}")
 
+    cols += [F.col(c) for c in passthrough]
     return df.select(*cols)
 
 

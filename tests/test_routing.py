@@ -114,3 +114,38 @@ def test_database_name_map(spark, tmp_path):
     lines = [make_mysql_row(db="testdb", table="users", op="c", after={"id": 1, "name": "a"})]
     res = route_batch(_envelope(spark, lines), reg, str(tmp_path), "s")
     assert res.per_table_rows == {"prod_db.users": 1}
+
+
+def test_oracle_all_string_projection_flattens_nested(spark, tmp_path):
+    """T3 parity: Oracle payloads are all-string; from_json with StringType
+    fields stringifies scalars ('12.345', 'true') and flattens nested
+    objects to JSON strings (OracleDebeziumToJSONDeserializer.java:79-133)."""
+    import json
+
+    line = json.dumps(
+        {
+            "op": "c",
+            "ts_ms": 1700000000000,
+            "after": {"ID": 7, "PRICE": 12.345, "ACTIVE": True, "META": {"a": 1}},
+            "source": {"db": "ORCL", "schema": "HR", "table": "ITEMS", "scn": "55"},
+        }
+    )
+    env = decode_raw(
+        spark.createDataFrame([(line,)], "value string"), "oracle"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ID", T.StringType()),
+            T.StructField("PRICE", T.StringType()),
+            T.StructField("ACTIVE", T.BooleanType()),
+            T.StructField("META", T.StringType()),
+        ]
+    )
+    reg = TableRegistry.build("oracle", {("ORCL", "ITEMS"): schema})
+    res = route_batch(env, reg, str(tmp_path), "o")
+    assert res.per_table_rows == {"ORCL.ITEMS": 1}
+    row = spark.read.parquet(str(tmp_path / "o_ORCL__ITEMS")).first()
+    assert row["ID"] == "7"
+    assert row["PRICE"] == "12.345"
+    assert row["ACTIVE"] is True  # the lone typed exception (BOOLEAN)
+    assert row["META"] == '{"a":1}'  # nested doc flattened to JSON string
