@@ -73,6 +73,18 @@ def reduce_offset(envelope: DataFrame, source_type: str) -> str | None:
     raise ValueError(f"unknown source type: {source_type}")
 
 
+def offset_greater(a: str, b: str, source_type: str) -> bool:
+    """True if offset ``a`` is strictly beyond ``b``. Micro-batches may
+    observe files/segments out of offset order (unlike the reference's
+    single-threaded stream, where last-seen == max), so the store must
+    enforce monotone advancement explicitly."""
+    if source_type == "mysql":
+        fa, pa = a.split(",", 1)
+        fb, pb = b.split(",", 1)
+        return (fa, int(pa)) > (fb, int(pb))
+    return int(a) > int(b)
+
+
 class OffsetFileStore:
     """``<store>/<source_id>_offset.txt``, overwritten atomically per flush
     (FlinkCDCMulti.java:206; SingleFileSinkFunction truncates+rewrites)."""

@@ -37,6 +37,7 @@ from flink_cdc_multi_spark.operators.routing import route_batch
 from flink_cdc_multi_spark.sources.debezium_json import read_raw_stream
 from flink_cdc_multi_spark.sources.offsets import (
     OffsetFileStore,
+    offset_greater,
     reduce_offset,
     resume_filter,
 )
@@ -203,11 +204,16 @@ class CDCPipeline:
             # 1. route + write
             route_batch(data, self.registry, cfg.sink_path, cfg.source_id)
 
-            # 2. offset file, AFTER data writes commit (at-least-once, ST4)
+            # 2. offset file, AFTER data writes commit (at-least-once, ST4).
+            # Advance monotonically: a batch may carry lower offsets than an
+            # earlier one (file pickup order ≠ offset order), and the stored
+            # offset must never regress or resume would over-replay.
             if self.offset_store is not None:
                 offset = reduce_offset(envelope, cfg.source_type)
                 if offset is not None:
-                    self.offset_store.write(offset)
+                    prev = self.offset_store.read()
+                    if prev is None or offset_greater(offset, prev, cfg.source_type):
+                        self.offset_store.write(offset)
 
             # 3. status file (ST8; checkpoint-complete == batch end)
             self.status.update(int(agg["n"]), agg["max_ts"])
@@ -222,9 +228,17 @@ class CDCPipeline:
 
     # -- streaming driver --------------------------------------------------
 
-    def start(self, spark: SparkSession, input_path: str, checkpoint_dir: str):
+    def start(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+    ):
         cfg = self.config
-        stream = read_raw_stream(spark, input_path, cfg.source_type)
+        stream = read_raw_stream(
+            spark, input_path, cfg.source_type, max_files_per_trigger
+        )
         stored = self.offset_store.read() if self.offset_store else None
         offset = cfg.offset_value or stored
         # file offset overrides config (configureOffset, FlinkCDCMulti.java:187-257)

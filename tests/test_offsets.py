@@ -119,3 +119,14 @@ def test_resume_filter_rejects_invalid(spark):
     env = _envelope(spark, [make_mysql_row(op="c", after={"id": 1})])
     with pytest.raises(ValueError):
         resume_filter(env, "mysql", "not-an-offset")
+
+
+def test_offset_greater_comparator():
+    from flink_cdc_multi_spark.sources.offsets import offset_greater
+
+    assert offset_greater("mysql-bin.000002,5", "mysql-bin.000001,999", "mysql")
+    assert offset_greater("mysql-bin.000001,100", "mysql-bin.000001,99", "mysql")
+    assert not offset_greater("mysql-bin.000001,99", "mysql-bin.000001,100", "mysql")
+    # numeric, not lexicographic
+    assert offset_greater("100", "99", "postgres")
+    assert not offset_greater("99", "100", "mongodb")

@@ -1,0 +1,121 @@
+"""Streaming-ingestion throughput bench (BASELINE.md streaming sanity):
+convert the sf events table into a Debezium-JSON feed, stream it through
+the full CDC pipeline (decode → route → per-table parquet + offset +
+status), and report rows/sec + per-trigger commit behavior.
+
+Usage: python tools/bench_streaming.py [sf_dir] [n_files]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from flink_cdc_multi_spark.catalog import TableRegistry  # noqa: E402
+from flink_cdc_multi_spark.config import JobConfig  # noqa: E402
+from flink_cdc_multi_spark.session import get_spark  # noqa: E402
+from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline  # noqa: E402
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    work = tempfile.mkdtemp(prefix="cdc_stream_bench_")
+    feed = os.path.join(work, "feed")
+    spark = get_spark("stream-bench")
+
+    # Build the Debezium-JSON feed from the events table (event_id plays
+    # the binlog position; n_files files → n_files-ish micro-batches with
+    # maxFilesPerTrigger=1).
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows = events.count()
+    wire = events.select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.struct(
+                    F.col("event_id"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                    F.col("props"),
+                ).alias("after"),
+                F.struct(
+                    F.lit("bench").alias("db"),
+                    F.lit("events").alias("table"),
+                    F.lit("feed-bin.000001").alias("file"),
+                    F.col("event_id").alias("pos"),
+                ).alias("source"),
+                F.lit("feed-bin.000001").alias("offset_file"),
+                F.col("event_id").alias("offset_pos"),
+            )
+        ).alias("value")
+    )
+    wire.repartition(n_files).write.mode("overwrite").text(feed)
+
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "bench",
+            "source.type": "mysql",
+            "sink.path": os.path.join(work, "sink"),
+            "offset.store.path": os.path.join(work, "store"),
+            "status.store.path": os.path.join(work, "store"),
+            "checkpoint.interval": 1,
+        }
+    )
+    registry = TableRegistry.build("mysql", {("bench", "events"): EVENTS_SCHEMA})
+    pipe = CDCPipeline(cfg, registry)
+
+    t0 = time.perf_counter()
+    query = pipe.start(
+        spark, feed, os.path.join(work, "ckpt"), max_files_per_trigger=1
+    )
+    query.processAllAvailable()
+    query.stop()
+    wall = time.perf_counter() - t0
+
+    out = spark.read.parquet(os.path.join(work, "sink", "bench_bench__events"))
+    written = out.count()
+    offset = pipe.offset_store.read()
+    print(
+        json.dumps(
+            {
+                "metric": "cdc streaming ingest rows/sec (decode+route+parquet+offset+status)",
+                "value": round(written / wall, 1),
+                "unit": "rows/sec",
+                "rows": written,
+                "input_rows": n_rows,
+                "wall_sec": round(wall, 2),
+                "batches": pipe.batches_processed,
+                "final_offset": offset,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
