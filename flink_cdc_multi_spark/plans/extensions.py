@@ -54,12 +54,7 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     # exact-integer variant of operators.dedup.ngram_jaccard_pairs (which
     # returns a rounded ratio for API use)
-    sh = (
-        docs.select(F.col("doc_id").alias("id"), D.shingles(F.col("text"), 3).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .withColumn("shingle", F.explode("sh"))
-        .drop("sh")
-    )
+    sh = D.shingle_exploded(docs, "doc_id", "text", 3)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
