@@ -353,6 +353,50 @@ def cosine_sim(a, b):
     return dot / (na * nb)
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH signatures bucket
+    the vectors; exact cosine verification runs only within buckets (high
+    cosine ⇒ same signature with high probability; n_planes trades recall
+    for candidate volume). Candidates join on a long key; the quadratic
+    verify is per-bucket, not global."""
+    from flink_cdc_multi_spark.operators.similarity import hyperplane_signature
+
+    sig = hyperplane_signature(df, dim, n_planes, id_col, vec_col)
+    arr = F.col(vec_col).cast("array<double>")
+    v = sig.select(
+        F.col(id_col).alias("id"),
+        arr.alias("v"),
+        F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x)).alias("nrm"),
+        F.col("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
 # NOTE(perf, measured): do NOT "optimize" the dot-product fold into a flat
 # 64-term element_at expression — the giant expression tree exceeds the
 # codegen method-size limit, whole-stage codegen bails out for the entire

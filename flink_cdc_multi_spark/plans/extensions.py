@@ -92,6 +92,16 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
 
 
+def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup over the FULL table (rows-only:
+    hyperplanes are engine-local) — the scale path whose exact-scoped twin
+    is ext_dedup_embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs_lsh(emb, dim=64, threshold=0.35, n_planes=6).orderBy(
+        "a_id", "b_id"
+    )
+
+
 def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-verifiable MinHash signatures (portable md5-hash60): one row
     per (doc, hash index) for the doc_id < 100 scope."""
@@ -206,6 +216,7 @@ EXT_QUERIES = {
     "ext_dedup_fingerprint": ext_dedup_fingerprint,
     "ext_dedup_ngram": ext_dedup_ngram,
     "ext_dedup_embedding": ext_dedup_embedding,
+    "ext_dedup_embedding_lsh": ext_dedup_embedding_lsh,
     "ext_dedup_minhash": ext_dedup_minhash,
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_dedup_minhash_md5": ext_dedup_minhash_md5,

@@ -205,3 +205,27 @@ def test_ivf_topk_recall_vs_exact(spark):
     }
     hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
     assert hits >= 8  # near-identical queries land in probed cells
+
+
+def test_embedding_lsh_neardup_recall(spark):
+    # pairs found by the LSH path must be a subset of the exact pairs, and
+    # catch the planted high-cosine near-dups
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((50, 16))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows += [(100 + i, (base[i] + rng.standard_normal(16) * 0.01).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in D.embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in D.embedding_neardup_pairs_lsh(df, dim=16, threshold=0.95, n_planes=4).collect()
+    }
+    assert lsh <= exact
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= exact
+    assert len(lsh & planted) >= 4  # near-identical vectors share buckets
