@@ -189,6 +189,27 @@ class TableSpec:
         return f"{sanitize(self.db)}__{sanitize(self.table)}"
 
 
+def expand_table_list(
+    table_list: list[str], catalog_tables: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Expand ``db.*`` wildcards against the discovered catalog
+    (MySQLStreamer.java:352-359); plain ``db.table`` entries pass through.
+    Unknown plain entries are kept (they fail later at routing with the
+    standard unknown-table policy rather than silently vanishing)."""
+    out: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for entry in table_list:
+        db, _, tbl = entry.partition(".")
+        expanded = (
+            [(d, t) for d, t in catalog_tables if d == db] if tbl == "*" else [(db, tbl)]
+        )
+        for pair in expanded:
+            if pair not in seen:  # explicit entries may overlap a wildcard
+                seen.add(pair)
+                out.append(pair)
+    return out
+
+
 def ddl_table_spec(db: str) -> TableSpec:
     """Synthetic `_<db>_ddl` schema-change table (MySQLStreamer.java:459-493)."""
     schema = T.StructType(

@@ -236,6 +236,17 @@ class CDCPipeline:
         max_files_per_trigger: int | None = None,
     ):
         cfg = self.config
+        if cfg.source_type == "oracle" and cfg.startup_mode in ("earliest", "offset"):
+            # Oracle earliest/offset startup degrades to initial with a
+            # warning (OracleStreamer.java:134-144)
+            LOG.warning(
+                "oracle startup.mode=%s unsupported; degrading to initial",
+                cfg.startup_mode,
+            )
+            cfg.startup_mode = "initial"
+        if cfg.source_type == "postgres" and cfg.startup_mode == "timestamp":
+            # PG timestamp startup unsupported (PostgresStreamer.java:148-152)
+            raise ValueError("postgres does not support startup.mode=timestamp")
         stream = read_raw_stream(
             spark, input_path, cfg.source_type, max_files_per_trigger
         )

@@ -129,3 +129,11 @@ def test_mongo_infer_consistent_types_property(doc_shapes):
     schema, _ = infer_mongo_schema(docs, "top-level-type")
     expected = {k.replace("-", "_").replace(".", "_") for k in observed}
     assert {f.name for f in schema.fields} == expected
+
+
+def test_expand_table_list_wildcards():
+    from flink_cdc_multi_spark.catalog import expand_table_list
+
+    catalog = [("shop", "users"), ("shop", "orders"), ("crm", "leads")]
+    got = expand_table_list(["shop.*", "crm.leads", "x.missing"], catalog)
+    assert got == [("shop", "users"), ("shop", "orders"), ("crm", "leads"), ("x", "missing")]

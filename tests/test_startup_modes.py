@@ -43,3 +43,32 @@ def test_timestamp_startup_skips_earlier_events(spark, tmp_path):
     query.stop()
     users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
     assert [r["id"] for r in users.collect()] == [2]
+
+
+def test_oracle_startup_degrades_and_pg_timestamp_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "empty.json").write_text("")
+    for src, mode, should_raise in [
+        ("oracle", "earliest", False),
+        ("postgres", "timestamp", True),
+    ]:
+        cfg = JobConfig.from_dict(
+            {
+                "source.id": "s",
+                "source.type": src,
+                "sink.path": str(tmp_path / "sink"),
+                "startup.mode": mode,
+                "checkpoint.interval": 1,
+            }
+        )
+        pipe = CDCPipeline(cfg, TableRegistry.build(src, {("d", "t"): USERS}))
+        if should_raise:
+            with _pytest.raises(ValueError, match="timestamp"):
+                pipe.start(spark, str(feed), str(tmp_path / f"ck_{src}"))
+        else:
+            q = pipe.start(spark, str(feed), str(tmp_path / f"ck_{src}"))
+            assert cfg.startup_mode == "initial"  # degraded with warning
+            q.stop()
