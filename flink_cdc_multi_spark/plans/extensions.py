@@ -16,7 +16,7 @@ Oracle-parity design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_cdc_multi_spark.operators import dedup as D
@@ -197,6 +197,70 @@ def ext_text_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- additional relational coverage (SURVEY.md §2.7-2.8: rollup/windows
+# "come free from Spark SQL" — exercised and oracle-checked here) -----------
+
+
+def ext_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family). NULL group markers are
+    real NULLs in both engines; grouping_id disambiguates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates per key: cumulative count + running max and lag
+    over the monotone offset — the window family CDC consumers use for
+    ordered replay analytics. Integer outputs only (no float accumulation
+    ordering concerns)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(run).cast("bigint").alias("seq_no"),
+        F.max("event_id").over(run).alias("running_max_id"),
+        F.lag("event_id", 1).over(w).alias("prev_id"),
+    ).orderBy("user_id", "event_id")
+
+
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (classic lag + cumulative-flag pattern):
+    a new session starts when the gap to the previous event of the same
+    user exceeds 30 minutes. Output: per-session row counts and integer
+    bounds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap_ms = 30 * 60 * 1000
+    new_session = (
+        F.col("ts_ms") - F.lag("ts_ms", 1).over(w) > gap_ms
+    ).cast("int")
+    sess = ev.withColumn("new_s", F.coalesce(new_session, F.lit(0))).withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -228,6 +292,9 @@ EXT_QUERIES = {
     "ext_text_langid": ext_text_langid,
     "ext_text_tokens_by_lang": ext_text_tokens_by_lang,
     "ext_multimodal_bytes": ext_multimodal_bytes,
+    "ext_rollup_agg": ext_rollup_agg,
+    "ext_window_running": ext_window_running,
+    "ext_sessionize": ext_sessionize,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -366,5 +433,42 @@ EXT_ORACLE_SQL = {
     "ext_multimodal_bytes": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id
+    """,
+    "ext_rollup_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    "ext_window_running": """
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS seq_no,
+               MAX(event_id) OVER w AS running_max_id,
+               LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
+    "ext_sessionize": """
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, ts_ms,
+                 COALESCE(CAST(ts_ms - LAG(ts_ms, 1) OVER w > 1800000 AS INT), 0) AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        ), sess AS (
+          SELECT user_id, event_id,
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
     """,
 }
