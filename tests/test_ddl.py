@@ -82,3 +82,31 @@ def test_stop_predicate_matches_python(spark, dialect, cases):
     }
     for ddl, expected in cases:
         assert got[ddl] == (expected is DDLDecision.STOP), ddl
+
+
+# Property test: the driver-side classifier and the in-plan Column
+# predicate must agree on ARBITRARY statements, not just the fixtures.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.sampled_from(
+    ["CREATE", "DROP", "ALTER", "TABLE", "INDEX", "KEY", "CONSTRAINT",
+     "COLUMN", "ADD", "MODIFY", "ANALYZE", "OPTIMIZE", "REPAIR", "t1",
+     "idx", "(a)", "INT", "users", "\n", "x-y"]
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_WORDS, min_size=1, max_size=8))
+def test_classifier_predicate_agreement_property(spark, words):
+    stmts = [" ".join(words), " ".join(words).lower()]
+    df = spark.createDataFrame([(s,) for s in stmts], "ddl string")
+    for dialect in ("mysql", "oracle"):
+        got = {
+            r["ddl"]: r["stop"]
+            for r in df.select(
+                "ddl", stop_predicate(df.ddl, dialect).alias("stop")
+            ).collect()
+        }
+        for s in stmts:
+            assert got[s] == (classify(s, dialect) is DDLDecision.STOP), (s, dialect)
