@@ -175,6 +175,27 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation: quality gate (token range + TTR ≥
+    0.5 in exact integer arithmetic + language allowlist) THEN exact dedup
+    (min doc_id per content digest) — the standard clean-then-dedup corpus
+    pass, end to end in one plan. Filters are pushdown-able; the dedup
+    shuffle only carries the survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = X.tokens(t)
+    gated = docs.filter(
+        F.col("lang").isin("en", "de")
+        & F.size(toks).between(20, 120)
+        & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks))  # TTR >= 0.5
+    )
+    return (
+        D.exact_dedup(gated, ["text"], "doc_id")
+        .select("doc_id", "lang", F.size(toks).cast("bigint").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred")).orderBy(
@@ -290,6 +311,7 @@ EXT_QUERIES = {
     "ext_ann_ivf": ext_ann_ivf,
     "ext_text_quality": ext_text_quality,
     "ext_text_langid": ext_text_langid,
+    "ext_curation_pipeline": ext_curation_pipeline,
     "ext_text_tokens_by_lang": ext_text_tokens_by_lang,
     "ext_multimodal_bytes": ext_multimodal_bytes,
     "ext_rollup_agg": ext_rollup_agg,
@@ -400,6 +422,27 @@ EXT_ORACLE_SQL = {
                length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace_chars,
                CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est
         FROM documents WHERE lang = 'en' ORDER BY doc_id
+    """,
+    "ext_curation_pipeline": r"""
+        WITH gated AS (
+          SELECT doc_id, lang, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                 END AS n_uniq
+          FROM documents
+          WHERE lang IN ('en', 'de')
+        ), q AS (
+          SELECT doc_id, lang, text, n_tokens FROM gated
+          WHERE n_tokens BETWEEN 20 AND 120 AND n_uniq * 2 >= n_tokens
+        ), dedup AS (
+          SELECT doc_id, lang, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM q
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM dedup WHERE rn = 1 ORDER BY doc_id
     """,
     "ext_text_langid": """
         SELECT doc_id, lang,
