@@ -12,6 +12,9 @@ Oracle-parity design rules:
   unit tests against hand-computed fixtures instead.
 - Pair queries are scoped to bounded id prefixes so the quadratic verify
   stays bounded at every SF; the unbounded scale path is the LSH variant.
+- Result contract is an unordered multiset (driver hash is row-order-
+  insensitive), so no trailing presentation ``orderBy`` — see
+  plans/queries.py. Window-spec orderings (semantic) stay.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped on a 128-bit digest so the shuffle key is 16 bytes, not the
     document."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id").orderBy("doc_id")
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
 
 
 def ext_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +47,6 @@ def ext_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.fingerprint_docs(docs)
         .groupBy("fp")
         .agg(F.count("*").alias("n"))
-        .orderBy("fp")
     )
 
 
@@ -68,28 +70,27 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(F.col("inter") * 5 >= F.col("union_sz"))  # jaccard >= 0.2, exact
         .select("a_id", "b_id", "inter", "union_sz")
-        .orderBy("a_id", "b_id")
     )
 
 
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.35, vec_id < 1000 scope)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return D.embedding_neardup_pairs(emb, threshold=0.35, dim=64).orderBy("a_id", "b_id")
+    return D.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
 
 
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only check: xxhash64 is
     Spark-local). 64 hashes, 16 bands → catches est. jaccard >= ~0.5."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return D.minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
 
 
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming <= 3 via pigeonhole block join
     (rows-only check)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return D.simhash_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
+    return D.simhash_pairs(docs, max_hamming=3)
 
 
 def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,9 +98,7 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes are engine-local) — the scale path whose exact-scoped twin
     is ext_dedup_embedding."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs_lsh(emb, dim=64, threshold=0.35, n_planes=6).orderBy(
-        "a_id", "b_id"
-    )
+    return D.embedding_neardup_pairs_lsh(emb, dim=64, threshold=0.35, n_planes=6)
 
 
 def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +108,6 @@ def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.minhash_signatures_md5(docs, num_hashes=16)
         .select(F.col("id").alias("doc_id"), F.col("k").cast("bigint").alias("k"), "minhash")
-        .orderBy("doc_id", "k")
     )
 
 
@@ -119,7 +117,6 @@ def ext_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.simhash_md5(docs)
         .select(F.col("id").alias("doc_id"), "simhash")
-        .orderBy("doc_id")
     )
 
 
@@ -132,7 +129,7 @@ def ext_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
-    return S.brute_force_topk(corpus, queries, k=3).orderBy("qid", "rank")
+    return S.brute_force_topk(corpus, queries, k=3)
 
 
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,9 +138,7 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
-    return S.ivf_topk(corpus, queries, k=3, n_clusters=16, n_probe=4).orderBy(
-        "qid", "rank"
-    )
+    return S.ivf_topk(corpus, queries, k=3, n_clusters=16, n_probe=4)
 
 
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +147,7 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
-    return S.lsh_topk(corpus, queries, dim=64, k=3, n_planes=10).orderBy("qid", "rank")
+    return S.lsh_topk(corpus, queries, dim=64, k=3, n_planes=10)
 
 
 # -- text analysis ----------------------------------------------------------
@@ -172,7 +167,7 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
         F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("n_nonspace_chars"),
         X.bpe_token_estimate(t).alias("bpe_est"),
-    ).orderBy("doc_id")
+    )
 
 
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,15 +187,12 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.exact_dedup(gated, ["text"], "doc_id")
         .select("doc_id", "lang", F.size(toks).cast("bigint").alias("n_tokens"))
-        .orderBy("doc_id")
     )
 
 
 def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred")).orderBy(
-        "doc_id"
-    )
+    return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def ext_text_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +206,6 @@ def ext_text_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(X.bpe_token_estimate(F.col("text"))).alias("total_bpe_est"),
             F.count("*").alias("n_docs"),
         )
-        .orderBy("lang", "source")
     )
 
 
@@ -233,7 +224,6 @@ def ext_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.grouping_id().cast("bigint").alias("gid"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -251,7 +241,7 @@ def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(run).cast("bigint").alias("seq_no"),
         F.max("event_id").over(run).alias("running_max_id"),
         F.lag("event_id", 1).over(w).alias("prev_id"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +268,6 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event"),
             F.max("event_id").alias("last_event"),
         )
-        .orderBy("user_id", "session_no")
     )
 
 
@@ -293,7 +282,7 @@ def ext_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.octet_length(F.col("text")).cast("bigint").alias("byte_len"),
-    ).orderBy("doc_id")
+    )
 
 
 EXT_QUERIES = {

