@@ -210,16 +210,33 @@ def expand_table_list(
     return out
 
 
-def ddl_table_spec(db: str) -> TableSpec:
-    """Synthetic `_<db>_ddl` schema-change table (MySQLStreamer.java:459-493)."""
+# Per-source offset columns of the synthetic DDL table (the reference builds
+# a different Avro schema per streamer: MySQLStreamer.java:475-480 appends
+# _binlog_file/_binlog_pos_end, PostgresStreamer.java:281-285 appends _lsn,
+# OracleStreamer.java:291-294 has none beyond _ts). Types follow the repo
+# envelope (envelope.py), not the reference's all-VARCHAR Avro.
+_DDL_OFFSET_FIELDS: dict[str, list[T.StructField]] = {
+    "mysql": [
+        T.StructField("_binlog_file", T.StringType(), True),
+        T.StructField("_binlog_pos_end", T.LongType(), True),
+    ],
+    "postgres": [T.StructField("_lsn", T.LongType(), True)],
+    "oracle": [],
+}
+
+
+def ddl_table_spec(db: str, source_type: str = "mysql") -> TableSpec:
+    """Synthetic `_<db>_ddl` schema-change table (MySQLStreamer.java:459-493),
+    with the source's own offset columns — a postgres/oracle DDL record has
+    no _binlog_file and routing it through a MySQL-shaped spec would raise
+    UNRESOLVED_COLUMN instead of landing the event."""
     schema = T.StructType(
         [
             T.StructField("_ddl", T.StringType(), True),
             T.StructField("_ddl_tbl", T.StringType(), True),
             T.StructField("_ts", T.LongType(), True),
-            T.StructField("_binlog_file", T.StringType(), True),
-            T.StructField("_binlog_pos_end", T.LongType(), True),
         ]
+        + _DDL_OFFSET_FIELDS[source_type]
     )
     return TableSpec(db=db, table=f"_{sanitize(db)}_ddl", payload_schema=schema, is_ddl=True)
 
@@ -262,7 +279,7 @@ class TableRegistry:
             dbs.add(db)
         if with_ddl_tables and source_type != "mongodb":
             for db in sorted(dbs):
-                spec = ddl_table_spec(db)
+                spec = ddl_table_spec(db, source_type)
                 reg.specs[spec.key] = spec
         return reg
 

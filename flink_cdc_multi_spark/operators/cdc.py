@@ -29,14 +29,21 @@ def latest_image(
 ) -> DataFrame:
     """Current state of a table from its change log.
 
-    order_cols: monotone per-source offset columns, e.g.
-    ['_binlog_file_internal', '_binlog_pos_internal'] (MySQL), ['_lsn'],
-    ['_scn'], or ['_ts', '_txn_op_index'] (Mongo). Ties (replayed
-    duplicates) are broken arbitrarily but the rows are identical by
-    construction, so the result is stable.
+    order_cols: monotone per-source offset columns (names or Column
+    expressions), e.g. ['_binlog_file_internal', '_binlog_pos_internal']
+    (MySQL), ['_lsn'], ['_scn']. Mongo's ``_txn_op_index`` is carried as a
+    STRING in the envelope, so it must be cast for ordering —
+    ``['_ts', F.col('_txn_op_index').cast('int')]`` — otherwise the
+    comparison is lexicographic ('10' < '2') and the wrong image wins for
+    multi-op transactions past op index 9. Ties (replayed duplicates) are
+    broken arbitrarily but the rows are identical by construction, so the
+    result is stable.
     """
     w = Window.partitionBy(*key_cols).orderBy(
-        *[F.col(c).desc_nulls_last() for c in order_cols]
+        *[
+            (F.col(c) if isinstance(c, str) else c).desc_nulls_last()
+            for c in order_cols
+        ]
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
@@ -57,6 +64,15 @@ def deletes_applied_count(changes: DataFrame, key_cols: list[str], order_cols: l
     )
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for any supported scheme — file://, hdfs://,
+    s3a://. The storage abstraction the reference gets from Flink's
+    FileSystem (SingleFileSinkFunction.java:31-39)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
 def compact_table(
     spark,
     table_path: str,
@@ -66,17 +82,24 @@ def compact_table(
 ) -> int:
     """Rewrite a change-log table as its materialized state, dt-partitioned,
     coalescing the micro-batch small files. Returns the row count of the
-    compacted table.
+    compacted table, taken from the write job's observed metrics — no
+    second read of the output.
 
-    Writes to a sibling `<path>__compact` then swaps — the parquet
-    equivalent of the reference's roll-on-checkpoint atomicity (a real
-    deployment on a table format would use MERGE; plain parquet gets
-    swap-by-rename).
+    Swap is via the Hadoop FileSystem API so any scheme works (local/HDFS/
+    S3; a real deployment on a table format would use MERGE; plain parquet
+    gets swap-by-rename): write to `<path>__compact`, rename the live table
+    aside to `<path>__old`, rename the compacted output into place, then
+    delete the old copy. A crash mid-swap leaves either the original or a
+    complete compacted table (plus a leftover directory to clean up) —
+    never a window where the table is deleted.
     """
-    import shutil
+    from pyspark.sql import Observation
 
     df = spark.read.parquet(table_path)
-    state = latest_image(df, key_cols, order_cols)
+    obs = Observation()
+    state = latest_image(df, key_cols, order_cols).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     tmp = f"{table_path}__compact"
     (
         state.repartition(target_files_per_partition, *key_cols)
@@ -84,9 +107,19 @@ def compact_table(
         .partitionBy("dt")
         .parquet(tmp)
     )
-    n = spark.read.parquet(tmp).count()
-    shutil.rmtree(table_path)
-    shutil.move(tmp, table_path)
+    n = int(obs.get["n"])
+
+    fs, live = _hadoop_fs(spark, table_path)
+    _, tmp_p = _hadoop_fs(spark, tmp)
+    old = spark._jvm.org.apache.hadoop.fs.Path(f"{table_path}__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(live, old):
+        raise IOError(f"compact swap: rename {table_path} -> __old failed")
+    if not fs.rename(tmp_p, live):
+        fs.rename(old, live)  # roll back to the original table
+        raise IOError(f"compact swap: rename {tmp} into place failed")
+    fs.delete(old, True)
     return n
 
 

@@ -92,7 +92,13 @@ def route_batch(
 ) -> RouteResult:
     """Demux one (micro-)batch to per-table parquet appends."""
     result = RouteResult()
-    envelope = envelope.persist()
+    # Cache ownership: if the caller already persisted the batch (as
+    # streaming/pipeline.process_batch does), don't persist/unpersist here —
+    # the finally-unpersist would evict the caller's cache mid-batch and
+    # force a recompute for its offset/status aggregations.
+    owns_cache = not envelope.is_cached
+    if owns_cache:
+        envelope = envelope.persist()
     try:
         # One pass for routing keys AND per-table counts (not K count jobs),
         # then the unknown-table policy BEFORE any partial writes.
@@ -144,4 +150,5 @@ def route_batch(
                     f.result()  # propagate the first failure
         return result
     finally:
-        envelope.unpersist()
+        if owns_cache:
+            envelope.unpersist()

@@ -250,11 +250,12 @@ class CDCPipeline:
         stream = read_raw_stream(
             spark, input_path, cfg.source_type, max_files_per_trigger
         )
+        # config offset.value wins over the stored offset file: configureOffset
+        # (FlinkCDCMulti.java:190-193) returns early when offset.value is set
+        # and only consults the store otherwise — a user manually
+        # re-positioning must not be overridden by a stale offset file.
         stored = self.offset_store.read() if self.offset_store else None
         offset = cfg.offset_value or stored
-        # file offset overrides config (configureOffset, FlinkCDCMulti.java:187-257)
-        if stored:
-            offset = stored
         if offset:
             stream = resume_filter(stream, cfg.source_type, offset)
         elif cfg.startup_mode == "timestamp" and cfg.datetime_offset:

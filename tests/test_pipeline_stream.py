@@ -196,3 +196,26 @@ def test_snapshot_only_post_completion_non_read_errors():
     assert ctl.snapshot_complete
     with _pytest.raises(SnapshotPhaseError):
         ctl.on_batch_tables([("db.a", True)])
+
+
+def test_config_offset_value_wins_over_stored(spark, tmp_path):
+    """configureOffset (FlinkCDCMulti.java:190-193) returns early when
+    offset.value is set: a manual re-position must not be overridden by a
+    stale offset file."""
+    pipe = _pipeline(tmp_path, **{"offset.value": "mysql-bin.000001,100"})
+    pipe.offset_store.write("mysql-bin.000001,300")  # stale stored offset
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=100),
+            make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=200),
+            make_mysql_row(op="c", after={"id": 3, "v": "c"}, pos=300),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt3"))
+    query.processAllAvailable()
+    query.stop()
+    users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
+    # config offset 100 -> replay from id=1, not just id=3
+    assert sorted(r["id"] for r in users.collect()) == [1, 2, 3]

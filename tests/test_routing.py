@@ -149,3 +149,49 @@ def test_oracle_all_string_projection_flattens_nested(spark, tmp_path):
     assert row["PRICE"] == "12.345"
     assert row["ACTIVE"] is True  # the lone typed exception (BOOLEAN)
     assert row["META"] == '{"a":1}'  # nested doc flattened to JSON string
+
+
+def test_postgres_ddl_routed_with_lsn(spark, tmp_path):
+    """Per-source DDL schema (PostgresStreamer.java:281-285): a postgres DDL
+    record carries _lsn, not _binlog_file — routing it must land in
+    _<db>_ddl instead of raising UNRESOLVED_COLUMN."""
+    import json
+
+    line = json.dumps(
+        {
+            "ddl": "ALTER TABLE users ADD COLUMN x INT",
+            "ts_ms": 1700000000000,
+            "source": {"db": "pgdb", "schema": "public", "table": "users", "lsn": 12345},
+        }
+    )
+    df = spark.createDataFrame([(line,)], "value string")
+    env = decode_raw(df, "postgres")
+    reg = TableRegistry.build("postgres", {("pgdb", "users"): USERS})
+    res = route_batch(env, reg, str(tmp_path), "s")
+    assert res.ddl_rows == 1
+    ddl = spark.read.parquet(str(tmp_path / "s_pgdb___pgdb_ddl"))
+    row = ddl.first()
+    assert row["_ddl"].startswith("ALTER TABLE")
+    assert row["_lsn"] == 12345
+    assert "_binlog_file" not in ddl.columns
+
+
+def test_oracle_ddl_routed_ts_only(spark, tmp_path):
+    """OracleStreamer.java:291-294: the oracle DDL table has only
+    _ddl/_ddl_tbl/_ts beyond the dt bucket."""
+    import json
+
+    line = json.dumps(
+        {
+            "ddl": "ALTER TABLE USERS ADD (X NUMBER)",
+            "ts_ms": 1700000000000,
+            "source": {"db": "ORCL", "schema": "APP", "table": "USERS", "scn": "777"},
+        }
+    )
+    df = spark.createDataFrame([(line,)], "value string")
+    env = decode_raw(df, "oracle")
+    reg = TableRegistry.build("oracle", {("ORCL", "USERS"): USERS})
+    res = route_batch(env, reg, str(tmp_path), "s")
+    assert res.ddl_rows == 1
+    ddl = spark.read.parquet(str(tmp_path / "s_ORCL___ORCL_ddl"))
+    assert set(ddl.columns) == {"_ddl", "_ddl_tbl", "_ts", "dt"}
