@@ -17,14 +17,13 @@ Oracle SCN digits; Mongo epoch-millis digits.
 
 from __future__ import annotations
 
-import os
 import re
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_cdc_multi_spark.envelope import OP_READ
+from flink_cdc_multi_spark.sources import fsio
 
 # startup validation (MySQLStreamer.java:205-206, MongoDBStreamer.java:169)
 _MYSQL_OFFSET_RE = re.compile(r"^[^,]+,[0-9]+$")
@@ -87,27 +86,21 @@ def offset_greater(a: str, b: str, source_type: str) -> bool:
 
 class OffsetFileStore:
     """``<store>/<source_id>_offset.txt``, overwritten atomically per flush
-    (FlinkCDCMulti.java:206; SingleFileSinkFunction truncates+rewrites)."""
+    (FlinkCDCMulti.java:206; SingleFileSinkFunction truncates+rewrites).
+    Storage-agnostic via sources/fsio — local paths, ``hdfs://``, ``s3a://``
+    all work (on a cluster the store MUST be shared storage)."""
 
     def __init__(self, store_path: str, source_id: str):
-        self.path = os.path.join(store_path, f"{source_id}_offset.txt")
+        self.path = fsio.join(store_path, f"{source_id}_offset.txt")
 
     def write(self, offset: str) -> None:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
-        with os.fdopen(fd, "w") as f:
-            f.write(offset)
-        os.replace(tmp, self.path)
+        fsio.write_text_atomic(self.path, offset)
 
     def read(self) -> str | None:
         """Missing or empty file → no resume offset
         (FlinkCDCMulti.java:242-253)."""
-        try:
-            with open(self.path) as f:
-                content = f.read().strip()
-        except FileNotFoundError:
-            return None
-        return content or None
+        content = fsio.read_text(self.path)
+        return content.strip() or None if content is not None else None
 
 
 def validate_offset(offset: str, source_type: str) -> bool:

@@ -23,6 +23,7 @@ halt", README.md:26) with a cleaner guarantee (SURVEY.md §7.5).
 
 from __future__ import annotations
 
+import json
 import logging
 from dataclasses import dataclass, field
 
@@ -35,6 +36,7 @@ from flink_cdc_multi_spark.envelope import OP_READ
 from flink_cdc_multi_spark.operators.ddl import DDLDecision, classify, is_truncate
 from flink_cdc_multi_spark.operators.routing import route_batch
 from flink_cdc_multi_spark.sources.debezium_json import read_raw_stream
+from flink_cdc_multi_spark.sources import fsio
 from flink_cdc_multi_spark.sources.offsets import (
     OffsetFileStore,
     offset_greater,
@@ -83,6 +85,31 @@ class StopController:
     # completed (or, with no table list, processed == completed).
     processed_tables: set[str] = field(default_factory=set)
     completed_tables: set[str] = field(default_factory=set)
+
+    # -- persistence (the reference checkpoints this state:
+    # DelayedStopSignalProcessFunction.java:41-56 initializeState/
+    # snapshotState; without it a driver restart re-arms a snapshot-only
+    # job from scratch and completions observed before the crash are lost)
+
+    def to_state(self) -> dict:
+        return {
+            "snapshot_complete": self.snapshot_complete,
+            "processed_tables": sorted(self.processed_tables),
+            "completed_tables": sorted(self.completed_tables),
+        }
+
+    def load_state(self, state: dict) -> None:
+        self.snapshot_complete = bool(state.get("snapshot_complete", False))
+        self.processed_tables = set(state.get("processed_tables", ()))
+        self.completed_tables = set(state.get("completed_tables", ()))
+        if self.snapshot_only and self.snapshot_complete:
+            # an already-complete snapshot-only job must stop again right
+            # away, not idle forever waiting for a completion that happened
+            # before the restart
+            self.stop_requested = True
+            self.stop_reason = (
+                "snapshot complete (restored from persisted controller state)"
+            )
 
     def on_ddl_rows(self, ddl_rows: list[dict]) -> None:
         """Structural DDL → arm stop (F3/F4 + ST1 CDC-mode). `ddl_rows` is
@@ -162,6 +189,17 @@ class CDCPipeline:
             if cfg.offset_store_path
             else None
         )
+        # controller state lives beside the offset file (same durability
+        # domain: both are what a restart needs to resume correctly)
+        self.controller_path = (
+            fsio.join(cfg.offset_store_path, f"{cfg.source_id}_stopctl.json")
+            if cfg.offset_store_path
+            else None
+        )
+        if self.controller_path:
+            raw = fsio.read_text(self.controller_path)
+            if raw:
+                self.controller.load_state(json.loads(raw))
 
     # -- batch body (also usable standalone for batch-mode ingestion) -----
 
@@ -220,8 +258,13 @@ class CDCPipeline:
             self.status.flush()
 
             # 4b. stop decisions take effect before the next batch
+            before = self.controller.to_state()
             self.controller.on_batch_tables(table_ops)
             self.controller.on_ddl_rows(ddl_rows)
+            if self.controller_path and self.controller.to_state() != before:
+                fsio.write_text_atomic(
+                    self.controller_path, json.dumps(self.controller.to_state())
+                )
             self.batches_processed += 1
         finally:
             envelope.unpersist()

@@ -11,14 +11,14 @@ last_checkpoint_timestamp.
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 import time
+
+from flink_cdc_multi_spark.sources import fsio
 
 
 class StatusStore:
     def __init__(self, store_path: str, job_id: str, job_name: str):
-        self.path = os.path.join(store_path, f"{job_id}_status.json")
+        self.path = fsio.join(store_path, f"{job_id}_status.json")
         self.job_id = job_id
         self.job_name = job_name
         self.record_count = 0
@@ -38,9 +38,5 @@ class StatusStore:
             "last_event_timestamp": self.last_event_timestamp,
             "last_checkpoint_timestamp": int(time.time() * 1000),
         }
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
-        with os.fdopen(fd, "w") as f:
-            json.dump(status, f)
-        os.replace(tmp, self.path)
+        fsio.write_text_atomic(self.path, json.dumps(status))
         return status

@@ -130,3 +130,29 @@ def test_offset_greater_comparator():
     # numeric, not lexicographic
     assert offset_greater("100", "99", "postgres")
     assert not offset_greater("99", "100", "mongodb")
+
+
+def test_offset_store_hadoop_scheme_roundtrip(spark, tmp_path):
+    """A scheme-qualified store path goes through the Hadoop FileSystem API
+    (SingleFileSinkFunction.java:31-39 parity) — file:/ exercises the exact
+    code path hdfs:// and s3a:// take."""
+    store = OffsetFileStore(f"file:{tmp_path}/store", "s1")
+    assert store.read() is None
+    store.write("mysql-bin.000001,500")
+    assert store.read() == "mysql-bin.000001,500"
+    store.write("mysql-bin.000002,7")  # overwrite
+    assert store.read() == "mysql-bin.000002,7"
+    # the file is really there on disk, written through Hadoop FS
+    assert (tmp_path / "store" / "s1_offset.txt").read_text() == "mysql-bin.000002,7"
+
+
+def test_status_store_hadoop_scheme(spark, tmp_path):
+    import json
+
+    from flink_cdc_multi_spark.streaming.status import StatusStore
+
+    st = StatusStore(f"file:{tmp_path}/store", "j1", "JOB-j1")
+    st.update(5, 1700000000000)
+    st.flush()
+    data = json.loads((tmp_path / "store" / "j1_status.json").read_text())
+    assert data["record_count"] == 5 and data["job_id"] == "j1"

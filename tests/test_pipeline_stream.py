@@ -219,3 +219,69 @@ def test_config_offset_value_wins_over_stored(spark, tmp_path):
     users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
     # config offset 100 -> replay from id=1, not just id=3
     assert sorted(r["id"] for r in users.collect()) == [1, 2, 3]
+
+
+def test_stop_controller_state_survives_restart(spark, tmp_path):
+    """The reference checkpoints ST1's per-table sets
+    (DelayedStopSignalProcessFunction.java:41-56); a driver restart must
+    not lose completions observed before the crash. Kill a snapshot-only
+    job after one of two tables completed, resume, and the job stops
+    exactly once — when the second table completes."""
+    overrides = {
+        "snapshot.only": "true",
+        "source.table.list": "testdb.users,testdb.orders",
+    }
+    ORDERS = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def mk_pipe():
+        cfg = JobConfig.from_dict(
+            {
+                "source.id": "s1",
+                "source.type": "mysql",
+                "sink.path": str(tmp_path / "sink"),
+                "offset.store.path": str(tmp_path / "store"),
+                "checkpoint.interval": 1,
+                **overrides,
+            }
+        )
+        reg = TableRegistry.build(
+            "mysql", {("testdb", "users"): USERS, ("testdb", "orders"): ORDERS}
+        )
+        return CDCPipeline(cfg, reg)
+
+    # run 1: users completes its snapshot (READ then non-READ); orders only READs
+    pipe1 = mk_pipe()
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="r", after={"id": 1, "v": "a"}, snapshot="true", pos=1),
+            make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=100),
+            make_mysql_row(table="orders", op="r", after={"id": 9, "v": "x"},
+                           snapshot="true", pos=2),
+        ],
+    )
+    q1 = pipe1.start(spark, feed, str(tmp_path / "ckpt_a"))
+    q1.processAllAvailable()
+    q1.stop()  # crash/kill: stop not yet armed (orders incomplete)
+    assert pipe1.controller.stop_requested is False
+    assert pipe1.controller.completed_tables == {"testdb.users"}
+
+    # run 2 (fresh driver): only orders' completing op arrives
+    pipe2 = mk_pipe()
+    assert pipe2.controller.completed_tables == {"testdb.users"}  # restored
+    (tmp_path / "feed" / "f2.json").write_text(
+        make_mysql_row(table="orders", op="c", after={"id": 10, "v": "y"}, pos=200)
+        + "\n"
+    )
+    q2 = pipe2.start(spark, feed, str(tmp_path / "ckpt_a"))
+    reason = pipe2.run_until_stopped(q2, timeout_s=60)
+    assert reason and "snapshot complete" in reason
+    assert "testdb.orders" in reason and "testdb.users" in reason
+
+    # run 3: already complete -> stops immediately on restore, no re-arm loop
+    pipe3 = mk_pipe()
+    assert pipe3.controller.stop_requested is True
+    assert "restored" in pipe3.controller.stop_reason
