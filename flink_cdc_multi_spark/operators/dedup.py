@@ -101,17 +101,43 @@ def shingle_exploded(
     return ded.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
 
 
+class QuadraticScopeError(ValueError):
+    """An exact pair operator was handed an unscoped input big enough that
+    its worst case is an all-pairs blowup. The caller must either scope the
+    input (id-prefix / partition slice) or use the bucketed scale twin."""
+
+
+def _guard_pairs_input(df: DataFrame, max_rows: int | None, op: str, scale_twin: str) -> None:
+    """Refuse unscoped input above max_rows. The check is a limit(n+1)
+    count — an early-abort scan, not a full pass; pass max_rows=None for a
+    deliberate (e.g. in-bucket verifier) override."""
+    if max_rows is None:
+        return
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise QuadraticScopeError(
+            f"{op} is an exact verify operator (worst case all-pairs); input "
+            f"exceeds max_rows={max_rows}. Scope the input, raise/None the "
+            f"limit deliberately, or use the scale path: {scale_twin}"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: candidate pairs share ≥1
     shingle (equi-join on the shingle), intersection counted by the join,
     union from per-doc distinct-shingle counts. Output: (a_id, b_id,
-    jaccard) with a_id < b_id, jaccard rounded to 4dp."""
+    jaccard) with a_id < b_id, jaccard rounded to 4dp.
+
+    Guarded: the shingle equi-join degenerates toward all-pairs on
+    near-duplicate-heavy corpora, so unscoped inputs above ``max_rows``
+    docs are refused (scale path: minhash_lsh_pairs)."""
+    _guard_pairs_input(df, max_rows, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     sh = shingle_exploded(df, id_col, text_col, n)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -412,10 +438,16 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int | None = None,  # reserved; see perf note above
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold. Quadratic — intended for verify
-    passes and small partitions; the scale path is LSH bucketing
-    (operators/similarity.py) feeding this as the verifier within buckets."""
+    """Exact all-pairs cosine ≥ threshold. Quadratic BY CONTRACT — a verify
+    pass for scoped slices and in-bucket candidates; unscoped inputs above
+    ``max_rows`` are refused (10k rows is already 5·10⁷ pairs). The scale
+    path is embedding_neardup_pairs_lsh, which runs this verify per LSH
+    bucket instead of globally."""
+    _guard_pairs_input(
+        df, max_rows, "embedding_neardup_pairs", "embedding_neardup_pairs_lsh"
+    )
     arr = F.col(vec_col).cast("array<double>")
     v = df.select(
         F.col(id_col).alias("id"),

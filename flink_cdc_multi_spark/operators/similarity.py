@@ -133,6 +133,8 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model=None,
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the corpus
     into n_clusters cells; each query scores only the members of its
@@ -143,6 +145,11 @@ def ivf_topk(
     id, so the per-query candidate set is |corpus|·n_probe/n_clusters.
     Deterministic via a fixed seed. Recall/cost is tuned with
     n_clusters/n_probe exactly like FAISS IVF.
+
+    The k-means fit runs on a seeded sample capped at ``fit_sample_rows``
+    (centroids converge on a sample; fitting on 100 TB of vectors buys no
+    recall), and a prebuilt ``model`` can be passed to amortize the index
+    across query batches — the FAISS train-once/probe-many shape.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -154,8 +161,17 @@ def ivf_topk(
         arr.alias("cv"), F.col(id_col).alias("nid"), norm.alias("cn")
     ).withColumn("features", array_to_vector(F.col("cv")))
 
-    km = KMeans(k=n_clusters, seed=IVF_SEED, featuresCol="features", predictionCol="cell")
-    model = km.fit(c)
+    if model is None:
+        n = c.count()
+        fit_input = (
+            c
+            if n <= fit_sample_rows
+            else c.sample(fraction=fit_sample_rows / n, seed=IVF_SEED)
+        )
+        km = KMeans(
+            k=n_clusters, seed=IVF_SEED, featuresCol="features", predictionCol="cell"
+        )
+        model = km.fit(fit_input)
     indexed = model.transform(c).select("nid", "cv", "cn", "cell")
 
     centers = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])

@@ -229,3 +229,54 @@ def test_embedding_lsh_neardup_recall(spark):
     planted = {(i, 100 + i) for i in range(5)}
     assert planted <= exact
     assert len(lsh & planted) >= 4  # near-identical vectors share buckets
+
+
+def test_quadratic_pair_guard_fires(spark):
+    """Unscoped input above max_rows is refused — the exact pair operators
+    must not be usable as accidental all-pairs scale paths."""
+    import pytest as _pytest
+
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    )
+    with _pytest.raises(D.QuadraticScopeError):
+        D.embedding_neardup_pairs(big, max_rows=10)
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    with _pytest.raises(D.QuadraticScopeError):
+        D.ngram_jaccard_pairs(docs, max_rows=10)
+    # max_rows=None is the deliberate override
+    assert D.embedding_neardup_pairs(big, threshold=1.1, max_rows=None).count() == 0
+
+
+def test_ivf_fit_on_sample_and_model_reuse(spark):
+    """ivf_topk with a sub-corpus fit sample still probes the FULL corpus,
+    and a prebuilt model is reused without refitting."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter("vec_id < 5")
+    corpus = emb.filter("vec_id >= 5")
+    out = S.ivf_topk(corpus, queries, k=3, n_clusters=4, n_probe=4,
+                     fit_sample_rows=50)
+    got = out.collect()
+    assert {r["qid"] for r in got} == {0, 1, 2, 3, 4}
+    # n_probe == n_clusters -> probes every cell -> exact: matches brute force
+    exact = S.brute_force_topk(corpus, queries, k=3).collect()
+    assert {(r["qid"], r["rank"], r["nid"]) for r in got} == {
+        (r["qid"], r["rank"], r["nid"]) for r in exact
+    }
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=4, seed=42, featuresCol="features", predictionCol="cell").fit(feats)
+    out2 = S.ivf_topk(corpus, queries, k=3, n_clusters=4, n_probe=4, model=model)
+    assert out2.count() == 15
