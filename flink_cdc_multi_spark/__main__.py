@@ -1,0 +1,123 @@
+"""CLI entry point — the reference's front door (FlinkCDCMulti.java:393-415:
+``-c/--config <json>``, ``-n/--name``, ``--debug``).
+
+    python -m flink_cdc_multi_spark --config job.json [--name NAME] [--debug]
+                                    [--validate] [--timeout SECONDS]
+
+The registry comes from (in order): a ``catalog.file`` parquet of
+information_schema-shaped rows (feed-based runs, tests), or live JDBC
+introspection from ``source.hostname``/``source.port`` (real deployments).
+The change feed comes from ``feed.path`` (Debezium-JSON lines dir — the
+sandboxed stand-in for a live binlog client; sources/kafka.py is the
+Kafka-Connect shape)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from flink_cdc_multi_spark.config import ConfigError, JobConfig
+from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline
+
+_JDBC_SCHEMES = {"mysql": "jdbc:mysql", "postgres": "jdbc:postgresql", "oracle": "jdbc:oracle:thin"}
+
+
+def _build_registry(spark, cfg: JobConfig):
+    from flink_cdc_multi_spark.sources.introspect import (
+        DataFrameCatalogReader,
+        JdbcCatalogReader,
+        build_registry_from_catalog,
+        introspect_schema,
+    )
+
+    catalog_file = cfg.raw.get("catalog.file")
+    if catalog_file:
+        reader = DataFrameCatalogReader(spark.read.parquet(catalog_file))
+    elif cfg.raw.get("source.hostname"):
+        url = "{}://{}:{}/".format(
+            _JDBC_SCHEMES[cfg.source_type],
+            cfg.raw["source.hostname"],
+            cfg.raw.get("source.port", 3306),
+        )
+        reader = JdbcCatalogReader(
+            spark,
+            cfg.source_type,
+            url,
+            cfg.raw.get("source.username", ""),
+            cfg.raw.get("source.password", ""),
+        )
+    else:
+        raise ConfigError(
+            "no catalog source: set catalog.file (information_schema parquet) "
+            "or source.hostname for live JDBC introspection"
+        )
+    registry = build_registry_from_catalog(
+        cfg.source_type,
+        reader,
+        cfg.source_table_list,
+        cfg.raw.get("schema.mode", "compat"),
+        database_name_map=cfg.database_name_map,
+        table_name_map=cfg.table_name_map,
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+        mongo_mode=cfg.mongodb_deserialization_mode,
+    )
+
+    def provider(db: str, tbl: str):
+        try:
+            return introspect_schema(cfg.source_type, reader, db, tbl)
+        except ValueError:
+            return None
+
+    return registry, provider
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="flink_cdc_multi_spark")
+    parser.add_argument("-c", "--config", required=True, help="Path to config JSON file")
+    parser.add_argument("-n", "--name", help="Job name")
+    parser.add_argument("--debug", action="store_true", help="Enable debug print sink")
+    parser.add_argument(
+        "--validate",
+        action="store_true",
+        help="Build the registry, print the table plan, exit",
+    )
+    parser.add_argument(
+        "--timeout", type=float, default=None, help="Stop after N seconds (tests/demos)"
+    )
+    args = parser.parse_args(argv)
+
+    cfg = JobConfig.load(args.config)
+    if args.name:
+        cfg.job_name = args.name
+    if args.debug:
+        cfg.debug = True
+
+    from flink_cdc_multi_spark.session import get_spark
+
+    spark = get_spark(cfg.job_name or f"JOB-{cfg.source_id}")
+    registry, provider = _build_registry(spark, cfg)
+    print(f"job: {cfg.job_name or cfg.source_id} source={cfg.source_type}")
+    for key in sorted(registry.specs):
+        print(f"  table: {key}")
+    if args.validate:
+        return 0
+
+    feed = cfg.raw.get("feed.path")
+    if not feed:
+        raise ConfigError("feed.path required to run (Debezium-JSON lines dir)")
+    pipe = CDCPipeline(cfg, registry, schema_provider=provider)
+    ckpt = cfg.checkpoint_directory or f"{cfg.sink_path.rstrip('/')}/_checkpoint"
+    query = pipe.start(spark, feed, ckpt)
+    if args.timeout is not None:
+        # bounded run: drain whatever the feed has, then stop (tests/demos)
+        query.processAllAvailable()
+        query.stop()
+        reason = pipe.controller.stop_reason
+    else:
+        reason = pipe.run_until_stopped(query)
+    print(f"stopped: {reason or 'feed drained'}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

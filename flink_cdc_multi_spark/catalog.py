@@ -283,6 +283,11 @@ class TableRegistry:
                 reg.specs[spec.key] = spec
         return reg
 
+    def add(self, spec: TableSpec) -> None:
+        """Adopt a table discovered mid-run (scan.newly.added.tables,
+        MySQLStreamer.java:302 scanNewlyAddedTableEnabled)."""
+        self.specs[spec.key] = spec
+
     def lookup(self, db: str, tbl: str) -> TableSpec | None:
         """Routing lookup with name maps applied, mirroring
         SideInputProcessFunction.java:64-131: db map keyed by sanitized db;

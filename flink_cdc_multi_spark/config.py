@@ -41,6 +41,9 @@ class JobConfig:
     source_database_list: list[str] = field(default_factory=list)
     mongodb_deserialization_mode: str = "top-level-type"
     fail_on_unknown_tables: bool = True
+    # adopt tables that appear mid-run via the schema provider
+    # (scanNewlyAddedTableEnabled, MySQLStreamer.java:302)
+    scan_newly_added_tables: bool = False
     debug: bool = False  # --debug print sink (FlinkCDCMulti.java:148-154)
     raw: dict[str, Any] = field(default_factory=dict)
 
@@ -91,6 +94,10 @@ class JobConfig:
             # fail.on.unknown.tables; the shipped code fails hard, which is
             # the default here too
             fail_on_unknown_tables=str(cfg.get("fail.on.unknown.tables", "true")).lower()
+            == "true",
+            scan_newly_added_tables=str(
+                cfg.get("scan.newly.added.tables", "false")
+            ).lower()
             == "true",
             debug=str(cfg.get("debug", "false")).lower() == "true",
             raw=dict(cfg),

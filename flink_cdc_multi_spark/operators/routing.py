@@ -89,6 +89,7 @@ def route_batch(
     sink_path: str,
     source_id: str,
     write: bool = True,
+    resolve_unknown=None,
 ) -> RouteResult:
     """Demux one (micro-)batch to per-table parquet appends."""
     result = RouteResult()
@@ -109,6 +110,13 @@ def route_batch(
         routed: list[tuple[str, str, TableSpec]] = []
         for db, tbl in counts:
             spec = registry.lookup(db, tbl)
+            if spec is None and resolve_unknown is not None:
+                # newly-added-table pickup (scanNewlyAddedTableEnabled,
+                # MySQLStreamer.java:302): ask the resolver (catalog
+                # introspection) for a spec and adopt it into the registry
+                spec = resolve_unknown(db, tbl)
+                if spec is not None:
+                    registry.add(spec)
             if spec is None:
                 result.unknown_tables.append((db, tbl))
             else:

@@ -137,3 +137,96 @@ def normalize_mongo_id(payload: Column) -> Column:
     return F.coalesce(
         F.get_json_object(payload, "$._id.$oid"), F.get_json_object(payload, "$._id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Server-version compatibility gate + live-sampling shape
+# (MongoDBStreamer.java:145-187 startup resolution, :214-231 buildInfo
+# version check; live clients are gated exactly like sources/jdbc.py — no
+# database ships in this container)
+# ---------------------------------------------------------------------------
+
+COMPAT_VERSION_FLOOR = "4.0.0"
+_TS_OFFSET_RE = __import__("re").compile(r"^[1-9][0-9]*$")
+
+
+def compare_versions(a: str, b: str) -> int:
+    """Numeric dotted-segment compare ('3.6.4' < '4.0.0' < '4.10.1');
+    missing segments count as 0, non-numeric suffixes are ignored."""
+
+    def parts(v: str) -> list[int]:
+        out = []
+        for seg in v.split("."):
+            digits = "".join(ch for ch in seg if ch.isdigit())
+            out.append(int(digits) if digits else 0)
+        return out
+
+    pa, pb = parts(a), parts(b)
+    n = max(len(pa), len(pb))
+    pa += [0] * (n - len(pa))
+    pb += [0] * (n - len(pb))
+    return (pa > pb) - (pa < pb)
+
+
+def resolve_mongo_startup(
+    startup_mode: str,
+    offset_value: str | None,
+    server_version: str | None,
+) -> tuple[str, str | None, list[str]]:
+    """(effective_mode, effective_offset, warnings) per the reference's
+    startup matrix: unknown modes → initial; offset mode with no value →
+    initial; a server < 4.0 enters compatibility mode (snapshot or
+    CDC-from-latest only, timestamp offsets SILENTLY ignored, no timestamp
+    splitting ⇒ concurrency 1); otherwise the offset must be epoch millis.
+    """
+    warnings: list[str] = []
+    mode = startup_mode if startup_mode in ("initial", "earliest", "latest", "offset") else "initial"
+    compat = (
+        server_version is not None
+        and compare_versions(server_version, COMPAT_VERSION_FLOOR) < 0
+    )
+    if compat:
+        warnings.append(
+            f"mongodb {server_version} < {COMPAT_VERSION_FLOOR}: compatibility "
+            "mode — snapshot or CDC from latest only; timestamp offsets "
+            "ignored; concurrency limited to 1 (no timestamp splitting)"
+        )
+    offset = offset_value
+    if mode == "offset":
+        if not offset:
+            warnings.append("no offset provided; startup mode offset -> initial")
+            mode = "initial"
+        elif compat:
+            warnings.append("compatibility mode; startup mode offset -> latest")
+            mode, offset = "latest", None
+        elif not _TS_OFFSET_RE.match(offset):
+            raise ValueError(
+                f"mongodb offset not in timestamp-milliseconds format: {offset!r}"
+            )
+    return mode, offset, warnings
+
+
+def live_server_version(uri: str) -> str:
+    """buildInfo version over a live client (gated: pymongo is not in this
+    container; the version string can also be supplied via the
+    ``mongodb.server.version`` config key for feed-based runs)."""
+    try:
+        import pymongo  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - no client library here
+        raise RuntimeError(
+            "pymongo not available; pass mongodb.server.version in config"
+        ) from e
+    return pymongo.MongoClient(uri).admin.command("buildInfo")["version"]
+
+
+def live_sample_docs(uri: str, database: str, collection: str, limit: int = 100) -> list[dict]:
+    """collection.find().limit(100) sampling for schema inference
+    (MongoDBStreamer.java:283-295) — gated like live_server_version; tests
+    feed documents straight to catalog.infer_mongo_schema."""
+    try:
+        import pymongo  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - no client library here
+        raise RuntimeError(
+            "pymongo not available; pass sample docs to infer_mongo_schema"
+        ) from e
+    return list(pymongo.MongoClient(uri)[database][collection].find().limit(limit))

@@ -168,6 +168,10 @@ class StopController:
 class CDCPipeline:
     config: JobConfig
     registry: TableRegistry
+    # (db, tbl) -> StructType | None; typically
+    # introspect.introspect_schema over a catalog reader. Consulted for
+    # unknown tables when scan.newly.added.tables is on.
+    schema_provider: object = None
     controller: StopController = field(init=False)
     status: StatusStore = field(init=False)
     offset_store: OffsetFileStore | None = field(init=False)
@@ -200,6 +204,20 @@ class CDCPipeline:
             raw = fsio.read_text(self.controller_path)
             if raw:
                 self.controller.load_state(json.loads(raw))
+
+    def _resolve_unknown_table(self, db: str, tbl: str):
+        """Newly-added-table pickup: when enabled and a schema provider is
+        wired, an unseen table is introspected and adopted instead of
+        hitting the unknown-table policy (MySQLStreamer.java:302)."""
+        if not self.config.scan_newly_added_tables or self.schema_provider is None:
+            return None
+        schema = self.schema_provider(db, tbl)
+        if schema is None:
+            return None
+        from flink_cdc_multi_spark.catalog import TableSpec
+
+        LOG.info("adopting newly added table %s.%s", db, tbl)
+        return TableSpec(db=db, table=tbl, payload_schema=schema)
 
     # -- batch body (also usable standalone for batch-mode ingestion) -----
 
@@ -240,7 +258,13 @@ class CDCPipeline:
                 data = envelope.filter(F.col("_op") == OP_READ).limit(0)
 
             # 1. route + write
-            route_batch(data, self.registry, cfg.sink_path, cfg.source_id)
+            route_batch(
+                data,
+                self.registry,
+                cfg.sink_path,
+                cfg.source_id,
+                resolve_unknown=self._resolve_unknown_table,
+            )
 
             # 2. offset file, AFTER data writes commit (at-least-once, ST4).
             # Advance monotonically: a batch may carry lower offsets than an
@@ -290,6 +314,20 @@ class CDCPipeline:
         if cfg.source_type == "postgres" and cfg.startup_mode == "timestamp":
             # PG timestamp startup unsupported (PostgresStreamer.java:148-152)
             raise ValueError("postgres does not support startup.mode=timestamp")
+        if cfg.source_type == "mongodb":
+            # version-gated startup matrix (MongoDBStreamer.java:145-231);
+            # the server version comes from buildInfo on a live client or
+            # the mongodb.server.version config key for feed-based runs
+            from flink_cdc_multi_spark.sources.mongo import resolve_mongo_startup
+
+            mode, offset_value, warnings = resolve_mongo_startup(
+                cfg.startup_mode,
+                cfg.offset_value,
+                cfg.raw.get("mongodb.server.version"),
+            )
+            for w in warnings:
+                LOG.warning("%s", w)
+            cfg.startup_mode, cfg.offset_value = mode, offset_value
         stream = read_raw_stream(
             spark, input_path, cfg.source_type, max_files_per_trigger
         )

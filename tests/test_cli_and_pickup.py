@@ -1,0 +1,196 @@
+"""Mongo version-gated startup matrix, newly-added-table pickup, and the
+CLI entry point (FlinkCDCMulti.java:393-415)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from conftest import make_mysql_row
+
+from flink_cdc_multi_spark.sources.mongo import compare_versions, resolve_mongo_startup
+
+# -- version compare + startup matrix (MongoDBStreamer.java:145-231) --------
+
+
+@pytest.mark.parametrize(
+    "a,b,sign",
+    [
+        ("3.6.4", "4.0.0", -1),
+        ("4.0.0", "4.0.0", 0),
+        ("4.10.2", "4.9.9", 1),
+        ("4.0", "4.0.0", 0),
+        ("5.0.1-ent", "5.0.1", 0),
+    ],
+)
+def test_compare_versions(a, b, sign):
+    assert compare_versions(a, b) == sign
+
+
+@pytest.mark.parametrize(
+    "mode,offset,version,want_mode,want_offset",
+    [
+        ("initial", None, "6.0.0", "initial", None),
+        ("bogus", None, "6.0.0", "initial", None),  # unknown -> initial
+        ("offset", None, "6.0.0", "initial", None),  # no value -> initial
+        ("offset", "1700000000000", "6.0.0", "offset", "1700000000000"),
+        ("offset", "1700000000000", "3.6.4", "latest", None),  # compat: ignored
+        ("latest", None, "3.6.4", "latest", None),
+        ("offset", "1700000000000", None, "offset", "1700000000000"),  # unknown ver
+    ],
+)
+def test_mongo_startup_matrix(mode, offset, version, want_mode, want_offset):
+    got_mode, got_offset, warnings = resolve_mongo_startup(mode, offset, version)
+    assert (got_mode, got_offset) == (want_mode, want_offset)
+    if version and compare_versions(version, "4.0.0") < 0:
+        assert any("compatibility" in w for w in warnings)
+
+
+def test_mongo_startup_bad_offset_rejected():
+    with pytest.raises(ValueError, match="timestamp-milliseconds"):
+        resolve_mongo_startup("offset", "not-a-ts", "6.0.0")
+
+
+# -- newly-added-table pickup (MySQLStreamer.java:302) ----------------------
+
+
+def _catalog_rows():
+    return [
+        ("testdb", "users", "id", "bigint", 1),
+        ("testdb", "users", "v", "varchar(10)", 2),
+        ("testdb", "newtbl", "id", "bigint", 1),
+        ("testdb", "newtbl", "note", "varchar(20)", 2),
+    ]
+
+
+def test_newly_added_table_adopted_mid_feed(spark, tmp_path):
+    from flink_cdc_multi_spark.config import JobConfig
+    from flink_cdc_multi_spark.sources.introspect import (
+        DataFrameCatalogReader,
+        introspect_schema,
+    )
+    from flink_cdc_multi_spark.catalog import TableRegistry
+    from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline
+    from pyspark.sql import types as T
+
+    USERS = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    reader = DataFrameCatalogReader(
+        spark.createDataFrame(
+            _catalog_rows(),
+            "table_schema string, table_name string, column_name string, "
+            "type_name string, ordinal_position int",
+        )
+    )
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "s1",
+            "source.type": "mysql",
+            "sink.path": str(tmp_path / "sink"),
+            "scan.newly.added.tables": "true",
+            "checkpoint.interval": 1,
+        }
+    )
+    # registry starts WITHOUT newtbl; the provider can introspect it
+    reg = TableRegistry.build("mysql", {("testdb", "users"): USERS})
+
+    def provider(db, tbl):
+        try:
+            return introspect_schema("mysql", reader, db, tbl)
+        except ValueError:
+            return None
+
+    pipe = CDCPipeline(cfg, reg, schema_provider=provider)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f1.json").write_text(
+        "\n".join(
+            [
+                make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+                make_mysql_row(
+                    table="newtbl", op="c", after={"id": 5, "note": "hi"}, pos=20
+                ),
+            ]
+        )
+        + "\n"
+    )
+    query = pipe.start(spark, str(feed), str(tmp_path / "ckpt"))
+    query.processAllAvailable()
+    query.stop()
+    # the mid-feed table was adopted, routed, and written
+    newtbl = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__newtbl"))
+    assert newtbl.first()["note"] == "hi"
+    assert "testdb.newtbl" in pipe.registry.specs
+
+
+def test_unknown_table_still_fails_when_pickup_disabled(spark, tmp_path):
+    from flink_cdc_multi_spark.catalog import TableRegistry
+    from flink_cdc_multi_spark.operators.routing import UnknownTableError, route_batch
+    from flink_cdc_multi_spark.sources.debezium_json import decode_raw
+    from pyspark.sql import types as T
+
+    USERS = T.StructType([T.StructField("id", T.LongType())])
+    reg = TableRegistry.build("mysql", {("testdb", "users"): USERS})
+    env = decode_raw(
+        spark.createDataFrame(
+            [(make_mysql_row(table="ghost", op="c", after={"id": 1}),)],
+            "value string",
+        ),
+        "mysql",
+    )
+    with pytest.raises(UnknownTableError):
+        route_batch(env, reg, str(tmp_path), "s")
+
+
+# -- CLI (subprocess smoke) -------------------------------------------------
+
+
+def test_cli_validate_and_run(tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        _catalog_rows(),
+        columns=[
+            "table_schema",
+            "table_name",
+            "column_name",
+            "type_name",
+            "ordinal_position",
+        ],
+    ).to_parquet(tmp_path / "catalog.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f1.json").write_text(
+        make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10) + "\n"
+    )
+    cfg = {
+        "source.id": "clisrc",
+        "source.type": "mysql",
+        "source.table.list": "testdb.users",
+        "sink.path": str(tmp_path / "sink"),
+        "offset.store.path": str(tmp_path / "store"),
+        "catalog.file": str(tmp_path / "catalog.parquet"),
+        "feed.path": str(feed),
+        "checkpoint.interval": 1,
+    }
+    (tmp_path / "job.json").write_text(json.dumps(cfg))
+    env_run = lambda *extra: subprocess.run(  # noqa: E731
+        [sys.executable, "-m", "flink_cdc_multi_spark", "-c", str(tmp_path / "job.json"), *extra],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    v = env_run("--validate", "--name", "SMOKE")
+    assert v.returncode == 0, v.stderr[-2000:]
+    assert "testdb.users" in v.stdout and "_testdb_ddl" in v.stdout
+
+    r = env_run("--timeout", "30")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "stopped:" in r.stdout
+    import pyarrow.parquet as pq
+
+    sink = tmp_path / "sink" / "clisrc_testdb__users"
+    assert pq.read_table(sink).num_rows == 1
