@@ -44,7 +44,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    # Local bench I/O parallelism: the testdata ships one parquet file per
+    # table, so the default 128m maxPartitionBytes would scan the biggest
+    # tables with 1-2 tasks at sf>=1. 16m splits a single file across cores;
+    # on a real cluster (many files, 100 TB) the default is left alone —
+    # this is a bench-harness setting, not an engine default.
+    spark = get_spark(
+        "bench", extra_conf={"spark.sql.files.maxPartitionBytes": "16m"}
+    )
 
     # Prepare every plan once (lazy DataFrames — no data is cached; every
     # execution scans parquet through the full Catalyst-optimized plan).

@@ -66,3 +66,55 @@ def test_ext_tokens_partial_aggregation(spark):
 def test_ext_dedup_exact_is_windowed_not_sorted_globally(spark):
     plan = plan_of(spark, "ext_dedup_exact")
     assert "Window" in plan  # row_number per digest partition
+
+
+def test_q06_q07_reduction_not_window(spark):
+    # latest/first-image per key must compile to partial+final HashAggregate
+    # (map-side combine), never a full shuffle+sort window (PERF.md sf1)
+    for q, fn in (("q06", "partial_min_by"), ("q07", "partial_max_by")):
+        plan = plan_of(spark, q)
+        assert "Window" not in plan, q
+        # a partial_*_by aggregate = map-side combine (Spark only labels the
+        # pre-shuffle agg "partial"); the shuffle carries one candidate per
+        # key per partition (SortAggregate is expected — struct-valued
+        # min/max_by has no hash-agg buffer)
+        assert fn in plan, q
+
+
+def test_q11_single_orders_pass(spark):
+    # both existence tests fold into one partial-aggregated pass over orders:
+    # exactly one scan of orders, aggregated before the single semi join
+    plan = plan_of(spark, "q11")
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q08_prefilter_lossless(spark):
+    # q08's cheap contains() pre-filter must never drop a regex match; the
+    # testdata has zero DDL-looking docs, so exercise the equivalence on
+    # synthetic edge cases (case variants, tab/newline \s, substring hits,
+    # keyword-without-whitespace non-matches)
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("CREATE table t", True),
+        ("cReAtE\tx", True),
+        ("procreate now", True),     # substring 'create' + \s after
+        ("drop\nit", True),
+        ("ALTER  y", True),
+        ("created", False),          # keyword not followed by \s
+        ("altered state", False),    # 'alter' followed by 'e', never \s
+        ("nothing here", False),
+        ("DROPLET x", False),        # 'drop' then 'L', no \s
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    regex = r"(?i)(create|drop|alter)\s"
+    low = F.lower(F.col("text"))
+    pre = low.contains("create") | low.contains("drop") | low.contains("alter")
+    got = {
+        r["text"]
+        for r in df.filter(pre).filter(F.col("text").rlike(regex)).collect()
+    }
+    want = {t for t, m in rows if m}
+    plain = {r["text"] for r in df.filter(F.col("text").rlike(regex)).collect()}
+    assert got == want == plain
