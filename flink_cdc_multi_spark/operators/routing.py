@@ -90,8 +90,14 @@ def route_batch(
     source_id: str,
     write: bool = True,
     resolve_unknown=None,
+    counts: dict | None = None,
 ) -> RouteResult:
-    """Demux one (micro-)batch to per-table parquet appends."""
+    """Demux one (micro-)batch to per-table parquet appends.
+
+    ``counts``: precomputed ``{(db, tbl): n}`` for the batch (the streaming
+    pipeline already has it from its one-pass batch_summary); when None,
+    computed here with one grouped job.
+    """
     result = RouteResult()
     # Cache ownership: if the caller already persisted the batch (as
     # streaming/pipeline.process_batch does), don't persist/unpersist here —
@@ -103,10 +109,11 @@ def route_batch(
     try:
         # One pass for routing keys AND per-table counts (not K count jobs),
         # then the unknown-table policy BEFORE any partial writes.
-        counts = {
-            (r["_db"], r["_tbl"]): r["n"]
-            for r in envelope.groupBy("_db", "_tbl").agg(F.count("*").alias("n")).collect()
-        }
+        if counts is None:
+            counts = {
+                (r["_db"], r["_tbl"]): r["n"]
+                for r in envelope.groupBy("_db", "_tbl").agg(F.count("*").alias("n")).collect()
+            }
         routed: list[tuple[str, str, TableSpec]] = []
         for db, tbl in counts:
             spec = registry.lookup(db, tbl)

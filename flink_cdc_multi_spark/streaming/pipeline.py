@@ -40,12 +40,72 @@ from flink_cdc_multi_spark.sources import fsio
 from flink_cdc_multi_spark.sources.offsets import (
     OffsetFileStore,
     offset_greater,
-    reduce_offset,
     resume_filter,
 )
 from flink_cdc_multi_spark.streaming.status import StatusStore
 
 LOG = logging.getLogger(__name__)
+
+
+def batch_summary(envelope: DataFrame, source_type: str) -> list:
+    """ONE grouped aggregation per micro-batch carrying every control-plane
+    read: per-(db,tbl) counts, snapshot-completion flags (ST1), max event
+    ts (ST8), DDL statements (F3/F4), and the per-source offset reduction
+    (ST4-ST7, same predicates as sources/offsets.reduce_offset). Each of
+    these was previously its own job; at streaming cadence the per-job
+    scheduling floor — not the data — dominated the batch, and at cluster
+    scale five passes over the batch are four too many. Returns the
+    collected per-group rows (~|tables|, bounded)."""
+    not_read = F.col("_op").isNull() | (F.col("_op") != OP_READ)
+    aggs = [
+        F.count("*").alias("n"),
+        # null for groups with no op-bearing rows (pure-DDL groups)
+        F.max(F.when(F.col("_op").isNotNull(), F.col("_op") != OP_READ)).alias(
+            "non_read"
+        ),
+        F.max("_ts").alias("max_ts"),
+        F.collect_list(
+            F.when(F.col("_ddl").isNotNull(), F.struct("_ddl", "_ddl_tbl"))
+        ).alias("ddl"),
+    ]
+    if source_type == "mysql":
+        has = not_read & F.col("_binlog_file").isNotNull()
+        pos = F.when(has, F.struct("_binlog_file", "_binlog_pos_end"))
+        aggs.append(F.max_by(pos, pos).alias("offset"))  # null ord rows skipped
+    elif source_type == "postgres":
+        aggs.append(F.max(F.when(not_read & F.col("_lsn").isNotNull(), F.col("_lsn"))).alias("offset"))
+    elif source_type == "oracle":
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_scn").isNotNull() & (F.col("_scn") != "0"),
+                    F.col("_scn").cast("decimal(38,0)"),
+                )
+            ).alias("offset")
+        )
+    elif source_type == "mongodb":
+        aggs.append(F.max(F.when(F.col("_op") != OP_READ, F.col("_ts"))).alias("offset"))
+    else:
+        raise ValueError(f"unknown source type: {source_type}")
+    return envelope.groupBy("_db", "_tbl").agg(*aggs).collect()
+
+
+def summary_offset(rows: list, source_type: str) -> str | None:
+    """Fold per-group offsets to the batch offset string (same formats as
+    reduce_offset: mysql 'file,pos', pg LSN, oracle SCN, mongo ts)."""
+    best: str | None = None
+    for r in rows:
+        o = r["offset"]
+        if o is None:
+            continue
+        s = (
+            f"{o['_binlog_file']},{o['_binlog_pos_end']}"
+            if source_type == "mysql"
+            else str(o)
+        )
+        if best is None or offset_greater(s, best, source_type):
+            best = s
+    return best
 
 
 def registry_from_config(cfg: JobConfig, tables) -> TableRegistry:
@@ -232,30 +292,31 @@ class CDCPipeline:
             if cfg.debug:
                 # W3/F7 debug print sink (FlinkCDCMulti.java:148-154)
                 envelope.show(20, truncate=False)
-            # 4a. control-plane reads (tiny slices, collected driver-side)
+            # 4a. control-plane reads: ONE grouped pass over the cached
+            # batch (counts + ST1 flags + max ts + DDL slice + offset
+            # reduction — previously five jobs, each paying the scheduling
+            # floor at streaming cadence)
+            summary = batch_summary(envelope, cfg.source_type)
+            counts = {(r["_db"], r["_tbl"]): r["n"] for r in summary}
             ddl_rows = [
-                r.asDict()
-                for r in envelope.filter(F.col("_ddl").isNotNull())
-                .select("_db", "_ddl", "_ddl_tbl")
-                .collect()
+                {"_db": r["_db"], "_ddl": d["_ddl"], "_ddl_tbl": d["_ddl_tbl"]}
+                for r in summary
+                for d in r["ddl"]
             ]
-            agg = envelope.agg(
-                F.count("*").alias("n"),
-                F.max("_ts").alias("max_ts"),
-            ).first()
-            # per-table op presence for ST1 (one grouped pass, ~|tables| rows)
+            n_rows = sum(r["n"] for r in summary)
+            ts_vals = [r["max_ts"] for r in summary if r["max_ts"] is not None]
+            max_ts = max(ts_vals) if ts_vals else None
             table_ops = [
                 (f"{r['_db']}.{r['_tbl']}", bool(r["non_read"]))
-                for r in envelope.filter(F.col("_op").isNotNull())
-                .groupBy("_db", "_tbl")
-                .agg(F.max(F.col("_op") != OP_READ).alias("non_read"))
-                .collect()
+                for r in summary
+                if r["non_read"] is not None
             ]
 
             # snapshot-only: drop post-completion READs (F2); error non-READ
             data = envelope
             if cfg.snapshot_only and self.controller.snapshot_complete:
                 data = envelope.filter(F.col("_op") == OP_READ).limit(0)
+                counts = None  # counts describe the unfiltered batch
 
             # 1. route + write
             route_batch(
@@ -264,6 +325,7 @@ class CDCPipeline:
                 cfg.sink_path,
                 cfg.source_id,
                 resolve_unknown=self._resolve_unknown_table,
+                counts=counts,
             )
 
             # 2. offset file, AFTER data writes commit (at-least-once, ST4).
@@ -271,14 +333,14 @@ class CDCPipeline:
             # earlier one (file pickup order ≠ offset order), and the stored
             # offset must never regress or resume would over-replay.
             if self.offset_store is not None:
-                offset = reduce_offset(envelope, cfg.source_type)
+                offset = summary_offset(summary, cfg.source_type)
                 if offset is not None:
                     prev = self.offset_store.read()
                     if prev is None or offset_greater(offset, prev, cfg.source_type):
                         self.offset_store.write(offset)
 
             # 3. status file (ST8; checkpoint-complete == batch end)
-            self.status.update(int(agg["n"]), agg["max_ts"])
+            self.status.update(n_rows, max_ts)
             self.status.flush()
 
             # 4b. stop decisions take effect before the next batch
