@@ -73,27 +73,74 @@ def _hadoop_fs(spark, path_str: str):
     return fs, jpath
 
 
+def recover_compact_swap(spark, table_path: str) -> str | None:
+    """Self-heal leftover state from a crash inside compact_table's swap.
+
+    Returns what was done: 'restored' (live table was missing, original
+    renamed back from `__old`), 'cleaned' (stale `__old`/`__compact`
+    leftovers deleted next to a healthy live table), or None (nothing to
+    do). Compaction is idempotent, so after a restore it simply re-runs.
+    """
+    fs, live = _hadoop_fs(spark, table_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    old = jpath(f"{table_path}__old")
+    tmp = jpath(f"{table_path}__compact")
+    if fs.exists(live):
+        cleaned = False
+        for p in (old, tmp):
+            if fs.exists(p):
+                fs.delete(p, True)
+                cleaned = True
+        return "cleaned" if cleaned else None
+    if fs.exists(old):
+        if not fs.rename(old, live):
+            raise IOError(f"compact recovery: rename {table_path}__old back failed")
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        return "restored"
+    return None
+
+
 def compact_table(
     spark,
     table_path: str,
     key_cols: list[str],
     order_cols: list[str],
-    target_files_per_partition: int = 1,
+    max_records_per_file: int = 5_000_000,
+    target_partition_bytes: int = 128 << 20,
 ) -> int:
     """Rewrite a change-log table as its materialized state, dt-partitioned,
     coalescing the micro-batch small files. Returns the row count of the
     compacted table, taken from the write job's observed metrics — no
     second read of the output.
 
+    Parallelism scales with the table: the rewrite shuffles on
+    ``(dt, *key_cols)`` into ``ceil(input_bytes / target_partition_bytes)``
+    partitions (so a 1 TB table compacts with ~8k tasks at the default
+    128 MB, never through one writer), and ``maxRecordsPerFile`` bounds the
+    size of each output file regardless of task count.
+
     Swap is via the Hadoop FileSystem API so any scheme works (local/HDFS/
     S3; a real deployment on a table format would use MERGE; plain parquet
     gets swap-by-rename): write to `<path>__compact`, rename the live table
     aside to `<path>__old`, rename the compacted output into place, then
-    delete the old copy. A crash mid-swap leaves either the original or a
-    complete compacted table (plus a leftover directory to clean up) —
-    never a window where the table is deleted.
+    delete the old copy. Between the two renames there IS a window where
+    the table path does not exist: a crash there leaves the original intact
+    at `__old`, and the `recover_compact_swap` pass that runs at the start
+    of every compaction (and can be called at process startup) renames it
+    back automatically. Concurrent readers of a table being compacted must
+    tolerate a transient missing-path error — the same contract as Hive
+    INSERT OVERWRITE on plain parquet.
     """
+    import math
+
     from pyspark.sql import Observation
+
+    recover_compact_swap(spark, table_path)
+
+    fs, live = _hadoop_fs(spark, table_path)
+    input_bytes = int(fs.getContentSummary(live).getLength())
+    num_partitions = max(1, math.ceil(input_bytes / target_partition_bytes))
 
     df = spark.read.parquet(table_path)
     obs = Observation()
@@ -102,14 +149,14 @@ def compact_table(
     )
     tmp = f"{table_path}__compact"
     (
-        state.repartition(target_files_per_partition, *key_cols)
+        state.repartition(num_partitions, "dt", *key_cols)
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("dt")
         .parquet(tmp)
     )
     n = int(obs.get["n"])
 
-    fs, live = _hadoop_fs(spark, table_path)
     _, tmp_p = _hadoop_fs(spark, tmp)
     old = spark._jvm.org.apache.hadoop.fs.Path(f"{table_path}__old")
     if fs.exists(old):

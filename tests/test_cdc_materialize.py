@@ -11,6 +11,7 @@ from flink_cdc_multi_spark.catalog import TableRegistry
 from flink_cdc_multi_spark.operators.cdc import (
     compact_table,
     latest_image,
+    recover_compact_swap,
     streaming_dedup,
 )
 from flink_cdc_multi_spark.operators.routing import route_batch
@@ -69,6 +70,68 @@ def test_compact_table_rewrites_in_place(spark, tmp_path):
     assert compacted.count() == 1
     assert compacted.first()["v"] == "a2"
     assert "dt" in compacted.columns  # partition layout preserved
+
+
+def _write_multi_dt_changes(spark, tmp_path, keys_per_day=20):
+    day_ms = 86_400_000
+    lines = []
+    pos = 10
+    for day in range(2):
+        for k in range(keys_per_day):
+            lines.append(
+                make_mysql_row(
+                    op="c",
+                    after={"id": day * 1000 + k, "v": f"d{day}k{k}"},
+                    pos=pos,
+                    ts_ms=1700000001000 + day * day_ms,
+                )
+            )
+            pos += 10
+    return _write_changes(spark, tmp_path, lines)
+
+
+def test_compact_table_multi_dt_parallel_write(spark, tmp_path):
+    """The rewrite must NOT funnel through one task: with a tiny partition
+    byte target the shuffle fans out, and maxRecordsPerFile=1 bounds each
+    output file to a single row (size control independent of task count)."""
+    path = _write_multi_dt_changes(spark, tmp_path)
+    n = compact_table(
+        spark, path, ["id"], ORDER,
+        max_records_per_file=1, target_partition_bytes=4096,
+    )
+    assert n == 40
+    compacted = spark.read.parquet(path)
+    assert compacted.count() == 40
+    dts = [r["dt"] for r in compacted.select("dt").distinct().collect()]
+    assert len(dts) == 2  # dt layout preserved across days
+    import glob
+
+    parts = glob.glob(f"{path}/dt=*/part-*.parquet")
+    # maxRecordsPerFile=1 → one row per file; multiple distinct task ids
+    # prove the write was parallel, not a single-task funnel.
+    assert len(parts) == 40
+    task_ids = {p.rsplit("/", 1)[1].split("-")[1] for p in parts}
+    assert len(task_ids) > 1
+
+
+def test_compact_swap_recovery(spark, tmp_path):
+    import os
+
+    path = _write_changes(spark, tmp_path, LINES)
+    # Crash window: live table renamed aside, nothing renamed back yet.
+    os.rename(path, f"{path}__old")
+    os.makedirs(f"{path}__compact")  # half-written compact output
+    assert recover_compact_swap(spark, path) == "restored"
+    assert spark.read.parquet(path).count() == 5
+    assert not os.path.exists(f"{path}__old")
+    assert not os.path.exists(f"{path}__compact")
+    # Stale leftovers next to a healthy live table are swept.
+    os.makedirs(f"{path}__compact")
+    assert recover_compact_swap(spark, path) == "cleaned"
+    assert recover_compact_swap(spark, path) is None
+    # And compaction itself self-heals before running.
+    os.rename(path, f"{path}__old")
+    assert compact_table(spark, path, ["id"], ORDER) == 1
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
