@@ -22,6 +22,51 @@ from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline
 _JDBC_SCHEMES = {"mysql": "jdbc:mysql", "postgres": "jdbc:postgresql", "oracle": "jdbc:oracle:thin"}
 
 
+def _build_mongo_registry(cfg: JobConfig):
+    """Mongo has no information_schema: schemas come from document sampling
+    (MongoDBStreamer.java:283-295). Feed-based runs supply the samples via
+    ``mongodb.sample.file`` — a JSON object {"db.collection": [docs...]};
+    live runs need pymongo (sources/mongo.live_sample_docs, gated)."""
+    import json
+
+    from flink_cdc_multi_spark.catalog import TableRegistry, infer_mongo_schema
+
+    sample_file = cfg.raw.get("mongodb.sample.file")
+    if not sample_file:
+        raise ConfigError(
+            "source.type=mongodb: JDBC catalog introspection does not apply; "
+            "set mongodb.sample.file ({'db.collection': [sample docs]} JSON) "
+            "or use the live sampling path (requires pymongo)"
+        )
+    with open(sample_file) as f:
+        samples = json.load(f)
+    mode = cfg.mongodb_deserialization_mode
+    tables = {}
+    for key, docs in samples.items():
+        db, _, coll = key.partition(".")
+        schema, warnings = infer_mongo_schema(docs, mode=mode)
+        for w in warnings:
+            print(f"warning: {key}: {w}", file=sys.stderr)
+        tables[(db, coll)] = schema
+
+    registry = TableRegistry.build(
+        "mongodb",
+        tables,
+        database_name_map=cfg.database_name_map,
+        table_name_map=cfg.table_name_map,
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+        mongo_mode=mode,
+    )
+
+    def provider(db: str, tbl: str):
+        docs = samples.get(f"{db}.{tbl}")
+        if not docs:
+            return None
+        return infer_mongo_schema(docs, mode=mode)[0]
+
+    return registry, provider
+
+
 def _build_registry(spark, cfg: JobConfig):
     from flink_cdc_multi_spark.sources.introspect import (
         DataFrameCatalogReader,
@@ -30,6 +75,8 @@ def _build_registry(spark, cfg: JobConfig):
         introspect_schema,
     )
 
+    if cfg.source_type == "mongodb":
+        return _build_mongo_registry(cfg)
     catalog_file = cfg.raw.get("catalog.file")
     if catalog_file:
         reader = DataFrameCatalogReader(spark.read.parquet(catalog_file))

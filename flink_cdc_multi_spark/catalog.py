@@ -288,12 +288,14 @@ class TableRegistry:
         MySQLStreamer.java:302 scanNewlyAddedTableEnabled)."""
         self.specs[spec.key] = spec
 
-    def lookup(self, db: str, tbl: str) -> TableSpec | None:
-        """Routing lookup with name maps applied, mirroring
+    def mapped_names(self, db: str, tbl: str) -> tuple[str, str]:
+        """Sanitized (db, table) with name maps applied, mirroring
         SideInputProcessFunction.java:64-131: db map keyed by sanitized db;
         table map keyed by original `db.table` with the reference's lossy
         '_'→'-' reverse sanitization; DDL table names reconstructed under
-        the mapped db."""
+        the mapped db. Anything that builds or looks up a spec for an
+        observed source identity must go through this, so adopted specs
+        (scan.newly.added.tables) land under the same key lookup() uses."""
         sdb, stbl = sanitize(db), sanitize(tbl)
         mapped_db = self.database_name_map.get(sdb)
         if mapped_db:
@@ -304,6 +306,10 @@ class TableRegistry:
             stbl = sanitize(mapped_tbl)
         if stbl.startswith("_") and stbl.endswith("_ddl"):
             stbl = f"_{sdb}_ddl"
+        return sdb, stbl
+
+    def lookup(self, db: str, tbl: str) -> TableSpec | None:
+        sdb, stbl = self.mapped_names(db, tbl)
         return self.specs.get(f"{sdb}.{stbl}")
 
     def data_specs(self) -> list[TableSpec]:

@@ -44,6 +44,14 @@ class JobConfig:
     # adopt tables that appear mid-run via the schema provider
     # (scanNewlyAddedTableEnabled, MySQLStreamer.java:302)
     scan_newly_added_tables: bool = False
+    # maintenance compaction (rebuild improvement — the reference's
+    # roll-on-checkpoint sink never compacts, so micro-batch small files
+    # accumulate forever): every N batches, rewrite each table listed in
+    # table.key.columns as its materialized latest image. 0 = off.
+    compact_every_n_batches: int = 0
+    # {"db.tbl" (sanitized spec key): [primary key columns]} — which tables
+    # to compact and the key to materialize on
+    table_key_columns: dict[str, list[str]] = field(default_factory=dict)
     debug: bool = False  # --debug print sink (FlinkCDCMulti.java:148-154)
     raw: dict[str, Any] = field(default_factory=dict)
 
@@ -99,6 +107,11 @@ class JobConfig:
                 cfg.get("scan.newly.added.tables", "false")
             ).lower()
             == "true",
+            compact_every_n_batches=int(cfg.get("compact.every.n.batches", 0)),
+            table_key_columns={
+                k: ([v] if isinstance(v, str) else list(v))
+                for k, v in (cfg.get("table.key.columns") or {}).items()
+            },
             debug=str(cfg.get("debug", "false")).lower() == "true",
             raw=dict(cfg),
         )

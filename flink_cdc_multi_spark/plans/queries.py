@@ -39,7 +39,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Parquet scan; Catalyst handles column pruning + predicate pushdown.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark only
@@ -53,12 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     once at catalog-registration time, not once per query. The memo holds
     the *lazy* plan only — no data is cached, every execution still scans
     parquet — so plans (pushdown, pruning) are unchanged.
+
+    NOTE the memo also pins the parquet FILE LISTING (InMemoryFileIndex) at
+    first read: the bench/test data directories are static so this is safe
+    for every gate/ext plan, but a caller pointing at a directory that
+    gains files mid-session must pass ``refresh=True`` to re-list (or just
+    use spark.read.parquet directly).
     """
     cache = getattr(spark, "_fcm_table_cache", None)
     if cache is None:
         cache = {}
         spark._fcm_table_cache = cache
     key = (sf_dir, name)
+    if refresh:
+        cache.pop(key, None)
     if key not in cache:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -178,6 +178,13 @@ def resolve_mongo_startup(
     initial; a server < 4.0 enters compatibility mode (snapshot or
     CDC-from-latest only, timestamp offsets SILENTLY ignored, no timestamp
     splitting ⇒ concurrency 1); otherwise the offset must be epoch millis.
+
+    ``offset_value`` must be the MERGED effective offset — config
+    offset.value if set, else the stored offset-file value (the reference
+    folds the store into offset.value in configureOffset BEFORE the
+    streamer's startup resolution, FlinkCDCMulti.java:190-193) — so a
+    resumed job's stored offset gets the same compat-mode ignore and
+    format validation as a user-provided one.
     """
     warnings: list[str] = []
     mode = startup_mode if startup_mode in ("initial", "earliest", "latest", "offset") else "initial"
@@ -192,17 +199,20 @@ def resolve_mongo_startup(
             "ignored; concurrency limited to 1 (no timestamp splitting)"
         )
     offset = offset_value
-    if mode == "offset":
-        if not offset:
-            warnings.append("no offset provided; startup mode offset -> initial")
-            mode = "initial"
-        elif compat:
-            warnings.append("compatibility mode; startup mode offset -> latest")
-            mode, offset = "latest", None
-        elif not _TS_OFFSET_RE.match(offset):
-            raise ValueError(
-                f"mongodb offset not in timestamp-milliseconds format: {offset!r}"
-            )
+    if compat and offset:
+        # whatever the mode, a timestamp offset cannot drive resume on a
+        # pre-4.0 server (no timestamp splitting)
+        warnings.append("compatibility mode; timestamp offset ignored")
+        offset = None
+        if mode == "offset":
+            mode = "latest"
+    elif mode == "offset" and not offset:
+        warnings.append("no offset provided; startup mode offset -> initial")
+        mode = "initial"
+    elif offset and not _TS_OFFSET_RE.match(offset):
+        raise ValueError(
+            f"mongodb offset not in timestamp-milliseconds format: {offset!r}"
+        )
     return mode, offset, warnings
 
 

@@ -276,8 +276,13 @@ class CDCPipeline:
             return None
         from flink_cdc_multi_spark.catalog import TableSpec
 
-        LOG.info("adopting newly added table %s.%s", db, tbl)
-        return TableSpec(db=db, table=tbl, payload_schema=schema)
+        # adopt under the MAPPED identity: lookup() applies the name maps
+        # before consulting specs, so a spec keyed by the raw names would
+        # never be found again (re-introspected every batch) and would
+        # write to the unmapped output directory.
+        mdb, mtbl = self.registry.mapped_names(db, tbl)
+        LOG.info("adopting newly added table %s.%s as %s.%s", db, tbl, mdb, mtbl)
+        return TableSpec(db=mdb, table=mtbl, payload_schema=schema)
 
     # -- batch body (also usable standalone for batch-mode ingestion) -----
 
@@ -352,8 +357,55 @@ class CDCPipeline:
                     self.controller_path, json.dumps(self.controller.to_state())
                 )
             self.batches_processed += 1
+
+            # 5. maintenance compaction every N batches (rebuild improvement
+            # over the reference's roll-on-checkpoint-and-never-compact sink;
+            # PERF.md names small-file buildup the antidote target). Runs
+            # AFTER the offset commit: the replay window on resume starts at
+            # the stored offset, so compacting away tombstones/old images
+            # below it can never resurrect a row.
+            if (
+                cfg.compact_every_n_batches
+                and cfg.table_key_columns
+                and self.batches_processed % cfg.compact_every_n_batches == 0
+            ):
+                self.run_compaction(envelope.sparkSession)
         finally:
             envelope.unpersist()
+
+    def compaction_order_cols(self) -> list:
+        """Monotone per-source ordering over the columns the router KEEPS in
+        table output (routing strips raw offset cols; mysql keeps the
+        *_internal binlog twins, mongo keeps _ts/_txn_op_index, pg/oracle
+        order on _ts)."""
+        st = self.config.source_type
+        if st == "mysql":
+            return ["_binlog_file_internal", "_binlog_pos_internal"]
+        if st == "mongodb":
+            return [F.col("_ts"), F.col("_txn_op_index").cast("int")]
+        return ["_ts"]
+
+    def run_compaction(self, spark) -> dict[str, int]:
+        """Compact every table declared in table.key.columns to its
+        materialized latest image (operators/cdc.compact_table). Returns
+        {table key: compacted row count}."""
+        from flink_cdc_multi_spark.operators.cdc import _hadoop_fs, compact_table
+
+        cfg = self.config
+        order_cols = self.compaction_order_cols()
+        results: dict[str, int] = {}
+        for key, key_cols in cfg.table_key_columns.items():
+            spec = self.registry.specs.get(key)
+            if spec is None or spec.is_ddl:
+                LOG.warning("table.key.columns entry %s not in registry; skipped", key)
+                continue
+            path = f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}"
+            fs, jp = _hadoop_fs(spark, path)
+            if not fs.exists(jp):
+                continue  # no batch has landed rows for it yet
+            results[key] = compact_table(spark, path, key_cols, order_cols)
+            LOG.info("compacted %s -> %d rows", key, results[key])
+        return results
 
     # -- streaming driver --------------------------------------------------
 
@@ -376,29 +428,33 @@ class CDCPipeline:
         if cfg.source_type == "postgres" and cfg.startup_mode == "timestamp":
             # PG timestamp startup unsupported (PostgresStreamer.java:148-152)
             raise ValueError("postgres does not support startup.mode=timestamp")
+        # config offset.value wins over the stored offset file: configureOffset
+        # (FlinkCDCMulti.java:190-193) returns early when offset.value is set
+        # and only consults the store otherwise — a user manually
+        # re-positioning must not be overridden by a stale offset file. The
+        # merge happens BEFORE source-specific startup resolution, matching
+        # the reference's configureOffset-then-streamer order, so mongo's
+        # compat gate and format validation see the offset that would
+        # actually drive the resume (stored or configured).
+        stored = self.offset_store.read() if self.offset_store else None
+        offset = cfg.offset_value or stored
         if cfg.source_type == "mongodb":
             # version-gated startup matrix (MongoDBStreamer.java:145-231);
             # the server version comes from buildInfo on a live client or
             # the mongodb.server.version config key for feed-based runs
             from flink_cdc_multi_spark.sources.mongo import resolve_mongo_startup
 
-            mode, offset_value, warnings = resolve_mongo_startup(
+            mode, offset, warnings = resolve_mongo_startup(
                 cfg.startup_mode,
-                cfg.offset_value,
+                offset,
                 cfg.raw.get("mongodb.server.version"),
             )
             for w in warnings:
                 LOG.warning("%s", w)
-            cfg.startup_mode, cfg.offset_value = mode, offset_value
+            cfg.startup_mode, cfg.offset_value = mode, offset
         stream = read_raw_stream(
             spark, input_path, cfg.source_type, max_files_per_trigger
         )
-        # config offset.value wins over the stored offset file: configureOffset
-        # (FlinkCDCMulti.java:190-193) returns early when offset.value is set
-        # and only consults the store otherwise — a user manually
-        # re-positioning must not be overridden by a stale offset file.
-        stored = self.offset_store.read() if self.offset_store else None
-        offset = cfg.offset_value or stored
         if offset:
             stream = resume_filter(stream, cfg.source_type, offset)
         elif cfg.startup_mode == "timestamp" and cfg.datetime_offset:

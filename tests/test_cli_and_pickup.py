@@ -194,3 +194,158 @@ def test_cli_validate_and_run(tmp_path):
 
     sink = tmp_path / "sink" / "clisrc_testdb__users"
     assert pq.read_table(sink).num_rows == 1
+
+
+def test_newly_added_table_adopted_under_name_map(spark, tmp_path):
+    """The adopted spec must be keyed by the MAPPED (db, table) — the same
+    key lookup() computes — or the table is re-introspected every batch and
+    written to the unmapped directory (SideInputProcessFunction.java:64-131
+    routes side-outputs by mapped names)."""
+    from flink_cdc_multi_spark.config import JobConfig
+    from flink_cdc_multi_spark.sources.introspect import (
+        DataFrameCatalogReader,
+        introspect_schema,
+    )
+    from flink_cdc_multi_spark.catalog import TableRegistry
+    from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline
+    from pyspark.sql import types as T
+
+    USERS = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    reader = DataFrameCatalogReader(
+        spark.createDataFrame(
+            _catalog_rows(),
+            "table_schema string, table_name string, column_name string, "
+            "type_name string, ordinal_position int",
+        )
+    )
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "s1",
+            "source.type": "mysql",
+            "sink.path": str(tmp_path / "sink"),
+            "scan.newly.added.tables": "true",
+            "table.name.map": {"testdb.newtbl": "newtbl_v2"},
+            "checkpoint.interval": 1,
+        }
+    )
+    reg = TableRegistry.build(
+        "mysql", {("testdb", "users"): USERS}, table_name_map=cfg.table_name_map
+    )
+    calls = []
+
+    def provider(db, tbl):
+        calls.append((db, tbl))
+        try:
+            return introspect_schema("mysql", reader, db, tbl)
+        except ValueError:
+            return None
+
+    pipe = CDCPipeline(cfg, reg, schema_provider=provider)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f1.json").write_text(
+        make_mysql_row(table="newtbl", op="c", after={"id": 5, "note": "hi"}, pos=20)
+        + "\n"
+    )
+    query = pipe.start(spark, str(feed), str(tmp_path / "ckpt"))
+    query.processAllAvailable()
+    # second batch for the same table: the adopted spec must be FOUND, not
+    # re-introspected
+    (feed / "f2.json").write_text(
+        make_mysql_row(table="newtbl", op="c", after={"id": 6, "note": "yo"}, pos=30)
+        + "\n"
+    )
+    query.processAllAvailable()
+    query.stop()
+
+    assert calls == [("testdb", "newtbl")]  # adopted once, found thereafter
+    assert "testdb.newtbl_v2" in pipe.registry.specs
+    out = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__newtbl_v2"))
+    assert sorted(r["id"] for r in out.collect()) == [5, 6]
+
+
+# -- mongo stored-offset resolution (configureOffset order) ------------------
+
+
+def _mongo_pipe(spark, tmp_path, version, stored):
+    from flink_cdc_multi_spark.config import JobConfig
+    from flink_cdc_multi_spark.catalog import TableRegistry
+    from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline
+    from pyspark.sql import types as T
+
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "m1",
+            "source.type": "mongodb",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "mongodb.server.version": version,
+            "checkpoint.interval": 1,
+        }
+    )
+    reg = TableRegistry.build(
+        "mongodb", {("appdb", "users"): T.StructType([T.StructField("x", T.LongType())])}
+    )
+    pipe = CDCPipeline(cfg, reg)
+    if stored is not None:
+        pipe.offset_store.write(stored)
+    return pipe
+
+
+def test_mongo_stored_offset_ignored_in_compat_mode(spark, tmp_path):
+    """configureOffset folds the store into offset.value BEFORE startup
+    resolution; a pre-4.0 server must then ignore the timestamp offset —
+    including one that came from the offset file, not the config."""
+    pipe = _mongo_pipe(spark, tmp_path, "3.6.4", stored="1700000000000")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    query = pipe.start(spark, str(feed), str(tmp_path / "ckpt"))
+    query.stop()
+    assert pipe.config.offset_value is None  # stored ts offset was ignored
+
+
+def test_mongo_stored_offset_validated(spark, tmp_path):
+    """A malformed STORED offset gets the same timestamp-millis format
+    validation as a configured one."""
+    pipe = _mongo_pipe(spark, tmp_path, "6.0.0", stored="not-a-ts")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with pytest.raises(ValueError, match="timestamp-milliseconds"):
+        pipe.start(spark, str(feed), str(tmp_path / "ckpt"))
+
+
+def test_cli_mongodb_sample_file_registry(tmp_path):
+    """source.type=mongodb builds its registry from document sampling
+    (mongodb.sample.file), not the JDBC scheme map; without it the error is
+    a clear ConfigError, not a KeyError."""
+    samples = {"appdb.users": [{"_id": "a1", "n": 3, "name": "x"}] * 60}
+    (tmp_path / "samples.json").write_text(json.dumps(samples))
+    cfg = {
+        "source.id": "mcli",
+        "source.type": "mongodb",
+        "sink.path": str(tmp_path / "sink"),
+        "mongodb.sample.file": str(tmp_path / "samples.json"),
+    }
+    (tmp_path / "job.json").write_text(json.dumps(cfg))
+    r = subprocess.run(
+        [sys.executable, "-m", "flink_cdc_multi_spark", "-c",
+         str(tmp_path / "job.json"), "--validate"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "appdb.users" in r.stdout
+
+    # no sample file -> clear ConfigError
+    cfg.pop("mongodb.sample.file")
+    cfg["source.hostname"] = "mongo.example"
+    (tmp_path / "job2.json").write_text(json.dumps(cfg))
+    r2 = subprocess.run(
+        [sys.executable, "-m", "flink_cdc_multi_spark", "-c",
+         str(tmp_path / "job2.json"), "--validate"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode != 0
+    assert "mongodb.sample.file" in r2.stderr
+    assert "KeyError" not in r2.stderr

@@ -285,3 +285,57 @@ def test_stop_controller_state_survives_restart(spark, tmp_path):
     pipe3 = mk_pipe()
     assert pipe3.controller.stop_requested is True
     assert "restored" in pipe3.controller.stop_reason
+
+
+def test_maintenance_compaction_every_n_batches(spark, tmp_path):
+    """Rebuild improvement over the reference's never-compacting sink:
+    every N batches the pipeline rewrites declared tables as their
+    materialized latest image, so file counts stay bounded while
+    latest_image parity (q07 semantics) holds over the compacted table."""
+    import glob
+
+    pipe = _pipeline(
+        tmp_path,
+        **{
+            "compact.every.n.batches": 2,
+            "table.key.columns": {"testdb.users": ["id"]},
+        },
+    )
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10,
+                           ts_ms=1700000001000),
+            make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=20,
+                           ts_ms=1700000002000),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    query.processAllAvailable()
+    # batch 2 lands updates + a delete, then triggers the compaction pass
+    (tmp_path / "feed" / "f2.json").write_text(
+        "\n".join(
+            [
+                make_mysql_row(op="u", before={"id": 1, "v": "a"},
+                               after={"id": 1, "v": "a2"}, pos=30,
+                               ts_ms=1700000003000),
+                make_mysql_row(op="d", before={"id": 2, "v": "b"}, after=None,
+                               pos=40, ts_ms=1700000004000),
+            ]
+        )
+        + "\n"
+    )
+    query.processAllAvailable()
+    query.stop()
+    assert pipe.batches_processed == 2
+
+    table_dir = str(tmp_path / "sink" / "s1_testdb__users")
+    users = spark.read.parquet(table_dir)
+    # compacted to the latest image: one live row, tombstone applied
+    rows = [(r["id"], r["v"], r["_op"]) for r in users.collect()]
+    assert rows == [(1, "a2", "UPDATE")]
+    # the change log's four appended files collapsed to one per dt
+    assert len(glob.glob(f"{table_dir}/dt=*/part-*.parquet")) == 1
+    # offsets were committed before compaction ran
+    assert pipe.offset_store.read() == "mysql-bin.000001,40"
