@@ -36,7 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query key. Keys absent here (hash-based
-    ops: ext_dedup_minhash/simhash, ext_ann_lsh) get the driver's rows-only
-    check; their semantics are unit-tested against hand-built fixtures."""
+    """DuckDB-runnable ANSI SQL per query key. Keys absent here (the
+    engine-local hash ops: xxhash64 minhash/simhash, kmeans IVF) get the
+    driver's rows-only check; each has an oracle-matched md5 twin or a
+    recall test. The hyperplane-LSH queries are fully oracle-checked via
+    the portable md5-parity signature."""
     return dict(ALL_ORACLE_SQL)

@@ -387,11 +387,12 @@ def embedding_neardup_pairs_lsh(
     threshold: float = 0.95,
     n_planes: int = 8,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: hyperplane-LSH signatures bucket
-    the vectors; exact cosine verification runs only within buckets (high
-    cosine ⇒ same signature with high probability; n_planes trades recall
-    for candidate volume). Candidates join on a long key; the quadratic
-    verify is per-bucket, not global."""
+    """Scale path for embedding near-dup: hyperplane-LSH signatures (the
+    portable md5-parity planes, operators/similarity.md5_sign_matrix)
+    bucket the vectors; exact cosine verification runs only within buckets
+    (high cosine ⇒ same signature with high probability; n_planes trades
+    recall for candidate volume). Candidates join on a long key; the
+    quadratic verify is per-bucket, not global."""
     import numpy as np
     import pandas as pd
 

@@ -21,8 +21,30 @@ from pyspark.sql import types as T
 
 from flink_cdc_multi_spark.operators.dedup import cosine_sim
 
-LSH_SEED = 42  # deterministic hyperplanes; fixed for reproducible bucketing
 IVF_SEED = 42  # deterministic kmeans for reproducible IVF partitions
+
+# component quantization for the portable signature: floor(x * QUANT) is the
+# same int64 in numpy, Spark SQL, and DuckDB (identical IEEE double multiply,
+# then floor), so every signature computation below is EXACT integer math
+LSH_QUANT = 1_000_000
+
+
+def md5_sign_matrix(dim: int, n_planes: int):
+    """±1 hyperplane matrix (dim × n_planes) with signs from md5 parity:
+    s(p, i) = +1 iff the 60-bit prefix of md5("p:i") is odd. Sign random
+    projection with Rademacher (±1) entries is a standard SRP-LSH family,
+    and deriving the signs from a portable hash makes the SAME matrix
+    reproducible in numpy (here), Spark Column expressions
+    (hyperplane_signature_sql), and DuckDB SQL — which is what lets the
+    LSH queries be oracle-checked instead of rows-only."""
+    import hashlib
+
+    S = np.empty((dim, n_planes), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h60 = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+            S[i, p] = 1 if h60 & 1 else -1
+    return S
 
 
 def brute_force_topk(
@@ -63,22 +85,77 @@ def hyperplane_signature(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """R-bit random-hyperplane signature (sign of W·v per plane) as a long.
-    W is a fixed seeded Gaussian matrix regenerated identically inside every
-    Arrow batch — no closure-captured broadcast needed at this size."""
+    """R-bit hyperplane signature (sign of S·q per plane, q = the
+    LSH_QUANT-quantized vector) as a long. S is the portable md5-derived
+    ±1 matrix (md5_sign_matrix), regenerated identically inside every Arrow
+    batch — no closure-captured broadcast needed at this size. All integer
+    math after quantization, so hyperplane_signature_sql and a DuckDB
+    oracle produce bit-identical buckets."""
 
     @F.pandas_udf(T.LongType())
     def sig(vs: pd.Series) -> pd.Series:
-        rng = np.random.RandomState(LSH_SEED)
-        planes = rng.standard_normal((dim, n_planes))
-        mat = np.stack(vs.to_numpy())  # (batch, dim)
-        bits = (mat @ planes) > 0  # (batch, n_planes)
+        S = md5_sign_matrix(dim, n_planes)
+        mat = np.stack(vs.to_numpy())  # (batch, dim) float64
+        q = np.floor(mat * LSH_QUANT).astype(np.int64)
+        bits = (q @ S) > 0  # exact int64 dots, (batch, n_planes)
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits @ weights).astype(np.int64))
 
     return df.select(
         F.col(id_col), F.col(vec_col), sig(F.col(vec_col).cast("array<double>")).alias(out_col)
     )
+
+
+def hyperplane_signature_sql(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Pure Column-expression twin of hyperplane_signature — same buckets,
+    bit for bit (integer math throughout; asserted by
+    tests/test_extensions.py). This is the shape the DuckDB oracles mirror:
+    explode components, broadcast-join the (dim × n_planes)-row sign table,
+    two partial-aggregated groupBys. The pandas_udf form is the hot path
+    (one matmul per Arrow batch); this one exists to prove portability and
+    to document the oracle's plan in Spark terms."""
+    from flink_cdc_multi_spark.operators.dedup import _md5_hash60
+
+    spark = df.sparkSession
+    planes = (
+        spark.range(n_planes)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "p",
+            "i",
+            F.when(_md5_hash60(F.concat_ws(":", "p", "i")) % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sgn"),
+        )
+    )
+    comp = df.select(
+        F.col(id_col).alias("__sid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).withColumn("q", F.floor(F.col("x") * LSH_QUANT).cast("long"))
+    dots = (
+        comp.join(F.broadcast(planes), "i")
+        .groupBy("__sid", "p")
+        .agg(F.sum(F.col("sgn") * F.col("q")).alias("d"))
+    )
+    buckets = dots.groupBy("__sid").agg(
+        F.sum(
+            F.when(F.col("d") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias(out_col)
+    )
+    return df.join(
+        buckets, F.col(id_col) == F.col("__sid")
+    ).select(F.col(id_col), F.col(vec_col), F.col(out_col))
 
 
 def lsh_topk(

@@ -6,10 +6,12 @@ Oracle-parity design rules:
   pairs (jaccard → inter/union, TTR → unique/total) so no cross-engine
   floating-round divergence can occur; thresholds are applied in integer
   arithmetic (5*inter >= union  ⇔  jaccard >= 0.2).
-- Hash-dependent operators (MinHash, SimHash, hyperplane LSH) use
-  engine-local hash functions and are registered WITHOUT an oracle — the
-  driver records the weaker rows-only check; their semantics are covered by
-  unit tests against hand-computed fixtures instead.
+- Hash-dependent operators come in two flavors: the xxhash64/kmeans forms
+  are engine-local and registered WITHOUT an oracle (rows-only check +
+  fixture/recall tests), while every md5-derived form — the *_md5 minhash/
+  simhash twins AND the hyperplane-LSH queries (portable ±1 planes from
+  md5 parity over LSH_QUANT-quantized components, integer-exact buckets) —
+  is fully oracle-checked.
 - Pair queries are scoped to bounded id prefixes so the quadratic verify
   stays bounded at every SF; the unbounded scale path is the LSH variant.
 - Result contract is an unordered multiset (driver hash is row-order-
@@ -94,11 +96,41 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup over the FULL table (rows-only:
-    hyperplanes are engine-local) — the scale path whose exact-scoped twin
-    is ext_dedup_embedding."""
+    """LSH-bucketed embedding near-dup over the FULL table — the scale path
+    whose exact-scoped twin is ext_dedup_embedding. Oracle-checked since the
+    hyperplanes went portable (md5-parity ±1 planes over quantized
+    components: integer-exact buckets in every engine); the in-bucket verify
+    here is the same cosine fold the exact twin already hash-matches with.
+    The operator API's numpy-Gram verify (embedding_neardup_pairs_lsh)
+    remains the high-volume path; identical buckets, same pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs_lsh(emb, dim=64, threshold=0.35, n_planes=6)
+    sig = S.hyperplane_signature(emb, dim=64, n_planes=6)
+    arr = F.col("embedding").cast("array<double>")
+    v = sig.select(
+        F.col("vec_id").alias("id"),
+        arr.alias("v"),
+        F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x)).alias("nrm"),
+        "bucket",
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("a_id", "b_id")
+    )
 
 
 def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,8 +174,10 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-3 (rows-only check; numpy-seeded
-    hyperplanes are engine-local). Same output shape as ext_ann_topk."""
+    """Hyperplane-LSH approximate top-3, oracle-checked: the portable
+    md5-parity signature makes the candidate sets integer-identical across
+    engines, and the scoring fold is the one ext_ann_topk already
+    hash-matches with. Same output shape as ext_ann_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
@@ -388,6 +422,63 @@ EXT_ORACLE_SQL = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
         ORDER BY a_id, b_id
+    """,
+    "ext_dedup_embedding_lsh": """
+        WITH sgn AS (
+          SELECT p, i, CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+          FROM range(6) t1(p), range(64) t2(i)
+        ), comp AS (
+          SELECT vec_id, t.i, CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
+          FROM embeddings, range(64) t(i)
+        ), dots AS (
+          SELECT c.vec_id, s.p, SUM(s.s * c.q) AS d
+          FROM comp c JOIN sgn s ON s.i = c.i GROUP BY c.vec_id, s.p
+        ), buckets AS (
+          SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id
+        ), e AS (
+          SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) emb, b.bucket
+          FROM embeddings em JOIN buckets b USING (vec_id)
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+        ORDER BY a_id, b_id
+    """,
+    "ext_ann_lsh": """
+        WITH sgn AS (
+          SELECT p, i, CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+          FROM range(10) t1(p), range(64) t2(i)
+        ), comp AS (
+          SELECT vec_id, t.i, CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
+          FROM embeddings, range(64) t(i)
+        ), dots AS (
+          SELECT c.vec_id, s.p, SUM(s.s * c.q) AS d
+          FROM comp c JOIN sgn s ON s.i = c.i GROUP BY c.vec_id, s.p
+        ), buckets AS (
+          SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id
+        ), e AS (
+          SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) emb, b.bucket
+          FROM embeddings em JOIN buckets b USING (vec_id)
+        ), q AS (SELECT * FROM e WHERE vec_id < 20),
+        c AS (SELECT * FROM e WHERE vec_id >= 20),
+        probes AS (
+          SELECT vec_id, CASE WHEN b.b = 10 THEN bucket
+                              ELSE xor(bucket, (1::BIGINT << b.b)) END AS pbucket
+          FROM q, range(11) b(b)
+        ), cand AS (
+          SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
+          FROM probes p JOIN c ON c.bucket = p.pbucket
+        ), scored AS (
+          SELECT cand.qid, cand.nid,
+                 ROW_NUMBER() OVER (PARTITION BY cand.qid
+                   ORDER BY list_cosine_similarity(qq.emb, cc.emb) DESC, cand.nid) AS rank
+          FROM cand JOIN e qq ON qq.vec_id = cand.qid JOIN e cc ON cc.vec_id = cand.nid
+        )
+        SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
     "ext_ann_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),

@@ -280,3 +280,21 @@ def test_ivf_fit_on_sample_and_model_reuse(spark):
     model = KMeans(k=4, seed=42, featuresCol="features", predictionCol="cell").fit(feats)
     out2 = S.ivf_topk(corpus, queries, k=3, n_clusters=4, n_probe=4, model=model)
     assert out2.count() == 15
+
+
+def test_hyperplane_signature_pandas_equals_sql(spark):
+    """The numpy fast path and the Column-expression twin must produce
+    bit-identical buckets — this identity is what licenses the DuckDB
+    oracles for the LSH queries (integer math after quantization)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((80, 16))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    fast = {r["vec_id"]: r["bucket"] for r in S.hyperplane_signature(df, 16, 8).collect()}
+    sql = {r["vec_id"]: r["bucket"] for r in S.hyperplane_signature_sql(df, 16, 8).collect()}
+    assert fast == sql
+    assert len(set(fast.values())) > 1  # signatures actually discriminate
