@@ -2,13 +2,13 @@
 ``binary`` columns with typed metadata, plus decode / feature-extract /
 resize / frame-sample operators over ``mapInPandas``.
 
-The media libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are STUBBED — ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (sized from a hash of the bytes) exercises the real Spark-side
-plumbing: schema, Arrow batch iteration, partition-preserving mapInPandas,
-and metadata struct handling. Swapping the kernel body for a real decoder
-changes nothing upstream.
+Dimension/format decode is REAL: ``parse_image_header`` reads PNG IHDR,
+JPEG SOF, GIF logical-screen, and BMP InfoHeader dimensions straight from
+the container bytes (public format knowledge, no media library needed).
+Only the pixel-level kernels (mean luma; resize) still require PIL/opencv,
+which are NOT in this container — those remain stubbed behind
+``fake_luma=True`` (a deterministic fake clearly marked as such). Swapping
+that kernel body for a real pixel decoder changes nothing upstream.
 
 Scale notes: media blobs ride in parquet binary columns; mapInPandas streams
 Arrow batches so one task never materializes more than
@@ -18,6 +18,7 @@ narrow (the blob is dropped as early as possible).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,11 +40,68 @@ IMAGE_FEATURES = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("byte_len", T.LongType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
     ]
 )
+
+# JPEG start-of-frame markers that carry dimensions: SOF0-SOF15 minus
+# DHT (C4), JPG (C8), DAC (CC) — the baseline/progressive/lossless family
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(blob: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) parsed from the container header bytes —
+    PNG IHDR, JPEG SOFn scan, GIF87a/89a logical screen, BMP InfoHeader.
+    Unknown/truncated input → (None, None, None); never raises on garbage.
+    Pure public format knowledge; no media library involved."""
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", blob[16:24])
+            return "png", w, h
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", blob[6:10])
+            return "gif", w, h
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            w, h = struct.unpack("<ii", blob[18:26])
+            return "bmp", w, abs(h)  # negative height = top-down DIB
+        if blob[:2] == b"\xff\xd8":
+            # walk the segment chain to the first SOF marker
+            pos = 2
+            while pos + 4 <= len(blob):
+                if blob[pos] != 0xFF:
+                    break
+                marker = blob[pos + 1]
+                if marker == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2  # standalone marker, no length field
+                    continue
+                seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
+                    return "jpeg", w, h
+                pos += 2 + seg_len
+            return "jpeg", None, None  # valid SOI but no SOF found
+    except (struct.error, IndexError):
+        pass
+    return None, None, None
+
+
+def make_tiny_png(width: int, height: int) -> bytes:
+    """Minimal 45-byte PNG container (signature + IHDR + IEND) with the
+    given dimensions — a deterministic test/demo blob generator so media
+    pipelines can be exercised end to end without shipping image files.
+    CRCs are zeroed (header parsers don't verify them)."""
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+        + struct.pack(">I", 0) + b"IEND" + b"\x00\x00\x00\x00"
+    )
 
 
 def attach_media_meta(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
@@ -61,41 +119,44 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str, fmt: str)
     )
 
 
-def _fake_decode(blob: bytes) -> tuple[int, int, float]:
-    """Deterministic fake image decode: dims/luma derived from an md5 of the
-    bytes (Python's builtin hash() is per-process salted — not reproducible).
-    Stands in for PIL.Image.open until the real library is available."""
+def _fake_luma(blob: bytes) -> float:
+    """Deterministic fake mean-luma derived from an md5 of the bytes
+    (Python's builtin hash() is per-process salted — not reproducible).
+    Stands in for the pixel-decode kernel until PIL/opencv is available."""
     import hashlib
 
     h = int.from_bytes(hashlib.md5(blob).digest()[:4], "big") & 0x7FFFFFFF
-    width = 64 + (h % 1920)
-    height = 64 + ((h >> 11) % 1080)
-    mean_luma = round((h % 256) / 255.0, 6)
-    return width, height, mean_luma
+    return round((h % 256) / 255.0, 6)
 
 
 def decode_image_features(
-    df: DataFrame, id_col: str = "doc_id", binary_col: str = "media", fake: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "media",
+    fake_luma: bool = False,
 ) -> DataFrame:
-    """binary image column → (doc_id, byte_len, width, height, mean_luma)
-    via mapInPandas (Arrow-batched). Real decoder STUBBED — see module doc."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
+    """binary image column → (doc_id, byte_len, format, width, height,
+    mean_luma) via mapInPandas (Arrow-batched).
+
+    format/width/height are REAL — parsed from the container header bytes
+    (parse_image_header), null for unrecognized formats. mean_luma needs a
+    pixel decode, which this container cannot do (no PIL/opencv): it is
+    null unless ``fake_luma=True`` substitutes the deterministic fake."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = pdf[binary_col]
-            decoded = [_fake_decode(bytes(b)) for b in blobs]
+            blobs = [bytes(b) for b in pdf[binary_col]]
+            headers = [parse_image_header(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "byte_len": blobs.map(len).astype("int64"),
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "mean_luma": [d[2] for d in decoded],
+                    "byte_len": pd.Series([len(b) for b in blobs], dtype="int64"),
+                    "format": [f for f, _, _ in headers],
+                    "width": pd.array([w for _, w, _ in headers], dtype="Int32"),
+                    "height": pd.array([h for _, _, h in headers], dtype="Int32"),
+                    "mean_luma": [
+                        _fake_luma(b) if fake_luma else None for b in blobs
+                    ],
                 }
             )
 

@@ -310,12 +310,48 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary accounting: byte length of each document's content as
-    a binary payload (the text column stands in for a media blob; the
-    decode kernels are stubbed — operators/multimodal.py)."""
+    a binary payload (the text column stands in for a media blob)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.octet_length(F.col("text")).cast("bigint").alias("byte_len"),
+    )
+
+
+def ext_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header decode end to end: synthesize a deterministic PNG
+    blob per document (dims derived from doc_id), push it through the
+    Arrow-batched mapInPandas pipeline, and parse format/width/height back
+    out of the container bytes (operators/multimodal.parse_image_header —
+    no media library). The oracle checks the decoded dimensions against
+    the generating arithmetic, so a parser regression breaks the hash."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [
+                        M.make_tiny_png(int(i) % 640 + 16, int(i) % 480 + 16)
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    feats = M.decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        "format",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "byte_len",
     )
 
 
@@ -337,6 +373,7 @@ EXT_QUERIES = {
     "ext_curation_pipeline": ext_curation_pipeline,
     "ext_text_tokens_by_lang": ext_text_tokens_by_lang,
     "ext_multimodal_bytes": ext_multimodal_bytes,
+    "ext_multimodal_dims": ext_multimodal_dims,
     "ext_rollup_agg": ext_rollup_agg,
     "ext_window_running": ext_window_running,
     "ext_sessionize": ext_sessionize,
@@ -555,6 +592,13 @@ EXT_ORACLE_SQL = {
     """,
     "ext_multimodal_bytes": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        FROM documents ORDER BY doc_id
+    """,
+    "ext_multimodal_dims": """
+        SELECT doc_id, 'png' AS format,
+               CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+               CAST(doc_id % 480 + 16 AS BIGINT) AS height,
+               CAST(45 AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id
     """,
     "ext_rollup_agg": """

@@ -159,23 +159,56 @@ def test_fingerprint_normalization(spark):
     assert len(fps) == 1  # all normalize to the same fingerprint
 
 
-def test_multimodal_stub_raises_without_fake(spark):
-    df = spark.createDataFrame([(1, bytearray(b"img-bytes"))], "doc_id long, media binary")
-    with pytest.raises(NotImplementedError):
-        M.decode_image_features(df)
+def _jpeg_fixture(width, height, progressive=False):
+    """Hand-built minimal JPEG: SOI + APP0(JFIF) + SOF0/SOF2 + EOI."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = sof_marker + struct.pack(">HBHHB", 17, 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
 
-def test_multimodal_fake_decode_plumbing(spark):
-    df = spark.createDataFrame(
-        [(i, bytearray(f"media-{i}".encode())) for i in range(5)],
-        "doc_id long, media binary",
-    )
-    out = M.decode_image_features(df, fake=True).collect()
-    assert len(out) == 5
-    by_id = {r["doc_id"]: r for r in out}
-    assert by_id[0]["byte_len"] == len(b"media-0")
-    assert all(r["width"] >= 64 and r["height"] >= 64 for r in out)
-    assert all(0.0 <= r["mean_luma"] <= 1.0 for r in out)
+def _gif_fixture(width, height):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def test_parse_image_header_formats():
+    """Real header decode over hand-built byte fixtures — PNG IHDR, JPEG
+    SOF0/SOF2 (baseline + progressive), GIF logical screen; garbage and
+    truncated input degrade to nulls, never exceptions."""
+    assert M.parse_image_header(M.make_tiny_png(640, 480)) == ("png", 640, 480)
+    assert M.parse_image_header(_jpeg_fixture(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert M.parse_image_header(_jpeg_fixture(32, 24, progressive=True)) == ("jpeg", 32, 24)
+    assert M.parse_image_header(_gif_fixture(320, 200)) == ("gif", 320, 200)
+    assert M.parse_image_header(b"not an image") == (None, None, None)
+    assert M.parse_image_header(b"") == (None, None, None)
+    assert M.parse_image_header(M.make_tiny_png(1, 1)[:10]) == (None, None, None)
+
+
+def test_multimodal_real_dims_decode(spark):
+    """decode_image_features yields REAL dimensions (no fake escape hatch)
+    through the Arrow-batched mapInPandas plumbing; mean_luma is null
+    without the pixel-decode library, fake only when asked."""
+    rows = [
+        (1, bytearray(M.make_tiny_png(100, 50))),
+        (2, bytearray(_jpeg_fixture(64, 32))),
+        (3, bytearray(_gif_fixture(16, 8))),
+        (4, bytearray(b"opaque-unknown-blob")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    by_id = {r["doc_id"]: r for r in M.decode_image_features(df).collect()}
+    assert (by_id[1]["format"], by_id[1]["width"], by_id[1]["height"]) == ("png", 100, 50)
+    assert (by_id[2]["format"], by_id[2]["width"], by_id[2]["height"]) == ("jpeg", 64, 32)
+    assert (by_id[3]["format"], by_id[3]["width"], by_id[3]["height"]) == ("gif", 16, 8)
+    assert by_id[4]["format"] is None and by_id[4]["width"] is None
+    assert by_id[4]["byte_len"] == len(b"opaque-unknown-blob")
+    assert all(r["mean_luma"] is None for r in by_id.values())
+
+    faked = M.decode_image_features(df, fake_luma=True).collect()
+    assert all(0.0 <= r["mean_luma"] <= 1.0 for r in faked)
 
 
 def test_frame_sample_plan(spark):
