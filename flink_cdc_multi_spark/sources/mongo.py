@@ -21,10 +21,6 @@ $numberDouble/$timestamp) are unwrapped per field at projection time
 
 from __future__ import annotations
 
-import json
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -89,8 +85,7 @@ def project_mongo_payload(
 
     others = [c for c in df.columns if c != payload_col]
     if mode == "doc-string":
-        doc = _strip_id_udf()(F.col(payload_col))
-        return df.select(*others, doc.alias("doc"))
+        return df.select(*others, strip_id_expr(F.col(payload_col)).alias("doc"))
 
     if mode == "top-level-string":
         fields = [
@@ -109,26 +104,23 @@ def project_mongo_payload(
     return df.select(*others, *fields)
 
 
-def _strip_id_udf():
-    """doc-string repack: whole document minus ``_id`` as a JSON string
-    (:195-201). JSON-structural, so a (vectorized) Python step; doc-string
-    mode is explicitly the no-schema slow path."""
-
-    @F.pandas_udf(T.StringType())
-    def strip_id(payloads: pd.Series) -> pd.Series:
-        def go(p):
-            if p is None:
-                return None
-            try:
-                obj = json.loads(p)
-            except (TypeError, ValueError):
-                return p
-            obj.pop("_id", None)
-            return json.dumps(obj, separators=(",", ":"))
-
-        return payloads.map(go)
-
-    return strip_id
+def strip_id_expr(payload: Column) -> Column:
+    """doc-string repack: whole document minus the TOP-LEVEL ``_id`` as a
+    JSON string (:195-201). Pure JVM-side: parse to map<string,variant>
+    (variant preserves nested structure and scalar types bit-for-bit),
+    map_filter out the key, re-serialize — no Python in the hot path.
+    Nested ``_id`` keys are untouched, matching the reference's
+    documentJson.remove("_id"). Unparseable payloads fall back to the raw
+    string (same contract the old vectorized-Python kernel had)."""
+    stripped = F.to_json(
+        F.map_filter(
+            F.from_json(payload, "map<string,variant>"),
+            lambda k, _: k != F.lit("_id"),
+        )
+    )
+    return F.when(payload.isNull(), F.lit(None)).otherwise(
+        F.coalesce(stripped, payload)
+    )
 
 
 def normalize_mongo_id(payload: Column) -> Column:
