@@ -53,6 +53,12 @@ class JobConfig:
     # to compact and the key to materialize on
     table_key_columns: dict[str, list[str]] = field(default_factory=dict)
     debug: bool = False  # --debug print sink (FlinkCDCMulti.java:148-154)
+    # one-pass streaming control plane: when a job has ≤ this many data
+    # tables (and no name maps / snapshot-only / debug), the per-batch
+    # control-plane aggregation rides the data write job as observed
+    # metrics — one Spark job per micro-batch instead of two-plus-cache.
+    # 0 disables the fast path.
+    onepass_max_tables: int = 4
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -113,6 +119,7 @@ class JobConfig:
                 for k, v in (cfg.get("table.key.columns") or {}).items()
             },
             debug=str(cfg.get("debug", "false")).lower() == "true",
+            onepass_max_tables=int(cfg.get("streaming.onepass.max.tables", 4)),
             raw=dict(cfg),
         )
 

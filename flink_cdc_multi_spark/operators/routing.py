@@ -47,6 +47,17 @@ def observed_tables(envelope: DataFrame) -> list[tuple[str, str]]:
     return [(r["_db"], r["_tbl"]) for r in rows]
 
 
+def keep_meta_cols(source_name: str) -> list[str]:
+    """Sink metadata the reference keeps on data tables
+    (SideInputProcessFunction.java:54-63)."""
+    keep = ["_op", "_ts"]
+    if source_name == "mysql":
+        keep += ["_binlog_file_internal", "_binlog_pos_internal"]
+    if source_name == "mongodb":
+        keep += ["_id", "_txn_op_index"]
+    return keep
+
+
 def project_table(
     envelope: DataFrame,
     registry: TableRegistry,
@@ -63,9 +74,7 @@ def project_table(
     if spec.is_ddl:
         cols = [F.col(f.name) for f in spec.payload_schema.fields]
         return rows.select(*cols)
-    keep_meta = ["_op", "_ts"]
-    if registry.source.name == "mysql":
-        keep_meta += ["_binlog_file_internal", "_binlog_pos_internal"]
+    keep_meta = keep_meta_cols(registry.source.name)
     if registry.source.name == "mongodb":
         keep_meta += ["_id", "_txn_op_index"]
         # mode-aware projection: $-unwrap + drift contract (sources/mongo.py)
@@ -79,6 +88,13 @@ def project_table(
             mode=registry.mongo_mode,
             fail_on_extra=registry.fail_on_unknown_tables,
         )
+    from pyspark.sql import types as T
+
+    if isinstance(envelope.schema["payload"].dataType, T.StructType):
+        # single-table typed decode already parsed the image as this
+        # table's struct (sources/debezium_json._meta_schema) — no second
+        # from_json
+        return rows.select("payload.*", *keep_meta)
     payload = F.from_json(F.col("payload"), spec.payload_schema).alias("r")
     return rows.select(payload, *keep_meta).select("r.*", *keep_meta)
 

@@ -33,7 +33,9 @@ from flink_cdc_multi_spark.envelope import OP_DELETE
 from flink_cdc_multi_spark.functions.sanitizer import sanitize_col
 
 # Raw Debezium-ish wire schema (subset we consume). `before`/`after` are
-# intentionally NOT parsed here — extracted as JSON strings below.
+# intentionally NOT struct-typed — declared StringType so the single
+# from_json captures them as raw JSON strings (typed per-table at the
+# routing boundary).
 _RAW_SOURCE = T.StructType(
     [
         T.StructField("db", T.StringType()),
@@ -48,20 +50,32 @@ _RAW_SOURCE = T.StructType(
     ]
 )
 
-RAW_META_SCHEMA = T.StructType(
-    [
-        T.StructField("op", T.StringType()),
-        T.StructField("ts_ms", T.LongType()),
-        T.StructField("ddl", T.StringType()),
-        T.StructField("source", _RAW_SOURCE),
-        # offset the connector would checkpoint (sourceOffset in the
-        # reference, :168-171): the *starting* offset of the transaction.
-        T.StructField("offset_file", T.StringType()),
-        T.StructField("offset_pos", T.LongType()),
-        T.StructField("txn_op_index", T.StringType()),
-        T.StructField("_id", T.StringType()),
-    ]
-)
+def _meta_schema(payload_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("ddl", T.StringType()),
+            T.StructField("source", _RAW_SOURCE),
+            # before/after as StringType makes from_json capture the subtree
+            # as a raw JSON string — one Jackson parse yields metadata AND
+            # both images, instead of from_json + 2× get_json_object
+            # re-parsing the full line. A single-table stream passes the
+            # table's StructType instead and the images come out TYPED in
+            # the same single parse (the routing-side from_json disappears).
+            T.StructField("before", payload_type),
+            T.StructField("after", payload_type),
+            # offset the connector would checkpoint (sourceOffset in the
+            # reference, :168-171): the *starting* offset of the transaction.
+            T.StructField("offset_file", T.StringType()),
+            T.StructField("offset_pos", T.LongType()),
+            T.StructField("txn_op_index", T.StringType()),
+            T.StructField("_id", T.StringType()),
+        ]
+    )
+
+
+RAW_META_SCHEMA = _meta_schema(T.StringType())
 
 _OP_CODES = {
     "r": "READ",
@@ -87,15 +101,19 @@ def decode_raw(
     source_type: str,
     value_col: str = "value",
     passthrough: tuple[str, ...] = (),
+    payload_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Raw Debezium JSON lines → flat envelope DataFrame with columns
     ``_db _tbl _database _op _ts _ddl _ddl_tbl payload`` + per-source offset
-    columns. ``payload`` is the chosen image as a JSON string.
-    ``passthrough`` columns (e.g. Kafka topic/partition/offset) are carried
-    into the envelope unchanged."""
+    columns. ``payload`` is the chosen image as a JSON string — or, when
+    ``payload_schema`` is given (single-table streams), as a typed struct
+    parsed in the same single pass; the routing boundary then projects
+    without a second parse. ``passthrough`` columns (e.g. Kafka
+    topic/partition/offset) are carried into the envelope unchanged."""
     v = F.col(value_col)
-    meta = F.from_json(v, RAW_META_SCHEMA).alias("m")
-    df = raw.select(v.alias("_raw"), meta, *[F.col(c) for c in passthrough])
+    schema = _meta_schema(payload_schema) if payload_schema is not None else RAW_META_SCHEMA
+    meta = F.from_json(v, schema).alias("m")
+    df = raw.select(meta, *[F.col(c) for c in passthrough])
 
     src = F.col("m.source")
     snapshotting = F.coalesce(src["snapshot"], F.lit("false")).isin("true", "TRUE", "last")
@@ -117,8 +135,11 @@ def decode_raw(
         .alias("_ts"),
         F.col("m.ddl").alias("_ddl"),
         F.when(is_ddl, sanitize_col(table)).otherwise(F.lit(None)).alias("_ddl_tbl"),
-        F.when(op == OP_DELETE, F.get_json_object(F.col("_raw"), "$.before"))
-        .otherwise(F.get_json_object(F.col("_raw"), "$.after"))
+        # image pick (MySQLDebeziumToJSONDeserializer.java:106-110): the
+        # before/after subtrees were captured as raw JSON strings by the
+        # single from_json above.
+        F.when(op == OP_DELETE, F.col("m.before"))
+        .otherwise(F.col("m.after"))
         .alias("payload"),
         snapshotting.alias("_snapshotting"),
     ]
@@ -181,9 +202,13 @@ def read_raw_batch(spark: SparkSession, path: str, source_type: str) -> DataFram
 
 
 def read_raw_stream(
-    spark: SparkSession, path: str, source_type: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    source_type: str,
+    max_files_per_trigger: int | None = None,
+    payload_schema: T.StructType | None = None,
 ) -> DataFrame:
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return decode_raw(reader.load(path), source_type)
+    return decode_raw(reader.load(path), source_type, payload_schema=payload_schema)

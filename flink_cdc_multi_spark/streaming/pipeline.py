@@ -90,22 +90,74 @@ def batch_summary(envelope: DataFrame, source_type: str) -> list:
     return envelope.groupBy("_db", "_tbl").agg(*aggs).collect()
 
 
-def summary_offset(rows: list, source_type: str) -> str | None:
-    """Fold per-group offsets to the batch offset string (same formats as
+def _offset_str(o, source_type: str) -> str | None:
+    """Offset aggregate value → offset string (same formats as
     reduce_offset: mysql 'file,pos', pg LSN, oracle SCN, mongo ts)."""
+    if o is None:
+        return None
+    if source_type == "mysql":
+        return f"{o['_binlog_file']},{o['_binlog_pos_end']}"
+    return str(o)
+
+
+def summary_offset(rows: list, source_type: str) -> str | None:
+    """Fold per-group offsets to the batch offset string."""
     best: str | None = None
     for r in rows:
-        o = r["offset"]
-        if o is None:
+        s = _offset_str(r["offset"], source_type)
+        if s is None:
             continue
-        s = (
-            f"{o['_binlog_file']},{o['_binlog_pos_end']}"
-            if source_type == "mysql"
-            else str(o)
-        )
         if best is None or offset_greater(s, best, source_type):
             best = s
     return best
+
+
+def control_metric_aggs(source_type: str) -> list:
+    """Global (ungrouped) twins of batch_summary's aggregates, legal as
+    ``df.observe`` metrics: the one-pass streaming path attaches these to
+    the data write job so the control plane costs ZERO extra Spark jobs per
+    micro-batch. collect_set/collect_list outputs are bounded by |tables| and
+    DDL volume (~zero), never by batch size."""
+    from flink_cdc_multi_spark.catalog import _DDL_OFFSET_FIELDS
+
+    not_read = F.col("_op").isNull() | (F.col("_op") != OP_READ)
+    ddl_payload_cols = ["_ddl", "_ddl_tbl", "_ts"] + [
+        f.name for f in _DDL_OFFSET_FIELDS.get(source_type, [])
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.max("_ts").alias("max_ts"),
+        F.collect_set(
+            F.when(F.col("_ddl").isNull(), F.struct("_db", "_tbl"))
+        ).alias("tables"),
+        F.collect_list(
+            F.when(F.col("_ddl").isNotNull(), F.struct("_db", *ddl_payload_cols))
+        ).alias("ddl"),
+    ]
+    if source_type == "mysql":
+        has = not_read & F.col("_binlog_file").isNotNull()
+        pos = F.when(has, F.struct("_binlog_file", "_binlog_pos_end"))
+        aggs.append(F.max_by(pos, pos).alias("offset"))
+    elif source_type == "postgres":
+        aggs.append(
+            F.max(F.when(not_read & F.col("_lsn").isNotNull(), F.col("_lsn"))).alias(
+                "offset"
+            )
+        )
+    elif source_type == "oracle":
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_scn").isNotNull() & (F.col("_scn") != "0"),
+                    F.col("_scn").cast("decimal(38,0)"),
+                )
+            ).alias("offset")
+        )
+    elif source_type == "mongodb":
+        aggs.append(F.max(F.when(F.col("_op") != OP_READ, F.col("_ts"))).alias("offset"))
+    else:
+        raise ValueError(f"unknown source type: {source_type}")
+    return aggs
 
 
 def registry_from_config(cfg: JobConfig, tables) -> TableRegistry:
@@ -236,6 +288,8 @@ class CDCPipeline:
     status: StatusStore = field(init=False)
     offset_store: OffsetFileStore | None = field(init=False)
     batches_processed: int = 0
+    # cumulative per-stage wall seconds across batches (bench/diagnostics)
+    stage_seconds: dict = field(default_factory=dict)
 
     def __post_init__(self):
         cfg = self.config
@@ -286,12 +340,200 @@ class CDCPipeline:
 
     # -- batch body (also usable standalone for batch-mode ingestion) -----
 
+    def _mark(self, stage: str, t0: float) -> float:
+        import time
+
+        now = time.perf_counter()
+        self.stage_seconds[stage] = self.stage_seconds.get(stage, 0.0) + (now - t0)
+        return now
+
+    def _onepass_eligible(self) -> bool:
+        """The one-job-per-batch control plane applies when: no debug print
+        sink, not snapshot-only (its post-completion filter needs counts
+        before writes), no name maps (spec key ↔ envelope identity must be
+        invertible), and few enough data tables that per-spec write jobs
+        beat a shared cached pre-pass."""
+        cfg = self.config
+        if cfg.debug or cfg.snapshot_only or cfg.onepass_max_tables <= 0:
+            return False
+        if self.registry.database_name_map or self.registry.table_name_map:
+            return False
+        return 1 <= len(self.registry.data_specs()) <= cfg.onepass_max_tables
+
+    def _write_table_slice(self, df: DataFrame, spec, db: str, tbl: str) -> None:
+        from flink_cdc_multi_spark.functions.datetime_utils import dt_bucket
+        from flink_cdc_multi_spark.operators.routing import (
+            keep_meta_cols,
+            project_table,
+        )
+
+        cfg = self.config
+        if getattr(self, "_typed_stream", False) and not spec.is_ddl:
+            # stream-level typed decode already parsed the image as this
+            # table's struct; skip project_table's per-batch schema
+            # introspection and second parse
+            typed = df.filter((F.col("_db") == db) & (F.col("_tbl") == tbl)).select(
+                "payload.*", *keep_meta_cols(cfg.source_type)
+            )
+        else:
+            typed = project_table(df, self.registry, spec, db, tbl)
+        typed = typed.withColumn("dt", dt_bucket(F.col("_ts")))
+        (
+            typed.write.mode("append")
+            .partitionBy("dt")
+            .parquet(f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}")
+        )
+
+    def _append_ddl_rows(self, spark: SparkSession, ddl_rows: list) -> None:
+        """Write collected DDL events into the per-db `_<db>_ddl` tables.
+        DDL volume is control-plane volume (~zero), so the rows ride the
+        observation and land via a driver-built append — no per-batch empty
+        write job for the DDL table."""
+        from collections import defaultdict
+
+        from flink_cdc_multi_spark.functions.datetime_utils import dt_bucket
+
+        cfg = self.config
+        by_db: dict[str, list] = defaultdict(list)
+        for r in ddl_rows:
+            by_db[r["_db"]].append(r)
+        for db, rows in by_db.items():
+            spec = self.registry.specs.get(f"{db}._{db}_ddl")
+            if spec is None:
+                continue  # registry built without DDL tables
+            data = [tuple(r[f.name] for f in spec.payload_schema.fields) for r in rows]
+            df = spark.createDataFrame(data, spec.payload_schema)
+            df = df.withColumn("dt", dt_bucket(F.col("_ts")))
+            (
+                df.write.mode("append")
+                .partitionBy("dt")
+                .parquet(f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}")
+            )
+
+    def _process_batch_onepass(self, envelope: DataFrame, batch_id: int) -> None:
+        """One Spark job per micro-batch: the control-plane aggregation
+        (counts, max ts, DDL slice, offset reduction, observed tables) rides
+        the data write job as ``df.observe`` metrics. At streaming cadence
+        the per-job floor — not the data — dominates the batch; the general
+        path below pays persist + summary-job + write-job, this pays one.
+
+        Unknown-table policy note: the fail check runs AFTER the known-table
+        appends (metrics exist only once the job ran). That stays inside the
+        pipeline's at-least-once contract — a failed batch is not committed
+        to the checkpoint and replays wholesale on restart, exactly like a
+        crash between two per-table writes on the general path."""
+        import time
+
+        from pyspark.sql import Observation
+
+        cfg = self.config
+        t = time.perf_counter()
+        # Column expressions are immutable/reusable — build the metric aggs
+        # once, not per batch (each F.* call is a Py4J round trip; at
+        # streaming cadence the driver-side plan construction is a
+        # measurable slice of the batch).
+        if not hasattr(self, "_ctl_aggs"):
+            self._ctl_aggs = control_metric_aggs(cfg.source_type)
+        obs = Observation(f"ctl_{batch_id}")
+        observed = envelope.observe(obs, *self._ctl_aggs)
+        data_specs = self.registry.data_specs()
+
+        def identity(spec) -> tuple[str, str]:
+            return tuple(spec.key.split(".", 1))
+
+        if len(data_specs) == 1:
+            db, tbl = identity(data_specs[0])
+            self._write_table_slice(observed, data_specs[0], db, tbl)
+        else:
+            # first write consumes the observed plan (materializes metrics);
+            # the rest run concurrently over the plain envelope
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(data_specs))) as ex:
+                futures = [
+                    ex.submit(
+                        self._write_table_slice,
+                        observed if i == 0 else envelope,
+                        spec,
+                        *identity(spec),
+                    )
+                    for i, spec in enumerate(data_specs)
+                ]
+                for f in futures:
+                    f.result()
+        m = obs.get
+        t = self._mark("onepass_write", t)
+
+        # unknown tables: adopt via the schema provider when enabled, then
+        # catch-up-write the adopted tables' rows from this same batch
+        known = {identity(s) for s in data_specs}
+        unknowns = [
+            (r["_db"], r["_tbl"]) for r in (m["tables"] or []) if (r["_db"], r["_tbl"]) not in known
+        ]
+        remaining = []
+        for db, tbl in unknowns:
+            spec = self._resolve_unknown_table(db, tbl)
+            if spec is not None:
+                self.registry.add(spec)
+                self._write_table_slice(envelope, spec, db, tbl)
+            else:
+                remaining.append((db, tbl))
+        if remaining:
+            if self.registry.fail_on_unknown_tables:
+                from flink_cdc_multi_spark.operators.routing import UnknownTableError
+
+                raise UnknownTableError(
+                    f"unknown tables: {remaining}; known: {sorted(self.registry.specs)}"
+                )
+            LOG.warning("records for unknown tables skipped: %s", remaining)
+
+        ddl_rows = m["ddl"] or []
+        if ddl_rows:
+            self._append_ddl_rows(envelope.sparkSession, ddl_rows)
+
+        # offset file AFTER data writes commit (at-least-once), monotone
+        if self.offset_store is not None:
+            offset = _offset_str(m["offset"], cfg.source_type)
+            if offset is not None:
+                prev = self.offset_store.read()
+                if prev is None or offset_greater(offset, prev, cfg.source_type):
+                    self.offset_store.write(offset)
+
+        self.status.update(m["n"], m["max_ts"])
+        self.status.flush()
+
+        before = self.controller.to_state()
+        self.controller.on_ddl_rows(
+            [
+                {"_db": r["_db"], "_ddl": r["_ddl"], "_ddl_tbl": r["_ddl_tbl"]}
+                for r in ddl_rows
+            ]
+        )
+        if self.controller_path and self.controller.to_state() != before:
+            fsio.write_text_atomic(
+                self.controller_path, json.dumps(self.controller.to_state())
+            )
+        t = self._mark("offset_status_ctl", t)
+        self.batches_processed += 1
+
+        if (
+            cfg.compact_every_n_batches
+            and cfg.table_key_columns
+            and self.batches_processed % cfg.compact_every_n_batches == 0
+        ):
+            self.run_compaction(envelope.sparkSession)
+
     def process_batch(self, envelope: DataFrame, batch_id: int) -> None:
+        import time
+
         cfg = self.config
         if self.controller.stop_requested:
             # F1 suppression: after the stop signal is armed, drop all
             # subsequent records (DelayedStopSignalProcessFunction.java:138-141)
             return
+        if self._onepass_eligible():
+            return self._process_batch_onepass(envelope, batch_id)
+        t = time.perf_counter()
         envelope = envelope.persist()
         try:
             if cfg.debug:
@@ -302,6 +544,7 @@ class CDCPipeline:
             # reduction — previously five jobs, each paying the scheduling
             # floor at streaming cadence)
             summary = batch_summary(envelope, cfg.source_type)
+            t = self._mark("summary", t)
             counts = {(r["_db"], r["_tbl"]): r["n"] for r in summary}
             ddl_rows = [
                 {"_db": r["_db"], "_ddl": d["_ddl"], "_ddl_tbl": d["_ddl_tbl"]}
@@ -332,6 +575,7 @@ class CDCPipeline:
                 resolve_unknown=self._resolve_unknown_table,
                 counts=counts,
             )
+            t = self._mark("route_write", t)
 
             # 2. offset file, AFTER data writes commit (at-least-once, ST4).
             # Advance monotonically: a batch may carry lower offsets than an
@@ -356,6 +600,7 @@ class CDCPipeline:
                 fsio.write_text_atomic(
                     self.controller_path, json.dumps(self.controller.to_state())
                 )
+            t = self._mark("offset_status_ctl", t)
             self.batches_processed += 1
 
             # 5. maintenance compaction every N batches (rebuild improvement
@@ -452,8 +697,27 @@ class CDCPipeline:
             for w in warnings:
                 LOG.warning("%s", w)
             cfg.startup_mode, cfg.offset_value = mode, offset
+        # single-table typed decode: parse before/after AS the table's
+        # struct inside the one stream-level from_json — the routing
+        # boundary then projects with zero extra parses. Requires exactly
+        # one data table, a non-mongo source (mongo payloads need the
+        # $-unwrap string path), and no mid-run table adoption (an adopted
+        # table's rows would have been parsed with the wrong schema).
+        payload_schema = None
+        data_specs = self.registry.data_specs()
+        if (
+            len(data_specs) == 1
+            and cfg.source_type != "mongodb"
+            and not cfg.scan_newly_added_tables
+        ):
+            payload_schema = data_specs[0].payload_schema
+        self._typed_stream = payload_schema is not None
         stream = read_raw_stream(
-            spark, input_path, cfg.source_type, max_files_per_trigger
+            spark,
+            input_path,
+            cfg.source_type,
+            max_files_per_trigger,
+            payload_schema=payload_schema,
         )
         if offset:
             stream = resume_filter(stream, cfg.source_type, offset)
@@ -470,12 +734,17 @@ class CDCPipeline:
                 F.col("_ddl").isNotNull() | (F.col("_ts") >= start_ms)
             )
 
-        query = (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(processingTime=f"{cfg.checkpoint_interval_s} seconds")
-            .start()
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
         )
+        # checkpoint.interval maps to the micro-batch (=commit) cadence;
+        # 0 = trigger as soon as data is available, the closest analogue of
+        # Flink's continuous processing between checkpoints.
+        if cfg.checkpoint_interval_s > 0:
+            writer = writer.trigger(
+                processingTime=f"{cfg.checkpoint_interval_s} seconds"
+            )
+        query = writer.start()
         return query
 
     def run_until_stopped(self, query, poll_s: float = 0.25, timeout_s: float | None = None):

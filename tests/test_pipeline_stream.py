@@ -19,7 +19,7 @@ USERS = T.StructType(
 )
 
 
-def _pipeline(tmp_path, **cfg_overrides):
+def _pipeline(tmp_path, tables=None, **cfg_overrides):
     cfg = JobConfig.from_dict(
         {
             "source.id": "s1",
@@ -31,7 +31,11 @@ def _pipeline(tmp_path, **cfg_overrides):
             **cfg_overrides,
         }
     )
-    reg = TableRegistry.build("mysql", {("testdb", "users"): USERS})
+    reg = TableRegistry.build(
+        "mysql",
+        tables if tables is not None else {("testdb", "users"): USERS},
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+    )
     return CDCPipeline(cfg, reg)
 
 
@@ -339,3 +343,133 @@ def test_maintenance_compaction_every_n_batches(spark, tmp_path):
     assert len(glob.glob(f"{table_dir}/dt=*/part-*.parquet")) == 1
     # offsets were committed before compaction ran
     assert pipe.offset_store.read() == "mysql-bin.000001,40"
+
+
+# -- one-pass (observed-metrics) batch path ---------------------------------
+
+
+def test_onepass_eligibility_gates(tmp_path):
+    assert _pipeline(tmp_path)._onepass_eligible() is True
+    assert _pipeline(tmp_path, **{"snapshot.only": "true"})._onepass_eligible() is False
+    assert _pipeline(tmp_path, **{"debug": "true"})._onepass_eligible() is False
+    assert (
+        _pipeline(tmp_path, **{"streaming.onepass.max.tables": 0})._onepass_eligible()
+        is False
+    )
+    many = {("testdb", f"t{i}"): USERS for i in range(5)}
+    assert _pipeline(tmp_path, tables=many)._onepass_eligible() is False
+    mapped = _pipeline(tmp_path)
+    mapped.registry.table_name_map["testdb.users"] = "users_v2"
+    assert mapped._onepass_eligible() is False
+
+
+def test_onepass_unknown_table_skip_policy(spark, tmp_path):
+    pipe = _pipeline(tmp_path, **{"fail.on.unknown.tables": "false"})
+    assert pipe._onepass_eligible()
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+            make_mysql_row(table="ghost", op="c", after={"id": 9}, pos=20),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    query.processAllAvailable()
+    query.stop()
+    users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
+    assert users.count() == 1
+    assert not (tmp_path / "sink" / "s1_testdb__ghost").exists()
+    # the skipped row still advanced the offset (it was observed)
+    assert pipe.offset_store.read() == "mysql-bin.000001,20"
+
+
+def test_onepass_unknown_table_fail_policy(spark, tmp_path):
+    pipe = _pipeline(tmp_path)
+    assert pipe.registry.fail_on_unknown_tables
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+            make_mysql_row(table="ghost", op="c", after={"id": 9}, pos=20),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="[Uu]nknown tables"):
+        query.processAllAvailable()
+    query.stop()
+
+
+def test_onepass_multi_table_batch(spark, tmp_path):
+    orders = T.StructType(
+        [T.StructField("oid", T.LongType()), T.StructField("amt", T.DoubleType())]
+    )
+    pipe = _pipeline(
+        tmp_path, tables={("testdb", "users"): USERS, ("testdb", "orders"): orders}
+    )
+    assert pipe._onepass_eligible()
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+            make_mysql_row(
+                table="orders", op="c", after={"oid": 7, "amt": 9.5}, pos=20
+            ),
+            make_mysql_ddl(ddl="CREATE INDEX i ON users (id)", pos=30),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    query.processAllAvailable()
+    query.stop()
+    users = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
+    orders_out = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__orders"))
+    ddl_out = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb___testdb_ddl"))
+    assert [(r["id"], r["v"]) for r in users.collect()] == [(1, "a")]
+    assert [(r["oid"], r["amt"]) for r in orders_out.collect()] == [(7, 9.5)]
+    assert ddl_out.count() == 1 and pipe.controller.stop_requested is False
+    assert pipe.offset_store.read() == "mysql-bin.000001,30"
+
+
+def test_onepass_matches_general_path(spark, tmp_path):
+    """Equivalence: the one-job observed-metrics path and the two-pass
+    general path must land identical table contents, offsets, and status."""
+    lines = [
+        make_mysql_row(op="r", after={"id": 1, "v": "a"}, snapshot="true", pos=1),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=100, ts_ms=1700000001000),
+        make_mysql_row(op="u", before={"id": 2, "v": "b"}, after={"id": 2, "v": "c"},
+                       pos=200, ts_ms=1700000002000),
+        make_mysql_row(op="d", before={"id": 1, "v": "a"}, after=None,
+                       pos=300, ts_ms=1700000003000),
+        make_mysql_ddl(ddl="CREATE INDEX i ON users (id)", pos=400),
+    ]
+    results = {}
+    for label, overrides in [
+        ("onepass", {}),
+        ("general", {"streaming.onepass.max.tables": 0}),
+    ]:
+        sub = tmp_path / label
+        sub.mkdir()
+        pipe = _pipeline(sub, **overrides)
+        feed = _feed(sub, "f1.json", lines)
+        query = pipe.start(spark, feed, str(sub / "ckpt"))
+        query.processAllAvailable()
+        query.stop()
+        users = spark.read.parquet(str(sub / "sink" / "s1_testdb__users"))
+        ddl_out = spark.read.parquet(str(sub / "sink" / "s1_testdb___testdb_ddl"))
+        results[label] = {
+            "users": sorted(
+                (r["id"], r["v"], r["_op"], r["_ts"], r["_binlog_pos_internal"])
+                for r in users.collect()
+            ),
+            "ddl": sorted((r["_ddl"], r["_ts"]) for r in ddl_out.collect()),
+            "offset": pipe.offset_store.read(),
+            "status": (
+                json.loads((sub / "store" / "s1_status.json").read_text())["record_count"],
+                json.loads((sub / "store" / "s1_status.json").read_text())[
+                    "last_event_timestamp"
+                ],
+            ),
+        }
+    assert results["onepass"] == results["general"]
