@@ -305,6 +305,104 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- CDC history / point-in-time / sampling ---------------------------------
+
+
+def ext_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history materialization from the CDC change log — the natural
+    dual of q07's latest-image: instead of ONE current row per key, every
+    change becomes a version with [valid_from, valid_to) bounds over the
+    monotone offset; the current version has valid_to NULL. A CDC lake
+    needs both (audit/history queries vs current-state queries); the
+    reference only materializes the log (SURVEY §2.6), so this is a
+    first-class rebuild extension.
+
+    Scale: one shuffle by key + per-key sort for lead() — the same cost
+    shape as ordered replay, but distributed across keys instead of the
+    reference's parallelism-1."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    nxt = F.lead("event_id", 1).over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "event_type",
+        "value",
+        nxt.isNull().cast("bigint").alias("is_current"),
+    )
+
+
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: attach to every 'purchase' event the
+    most recent prior 'click' of the same user — the feature-at-label-time
+    join training-data pipelines need (no leakage from the future).
+
+    Scale: the union + last(ignoreNulls) ordered-window form — ONE shuffle
+    by key and a per-key merge — rather than a range join (quadratic
+    blowup per key) or a per-label correlated lookup. The DuckDB oracle
+    uses its native ASOF JOIN, so the semantics are implemented
+    independently on each engine."""
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.col("event_id").alias("feat_event_id"),
+        F.col("value").alias("feat_value"),
+        F.lit(0).alias("is_label"),
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.lit(None).cast("bigint").alias("feat_event_id"),
+        F.lit(None).cast("double").alias("feat_value"),
+        F.lit(1).alias("is_label"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = feats.unionByName(labels).select(
+        "user_id",
+        "event_id",
+        "is_label",
+        F.last("feat_event_id", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last("feat_value", ignorenulls=True).over(w).alias("click_value"),
+    )
+    return merged.filter(F.col("is_label") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        "click_event_id",
+        "click_value",
+    )
+
+
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    through a portable content hash (md5 of the id), so the sample is
+    byte-stable across runs, engines, partitionings, and cluster sizes —
+    reproducible dataset curation with no RNG state to checkpoint.
+
+    Scale: pure Column expressions in one codegen stage over a pruned
+    scan; zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(80)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -377,6 +475,9 @@ EXT_QUERIES = {
     "ext_rollup_agg": ext_rollup_agg,
     "ext_window_running": ext_window_running,
     "ext_sessionize": ext_sessionize,
+    "ext_cdc_scd2": ext_cdc_scd2,
+    "ext_asof_join": ext_asof_join,
+    "ext_sample_stratified": ext_sample_stratified,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -637,5 +738,38 @@ EXT_ORACLE_SQL = {
         SELECT user_id, session_no, COUNT(*) AS n_events,
                MIN(event_id) AS first_event, MAX(event_id) AS last_event
         FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+    "ext_cdc_scd2": """
+        SELECT user_id,
+               event_id AS valid_from,
+               LEAD(event_id) OVER w AS valid_to,
+               event_type,
+               value,
+               CAST(LEAD(event_id) OVER w IS NULL AS BIGINT) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    # independent formulation: DuckDB's native ASOF JOIN vs Spark's
+    # union + last(ignoreNulls) ordered window
+    "ext_asof_join": """
+        SELECT l.user_id,
+               l.event_id AS purchase_event_id,
+               f.event_id AS click_event_id,
+               f.value AS click_value
+        FROM (SELECT user_id, event_id FROM events
+              WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events
+                        WHERE event_type = 'click') f
+          ON l.user_id = f.user_id AND f.event_id <= l.event_id
+    """,
+    "ext_sample_stratified": """
+        SELECT doc_id, lang, bucket FROM (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket
+          FROM documents) t
+        WHERE bucket < CASE WHEN lang = 'en' THEN 20
+                            WHEN lang = 'de' THEN 50
+                            ELSE 80 END
     """,
 }

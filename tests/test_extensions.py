@@ -331,3 +331,81 @@ def test_hyperplane_signature_pandas_equals_sql(spark):
     sql = {r["vec_id"]: r["bucket"] for r in S.hyperplane_signature_sql(df, 16, 8).collect()}
     assert fast == sql
     assert len(set(fast.values())) > 1  # signatures actually discriminate
+
+
+# -- CDC history / as-of / sampling queries ---------------------------------
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_scd2_intervals_chain_and_current(spark):
+    """Per key: versions chain ([valid_from, valid_to) contiguous over the
+    offset), exactly one open (current) version, and the current rows equal
+    q07's latest image."""
+    from flink_cdc_multi_spark.plans.extensions import ext_cdc_scd2
+    from flink_cdc_multi_spark.plans.queries import q07
+
+    hist = ext_cdc_scd2(spark, SF_SMALL).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert by_key
+    current = {}
+    for uid, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+        opens = [r for r in rows if r["valid_to"] is None]
+        assert len(opens) == 1 and opens[0] is rows[-1]
+        assert all(r["is_current"] == (1 if r["valid_to"] is None else 0) for r in rows)
+        current[uid] = (opens[0]["event_type"], opens[0]["value"])
+    latest = {
+        r["user_id"]: (r["last_op"], r["last_value"])
+        for r in q07(spark, SF_SMALL).collect()
+    }
+    assert current == latest
+
+
+def test_asof_join_matches_bruteforce(spark):
+    from flink_cdc_multi_spark.plans.extensions import ext_asof_join
+    from flink_cdc_multi_spark.plans.queries import load_table
+
+    got = {
+        r["purchase_event_id"]: (r["click_event_id"], r["click_value"])
+        for r in ext_asof_join(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    ).collect()
+    clicks_by_user = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks_by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        prior = [c for c in clicks_by_user.get(r["user_id"], [])
+                 if c["event_id"] <= r["event_id"]]
+        best = max(prior, key=lambda c: c["event_id"]) if prior else None
+        want[r["event_id"]] = (
+            (best["event_id"], best["value"]) if best else (None, None)
+        )
+    assert got == want
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from flink_cdc_multi_spark.plans.extensions import ext_sample_stratified
+    from flink_cdc_multi_spark.plans.queries import load_table
+
+    s1 = sorted(r["doc_id"] for r in ext_sample_stratified(spark, SF_SMALL).collect())
+    s2 = sorted(r["doc_id"] for r in ext_sample_stratified(spark, SF_SMALL).collect())
+    assert s1 == s2 and s1  # byte-stable across runs
+    n_en = load_table(spark, SF_SMALL, "documents").filter(F.col("lang") == "en").count()
+    got_en = (
+        ext_sample_stratified(spark, SF_SMALL).filter(F.col("lang") == "en").count()
+    )
+    # md5 buckets are uniform-ish: en keep-rate 20% ± wide slack
+    assert 0 < got_en < n_en
+    assert all(r["bucket"] < 80 for r in ext_sample_stratified(spark, SF_SMALL).collect())
