@@ -112,4 +112,38 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT qid, nid FROM p WHERE rn = 1 ORDER BY qid
     """,
+    "q18": """
+        SELECT n_name, COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "q19": """
+        WITH t AS (
+          SELECT l_partkey, SUM(l_quantity) AS sum_q, COUNT(*) AS n_q
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand, COUNT(*) AS n_small,
+               ROUND(SUM(li.l_extendedprice), 2) AS value
+        FROM lineitem li
+        JOIN t ON li.l_partkey = t.l_partkey
+        JOIN part ON li.l_partkey = p_partkey
+        WHERE 5.0 * li.l_quantity * t.n_q < t.sum_q
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "q20": """
+        WITH per_cust AS (
+          SELECT o_custkey, COUNT(*) AS n_ord FROM orders
+          WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT COALESCE(n_ord, 0) AS c_count
+          FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey) t
+        GROUP BY c_count ORDER BY c_count
+    """,
 }

@@ -379,6 +379,100 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-hop star join (region→nation→customer→orders
+    →lineitem) with a selective region filter — the join-ordering +
+    multi-broadcast case.
+
+    Scale: ONLY the always-tiny dims (region 5 rows, nation 25) carry an
+    explicit broadcast hint; customer-sized and larger inputs are left to
+    AQE — it broadcasts them at bench SF and switches to shuffle joins on
+    a cluster, where force-broadcasting a customer table would OOM the
+    executors. The two large-large joins (orders⋈customer-dims,
+    lineitem⋈orders) shuffle on their keys; revenue rolls up with
+    map-side partials to ~|nations| rows. Revenue sums doubles — rounded
+    to 2 after the sum (integral cents-scale values keep
+    accumulation-order noise far below the rounding grain)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey", "n_name")
+    )
+    ord_dim = orders.join(dims, orders.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("r")
+    return (
+        lineitem.join(ord_dim, lineitem.l_orderkey == ord_dim.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group threshold from an aggregated subquery —
+    lineitems whose quantity is below 20% of their part's average.
+
+    Scale: the threshold table is one row per partkey (partial agg); both
+    the lineitem⋈threshold and part joins shuffle on the partkey at scale
+    (part grows with SF — no forced broadcast; AQE broadcasts them at
+    bench SF). The < comparison is done in EXACT integer arithmetic
+    (quantities are integral doubles, so 5*q*count < sum is
+    order-independent), never against a float average — no cross-engine
+    boundary flips by construction."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thresh = lineitem.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_q"), F.count("*").alias("n_q")
+    )
+    t = thresh.alias("t")
+    li = lineitem.alias("li")
+    small = li.join(t, F.col("li.l_partkey") == F.col("t.l_partkey")).filter(
+        F.lit(5.0) * F.col("li.l_quantity") * F.col("t.n_q") < F.col("t.sum_q")
+    )
+    return (
+        small.join(part, F.col("li.l_partkey") == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("li.l_extendedprice"), 2).alias("value"),
+        )
+    )
+
+
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + conditional count distribution —
+    how many customers have 0, 1, 2, ... qualifying orders (zeros only
+    reachable through the outer join).
+
+    Scale: count(o_orderkey) per customer is a pre-aggregation on the
+    orders side joined outer to customer (broadcast of the aggregate at
+    small SF; shuffle-hash at scale), and the final distribution is a
+    ~|distinct counts|-row rollup. All-integer outputs."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("n_ord"))
+    dist = (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_ord"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+    return dist
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01": q01,
     "q02": q02,
@@ -397,4 +491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15": q15,
     "q16": q16,
     "q17": q17,
+    "q18": q18,
+    "q19": q19,
+    "q20": q20,
 }
