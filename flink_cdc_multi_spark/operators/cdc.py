@@ -8,14 +8,15 @@ reduction is over the offset columns it is order- and duplicate-insensitive,
 which is exactly what makes the at-least-once resume contract
 (README.md:212-218) safe downstream.
 
-Scale: one hash shuffle on the key columns; row_number over each key group
-(no global sort). Compaction rewrites per dt-partition output with
-AQE-coalesced files — the antidote to micro-batch small-file buildup.
+Scale: one hash shuffle on the key columns with map-side partial
+max_by reduction (no per-key sort, skew-safe). Compaction rewrites per
+dt-partition output with AQE-coalesced files — the antidote to
+micro-batch small-file buildup.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_cdc_multi_spark.envelope import OP_DELETE
@@ -38,17 +39,26 @@ def latest_image(
     multi-op transactions past op index 9. Ties (replayed duplicates) are
     broken arbitrarily but the rows are identical by construction, so the
     result is stable.
+
+    Scale: implemented as a groupBy + ``max_by(payload, offset-struct)``
+    REDUCTION, not a row_number window. Partial (map-side) aggregation
+    collapses each input partition's rows per key to ONE candidate before
+    the shuffle, so a hot key ships |map partitions| candidates instead of
+    its entire change history, and no per-key sort happens anywhere — the
+    window form sorts every key group and is exactly the plan that dies on
+    a skewed CDC table at 100 TB (the associative reduce needs no salting:
+    partial agg IS the skew mitigation). Struct comparison is
+    lexicographic over the order columns with null fields ordered first,
+    matching the window form's desc_nulls_last.
     """
-    w = Window.partitionBy(*key_cols).orderBy(
-        *[
-            (F.col(c) if isinstance(c, str) else c).desc_nulls_last()
-            for c in order_cols
-        ]
+    ord_struct = F.struct(
+        *[(F.col(c) if isinstance(c, str) else c) for c in order_cols]
     )
+    payload = F.struct(*[F.col(c) for c in changes.columns])
     latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy(*key_cols)
+        .agg(F.max_by(payload, ord_struct).alias("__p"))
+        .select("__p.*")
     )
     if drop_deletes:
         latest = latest.filter(F.col("_op") != OP_DELETE)

@@ -1,0 +1,87 @@
+"""Bucketed layout (operators/bucketing.py): the written bucket metadata
+must actually eliminate Exchanges for same-key aggregation and co-bucketed
+joins — the property the module exists for."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_multi_spark.operators.bucketing import read_bucketed, write_bucketed
+from flink_cdc_multi_spark.plans.queries import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_events(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_bucketed(
+        ev, "ev_bucketed", ["user_id"], num_buckets=8, path=str(base / "ev")
+    )
+    write_bucketed(
+        ev.groupBy("user_id").agg(F.count("*").alias("n")),
+        "ev_counts_bucketed",
+        ["user_id"],
+        num_buckets=8,
+        path=str(base / "cnt"),
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ev_counts_bucketed")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_events):
+    agg = read_bucketed(spark, "ev_bucketed").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.max("event_id").alias("mx")
+    )
+    plan = _plan(agg)
+    assert "Exchange" not in plan
+    # and the result matches the unbucketed computation
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r["user_id"]: r["n"] for r in agg.collect()}
+    assert got == want
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_events):
+    a = read_bucketed(spark, "ev_bucketed")
+    b = read_bucketed(spark, "ev_counts_bucketed")
+    # disable auto-broadcast so the join planner must rely on co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "user_id").select("user_id", "event_id", "n")
+        plan = _plan(joined)
+        assert "Exchange" not in plan
+        assert joined.count() == a.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_direct_parquet_read_loses_bucketing(spark, bucketed_events, tmp_path):
+    """Document the sharp edge: reading the same files WITHOUT the catalog
+    re-introduces the Exchange."""
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED ev_bucketed")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    raw = spark.read.parquet(loc)
+    plan = _plan(raw.groupBy("user_id").agg(F.count("*").alias("n")))
+    assert "Exchange" in plan

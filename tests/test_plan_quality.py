@@ -118,3 +118,40 @@ def test_q08_prefilter_lossless(spark):
     want = {t for t, m in rows if m}
     plain = {r["text"] for r in df.filter(F.col("text").rlike(regex)).collect()}
     assert got == want == plain
+
+
+def test_latest_image_operator_is_reduction_not_window(spark):
+    """operators/cdc.latest_image must stay a max_by REDUCTION (map-side
+    partial agg, skew-safe) — a row_number window would sort every key
+    group and ship each hot key's entire history to one task."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from flink_cdc_multi_spark.operators.cdc import latest_image
+    from flink_cdc_multi_spark.plans.queries import load_table
+
+    ev = load_table(spark, SF, "events")
+    df = latest_image(
+        ev.withColumnRenamed("event_type", "_op"), ["user_id"], ["event_id"],
+        drop_deletes=False,
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
+def test_q18_tiny_dims_broadcast_only(spark):
+    """q18's explicit broadcasts are ONLY the always-tiny region/nation
+    hops; customer-sized inputs must stay AQE-decided (a forced broadcast
+    of customer dies at cluster scale)."""
+    import inspect
+
+    from flink_cdc_multi_spark.plans import queries as Q
+
+    src = inspect.getsource(Q.q18)
+    assert src.count("F.broadcast") == 2
+    plan = plan_of(spark, "q18")
+    assert "BroadcastHashJoin" in plan
