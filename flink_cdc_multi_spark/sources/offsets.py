@@ -121,15 +121,25 @@ def resume_filter(envelope: DataFrame, source_type: str, offset: str | None) -> 
         return envelope
     if not validate_offset(offset, source_type):
         raise ValueError(f"invalid {source_type} offset: {offset!r}")
+    # DDL rows (_op null) are filtered by the SAME offset predicate when
+    # they carry a position, and pass through only when their position is
+    # unknown (null offset columns). Unconditional DDL pass-through would
+    # re-deliver an already-handled structural DDL on every restart — the
+    # job would stop again immediately and the re-version workflow
+    # (stop → table.name.map → reposition → restart) could never proceed.
+    # A real binlog/WAL client seeking past the offset never re-reads it.
     if source_type == "mysql":
         file_, pos = offset.split(",", 1)
         return envelope.filter(
-            F.col("_op").isNull()  # DDL rows pass through
+            (F.col("_op").isNull() & F.col("_binlog_file").isNull())
             | (F.col("_binlog_file") > file_)
             | ((F.col("_binlog_file") == file_) & (F.col("_binlog_pos_end") >= int(pos)))
         )
     if source_type == "postgres":
-        return envelope.filter(F.col("_op").isNull() | (F.col("_lsn") >= int(offset)))
+        return envelope.filter(
+            (F.col("_op").isNull() & F.col("_lsn").isNull())
+            | (F.col("_lsn") >= int(offset))
+        )
     if source_type == "oracle":
         return envelope.filter(
             F.col("_scn").cast("decimal(38,0)") >= int(offset)

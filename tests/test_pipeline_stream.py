@@ -473,3 +473,64 @@ def test_onepass_matches_general_path(spark, tmp_path):
             ),
         }
     assert results["onepass"] == results["general"]
+
+
+def test_schema_change_reversion_lifecycle(spark, tmp_path):
+    """The reference's documented schema-evolution workflow (README.md:26,
+    160): structural DDL halts the job (flush-then-stop); the operator
+    re-versions the table — table.name.map to users_v2 with the NEW
+    schema — repositions past the handled DDL (offset.value wins over the
+    store), and restarts. New-schema rows land in the versioned directory;
+    the frozen v1 table is untouched."""
+    pipe1 = _pipeline(tmp_path)
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+            make_mysql_ddl(ddl="ALTER TABLE users ADD COLUMN extra INT", pos=20),
+        ],
+    )
+    q1 = pipe1.start(spark, feed, str(tmp_path / "ckpt1"))
+    reason = pipe1.run_until_stopped(q1, timeout_s=60)
+    assert reason and "structural DDL" in reason
+    assert pipe1.offset_store.read() == "mysql-bin.000001,20"
+    v1_dir = str(tmp_path / "sink" / "s1_testdb__users")
+    assert spark.read.parquet(v1_dir).count() == 1
+
+    users_v2 = T.StructType(
+        USERS.fields + [T.StructField("extra", T.LongType())]
+    )
+    cfg2 = JobConfig.from_dict(
+        {
+            "source.id": "s1",
+            "source.type": "mysql",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+            "table.name.map": {"testdb.users": "users_v2"},
+            # reposition PAST the handled schema-change event — otherwise
+            # the at-least-once resume replays the DDL and re-arms the stop
+            "offset.value": "mysql-bin.000001,21",
+        }
+    )
+    reg2 = TableRegistry.build(
+        "mysql",
+        {("testdb", "users_v2"): users_v2},
+        table_name_map=cfg2.table_name_map,
+    )
+    pipe2 = CDCPipeline(cfg2, reg2)
+    (tmp_path / "feed" / "f2.json").write_text(
+        make_mysql_row(op="c", after={"id": 2, "v": "b", "extra": 7}, pos=30) + "\n"
+    )
+    q2 = pipe2.start(spark, feed, str(tmp_path / "ckpt2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert pipe2.controller.stop_requested is False
+    v2 = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users_v2"))
+    rows = [(r["id"], r["v"], r["extra"]) for r in v2.collect()]
+    assert rows == [(2, "b", 7)]
+    # v1 stays frozen; offset advanced past the new row
+    assert spark.read.parquet(v1_dir).count() == 1
+    assert pipe2.offset_store.read() == "mysql-bin.000001,30"
