@@ -141,8 +141,11 @@ def resume_filter(envelope: DataFrame, source_type: str, offset: str | None) -> 
             | (F.col("_lsn") >= int(offset))
         )
     if source_type == "oracle":
+        # position-less DDL (decoder's "0" default SCN) passes through,
+        # matching the mysql/pg null-position rule above
         return envelope.filter(
-            F.col("_scn").cast("decimal(38,0)") >= int(offset)
+            (F.col("_op").isNull() & (F.col("_scn") == "0"))
+            | (F.col("_scn").cast("decimal(38,0)") >= int(offset))
         )
     if source_type == "mongodb":
         return envelope.filter(F.col("_ts") >= int(offset))

@@ -156,3 +156,47 @@ def test_status_store_hadoop_scheme(spark, tmp_path):
     st.flush()
     data = json.loads((tmp_path / "store" / "j1_status.json").read_text())
     assert data["record_count"] == 5 and data["job_id"] == "j1"
+
+
+def test_resume_filter_ddl_positioned_vs_positionless(spark):
+    """DDL rows with a known position obey the offset predicate (no replay
+    loop after a structural-DDL stop); position-less DDL passes through."""
+    import json
+
+    from conftest import make_mysql_ddl
+
+    lines = [
+        make_mysql_ddl(ddl="ALTER TABLE t ADD COLUMN a INT", pos=100),
+        make_mysql_ddl(ddl="ALTER TABLE t ADD COLUMN b INT", pos=300),
+        # position-less DDL: no source offsets at all
+        json.dumps({"ddl": "DROP TABLE t2", "ts_ms": 1,
+                    "source": {"db": "testdb", "table": "t2"}}),
+        make_mysql_row(op="c", after={"id": 1}, pos=250),
+    ]
+    env = _envelope(spark, lines)
+    out = resume_filter(env, "mysql", "mysql-bin.000001,200").collect()
+    ddls = sorted(r["_ddl"] for r in out if r["_ddl"] is not None)
+    # pos=100 DDL dropped (already handled); pos=300 and position-less kept
+    assert ddls == ["ALTER TABLE t ADD COLUMN b INT", "DROP TABLE t2"]
+    assert sorted(r["_binlog_pos_end"] for r in out if r["_op"] is not None) == [250]
+
+
+def test_resume_filter_oracle_ddl_default_scn_passes(spark):
+    import json
+
+    lines = [
+        json.dumps({"ddl": "DROP TABLE t", "ts_ms": 1,
+                    "source": {"db": "ORCL", "schema": "HR", "table": "T"}}),
+        json.dumps({"op": "c", "ts_ms": 2, "after": {"ID": 1},
+                    "source": {"db": "ORCL", "schema": "HR", "table": "T",
+                               "scn": "40"}}),
+        json.dumps({"op": "c", "ts_ms": 3, "after": {"ID": 2},
+                    "source": {"db": "ORCL", "schema": "HR", "table": "T",
+                               "scn": "60"}}),
+    ]
+    from flink_cdc_multi_spark.sources.debezium_json import decode_raw
+
+    env = decode_raw(spark.createDataFrame([(l,) for l in lines], "value string"), "oracle")
+    out = resume_filter(env, "oracle", "50").collect()
+    # default-"0"-SCN DDL passes; scn=40 data dropped; scn=60 kept
+    assert sorted(r["_scn"] for r in out) == ["0", "60"]
