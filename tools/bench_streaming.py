@@ -3,8 +3,9 @@ convert the sf events table into a Debezium-JSON feed, stream it through
 the full CDC pipeline (decode → route → per-table parquet + offset +
 status), and report rows/sec + per-trigger commit behavior.
 
-Usage: python tools/bench_streaming.py [sf_dir] [n_files]
-Prints one JSON line.
+Usage: python tools/bench_streaming.py [sf_dir] [n_files] [n_tables]
+Prints one JSON line. n_tables > 1 shards events across that many tables
+(round-robin on event_id) to exercise the multi-table write path.
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ EVENTS_SCHEMA = T.StructType(
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_tables = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     work = tempfile.mkdtemp(prefix="cdc_stream_bench_")
     feed = os.path.join(work, "feed")
@@ -64,7 +66,11 @@ def main() -> None:
                 ).alias("after"),
                 F.struct(
                     F.lit("bench").alias("db"),
-                    F.lit("events").alias("table"),
+                    (
+                        F.concat(F.lit("events_"), F.col("event_id") % n_tables)
+                        if n_tables > 1
+                        else F.lit("events")
+                    ).alias("table"),
                     F.lit("feed-bin.000001").alias("file"),
                     F.col("event_id").alias("pos"),
                 ).alias("source"),
@@ -94,7 +100,12 @@ def main() -> None:
     for attempt in range(2):
         for sub in ("sink", "store", "ckpt"):
             shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
-        registry = TableRegistry.build("mysql", {("bench", "events"): EVENTS_SCHEMA})
+        tables = (
+            {("bench", f"events_{i}"): EVENTS_SCHEMA for i in range(n_tables)}
+            if n_tables > 1
+            else {("bench", "events"): EVENTS_SCHEMA}
+        )
+        registry = TableRegistry.build("mysql", tables)
         pipe = CDCPipeline(cfg, registry)
 
         t0 = time.perf_counter()
@@ -110,8 +121,12 @@ def main() -> None:
         query.stop()
         wall = time.perf_counter() - t0
 
-        out = spark.read.parquet(os.path.join(work, "sink", "bench_bench__events"))
-        written = out.count()
+        sink_dirs = (
+            [os.path.join(work, "sink", f"bench_bench__events_{i}") for i in range(n_tables)]
+            if n_tables > 1
+            else [os.path.join(work, "sink", "bench_bench__events")]
+        )
+        written = sum(spark.read.parquet(d).count() for d in sink_dirs)
         offset = pipe.offset_store.read()
         result = {
             "metric": "cdc streaming ingest rows/sec (decode+route+parquet+offset+status)",
@@ -121,6 +136,7 @@ def main() -> None:
             "input_rows": n_rows,
             "wall_sec": round(wall, 2),
             "batches": pipe.batches_processed,
+            "n_tables": n_tables,
             "stage_seconds": {k: round(v, 3) for k, v in pipe.stage_seconds.items()},
             "engine_ms": engine_ms,
             "final_offset": offset,
