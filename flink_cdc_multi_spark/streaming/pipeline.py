@@ -434,58 +434,72 @@ class CDCPipeline:
         # measurable slice of the batch).
         if not hasattr(self, "_ctl_aggs"):
             self._ctl_aggs = control_metric_aggs(cfg.source_type)
+        data_specs = self.registry.data_specs()
+        # multi-table: K writers share the batch — persist it so the JSON
+        # decode runs once, not K times (at scale the decode is the data
+        # cost; the cache-write overhead only matters at the per-job floor)
+        cached = len(data_specs) > 1
+        if cached:
+            envelope = envelope.persist()
         obs = Observation(f"ctl_{batch_id}")
         observed = envelope.observe(obs, *self._ctl_aggs)
-        data_specs = self.registry.data_specs()
 
         def identity(spec) -> tuple[str, str]:
             return tuple(spec.key.split(".", 1))
 
-        if len(data_specs) == 1:
-            db, tbl = identity(data_specs[0])
-            self._write_table_slice(observed, data_specs[0], db, tbl)
-        else:
-            # first write consumes the observed plan (materializes metrics);
-            # the rest run concurrently over the plain envelope
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(8, len(data_specs))) as ex:
-                futures = [
-                    ex.submit(
-                        self._write_table_slice,
-                        observed if i == 0 else envelope,
-                        spec,
-                        *identity(spec),
-                    )
-                    for i, spec in enumerate(data_specs)
-                ]
-                for f in futures:
-                    f.result()
-        m = obs.get
-        t = self._mark("onepass_write", t)
-
-        # unknown tables: adopt via the schema provider when enabled, then
-        # catch-up-write the adopted tables' rows from this same batch
-        known = {identity(s) for s in data_specs}
-        unknowns = [
-            (r["_db"], r["_tbl"]) for r in (m["tables"] or []) if (r["_db"], r["_tbl"]) not in known
-        ]
-        remaining = []
-        for db, tbl in unknowns:
-            spec = self._resolve_unknown_table(db, tbl)
-            if spec is not None:
-                self.registry.add(spec)
-                self._write_table_slice(envelope, spec, db, tbl)
+        try:
+            if len(data_specs) == 1:
+                db, tbl = identity(data_specs[0])
+                self._write_table_slice(observed, data_specs[0], db, tbl)
             else:
-                remaining.append((db, tbl))
-        if remaining:
-            if self.registry.fail_on_unknown_tables:
-                from flink_cdc_multi_spark.operators.routing import UnknownTableError
+                # first write consumes the observed plan (materializes
+                # metrics); the rest run concurrently over the cached batch
+                from concurrent.futures import ThreadPoolExecutor
 
-                raise UnknownTableError(
-                    f"unknown tables: {remaining}; known: {sorted(self.registry.specs)}"
-                )
-            LOG.warning("records for unknown tables skipped: %s", remaining)
+                with ThreadPoolExecutor(max_workers=min(8, len(data_specs))) as ex:
+                    futures = [
+                        ex.submit(
+                            self._write_table_slice,
+                            observed if i == 0 else envelope,
+                            spec,
+                            *identity(spec),
+                        )
+                        for i, spec in enumerate(data_specs)
+                    ]
+                    for f in futures:
+                        f.result()
+            m = obs.get
+            t = self._mark("onepass_write", t)
+
+            # unknown tables: adopt via the schema provider when enabled,
+            # then catch-up-write the adopted tables' rows from this batch
+            known = {identity(s) for s in data_specs}
+            unknowns = [
+                (r["_db"], r["_tbl"])
+                for r in (m["tables"] or [])
+                if (r["_db"], r["_tbl"]) not in known
+            ]
+            remaining = []
+            for db, tbl in unknowns:
+                spec = self._resolve_unknown_table(db, tbl)
+                if spec is not None:
+                    self.registry.add(spec)
+                    self._write_table_slice(envelope, spec, db, tbl)
+                else:
+                    remaining.append((db, tbl))
+            if remaining:
+                if self.registry.fail_on_unknown_tables:
+                    from flink_cdc_multi_spark.operators.routing import (
+                        UnknownTableError,
+                    )
+
+                    raise UnknownTableError(
+                        f"unknown tables: {remaining}; known: {sorted(self.registry.specs)}"
+                    )
+                LOG.warning("records for unknown tables skipped: %s", remaining)
+        finally:
+            if cached:
+                envelope.unpersist()
 
         ddl_rows = m["ddl"] or []
         if ddl_rows:
