@@ -76,7 +76,6 @@ def project_table(
         return rows.select(*cols)
     keep_meta = keep_meta_cols(registry.source.name)
     if registry.source.name == "mongodb":
-        keep_meta += ["_id", "_txn_op_index"]
         # mode-aware projection: $-unwrap + drift contract (sources/mongo.py)
         from flink_cdc_multi_spark.sources.mongo import project_mongo_payload
 

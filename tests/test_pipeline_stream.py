@@ -534,3 +534,65 @@ def test_schema_change_reversion_lifecycle(spark, tmp_path):
     # v1 stays frozen; offset advanced past the new row
     assert spark.read.parquet(v1_dir).count() == 1
     assert pipe2.offset_store.read() == "mysql-bin.000001,30"
+
+
+def test_mongo_stream_onepass_end_to_end(spark, tmp_path):
+    """MongoDB source through the streaming one-pass path: change-stream
+    shaped lines → typed per-collection parquet with _id/_txn_op_index
+    meta, timestamp offset store, resume semantics."""
+    import json as _json
+
+    docs_schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("qty", T.LongType())]
+    )
+
+    def line(op, doc, ts_ms, oid, txn="1"):
+        return _json.dumps(
+            {
+                "op": op,
+                "ts_ms": ts_ms,
+                "after": doc,
+                "source": {"db": "shop", "collection": "items"},
+                "_id": _json.dumps({"$oid": oid}),
+                "txn_op_index": txn,
+            }
+        )
+
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "m1",
+            "source.type": "mongodb",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+            "mongodb.server.version": "6.0.0",
+        }
+    )
+    reg = TableRegistry.build(
+        "mongodb", {("shop", "items"): docs_schema}, with_ddl_tables=False
+    )
+    pipe = CDCPipeline(cfg, reg)
+    assert pipe._onepass_eligible()
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [
+            line("c", {"name": "ax", "qty": 3}, 1000, "a" * 24),
+            line("u", {"name": "ax", "qty": 5}, 2000, "a" * 24, txn="2"),
+        ],
+    )
+    query = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    query.processAllAvailable()
+    query.stop()
+    out = spark.read.parquet(str(tmp_path / "sink" / "m1_shop__items"))
+    rows = sorted(
+        (r["name"], r["qty"], r["_op"], r["_id"], r["_txn_op_index"])
+        for r in out.collect()
+    )
+    assert rows == [
+        ("ax", 3, "INSERT", "a" * 24, "1"),
+        ("ax", 5, "UPDATE", "a" * 24, "2"),
+    ]
+    # mongo offset = max non-READ _ts
+    assert pipe.offset_store.read() == "2000"
