@@ -58,8 +58,18 @@ def _build_mongo_registry(cfg: JobConfig):
         mongo_mode=mode,
     )
 
+    # the resolver is called with SANITIZED envelope names — index the
+    # sample file by the same normalization or adoption silently misses
+    # any collection whose name changes under sanitization
+    from flink_cdc_multi_spark.functions.sanitizer import sanitize
+
+    sanitized_samples = {
+        f"{sanitize(k.partition('.')[0])}.{sanitize(k.partition('.')[2])}": docs
+        for k, docs in samples.items()
+    }
+
     def provider(db: str, tbl: str):
-        docs = samples.get(f"{db}.{tbl}")
+        docs = sanitized_samples.get(f"{sanitize(db)}.{sanitize(tbl)}")
         if not docs:
             return None
         return infer_mongo_schema(docs, mode=mode)[0]

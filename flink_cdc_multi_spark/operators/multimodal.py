@@ -65,8 +65,18 @@ def parse_image_header(blob: bytes) -> tuple[str | None, int | None, int | None]
             w, h = struct.unpack("<HH", blob[6:10])
             return "gif", w, h
         if blob[:2] == b"BM" and len(blob) >= 26:
-            w, h = struct.unpack("<ii", blob[18:26])
-            return "bmp", w, abs(h)  # negative height = top-down DIB
+            # DIB header size at offset 14 picks the layout: 12-byte
+            # BITMAPCOREHEADER carries uint16 dims at 18/20; the
+            # BITMAPINFOHEADER family (40/52/56/108/124) carries int32
+            # dims at 18/22. Anything else → unknown, not garbage dims.
+            dib = struct.unpack("<I", blob[14:18])[0]
+            if dib == 12:
+                w, h = struct.unpack("<HH", blob[18:22])
+                return "bmp", w, h
+            if dib in (40, 52, 56, 64, 108, 124) and len(blob) >= 26:
+                w, h = struct.unpack("<ii", blob[18:26])
+                return "bmp", w, abs(h)  # negative height = top-down DIB
+            return "bmp", None, None
         if blob[:2] == b"\xff\xd8":
             # walk the segment chain to the first SOF marker
             pos = 2
@@ -77,6 +87,8 @@ def parse_image_header(blob: bytes) -> tuple[str | None, int | None, int | None]
                 if marker == 0xFF:  # fill byte
                     pos += 1
                     continue
+                if marker == 0xD9:  # EOI: stop — trailing bytes are not
+                    break  # segments (concatenated/MJPEG streams)
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     pos += 2  # standalone marker, no length field
                     continue

@@ -362,27 +362,36 @@ class CDCPipeline:
 
     def _write_table_slice(self, df: DataFrame, spec, db: str, tbl: str) -> None:
         from flink_cdc_multi_spark.functions.datetime_utils import dt_bucket
-        from flink_cdc_multi_spark.operators.routing import (
-            keep_meta_cols,
-            project_table,
-        )
+        from flink_cdc_multi_spark.operators.routing import project_table
 
         cfg = self.config
-        if getattr(self, "_typed_stream", False) and not spec.is_ddl:
-            # stream-level typed decode already parsed the image as this
-            # table's struct; skip project_table's per-batch schema
-            # introspection and second parse
-            typed = df.filter((F.col("_db") == db) & (F.col("_tbl") == tbl)).select(
-                "payload.*", *keep_meta_cols(cfg.source_type)
-            )
-        else:
-            typed = project_table(df, self.registry, spec, db, tbl)
+        # project_table handles both payload shapes: struct (stream-level
+        # typed decode) short-circuits to payload.*, string gets from_json
+        typed = project_table(df, self.registry, spec, db, tbl)
         typed = typed.withColumn("dt", dt_bucket(F.col("_ts")))
         (
             typed.write.mode("append")
             .partitionBy("dt")
             .parquet(f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}")
         )
+
+    def _remove_if_dataless(self, spark: SparkSession, spec) -> None:
+        """Delete a table dir that contains no data files (a zero-row
+        parquet append commits only _SUCCESS; such a dir is unreadable).
+        A dir holding data from earlier batches keeps it and the empty
+        append is harmless."""
+        from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+
+        cfg = self.config
+        path = f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}"
+        fs, jp = _hadoop_fs(spark, path)
+        if not fs.exists(jp):
+            return
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            if it.next().getPath().getName().startswith("part-"):
+                return
+        fs.delete(jp, True)
 
     def _append_ddl_rows(self, spark: SparkSession, ddl_rows: list) -> None:
         """Write collected DDL events into the per-db `_<db>_ddl` tables.
@@ -470,6 +479,15 @@ class CDCPipeline:
                         f.result()
             m = obs.get
             t = self._mark("onepass_write", t)
+
+            # zero-row appends leave schema-less dirs (only _SUCCESS) that
+            # break readers and compaction; remove any dir this batch
+            # created empty so the sink matches the general path, which
+            # skips zero-count tables entirely
+            observed_ids = {(r["_db"], r["_tbl"]) for r in (m["tables"] or [])}
+            for spec in data_specs:
+                if identity(spec) not in observed_ids:
+                    self._remove_if_dataless(envelope.sparkSession, spec)
 
             # unknown tables: adopt via the schema provider when enabled,
             # then catch-up-write the adopted tables' rows from this batch
@@ -676,6 +694,21 @@ class CDCPipeline:
         max_files_per_trigger: int | None = None,
     ):
         cfg = self.config
+        # self-heal any compaction swap a previous process crashed inside:
+        # without this, streaming appends recreate the live dir with only
+        # post-crash rows and the NEXT compaction deletes `__old` (the
+        # whole pre-crash table) as a stale leftover — permanent loss.
+        if cfg.table_key_columns:
+            from flink_cdc_multi_spark.operators.cdc import recover_compact_swap
+
+            for key in cfg.table_key_columns:
+                spec = self.registry.specs.get(key)
+                if spec is None:
+                    continue
+                path = f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}"
+                action = recover_compact_swap(spark, path)
+                if action:
+                    LOG.warning("compaction swap recovery for %s: %s", key, action)
         if cfg.source_type == "oracle" and cfg.startup_mode in ("earliest", "offset"):
             # Oracle earliest/offset startup degrades to initial with a
             # warning (OracleStreamer.java:134-144)
@@ -725,7 +758,6 @@ class CDCPipeline:
             and not cfg.scan_newly_added_tables
         ):
             payload_schema = data_specs[0].payload_schema
-        self._typed_stream = payload_schema is not None
         stream = read_raw_stream(
             spark,
             input_path,

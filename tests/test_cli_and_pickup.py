@@ -349,3 +349,28 @@ def test_cli_mongodb_sample_file_registry(tmp_path):
     assert r2.returncode != 0
     assert "mongodb.sample.file" in r2.stderr
     assert "KeyError" not in r2.stderr
+
+
+def test_cli_mongo_sample_provider_sanitized_lookup(tmp_path):
+    """The adoption resolver receives SANITIZED envelope names; the sample
+    file is keyed by raw collection names — the provider must normalize
+    both sides or 'user-events' can never be adopted as 'user_events'."""
+    import json as _json
+
+    from flink_cdc_multi_spark.__main__ import _build_mongo_registry
+    from flink_cdc_multi_spark.config import JobConfig
+
+    samples = {"appdb.user-events": [{"_id": "a", "n": 1}] * 60}
+    (tmp_path / "s.json").write_text(_json.dumps(samples))
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "m1",
+            "source.type": "mongodb",
+            "sink.path": str(tmp_path / "sink"),
+            "mongodb.sample.file": str(tmp_path / "s.json"),
+        }
+    )
+    registry, provider = _build_mongo_registry(cfg)
+    schema = provider("appdb", "user_events")  # sanitized envelope identity
+    assert schema is not None and "n" in schema.fieldNames()
+    assert provider("appdb", "nope") is None

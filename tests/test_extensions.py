@@ -409,3 +409,31 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     # md5 buckets are uniform-ish: en keep-rate 20% ± wide slack
     assert 0 < got_en < n_en
     assert all(r["bucket"] < 80 for r in ext_sample_stratified(spark, SF_SMALL).collect())
+
+
+def test_parse_image_header_bmp_variants():
+    import struct
+
+    M_ = M
+    # BITMAPINFOHEADER (40-byte): int32 dims at 18
+    info = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+            + struct.pack("<ii", 640, -480) + b"\x00" * 8)
+    assert M_.parse_image_header(info) == ("bmp", 640, 480)
+    # BITMAPCOREHEADER (12-byte, OS/2): uint16 dims at 18
+    core = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+            + struct.pack("<HH", 100, 50) + b"\x00" * 8)
+    assert M_.parse_image_header(core) == ("bmp", 100, 50)
+    # unknown DIB header size: bmp but no fabricated dims
+    weird = (b"BM" + b"\x00" * 12 + struct.pack("<I", 99)
+             + struct.pack("<ii", 1, 1) + b"\x00" * 8)
+    assert M_.parse_image_header(weird) == ("bmp", None, None)
+
+
+def test_parse_image_header_jpeg_stops_at_eoi():
+    # SOF-less fragment + trailing bytes that would decode as a bogus SOF
+    # if the walk ran past EOI
+    import struct
+
+    trailing = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 9999, 9999, 3) + b"\x00" * 9
+    frag = b"\xff\xd8\xff\xd9" + trailing
+    assert M.parse_image_header(frag) == ("jpeg", None, None)

@@ -596,3 +596,75 @@ def test_mongo_stream_onepass_end_to_end(spark, tmp_path):
     ]
     # mongo offset = max non-READ _ts
     assert pipe.offset_store.read() == "2000"
+
+
+def test_start_recovers_crashed_compaction_swap(spark, tmp_path):
+    """A crash between compact_table's two renames leaves the table at
+    `__old` and no live dir. start() must restore it BEFORE streaming
+    appends recreate the live dir — otherwise the next compaction deletes
+    `__old` (the entire pre-crash table) as a stale leftover."""
+    import os
+
+    pipe = _pipeline(
+        tmp_path,
+        **{
+            "compact.every.n.batches": 1,
+            "table.key.columns": {"testdb.users": ["id"]},
+        },
+    )
+    # seed a pre-crash table, then simulate the mid-swap crash state
+    table_dir = tmp_path / "sink" / "s1_testdb__users"
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [make_mysql_row(op="c", after={"id": 1, "v": "precrash"}, pos=10,
+                        ts_ms=1700000001000)],
+    )
+    q = pipe.start(spark, feed, str(tmp_path / "ckpt1"))
+    q.processAllAvailable()
+    q.stop()
+    assert table_dir.exists()
+    os.rename(table_dir, str(table_dir) + "__old")
+    assert not table_dir.exists()
+
+    # restart: recovery must rename __old back before the stream runs
+    pipe2 = _pipeline(
+        tmp_path,
+        **{
+            "compact.every.n.batches": 1,
+            "table.key.columns": {"testdb.users": ["id"]},
+        },
+    )
+    (tmp_path / "feed" / "f2.json").write_text(
+        make_mysql_row(op="c", after={"id": 2, "v": "postcrash"}, pos=20,
+                       ts_ms=1700000002000) + "\n"
+    )
+    q2 = pipe2.start(spark, feed, str(tmp_path / "ckpt2"))
+    q2.processAllAvailable()
+    q2.stop()
+    vs = sorted(r["v"] for r in spark.read.parquet(str(table_dir)).collect())
+    assert vs == ["postcrash", "precrash"]
+    assert not (tmp_path / "sink" / "s1_testdb__users__old").exists()
+
+
+def test_onepass_no_empty_dir_for_inactive_table(spark, tmp_path):
+    """A registered table with no rows in the batch must not leave a
+    schema-less (_SUCCESS-only) parquet dir behind — parity with the
+    general path, which skips zero-count tables."""
+    orders = T.StructType([T.StructField("oid", T.LongType())])
+    pipe = _pipeline(
+        tmp_path, tables={("testdb", "users"): USERS, ("testdb", "orders"): orders}
+    )
+    assert pipe._onepass_eligible()
+    feed = _feed(
+        tmp_path,
+        "f1.json",
+        [make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10)],
+    )
+    q = pipe.start(spark, feed, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert (tmp_path / "sink" / "s1_testdb__users").exists()
+    assert not (tmp_path / "sink" / "s1_testdb__orders").exists()
+    # the users table stays readable
+    assert spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users")).count() == 1
