@@ -99,38 +99,15 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup over the FULL table — the scale path
     whose exact-scoped twin is ext_dedup_embedding. Oracle-checked since the
     hyperplanes went portable (md5-parity ±1 planes over quantized
-    components: integer-exact buckets in every engine); the in-bucket verify
-    here is the same cosine fold the exact twin already hash-matches with.
-    The operator API's numpy-Gram verify (embedding_neardup_pairs_lsh)
-    remains the high-volume path; identical buckets, same pairs."""
+    components: integer-exact buckets in every engine). The in-bucket verify
+    is the operator API's numpy Gram kernel (one BLAS matmul per bucket) —
+    the earlier per-pair zip_with/aggregate fold ran the 64-term dot
+    interpreted per candidate (PERF.md HOF lesson) and was the only r2→r3
+    regression. Same buckets, same pairs: the output is membership-only
+    (a_id, b_id), so fp summation order can't flip the hash unless a pair
+    lands exactly on the 0.35 threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = S.hyperplane_signature(emb, dim=64, n_planes=6)
-    arr = F.col("embedding").cast("array<double>")
-    v = sig.select(
-        F.col("vec_id").alias("id"),
-        arr.alias("v"),
-        F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x)).alias("nrm"),
-        "bucket",
-    )
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.35)
-        .select("a_id", "b_id")
-    )
+    return D.embedding_neardup_pairs_lsh(emb, dim=64, threshold=0.35, n_planes=6)
 
 
 def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
