@@ -127,16 +127,30 @@ def main() -> None:
 
     # Prepare every plan once (lazy DataFrames — no data is cached; every
     # execution scans parquet through the full Catalyst-optimized plan).
-    plans = {name: QUERIES[name](spark, sf_dir) for name in sorted(QUERIES)}
+    # Per-query isolation: one broken plan must cost ONE entry, not the
+    # whole bench artifact (round-4 lesson — a single AnalysisException
+    # here zeroed BENCH_r04).
+    plans: dict = {}
+    errors: dict[str, str] = {}
+    for name in sorted(QUERIES):
+        try:
+            plans[name] = QUERIES[name](spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"plan: {type(e).__name__}: {str(e)[:300]}"
 
     def run(name: str) -> None:
         plans[name].write.format("noop").mode("overwrite").save()
 
     # Warmup pass: JVM JIT + whole-stage-codegen compile + shuffle service
     # init are one-time costs that would dominate at this tiny SF; report
-    # steady-state engine time like any JVM benchmark.
-    for name in plans:
-        run(name)
+    # steady-state engine time like any JVM benchmark. A query that fails
+    # at execution is demoted to the error list and dropped from timing.
+    for name in list(plans):
+        try:
+            run(name)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"exec: {type(e).__name__}: {str(e)[:300]}"
+            del plans[name]
 
     # Timed sequential passes, min per query (shared host; min-of-N is the
     # standard estimator for what the engine actually costs).
@@ -149,33 +163,39 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     # Gate metric: the 14 gate queries submitted concurrently, one stream
-    # each — covers the whole suite in one wave.
+    # each — covers the whole suite in one wave. Broken gate queries are
+    # excluded from the wave (and flagged in `errors`).
+    gate_ok = [q for q in GATE if q in plans]
     best_concurrent = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(len(GATE)) as ex:
-            list(ex.map(run, GATE))
-        dt = round(time.perf_counter() - t0, 4)
-        best_concurrent = dt if best_concurrent is None else min(best_concurrent, dt)
+    if gate_ok:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(len(gate_ok)) as ex:
+                list(ex.map(run, gate_ok))
+            dt = round(time.perf_counter() - t0, 4)
+            best_concurrent = dt if best_concurrent is None else min(best_concurrent, dt)
 
-    sequential_total = round(sum(timings[q] for q in GATE), 4)
+    sequential_total = round(sum(timings[q] for q in gate_ok), 4)
     out = {
         "metric": "q01-q14 suite wall-clock (14 concurrent streams, "
         "prepared plans; per-query timings measured sequentially)",
         "value": best_concurrent,
         "unit": "sec",
-        "queries": {q: timings[q] for q in GATE},
+        "queries": {q: timings[q] for q in gate_ok},
         "sequential_total": sequential_total,
         "ext": {q: t for q, t in timings.items() if q not in GATE},
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     # Ratio vs the DuckDB single-node baseline at the same SF, plus the
     # 10x (sf1) crossover point — both recorded in the artifact so scale
     # regressions are visible round over round. Failures here must never
     # sink the bench line itself.
     try:
         out["duckdb_sec"] = duckdb_gate_total(sf_dir)
-        out["ratio_vs_duckdb"] = round(best_concurrent / out["duckdb_sec"], 4)
+        if best_concurrent is not None:
+            out["ratio_vs_duckdb"] = round(best_concurrent / out["duckdb_sec"], 4)
     except Exception as e:  # noqa: BLE001
         out["duckdb_error"] = str(e)[:200]
     if sf == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):

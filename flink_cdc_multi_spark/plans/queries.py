@@ -44,10 +44,12 @@ def load_table(
 ) -> DataFrame:
     """Parquet scan; Catalyst handles column pruning + predicate pushdown.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark only
-    reads via ``spark.sql.legacy.parquet.nanosAsLong``; normalize it back to
-    a microsecond timestamp with integer division (DuckDB truncates ns→us
-    the same way), so both engines see identical values.
+    ``events.ts`` has been written by the driver as parquet TIMESTAMP(NANOS)
+    in some rounds (Spark reads it only via
+    ``spark.sql.legacy.parquet.nanosAsLong`` → bigint ns; DuckDB truncates
+    ns→us the same way) and as ``timestamp[us]`` (→ TIMESTAMP_NTZ) in others.
+    Normalize BOTH to one canonical TIMESTAMP (LTZ) so every downstream
+    query sees a single ts type contract regardless of fixture vintage.
 
     The loaded (and ts-normalized) DataFrame is memoized per session+path:
     ``spark.read.parquet`` does file listing + footer schema read on every
@@ -71,8 +73,16 @@ def load_table(
         cache.pop(key, None)
     if key not in cache:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                # TIMESTAMP(NANOS) parquet read via nanosAsLong: ns → us.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            elif ts_type == "timestamp_ntz":
+                # timestamp[us] parquet (isAdjustedToUTC=false) arrives as NTZ;
+                # under the pinned UTC session TZ the cast is value-preserving
+                # and gives every query one canonical TIMESTAMP (LTZ) type.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         cache[key] = df
     return cache[key]
 
