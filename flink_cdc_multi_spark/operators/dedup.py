@@ -31,11 +31,25 @@ def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str, keep: str = "min"
 ) -> DataFrame:
     """Keep one representative (min/max id) per distinct content. Returns the
-    full rows of the representatives."""
+    full rows of the representatives.
+
+    Shape: ``groupBy(digest).agg(min_by(struct(*), id))`` — a partial+final
+    aggregate reduction, NOT a row_number window. The partial agg collapses
+    hot digests map-side (each input partition forwards ONE candidate row
+    per digest), so a pathological key — billions of copies of the empty
+    document at 100 TB — costs each scan task O(1) state and the shuffle
+    carries one row per (partition, digest). A window would shuffle+sort
+    every copy of the hot digest into a single task. Pinned by
+    ``test_plan_quality.py::test_ext_dedup_exact_is_reduction_not_window``.
+    """
     digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
-    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    w = Window.partitionBy(digest).orderBy(order)
-    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+    pick = F.min_by if keep == "min" else F.max_by
+    rep = (
+        df.groupBy(digest.alias("__digest"))
+        .agg(pick(F.struct(*df.columns), F.col(id_col)).alias("__rep"))
+        .select("__rep.*")
+    )
+    return rep
 
 
 # ---------------------------------------------------------------------------

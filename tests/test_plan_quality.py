@@ -63,9 +63,13 @@ def test_ext_tokens_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
-def test_ext_dedup_exact_is_windowed_not_sorted_globally(spark):
+def test_ext_dedup_exact_is_reduction_not_window(spark):
+    # exact dedup must be a partial+final min_by reduction (map-side combine
+    # collapses hot digests), never a row_number window (a hot digest —
+    # billions of empty docs at 100 TB — would land on one task)
     plan = plan_of(spark, "ext_dedup_exact")
-    assert "Window" in plan  # row_number per digest partition
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
 
 
 def test_q06_q07_reduction_not_window(spark):
