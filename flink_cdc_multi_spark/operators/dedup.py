@@ -390,7 +390,11 @@ def cosine_sim(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector yields NULL (not an ANSI
+    # DIVIDE_BY_ZERO error), matching DuckDB's x/0 → NULL — the pair is
+    # dropped by any `>= threshold` filter in both engines, and the numpy
+    # LSH verify kernel drops the same pair via IEEE NaN-compare.
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_neardup_pairs_lsh(
@@ -429,7 +433,13 @@ def embedding_neardup_pairs_lsh(
         # floats at once
         for lo in range(0, len(ids), 4096):
             hi = min(lo + 4096, len(ids))
-            cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+            # Zero-norm semantics, pinned across all three paths: a pair
+            # involving a zero vector has cosine 0/0 → NaN here, NULL in
+            # DuckDB (x/0 → NULL) and in the Spark exact fold (try_divide)
+            # — dropped by `>= threshold` in every engine. numpy's IEEE
+            # NaN-compare (False) matches that for free.
             bi, bj = np.nonzero(cos >= threshold)
             bi += lo
             keep = bi < bj  # each unordered pair once, no self-pairs
@@ -495,7 +505,10 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+            # try_divide: zero-norm → NULL (not an ANSI DIVIDE_BY_ZERO
+            # error), matching DuckDB x/0 → NULL and the numpy kernel's
+            # NaN-drop — see cosine_sim
+            F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id")

@@ -67,7 +67,7 @@ def brute_force_topk(
     # norms precomputed per vector (same arithmetic as cosine_sim → same
     # bits); the per-pair work is one fold, not three
     scored = c.crossJoin(F.broadcast(q)).select(
-        "qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("cos")
+        "qid", "nid", F.try_divide(dot, F.col("qn") * F.col("cn")).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -270,7 +270,7 @@ def ivf_topk(
         lambda s, x: s + x,
     )
     scored = indexed.join(F.broadcast(q), "cell").select(
-        "qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("cos")
+        "qid", "nid", F.try_divide(dot, F.col("qn") * F.col("cn")).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (

@@ -264,6 +264,32 @@ def test_embedding_lsh_neardup_recall(spark):
     assert len(lsh & planted) >= 4  # near-identical vectors share buckets
 
 
+def test_embedding_zero_norm_dropped_consistently(spark):
+    # Zero-norm semantics pinned across paths: cosine with a zero vector is
+    # 0/0 — NULL in the exact Spark fold (try_divide; a plain `/` would be
+    # an ANSI DIVIDE_BY_ZERO *error*), NULL in DuckDB (x/0 → NULL), NaN in
+    # the numpy LSH kernel. All three drop the pair at `>= threshold`;
+    # none may crash.
+    rows = [
+        (1, [0.0] * 4),
+        (2, [0.0] * 4),  # two zero vectors: 0/0 cosine
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.01, 0.0, 0.0]),  # genuine near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in D.embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert exact == {(3, 4)}  # zero-norm pair dropped, no ANSI crash
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in D.embedding_neardup_pairs_lsh(df, dim=4, threshold=0.95, n_planes=4).collect()
+    }
+    assert (1, 2) not in lsh
+    assert lsh <= exact
+
+
 def test_quadratic_pair_guard_fires(spark):
     """Unscoped input above max_rows is refused — the exact pair operators
     must not be usable as accidental all-pairs scale paths."""
