@@ -278,3 +278,100 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid")
     )
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC, engine-portable coarse quantizer.
+
+    ``centroids`` is a tiny DataFrame (``id_col``, ``vec_col``) — e.g. a
+    fixed id-range slice of the corpus, or centers exported from a separate
+    training job. It is collected driver-side (control-plane: n_clusters
+    rows, like the routing manifest) and embedded as a literal array, so:
+
+    - cell assignment is a PER-ROW expression over the literal centroids —
+      the corpus never shuffles for indexing (same property as
+      KMeansModel.transform in ivf_topk, without the engine-local model);
+    - cell choice and probe order use integer-quantized (floor(x·1e6))
+      squared-L2 distance — exact int64 arithmetic, bit-identical in
+      Spark, numpy, and DuckDB, which is what lets ext_ann_ivf carry a
+      value-hash oracle instead of a rows-only check (the same LSH_QUANT
+      trick as hyperplane_signature);
+    - final scoring is the cosine fold brute_force_topk already
+      hash-matches with.
+
+    Output: (qid, rank, nid) like brute_force_topk.
+    """
+    import math
+
+    arr = F.col(vec_col).cast("array<double>")
+    cent_rows = centroids.select(
+        F.col(id_col).cast("long").alias("cid"), arr.alias("cv")
+    ).collect()
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(
+                    *[
+                        F.lit(int(math.floor(x * LSH_QUANT))).cast("long")
+                        for x in r["cv"]
+                    ]
+                ).alias("cq"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def with_cells(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        # quantize once per row (materialized column — never inline a
+        # subexpression that a HOF lambda would re-evaluate per element)
+        vq = F.transform(arr, lambda x: F.floor(x * LSH_QUANT).cast("long"))
+        d2 = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("__vq"), c["cq"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias), arr.alias(vec_alias), vq.alias("__vq")
+            )
+            .withColumn(
+                "__cells",
+                F.transform(
+                    cent_lit, lambda c: F.struct(d2(c).alias("d2"), c["cid"].alias("cid"))
+                ),
+            )
+        )
+
+    # corpus: argmin cell per row — array_min on (d2, cid) structs, exact
+    # integer lexicographic order, no shuffle
+    c = with_cells(corpus, "nid", "cv").select(
+        "nid", "cv", F.array_min("__cells").getField("cid").alias("cell")
+    )
+    # queries: n_probe nearest cells, exploded (query set is small by
+    # contract — it gets broadcast into the candidate join)
+    q = with_cells(queries, "qid", "qv").select(
+        "qid",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort("__cells"), 1, n_probe), lambda s: s["cid"]
+            )
+        ).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q), "cell")
+    scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )

@@ -142,12 +142,15 @@ def ext_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (kmeans-cell) approximate top-3 (rows-only check; kmeans is
-    engine-local). Same output shape as ext_ann_topk."""
+    """IVF approximate top-3 with a deterministic, engine-portable coarse
+    quantizer (centroids = corpus vectors 20..35; integer-quantized L2 for
+    cell/probe choice) — oracle-checked, unlike the kmeans ivf_topk whose
+    model is engine-local. Same output shape as ext_ann_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
-    return S.ivf_topk(corpus, queries, k=3, n_clusters=16, n_probe=4)
+    centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+    return S.ivf_topk_fixed(corpus, queries, centroids, k=3, n_probe=4)
 
 
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,6 +563,43 @@ EXT_ORACLE_SQL = {
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
         ORDER BY a_id, b_id
+    """,
+    "ext_ann_ivf": """
+        WITH comp AS (
+          SELECT vec_id, t.i, CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
+          FROM embeddings, range(64) t(i)
+        ), cent AS (
+          SELECT vec_id AS cid, i, q FROM comp WHERE vec_id BETWEEN 20 AND 35
+        ), d2c AS (
+          SELECT c.vec_id, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+          FROM comp c JOIN cent ct USING (i)
+          WHERE c.vec_id >= 20 GROUP BY c.vec_id, ct.cid
+        ), cells AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d2c) WHERE rn = 1
+        ), d2c_q AS (
+          SELECT c.vec_id, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+          FROM comp c JOIN cent ct USING (i)
+          WHERE c.vec_id < 20 GROUP BY c.vec_id, ct.cid
+        ), probes AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d2c_q) WHERE rn <= 4
+        ), e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
+        ), cand AS (
+          SELECT p.qid, ce.vec_id AS nid
+          FROM probes p JOIN cells ce ON ce.cid = p.cid
+        ), scored AS (
+          SELECT cand.qid, cand.nid,
+                 ROW_NUMBER() OVER (PARTITION BY cand.qid
+                   ORDER BY list_cosine_similarity(qq.emb, cc.emb) DESC, cand.nid) AS rank
+          FROM cand JOIN e qq ON qq.vec_id = cand.qid JOIN e cc ON cc.vec_id = cand.nid
+        )
+        SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
     "ext_ann_lsh": """
         WITH sgn AS (
