@@ -309,64 +309,54 @@ def ivf_topk_fixed(
 
     Output: (qid, rank, nid) like brute_force_topk.
     """
-    import math
-
     arr = F.col(vec_col).cast("array<double>")
-    cent_rows = centroids.select(
-        F.col(id_col).cast("long").alias("cid"), arr.alias("cv")
-    ).collect()
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cid"])).cast("long").alias("cid"),
-                F.array(
-                    *[
-                        F.lit(int(math.floor(x * LSH_QUANT))).cast("long")
-                        for x in r["cv"]
-                    ]
-                ).alias("cq"),
-            )
-            for r in cent_rows
-        ]
+    cent_rows = sorted(
+        centroids.select(F.col(id_col).cast("long").alias("cid"), arr.alias("cv")).collect(),
+        key=lambda r: r["cid"],
+    )
+    # quantized int64 centroid matrix, cid-ascending — closure-captured by
+    # the kernels below (n_clusters × dim longs; tiny, no broadcast needed)
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.stack(
+        [np.floor(np.asarray(r["cv"], dtype=np.float64) * LSH_QUANT).astype(np.int64)
+         for r in cent_rows]
     )
 
-    def with_cells(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        # quantize once per row (materialized column — never inline a
-        # subexpression that a HOF lambda would re-evaluate per element)
-        vq = F.transform(arr, lambda x: F.floor(x * LSH_QUANT).cast("long"))
-        d2 = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("__vq"), c["cq"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda s, v: s + v,
-        )
-        return (
-            df.select(
-                F.col(id_col).alias(id_alias), arr.alias(vec_alias), vq.alias("__vq")
-            )
-            .withColumn(
-                "__cells",
-                F.transform(
-                    cent_lit, lambda c: F.struct(d2(c).alias("d2"), c["cid"].alias("cid"))
-                ),
-            )
-        )
+    def _d2(vs: pd.Series) -> np.ndarray:
+        # exact int64 squared-L2 to every centroid: floor(x·1e6) is the
+        # same int64 in numpy, Spark SQL, and DuckDB (identical IEEE
+        # multiply then floor — the LSH_QUANT contract), so cell choice and
+        # probe order are bit-identical across engines. One vectorized op
+        # per Arrow batch — never an interpreted per-row HOF fold
+        # (PERF.md lesson).
+        mat = np.stack(vs.to_numpy())
+        q = np.floor(mat * LSH_QUANT).astype(np.int64)
+        d = q[:, None, :] - C[None, :, :]
+        return (d * d).sum(axis=2)
 
-    # corpus: argmin cell per row — array_min on (d2, cid) structs, exact
-    # integer lexicographic order, no shuffle
-    c = with_cells(corpus, "nid", "cv").select(
-        "nid", "cv", F.array_min("__cells").getField("cid").alias("cell")
-    )
+    @F.pandas_udf(T.LongType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        d2 = _d2(vs)
+        # argmin takes the FIRST min; C is cid-ascending, so ties break to
+        # the lower cid — same order as the oracle's (d2, cid) sort
+        return pd.Series(cids[np.argmin(d2, axis=1)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probes_of(vs: pd.Series) -> pd.Series:
+        d2 = _d2(vs)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([cids[row].tolist() for row in order])
+
+    # corpus: cell assignment is row-local (one Arrow-batched kernel) — the
+    # corpus never shuffles for indexing
+    c = corpus.select(
+        F.col(id_col).alias("nid"), arr.alias("cv")
+    ).withColumn("cell", cell_of(F.col("cv")))
     # queries: n_probe nearest cells, exploded (query set is small by
     # contract — it gets broadcast into the candidate join)
-    q = with_cells(queries, "qid", "qv").select(
-        "qid",
-        "qv",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort("__cells"), 1, n_probe), lambda s: s["cid"]
-            )
-        ).alias("cell"),
-    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), arr.alias("qv")
+    ).select("qid", "qv", F.explode(probes_of(F.col("qv"))).alias("cell"))
     cand = c.join(F.broadcast(q), "cell")
     scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
