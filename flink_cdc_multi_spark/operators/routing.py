@@ -75,6 +75,10 @@ def project_table(
         cols = [F.col(f.name) for f in spec.payload_schema.fields]
         return rows.select(*cols)
     keep_meta = keep_meta_cols(registry.source.name)
+    # transport coordinates (Kafka topic/partition/offset) ride the
+    # envelope into the sink when present — a second monotone resume key
+    # alongside the source-native offsets (sources/kafka.py)
+    keep_meta += [c for c in envelope.columns if c.startswith("_kafka_")]
     if registry.source.name == "mongodb":
         # mode-aware projection: $-unwrap + drift contract (sources/mongo.py)
         from flink_cdc_multi_spark.sources.mongo import project_mongo_payload

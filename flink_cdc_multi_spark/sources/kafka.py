@@ -60,3 +60,48 @@ def read_kafka_stream(
             "use the file feed (sources/debezium_json.read_raw_stream)"
         ) from exc
     return kafka_values_to_envelope(raw, source_type)
+
+
+# Kafka's fixed source schema (Structured Streaming Kafka integration docs):
+# every consumer-side transform in this repo is written against this shape.
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+# JSON wire shape for the file-backed stand-in (binary carried as strings)
+_STANDIN_JSON_SCHEMA = (
+    "key string, value string, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def read_kafka_stream_standin(
+    spark: SparkSession,
+    path: str,
+    source_type: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Container-limit fallback for ``read_kafka_stream``: a directory of
+    JSON-lines files where each record carries Kafka's consumer fields
+    (topic/partition/offset/key/value/timestamp). The stream is cast to the
+    EXACT schema ``readStream.format("kafka")`` produces
+    (KAFKA_RECORD_SCHEMA), then decoded by the same
+    ``kafka_values_to_envelope`` transform — so everything downstream of
+    ``.load()`` (decode, routing, offset store, resume) runs the production
+    Kafka code path. The only thing not exercised is the broker socket
+    itself (the integration jar is absent in this container; see
+    tests/test_kafka_pipeline_e2e.py which pins schema equivalence)."""
+    reader = spark.readStream.schema(_STANDIN_JSON_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(path).select(
+        F.col("key").cast("binary"),
+        F.col("value").cast("binary"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        "timestampType",
+    )
+    return kafka_values_to_envelope(raw, source_type)

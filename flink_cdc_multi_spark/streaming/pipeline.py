@@ -689,10 +689,18 @@ class CDCPipeline:
     def start(
         self,
         spark: SparkSession,
-        input_path: str,
+        input_path: str | None,
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
+        input_stream: DataFrame | None = None,
     ):
+        """Start the streaming query. The default source is the file feed
+        (``read_raw_stream`` on ``input_path``); pass ``input_stream`` to
+        feed an ALREADY-DECODED envelope stream instead — the Kafka leg
+        (``sources/kafka.read_kafka_stream`` or its file-backed stand-in)
+        plugs in here, and everything downstream (resume filter, startup
+        modes, foreachBatch, offset/status stores, stop control) is shared
+        verbatim between transports."""
         cfg = self.config
         # self-heal any compaction swap a previous process crashed inside:
         # without this, streaming appends recreate the live dir with only
@@ -758,13 +766,16 @@ class CDCPipeline:
             and not cfg.scan_newly_added_tables
         ):
             payload_schema = data_specs[0].payload_schema
-        stream = read_raw_stream(
-            spark,
-            input_path,
-            cfg.source_type,
-            max_files_per_trigger,
-            payload_schema=payload_schema,
-        )
+        if input_stream is not None:
+            stream = input_stream
+        else:
+            stream = read_raw_stream(
+                spark,
+                input_path,
+                cfg.source_type,
+                max_files_per_trigger,
+                payload_schema=payload_schema,
+            )
         if offset:
             stream = resume_filter(stream, cfg.source_type, offset)
         elif cfg.startup_mode == "timestamp" and cfg.datetime_offset:

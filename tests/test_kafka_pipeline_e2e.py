@@ -1,0 +1,176 @@
+"""Kafka-leg end-to-end: the full CDC pipeline driven through the Kafka
+consumer code path (kafka_values_to_envelope → CDCPipeline.process_batch →
+per-table parquet + offset file + resume).
+
+The spark-sql-kafka-0-10 integration jar is absent in this container, so
+the broker socket is emulated by ``read_kafka_stream_standin`` — a
+JSON-lines directory cast to the EXACT schema ``readStream.format("kafka")``
+produces (key/value binary, topic, partition, offset, timestamp,
+timestampType). Everything downstream of ``.load()`` — the value-decode
+transform, envelope, routing, offset store, resume filter, stop control —
+is the production Kafka path, shared verbatim via
+``CDCPipeline.start(input_stream=...)``.
+
+Reference deployment shape: the in-process CDC client
+(java/streamers/MySQLStreamer.java:215-311) plays the role Kafka Connect +
+this consumer play here.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conftest import make_mysql_row
+
+from flink_cdc_multi_spark.catalog import TableRegistry
+from flink_cdc_multi_spark.config import JobConfig
+from flink_cdc_multi_spark.sources.kafka import (
+    KAFKA_RECORD_SCHEMA,
+    read_kafka_stream_standin,
+)
+from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline
+
+USERS = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def _pipeline(tmp_path, **cfg_overrides):
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "k1",
+            "source.type": "mysql",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+            **cfg_overrides,
+        }
+    )
+    reg = TableRegistry.build(
+        "mysql",
+        {("testdb", "users"): USERS},
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+    )
+    return CDCPipeline(cfg, reg)
+
+
+def _kafka_feed(tmp_path, name, records):
+    """Write Kafka consumer records as a JSON-lines file (the stand-in
+    broker log). ``records`` = [(value_str, partition, offset), ...]."""
+    feed = tmp_path / "kafka"
+    feed.mkdir(exist_ok=True)
+    lines = [
+        json.dumps(
+            {
+                "key": None,
+                "value": value,
+                "topic": "cdc.testdb",
+                "partition": partition,
+                "offset": offset,
+                "timestamp": "2024-01-01T00:00:00.000Z",
+                "timestampType": 0,
+            }
+        )
+        for value, partition, offset in records
+    ]
+    (feed / name).write_text("\n".join(lines) + "\n")
+    return str(feed)
+
+
+def test_standin_schema_matches_kafka_contract(spark):
+    """The stand-in must produce exactly the schema the real Kafka source
+    produces — this is what makes the rest of the test a faithful drive of
+    the production consumer path."""
+    df = spark.createDataFrame([], KAFKA_RECORD_SCHEMA)
+    expected = dict(df.dtypes)
+    standin = (
+        spark.read.schema(
+            "key string, value string, topic string, partition int, "
+            "offset long, timestamp timestamp, timestampType int"
+        )
+        .json(spark.sparkContext.emptyRDD())
+        .select(
+            F.col("key").cast("binary"),
+            F.col("value").cast("binary"),
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            "timestampType",
+        )
+    )
+    assert dict(standin.dtypes) == expected
+
+
+def test_kafka_pipeline_end_to_end_with_resume(spark, tmp_path):
+    rows1 = [
+        (make_mysql_row(op="r", after={"id": 1, "v": "a"}, snapshot="true", pos=1), 0, 100),
+        (make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=50, ts_ms=1700000001000), 0, 101),
+        (
+            make_mysql_row(
+                op="u", before={"id": 2, "v": "b"}, after={"id": 2, "v": "c"},
+                pos=60, ts_ms=1700000002000,
+            ),
+            0,
+            102,
+        ),
+    ]
+    pipe = _pipeline(tmp_path)
+    feed = _kafka_feed(tmp_path, "seg0.json", rows1)
+    stream = read_kafka_stream_standin(spark, feed, "mysql")
+    query = pipe.start(spark, None, str(tmp_path / "ckpt1"), input_stream=stream)
+    query.processAllAvailable()
+    query.stop()
+
+    users = spark.read.parquet(str(tmp_path / "sink" / "k1_testdb__users"))
+    got = users.orderBy("_binlog_pos_internal").collect()
+    assert [r["_op"] for r in got] == ["READ", "INSERT", "UPDATE"]
+    # the Kafka coordinates ride the envelope into the sink — a second
+    # monotone resume key alongside the binlog offsets
+    assert [r["_kafka_offset"] for r in got] == [100, 101, 102]
+    assert {r["_kafka_topic"] for r in got} == {"cdc.testdb"}
+    # source-native offset store advanced past the non-READ max
+    assert pipe.offset_store.read() == "mysql-bin.000001,60"
+
+    # --- the broker retains seg0; a new segment arrives with new events.
+    # A fresh consumer resumes from the offset FILE (source-native) and
+    # replays the whole retained log: strictly-below-offset rows must be
+    # dropped by resume_filter, the record AT the offset is re-emitted
+    # (at-least-once — the stored offset is the start of the last
+    # transaction, reference README.md:212-218), new rows are applied.
+    rows2 = [
+        (
+            make_mysql_row(op="d", before={"id": 1, "v": "a"}, after=None,
+                           pos=70, ts_ms=1700000003000),
+            0,
+            103,
+        ),
+        (make_mysql_row(op="c", after={"id": 3, "v": "z"}, pos=80, ts_ms=1700000004000), 0, 104),
+    ]
+    feed2 = _kafka_feed(tmp_path, "seg1.json", rows2)  # same dir as seg0
+    assert feed2 == feed
+    pipe2 = _pipeline(tmp_path)
+    stream2 = read_kafka_stream_standin(spark, feed2, "mysql")
+    query2 = pipe2.start(spark, None, str(tmp_path / "ckpt2"), input_stream=stream2)
+    query2.processAllAvailable()
+    query2.stop()
+
+    users2 = spark.read.parquet(str(tmp_path / "sink" / "k1_testdb__users"))
+    # 3 rows from run 1 + the at-offset re-emit (pos=60) + the 2 new events;
+    # pos 1 and 50 were dropped by resume_filter
+    assert users2.count() == 6
+    assert users2.filter(F.col("_binlog_pos_internal") < 60).count() == 2
+    assert users2.filter(F.col("_binlog_pos_internal") == 60).count() == 2
+    # the duplicate collapses in the latest-image materialization — the
+    # at-least-once + idempotent-reduction contract
+    latest = {
+        r["id"]: r["_op"]
+        for r in users2.groupBy("id")
+        .agg(F.max_by("_op", "_binlog_pos_internal").alias("_op"))
+        .collect()
+    }
+    assert latest == {1: "DELETE", 2: "UPDATE", 3: "INSERT"}
+    assert pipe2.offset_store.read() == "mysql-bin.000001,80"
