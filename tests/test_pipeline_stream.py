@@ -668,3 +668,93 @@ def test_onepass_no_empty_dir_for_inactive_table(spark, tmp_path):
     assert not (tmp_path / "sink" / "s1_testdb__orders").exists()
     # the users table stays readable
     assert spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users")).count() == 1
+
+
+def test_replay_convergence_property(spark, tmp_path):
+    """At-least-once contract e2e (reference README.md:212-218): feeding the
+    SAME event log twice with different file splits / listing orders / batch
+    boundaries must converge — latest-image materialized state, SCD2
+    history, and the offset file are all identical, because every reduction
+    downstream of the feed is order-insensitive (max_by over the monotone
+    offset; the offset store enforces monotone writes)."""
+    import random
+
+    events = [
+        make_mysql_row(op="r", after={"id": 1, "v": "s1"}, snapshot="true", pos=1),
+        make_mysql_row(op="r", after={"id": 2, "v": "s2"}, snapshot="true", pos=1),
+        make_mysql_row(op="c", after={"id": 3, "v": "a"}, pos=100, ts_ms=1700000001000),
+        make_mysql_row(op="u", before={"id": 3, "v": "a"}, after={"id": 3, "v": "b"},
+                       pos=110, ts_ms=1700000002000),
+        make_mysql_row(op="c", after={"id": 4, "v": "x"}, pos=120, ts_ms=1700000003000),
+        make_mysql_row(op="d", before={"id": 1, "v": "s1"}, after=None,
+                       pos=130, ts_ms=1700000004000),
+        make_mysql_row(op="u", before={"id": 4, "v": "x"}, after={"id": 4, "v": "y"},
+                       pos=140, ts_ms=1700000005000),
+        make_mysql_row(op="u", before={"id": 4, "v": "y"}, after={"id": 4, "v": "z"},
+                       pos=150, ts_ms=1700000006000),
+        make_mysql_row(op="d", before={"id": 2, "v": "s2"}, after=None,
+                       pos=160, ts_ms=1700000007000),
+    ]
+
+    def run(run_id: str, lines: list[str], n_files: int, seed: int):
+        """One pipeline run over `lines` split into n_files shuffled files,
+        one file per micro-batch (maxFilesPerTrigger=1) so batch boundaries
+        differ run to run."""
+        rng = random.Random(seed)
+        shuffled = lines[:]
+        rng.shuffle(shuffled)
+        base = tmp_path / run_id
+        feed = base / "feed"
+        feed.mkdir(parents=True)
+        for i in range(n_files):
+            chunk = shuffled[i::n_files]
+            if chunk:
+                (feed / f"f{rng.random():.6f}.json").write_text("\n".join(chunk) + "\n")
+        cfg_dir = base
+        pipe = _pipeline(cfg_dir)
+        query = pipe.start(spark, str(feed), str(base / "ckpt"), max_files_per_trigger=1)
+        query.processAllAvailable()
+        query.stop()
+        users = spark.read.parquet(str(base / "sink" / "s1_testdb__users"))
+        latest = sorted(
+            (r["id"], r["_op"], r["v"])
+            for r in users.groupBy("id")
+            .agg(
+                F.max_by("_op", "_binlog_pos_internal").alias("_op"),
+                F.max_by("v", "_binlog_pos_internal").alias("v"),
+            )
+            .collect()
+        )
+        # SCD2 history over the written log: version bounds from the
+        # monotone binlog position (same shape as ext_cdc_scd2)
+        w = Window.partitionBy("id").orderBy("_binlog_pos_internal")
+        nxt = F.lead("_binlog_pos_internal", 1).over(w)
+        scd2 = sorted(
+            tuple(r)
+            for r in users.dropDuplicates(["id", "_binlog_pos_internal"])
+            .select(
+                "id",
+                F.col("_binlog_pos_internal").alias("valid_from"),
+                nxt.alias("valid_to"),
+                "_op",
+                "v",
+            )
+            .collect()
+        )
+        return latest, scd2, pipe.offset_store.read()
+
+    from pyspark.sql import Window
+
+    results = [
+        run("r1", events, n_files=1, seed=7),
+        run("r2", events, n_files=3, seed=11),
+        run("r3", events, n_files=5, seed=13),
+    ]
+    latest0, scd20, offset0 = results[0]
+    assert offset0 == "mysql-bin.000001,160"
+    # deletes carry the BEFORE image (envelope image pick)
+    assert (1, "DELETE", "s1") in latest0 and (4, "UPDATE", "z") in latest0
+    for latest, scd2, offset in results[1:]:
+        assert latest == latest0
+        assert scd2 == scd20
+        assert offset == offset0
