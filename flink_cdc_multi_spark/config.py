@@ -57,8 +57,12 @@ class JobConfig:
     # tables (and no name maps / snapshot-only / debug), the per-batch
     # control-plane aggregation rides the data write job as observed
     # metrics — one Spark job per micro-batch instead of two-plus-cache.
-    # 0 disables the fast path.
-    onepass_max_tables: int = 4
+    # 0 disables the fast path. Default from the r5 controlled sweep
+    # (PERF.md: one session, modes alternated, min-of-3, sf0.1 feed):
+    # one-pass beat the general path at EVERY measured table count
+    # (2/4/8/16, by 13/10/14/4%), so the bound sits at the edge of
+    # measurement rather than an unmeasured guess.
+    onepass_max_tables: int = 16
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod

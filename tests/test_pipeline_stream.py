@@ -356,7 +356,7 @@ def test_onepass_eligibility_gates(tmp_path):
         _pipeline(tmp_path, **{"streaming.onepass.max.tables": 0})._onepass_eligible()
         is False
     )
-    many = {("testdb", f"t{i}"): USERS for i in range(5)}
+    many = {("testdb", f"t{i}"): USERS for i in range(17)}
     assert _pipeline(tmp_path, tables=many)._onepass_eligible() is False
     mapped = _pipeline(tmp_path)
     mapped.registry.table_name_map["testdb.users"] = "users_v2"

@@ -3,9 +3,12 @@ convert the sf events table into a Debezium-JSON feed, stream it through
 the full CDC pipeline (decode → route → per-table parquet + offset +
 status), and report rows/sec + per-trigger commit behavior.
 
-Usage: python tools/bench_streaming.py [sf_dir] [n_files] [n_tables]
+Usage: python tools/bench_streaming.py [sf_dir] [n_files] [n_tables] [onepass_max]
 Prints one JSON line. n_tables > 1 shards events across that many tables
 (round-robin on event_id) to exercise the multi-table write path.
+onepass_max overrides streaming.onepass.max.tables (0 forces the general
+path, a large value forces one-pass) — used by the crossover sweep in
+PERF.md.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_tables = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    onepass_max = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     work = tempfile.mkdtemp(prefix="cdc_stream_bench_")
     feed = os.path.join(work, "feed")
@@ -92,6 +96,7 @@ def main() -> None:
             # analogue: continuous processing; checkpoints don't throttle).
             # maxFilesPerTrigger=1 still forces n_files separate commits.
             "checkpoint.interval": 0,
+            "streaming.onepass.max.tables": onepass_max,
         }
     )
     # Best-of-2 (same policy as bench.py): one-shot streaming runs carry
@@ -137,6 +142,7 @@ def main() -> None:
             "wall_sec": round(wall, 2),
             "batches": pipe.batches_processed,
             "n_tables": n_tables,
+            "onepass": pipe._onepass_eligible(),
             "stage_seconds": {k: round(v, 3) for k, v in pipe.stage_seconds.items()},
             "engine_ms": engine_ms,
             "final_offset": offset,
