@@ -513,3 +513,36 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id")
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram shingle with a probe set (eval benchmarks, held-out suites) —
+    the standard pre-training hygiene pass. Output one row per
+    contaminated doc: (doc_id, n_shared distinct shingles, n_sh total
+    distinct shingles in the doc).
+
+    Scale (100 TB corpus vs a benchmark suite of ~1e4-1e6 shingles): the
+    probe shingle SET is deduplicated and BROADCAST, so the corpus side
+    streams map-side through the semi-join — its only shuffle is the
+    per-doc count aggregation (partial agg; one candidate per
+    (partition, doc)). The corpus is never all-pairs'd against the probes
+    and never re-shuffled on the shingle. Shingling reuses the
+    posexplode+lead shape (tokenize once — see shingle_exploded's perf
+    note)."""
+    c = shingle_exploded(corpus, id_col, text_col, n)
+    p = shingle_exploded(probes, id_col, text_col, n).select("shingle").distinct()
+    return (
+        c.join(F.broadcast(p), "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.max("n_sh").alias("n_sh"),
+        )
+    )

@@ -104,3 +104,29 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
+
+
+def vocab_topk(df, text_col: str = "text", k: int = 30, min_df: int = 2):
+    """Top-k vocabulary by DOCUMENT frequency (the first step of any
+    vocab/BPE build over a corpus): distinct tokens per document, counted
+    across documents, highest-df first with the token as the total-order
+    tie-break.
+
+    Scale: explode(distinct tokens) → partial+final count per token (the
+    shuffle carries one (token, partial_count) per map partition, not one
+    row per occurrence) → orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k heap + driver merge of k rows — no global sort at
+    any scale). Empty documents are filtered on both engines (DuckDB's
+    split('') yields [''] where Spark's guarded tokens() yields [])."""
+    from pyspark.sql import functions as F
+
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -433,6 +433,33 @@ def ext_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 vocabulary by document frequency over non-empty docs (vocab /
+    BPE-prep first pass). TakeOrderedAndProject top-k — no global sort; the
+    (doc_freq DESC, token ASC) order is total, so the top-k SET is
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_topk(docs, "text", k=30, min_df=2).select(
+        "token", F.col("doc_freq").cast("bigint").alias("doc_freq")
+    )
+
+
+def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id >= 5) sharing any
+    3-gram shingle with the probe set (doc_id < 5) — the pre-training
+    hygiene pass (real suites use longer n-grams; the synthetic vocab is
+    small enough that trigrams give a meaningful overlap set). Probe
+    shingles broadcast; corpus never shuffles on the shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return D.contamination_report(corpus, probes, "doc_id", "text", n=3).select(
+        "doc_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_sh").cast("bigint").alias("n_sh"),
+    )
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_fingerprint": ext_dedup_fingerprint,
@@ -458,10 +485,47 @@ EXT_QUERIES = {
     "ext_cdc_scd2": ext_cdc_scd2,
     "ext_asof_join": ext_asof_join,
     "ext_sample_stratified": ext_sample_stratified,
+    "ext_text_vocab": ext_text_vocab,
+    "ext_contamination": ext_contamination,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
 EXT_ORACLE_SQL = {
+    "ext_text_vocab": r"""
+        WITH t AS (
+          SELECT list_distinct(regexp_split_to_array(trim(text), '\s+')) toks
+          FROM documents WHERE trim(text) <> ''
+        ), e AS (
+          SELECT unnest(toks) AS token FROM t
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM e GROUP BY token
+        HAVING COUNT(*) >= 2
+        ORDER BY doc_freq DESC, token LIMIT 30
+    """,
+    "ext_contamination": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), e AS (
+          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+        ), probe AS (
+          SELECT DISTINCT shingle FROM e WHERE doc_id < 5
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(any_value(c.n_sh) AS BIGINT) AS n_sh
+        FROM e c JOIN probe p USING (shingle)
+        WHERE c.doc_id >= 5
+        GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
     "ext_dedup_exact": """
         SELECT doc_id FROM (
           SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn

@@ -463,3 +463,45 @@ def test_parse_image_header_jpeg_stops_at_eoi():
     trailing = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 9999, 9999, 3) + b"\x00" * 9
     frag = b"\xff\xd8\xff\xd9" + trailing
     assert M.parse_image_header(frag) == ("jpeg", None, None)
+
+
+def test_vocab_topk_df_and_order(spark):
+    import flink_cdc_multi_spark.operators.text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),   # distinct per doc: alpha beta gamma
+            (2, "alpha beta"),
+            (3, "alpha delta"),
+            (4, ""),                        # empty doc contributes nothing
+            (5, "   "),                     # whitespace-only too
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r["token"], r["doc_freq"]) for r in X.vocab_topk(docs, "text", k=2, min_df=2).collect()]
+    # document frequency, not term frequency (beta counted once for doc 1);
+    # tie between beta(2) and nothing else — alpha(3) first, beta(2) second
+    assert got == [("alpha", 3), ("beta", 2)]
+
+
+def test_contamination_report_flags_overlap(spark):
+    probes = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "lazy dogs avoid the quick brown fox always"),  # shares 3-grams
+            (11, "completely unrelated text with nothing shared"),
+            (12, "the quick brown fox jumps"),                    # exact dup of probe
+        ],
+        "doc_id long, text string",
+    )
+    import flink_cdc_multi_spark.operators.dedup as D
+
+    got = {
+        r["doc_id"]: (r["n_shared"], r["n_sh"])
+        for r in D.contamination_report(corpus, probes, n=3).collect()
+    }
+    assert set(got) == {10, 12}
+    assert got[12] == (3, 3)  # all 3 trigrams of the dup are probe trigrams
+    assert got[10][0] == 2    # "the quick brown", "quick brown fox"
