@@ -159,3 +159,18 @@ def test_q18_tiny_dims_broadcast_only(spark):
     assert src.count("F.broadcast") == 2
     plan = plan_of(spark, "q18")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ext_contamination_broadcast_probe_no_corpus_shuffle(spark):
+    # probe shingle set must broadcast; the corpus side must not exchange
+    # on the shingle (its only exchange is the per-doc count agg + the
+    # shingle window)
+    plan = plan_of(spark, "ext_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ext_text_vocab_topk_no_global_sort(spark):
+    plan = plan_of(spark, "ext_text_vocab")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final token count
