@@ -80,10 +80,12 @@ def shingles(text_col, n: int = 3):
     return _shingles_of(tokens(text_col), n)
 
 
-def shingle_exploded(
+def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, n_sh, shingle) rows — distinct n-gram shingles per doc.
+    """(id, shingle) rows — every positional n-gram shingle per doc,
+    DUPLICATES KEPT (the multiset form; distinct is layered on by
+    shingle_exploded).
 
     Built with posexplode + window lead instead of the array-lambda form:
     Catalyst's CollapseProject re-inlines the tokenizer into a transform()
@@ -111,8 +113,37 @@ def shingle_exploded(
         ((F.col("cnt") >= n) & F.col("last_lead").isNotNull())
         | ((F.col("cnt") < n) & (F.col("pos") == 0))
     )
-    ded = kept.select("id", "shingle").distinct()
+    return kept.select("id", "shingle")
+
+
+def shingle_exploded(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, n_sh, shingle) rows — DISTINCT n-gram shingles per doc, with
+    the per-doc distinct count alongside. See shingle_rows for the
+    tokenize-once perf rationale."""
+    ded = shingle_rows(df, id_col, text_col, n).distinct()
     return ded.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): total vs
+    distinct n-gram shingles per doc. A doc whose n_distinct is far below
+    n_shingles is template/boilerplate-heavy and a common pre-training
+    drop. Output (doc_id, n_shingles, n_distinct) — exact integers, the
+    ratio is left to the consumer (oracle-parity rule: never emit rounded
+    doubles).
+
+    Scale: one partial-aggregated groupBy per doc (count + count_distinct
+    expand to Catalyst's standard two-level aggregate); no joins, no
+    windows beyond the shingle builder's per-doc lead()."""
+    rows = shingle_rows(df, id_col, text_col, n)
+    return rows.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_shingles"),
+        F.count_distinct("shingle").alias("n_distinct"),
+    )
 
 
 class QuadraticScopeError(ValueError):

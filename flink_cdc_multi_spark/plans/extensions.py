@@ -460,6 +460,17 @@ def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition signal: total vs distinct 3-gram shingles per
+    document (integer pair; heavy repeaters are pre-training drops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.repetition_stats(docs, "doc_id", "text", n=3).select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_fingerprint": ext_dedup_fingerprint,
@@ -487,10 +498,28 @@ EXT_QUERIES = {
     "ext_sample_stratified": ext_sample_stratified,
     "ext_text_vocab": ext_text_vocab,
     "ext_contamination": ext_contamination,
+    "ext_text_repetition": ext_text_repetition,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
 EXT_ORACLE_SQL = {
+    "ext_text_repetition": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 END sh
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(sh) AS BIGINT) AS n_shingles,
+               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+        FROM s ORDER BY doc_id
+    """,
     "ext_text_vocab": r"""
         WITH t AS (
           SELECT list_distinct(regexp_split_to_array(trim(text), '\s+')) toks

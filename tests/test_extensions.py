@@ -505,3 +505,19 @@ def test_contamination_report_flags_overlap(spark):
     assert set(got) == {10, 12}
     assert got[12] == (3, 3)  # all 3 trigrams of the dup are probe trigrams
     assert got[10][0] == 2    # "the quick brown", "quick brown fox"
+
+
+def test_repetition_stats_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct (heavy repeat)
+            (2, "a b c d e"),            # 3 trigrams, all distinct
+            (3, "a b"),                  # short doc: 1 whole-text shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_distinct"])
+        for r in D.repetition_stats(df, n=3).collect()
+    }
+    assert got == {1: (7, 3), 2: (3, 3), 3: (1, 1)}
