@@ -561,19 +561,26 @@ def contamination_report(
 
     Scale (100 TB corpus vs a benchmark suite of ~1e4-1e6 shingles): the
     probe shingle SET is deduplicated and BROADCAST, so the corpus side
-    streams map-side through the semi-join — its only shuffle is the
-    per-doc count aggregation (partial agg; one candidate per
-    (partition, doc)). The corpus is never all-pairs'd against the probes
-    and never re-shuffled on the shingle. Shingling reuses the
-    posexplode+lead shape (tokenize once — see shingle_exploded's perf
-    note)."""
-    c = shingle_exploded(corpus, id_col, text_col, n)
-    p = shingle_exploded(probes, id_col, text_col, n).select("shingle").distinct()
+    streams map-side through a LEFT join with a hit marker, and BOTH
+    outputs (total distinct shingles, shared count) come from ONE
+    partial-aggregated groupBy — no n_sh window, no extra shuffle. The
+    corpus is never all-pairs'd against the probes and never re-shuffled
+    on the shingle. Shingling reuses the posexplode+lead shape (tokenize
+    once — see shingle_rows' perf note)."""
+    c = shingle_rows(corpus, id_col, text_col, n).distinct()
+    p = (
+        shingle_rows(probes, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     return (
-        c.join(F.broadcast(p), "shingle")
+        c.join(F.broadcast(p), "shingle", "left")
         .groupBy(F.col("id").alias(id_col))
         .agg(
-            F.count("*").alias("n_shared"),
-            F.max("n_sh").alias("n_sh"),
+            F.count("__hit").alias("n_shared"),  # non-null hits only
+            F.count("*").alias("n_sh"),
         )
+        .filter(F.col("n_shared") > 0)
+        .select(id_col, "n_shared", "n_sh")
     )
