@@ -217,8 +217,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """K minhashes per document: h_k(doc) = min over shingles of
     xxhash64(k, shingle). One explode + one groupBy with K min-aggregates —
-    map-side partial aggregation keeps the shuffle at K longs per doc."""
-    sh = shingle_exploded(df, id_col, text_col, shingle_n).select(
+    map-side partial aggregation keeps the shuffle at K longs per doc.
+    Uses the MULTISET shingle rows (min is idempotent over duplicates, so
+    the set/multiset results are identical) — skipping shingle_exploded's
+    distinct exchange and n_sh window saves two shuffles."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
         "id", F.col("shingle").alias("s")
     )
     aggs = [
@@ -297,8 +300,9 @@ def minhash_signatures_md5(
 ) -> DataFrame:
     """Engine-portable MinHash: h_k(doc) = min over shingles of
     md5-hash60(k || ':' || shingle). Long output (id, k, minhash) so the
-    DuckDB oracle can reproduce it row for row."""
-    sh = shingle_exploded(df, id_col, text_col, shingle_n).select(
+    DuckDB oracle can reproduce it row for row. Multiset shingle rows —
+    min is duplicate-insensitive (see minhash_signatures)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
         "id", F.col("shingle").alias("s")
     )
     ks = sh.select(
