@@ -102,17 +102,15 @@ def shingle_rows(
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "t"),
     )
     w = Window.partitionBy("id").orderBy("pos")
-    wd = Window.partitionBy("id")
     leads = [F.lead("t", i).over(w) for i in range(1, n)]
-    rows = (
-        tok.withColumn("shingle", F.concat_ws(" ", F.col("t"), *leads))
-        .withColumn("cnt", F.count("*").over(wd))
-        .withColumn("last_lead", leads[-1] if leads else F.col("t"))
-    )
-    kept = rows.filter(
-        ((F.col("cnt") >= n) & F.col("last_lead").isNotNull())
-        | ((F.col("cnt") < n) & (F.col("pos") == 0))
-    )
+    rows = tok.withColumn(
+        "shingle", F.concat_ws(" ", F.col("t"), *leads)
+    ).withColumn("last_lead", leads[-1] if leads else F.col("t"))
+    # keep-set without a second (count) window pass: a full n-gram exists
+    # iff its last lead is non-null; a short doc (< n tokens) has null
+    # last_lead everywhere and keeps only pos 0, whose concat_ws already
+    # skipped the null leads = the whole-text shingle.
+    kept = rows.filter(F.col("last_lead").isNotNull() | (F.col("pos") == 0))
     return kept.select("id", "shingle")
 
 
