@@ -43,3 +43,30 @@ def test_events_ts_is_canonical_timestamp(spark):
 def test_oracle_sql_keys_subset_of_queries():
     """Every oracle entry must correspond to a declared query."""
     assert set(ALL_ORACLE_SQL) <= set(ALL_QUERIES)
+
+
+def test_fixture_contract(spark):
+    """Invariants the static oracle SQL depends on — if the driver
+    regenerates testdata with different shapes, fail HERE with a clear
+    message instead of deep inside the correctness gate (the r4 lesson:
+    events.ts silently changed physical type and cost the round its
+    bench). Each assertion names the queries it protects."""
+    from flink_cdc_multi_spark.plans.queries import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert dict(emb.dtypes)["vec_id"] == "bigint"
+    # LSH/IVF oracles hardcode range(64) over components
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert dim == 64, f"embeddings dim {dim} != 64: ext_ann_*/ext_dedup_embedding* oracle SQL needs updating"
+
+    docs = load_table(spark, SF_DIR, "documents")
+    doc_types = dict(docs.dtypes)
+    assert doc_types.get("doc_id") == "bigint" and doc_types.get("text") == "string"
+    assert doc_types.get("lang") == "string", "q16/ext_text_* filter on documents.lang"
+
+    ev = load_table(spark, SF_DIR, "events")
+    ev_types = dict(ev.dtypes)
+    assert ev_types.get("ts") == "timestamp"  # canonical after load_table
+    for c, t in (("event_id", "bigint"), ("user_id", "bigint"),
+                 ("event_type", "string"), ("value", "double")):
+        assert ev_types.get(c) == t, f"events.{c} is {ev_types.get(c)}, expected {t}"
