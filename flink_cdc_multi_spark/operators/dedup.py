@@ -586,3 +586,57 @@ def contamination_report(
         .filter(F.col("n_shared") > 0)
         .select(id_col, "n_shared", "n_sh")
     )
+
+
+def neardup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every id gets
+    cluster_id = min id reachable through the (undirected) pair graph —
+    the step between pair generation and "keep one doc per duplicate
+    GROUP" (similarity is not transitive, so groups need closure, not
+    just pairs). Singletons cluster to themselves.
+
+    Algorithm: min-label propagation to a fixpoint — iterations bounded
+    by component diameter, and near-dup components are shallow (hub-and-
+    spoke around popular templates), so this converges in a handful of
+    rounds. Each round is one shuffle-by-id join + a partial-aggregated
+    min; the convergence check is a limit(1) existence probe, not a full
+    count. At extreme scale swap in the path-doubling / large-star
+    small-star variants (HashToMin, Vassilvitskii et al.) — same
+    DataFrame surface. The fixpoint is deterministic regardless of
+    iteration order, which is what makes the result oracle-checkable
+    against a recursive-CTE reachability closure."""
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # no-op on the unpersisted first iteration
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

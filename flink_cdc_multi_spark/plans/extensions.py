@@ -460,6 +460,32 @@ def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from pair output: connected components over the
+    3-gram Jaccard >= 0.2 pairs (doc_id < 300 scope), cluster_id = min
+    reachable doc_id. The closure step every dedup pipeline needs between
+    pairs and keep-one-per-group (similarity is not transitive). Iterative
+    min-label propagation on Spark; reachability closure via WITH
+    RECURSIVE in the oracle — two independent formulations of the same
+    fixpoint."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = D.shingle_exploded(docs, "doc_id", "text", 3)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") * 5 >= F.col("na") + F.col("nb") - F.col("inter"))
+        .select("a_id", "b_id")
+    )
+    return D.neardup_clusters(docs.select("doc_id"), pairs, "doc_id")
+
+
 def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition signal: total vs distinct 3-gram shingles per
     document (integer pair; heavy repeaters are pre-training drops)."""
@@ -499,10 +525,40 @@ EXT_QUERIES = {
     "ext_text_vocab": ext_text_vocab,
     "ext_contamination": ext_contamination,
     "ext_text_repetition": ext_text_repetition,
+    "ext_dedup_clusters": ext_dedup_clusters,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
 EXT_ORACLE_SQL = {
+    "ext_dedup_clusters": r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 300
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), e AS (
+          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+        ), pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) * 5 >= any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs
+        ), walk AS (
+          SELECT doc_id AS id, doc_id AS r FROM t
+          UNION
+          SELECT w.id, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.r
+        )
+        SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY id ORDER BY doc_id
+    """,
     "ext_text_repetition": r"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks

@@ -521,3 +521,18 @@ def test_repetition_stats_counts(spark):
         for r in D.repetition_stats(df, n=3).collect()
     }
     assert got == {1: (7, 3), 2: (3, 3), 3: (1, 1)}
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    # chain 1-2, 2-3 must collapse into ONE cluster (min id 1) even though
+    # (1,3) is not a pair — similarity is not transitive, closure is the
+    # point. 4-5 separate; 6 singleton.
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a_id long, b_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(ids, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
