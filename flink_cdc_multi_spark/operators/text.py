@@ -130,3 +130,56 @@ def vocab_topk(df, text_col: str = "text", k: int = 30, min_df: int = 2):
         .orderBy(F.col("doc_freq").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Split documents into fixed-size token windows with overlap
+    (context-window prep for training/embedding): chunk c covers token
+    positions [c*stride, c*stride + chunk_tokens), stride = chunk_tokens -
+    overlap. Output (doc_id, chunk_id, chunk_text, n_tokens); empty docs
+    produce no chunks.
+
+    Shape: tokenize ONCE via posexplode, map each token to the ≤2 chunks
+    containing it (small sequence explode), then one partial-aggregated
+    groupBy per (doc, chunk) rebuilds the window text with an ordered
+    collect. The tempting alternative — transform() over an array of
+    chunk starts slicing a tokens array — re-inlines the tokenizer into
+    the lambda (no CSE in HOFs, the shingle_rows lesson) and re-splits
+    the text once per chunk. This form is linear and whole-stage-codegen
+    friendly; its one shuffle is the (doc, chunk) agg."""
+    from pyspark.sql import functions as F
+
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    tok = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "t"),
+    )
+    # chunks containing pos: c in [floor((pos-chunk_tokens)/stride)+1, floor(pos/stride)]
+    c_min = F.greatest(
+        F.lit(0).cast("long"),
+        (F.floor((F.col("pos") - chunk_tokens) / stride) + 1).cast("long"),
+    )
+    c_max = F.floor(F.col("pos") / stride).cast("long")
+    tc = tok.select(
+        "id", "pos", "t", F.explode(F.sequence(c_min, c_max)).alias("chunk_id")
+    )
+    return (
+        tc.groupBy(F.col("id").alias(id_col), "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda x: x["t"],
+                ),
+            ).alias("chunk_text"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

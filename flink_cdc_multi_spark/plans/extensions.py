@@ -486,6 +486,18 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(docs.select("doc_id"), pairs, "doc_id")
 
 
+def ext_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: 32-token windows, 8-token overlap (doc_id < 100
+    scope keeps the gate result readable; the operator is unbounded)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return X.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition signal: total vs distinct 3-gram shingles per
     document (integer pair; heavy repeaters are pre-training drops)."""
@@ -526,10 +538,27 @@ EXT_QUERIES = {
     "ext_contamination": ext_contamination,
     "ext_text_repetition": ext_text_repetition,
     "ext_dedup_clusters": ext_dedup_clusters,
+    "ext_text_chunks": ext_text_chunks,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
 EXT_ORACLE_SQL = {
+    "ext_text_chunks": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 100 AND trim(text) <> ''
+        )
+        , c AS (
+          SELECT doc_id, toks,
+                 unnest(range(CAST(ceil(len(toks)/24.0) AS BIGINT))) AS chunk_id
+          FROM t
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+               CAST(least(32, len(toks) - chunk_id*24) AS BIGINT) AS n_tokens
+        FROM c WHERE chunk_id*24 < len(toks)
+        ORDER BY doc_id, chunk_id
+    """,
     "ext_dedup_clusters": r"""
         WITH RECURSIVE t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks

@@ -536,3 +536,19 @@ def test_neardup_clusters_transitive_closure(spark):
         for r in D.neardup_clusters(ids, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # 10 tokens, chunk=4, overlap=2 → stride 2 → starts 0,2,4,6,8
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, ""), (3, "a b")], "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in X.chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    }
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t2 t3 t4 t5", 4)      # 2-token overlap
+    assert got[(1, 4)] == ("t8 t9", 2)            # short tail chunk
+    assert len([k for k in got if k[0] == 1]) == 5
+    assert not any(k[0] == 2 for k in got)        # empty doc → no chunks
+    assert got[(3, 0)] == ("a b", 2)              # short doc → one chunk
