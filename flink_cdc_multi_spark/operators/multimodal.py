@@ -190,3 +190,32 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.col(duration_col), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_plan(
+    df: DataFrame,
+    max_dim: int,
+    id_col: str = "doc_id",
+    binary_col: str = "media",
+) -> DataFrame:
+    """Image resize *plan*: target dimensions for a bounded-box downscale
+    (longest side → ``max_dim``, aspect preserved, never upscale). The
+    width/height inputs are REAL (container header parse via
+    decode_image_features); the pixel resample itself is the stubbed
+    kernel this container cannot run (no PIL/opencv) — the plumbing a real
+    deployment drops its decoder into. Unrecognized formats pass through
+    with null targets. All integer/ratio math is pure Column expressions:
+
+      scale = min(1, max_dim / max(w, h));  target = round(dim * scale)
+    """
+    feats = decode_image_features(df, id_col, binary_col)
+    longest = F.greatest(F.col("width"), F.col("height")).cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_dim)) / longest)
+    return feats.select(
+        id_col,
+        "format",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )

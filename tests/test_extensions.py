@@ -552,3 +552,19 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert len([k for k in got if k[0] == 1]) == 5
     assert not any(k[0] == 2 for k in got)        # empty doc → no chunks
     assert got[(3, 0)] == ("a b", 2)              # short doc → one chunk
+
+
+def test_resize_plan_targets(spark):
+    rows = [
+        (1, bytearray(M.make_tiny_png(640, 480))),   # downscale 2x
+        (2, bytearray(M.make_tiny_png(100, 50))),    # already small: no upscale
+        (3, bytearray(b"not an image")),             # unknown: null targets
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {
+        r["doc_id"]: (r["target_width"], r["target_height"])
+        for r in M.resize_plan(df, max_dim=320).collect()
+    }
+    assert got[1] == (320, 240)
+    assert got[2] == (100, 50)
+    assert got[3] == (None, None)
