@@ -609,7 +609,12 @@ def neardup_clusters(
     small-star variants (HashToMin, Vassilvitskii et al.) — same
     DataFrame surface. The fixpoint is deterministic regardless of
     iteration order, which is what makes the result oracle-checkable
-    against a recursive-CTE reachability closure."""
+    against a recursive-CTE reachability closure.
+
+    The returned DataFrame is PERSISTED (the loop materialized it for the
+    convergence probes — an iterative result is inherently a materialized
+    artifact, like a fitted model); callers that are done with it should
+    unpersist()."""
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
         pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     )
