@@ -47,6 +47,10 @@ def exact_dedup(
     rep = (
         df.groupBy(digest.alias("__digest"))
         .agg(pick(F.struct(*df.columns), F.col(id_col)).alias("__rep"))
+        # min_by/max_by ignore NULL-id rows, so a group whose ids are ALL
+        # NULL has no representative — drop it rather than emit an
+        # all-NULL row (contract: rows with a NULL id are never chosen)
+        .where(F.col("__rep").isNotNull())
         .select("__rep.*")
     )
     return rep
@@ -644,4 +648,14 @@ def neardup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # never exit with silently-wrong labels: a component with diameter
+        # > max_iter would still be mid-propagation here while the caller
+        # (and the recursive-CTE oracle) expects the true closure
+        raise RuntimeError(
+            f"neardup_clusters did not converge in max_iter={max_iter} "
+            "rounds — a component diameter exceeds the bound; raise "
+            "max_iter (or switch to a path-doubling variant for "
+            "pathological chain-shaped components)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -210,7 +210,11 @@ def resize_plan(
     """
     feats = decode_image_features(df, id_col, binary_col)
     longest = F.greatest(F.col("width"), F.col("height")).cast("double")
-    scale = F.least(F.lit(1.0), F.lit(float(max_dim)) / longest)
+    # try_divide: a crafted/corrupt header can declare 0x0 dims (the
+    # parser has no zero guard by design — it reports what the container
+    # says); ANSI `/` would crash the job on one bad blob, try_divide
+    # degrades it to null targets like any unrecognized format
+    scale = F.least(F.lit(1.0), F.try_divide(F.lit(float(max_dim)), longest))
     return feats.select(
         id_col,
         "format",

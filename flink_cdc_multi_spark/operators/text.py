@@ -118,8 +118,6 @@ def vocab_topk(df, text_col: str = "text", k: int = 30, min_df: int = 2):
     (per-partition top-k heap + driver merge of k rows — no global sort at
     any scale). Empty documents are filtered on both engines (DuckDB's
     split('') yields [''] where Spark's guarded tokens() yields [])."""
-    from pyspark.sql import functions as F
-
     toks = df.filter(F.trim(F.col(text_col)) != "").select(
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
     )
@@ -153,8 +151,6 @@ def chunk_documents(
     the lambda (no CSE in HOFs, the shingle_rows lesson) and re-splits
     the text once per chunk. This form is linear and whole-stage-codegen
     friendly; its one shuffle is the (doc, chunk) agg."""
-    from pyspark.sql import functions as F
-
     stride = chunk_tokens - overlap
     assert stride > 0, "overlap must be smaller than chunk_tokens"
     tok = df.filter(F.trim(F.col(text_col)) != "").select(

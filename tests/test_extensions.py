@@ -568,3 +568,38 @@ def test_resize_plan_targets(spark):
     assert got[1] == (320, 240)
     assert got[2] == (100, 50)
     assert got[3] == (None, None)
+
+
+def test_resize_plan_zero_dim_header_no_crash(spark):
+    # a crafted 0x0 header must not ANSI-crash the job (try_divide gives
+    # NULL scale; least() skips the NULL -> scale 1.0) — the degenerate
+    # image passes through at its declared 0x0, consistent with
+    # never-upscale
+    df = spark.createDataFrame(
+        [(1, bytearray(M.make_tiny_png(0, 0)))], "doc_id long, media binary"
+    )
+    r = M.resize_plan(df, max_dim=320).collect()[0]
+    assert (r["target_width"], r["target_height"]) == (0, 0)
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    # diameter-3 chain with max_iter=1 must raise, never return wrong labels
+    ids = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_clusters(ids, pairs, max_iter=1)
+
+
+def test_exact_dedup_null_id_contract(spark):
+    # NULL-id rows are never representatives; an all-NULL-id group drops
+    df = spark.createDataFrame(
+        [(None, "dup"), (None, "dup"), (5, "dup2"), (None, "dup2"), (7, "solo")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in D.exact_dedup(df, ["text"], "doc_id").collect()
+    )
+    assert got == [(5, "dup2"), (7, "solo")]

@@ -45,7 +45,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_tables = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    onepass_max = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    # default None = do not override streaming.onepass.max.tables, so the
+    # tool measures the SHIPPED default path (16 since the r5 sweep)
+    onepass_max = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     work = tempfile.mkdtemp(prefix="cdc_stream_bench_")
     feed = os.path.join(work, "feed")
@@ -96,7 +98,8 @@ def main() -> None:
             # analogue: continuous processing; checkpoints don't throttle).
             # maxFilesPerTrigger=1 still forces n_files separate commits.
             "checkpoint.interval": 0,
-            "streaming.onepass.max.tables": onepass_max,
+            **({"streaming.onepass.max.tables": onepass_max}
+               if onepass_max is not None else {}),
         }
     )
     # Best-of-2 (same policy as bench.py): one-shot streaming runs carry
