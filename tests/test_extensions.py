@@ -603,3 +603,70 @@ def test_exact_dedup_null_id_contract(spark):
         for r in D.exact_dedup(df, ["text"], "doc_id").collect()
     )
     assert got == [(5, "dup2"), (7, "solo")]
+
+
+def test_text_operators_fuzz_vs_python_reference(spark):
+    """Seeded fuzz: shingle_rows / repetition_stats / chunk_documents over
+    200 adversarial strings (whitespace runs, tabs/newlines, unicode,
+    empties, single tokens) must match independent pure-Python references
+    — one Spark job per operator, not per example."""
+    import random
+    import re
+
+    rng = random.Random(1234)
+    words = ["a", "bb", "ccc", "Ωmega", "x1", "longtoken", "δ", "YZ"]
+    texts = []
+    for i in range(200):
+        n = rng.randint(0, 12)
+        toks = [rng.choice(words) for _ in range(n)]
+        seps = [rng.choice([" ", "  ", "\t", "\n", " \t "]) for _ in range(max(n - 1, 0))]
+        body = "".join(t + s for t, s in zip(toks, seps + [""]))
+        pad = rng.choice(["", " ", "\t\n", "  "])
+        texts.append(pad + body + rng.choice(["", " ", "\n"]))
+    texts[0], texts[1], texts[2] = "", "   ", "solo"
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def py_tokens(s):
+        # engine semantics: Spark/DuckDB trim() strips SPACES only (not
+        # tabs/newlines), and split keeps leading/trailing empty fields
+        return re.split(r"\s+", s.strip(" "))
+
+    def py_shingles(s, n=3):
+        t = py_tokens(s)
+        if len(t) < n:
+            return [" ".join(t)]
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    # shingle_rows: exact multiset per doc
+    got = {}
+    for r in D.shingle_rows(df, "doc_id", "text", 3).collect():
+        got.setdefault(r["id"], []).append(r["shingle"])
+    for i, s in enumerate(texts):
+        assert sorted(got.get(i, [])) == sorted(py_shingles(s)), (i, s)
+
+    # repetition_stats: total vs distinct
+    rep = {
+        r["doc_id"]: (r["n_shingles"], r["n_distinct"])
+        for r in D.repetition_stats(df, n=3).collect()
+    }
+    for i, s in enumerate(texts):
+        sh = py_shingles(s)
+        assert rep[i] == (len(sh), len(set(sh))), (i, s)
+
+    # chunk_documents: windows reconstruct the token stream
+    chunks = {}
+    for r in X.chunk_documents(df, chunk_tokens=5, overlap=2).collect():
+        chunks[(r["doc_id"], r["chunk_id"])] = (r["chunk_text"], r["n_tokens"])
+    for i, s in enumerate(texts):
+        t = py_tokens(s)
+        if s.strip(" ") == "":  # engine trim: spaces only
+            assert not any(k[0] == i for k in chunks), (i, s)
+            continue
+        stride = 3
+        starts = [c for c in range(0, len(t), stride) if c * 1 < len(t)]
+        exp = {
+            (i, c): (" ".join(t[st : st + 5]), min(5, len(t) - st))
+            for c, st in enumerate(range(0, len(t), stride))
+        }
+        mine = {k: v for k, v in chunks.items() if k[0] == i}
+        assert mine == exp, (i, s)
