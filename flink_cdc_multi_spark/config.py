@@ -123,7 +123,7 @@ class JobConfig:
                 for k, v in (cfg.get("table.key.columns") or {}).items()
             },
             debug=str(cfg.get("debug", "false")).lower() == "true",
-            onepass_max_tables=int(cfg.get("streaming.onepass.max.tables", 4)),
+            onepass_max_tables=int(cfg.get("streaming.onepass.max.tables", 16)),
             raw=dict(cfg),
         )
 

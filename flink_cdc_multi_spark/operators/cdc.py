@@ -152,7 +152,13 @@ def compact_table(
     input_bytes = int(fs.getContentSummary(live).getLength())
     num_partitions = max(1, math.ceil(input_bytes / target_partition_bytes))
 
-    df = spark.read.parquet(table_path)
+    # mergeSchema: a sink dir can hold mixed-vintage files (e.g. the same
+    # table written first by the file feed, later by the Kafka leg which
+    # adds _kafka_* coordinate columns). A single-footer read would pick
+    # one schema and a compaction rewrite would then DELETE the columns
+    # the other vintage carried; the union keeps every column (absent ->
+    # null) across transport switches.
+    df = spark.read.option("mergeSchema", "true").parquet(table_path)
     obs = Observation()
     state = latest_image(df, key_cols, order_cols).observe(
         obs, F.count(F.lit(1)).alias("n")

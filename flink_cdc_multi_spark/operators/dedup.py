@@ -652,10 +652,20 @@ def neardup_clusters(
         # never exit with silently-wrong labels: a component with diameter
         # > max_iter would still be mid-propagation here while the caller
         # (and the recursive-CTE oracle) expects the true closure
+        labels.unpersist()
         raise RuntimeError(
             f"neardup_clusters did not converge in max_iter={max_iter} "
             "rounds — a component diameter exceeds the bound; raise "
             "max_iter (or switch to a path-doubling variant for "
             "pathological chain-shaped components)"
         )
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # persist + materialize the RETURNED plan (not just the loop-internal
+    # labels): Spark uncaches by exact plan, so handing back a projection
+    # of the cached frame would make the documented caller-side
+    # unpersist() a silent no-op and leak the block
+    result = labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    ).persist()
+    result.count()
+    labels.unpersist()
+    return result

@@ -700,7 +700,19 @@ class CDCPipeline:
         (``sources/kafka.read_kafka_stream`` or its file-backed stand-in)
         plugs in here, and everything downstream (resume filter, startup
         modes, foreachBatch, offset/status stores, stop control) is shared
-        verbatim between transports."""
+        verbatim between transports. Trigger sizing for an injected
+        stream belongs to its reader (e.g. maxOffsetsPerTrigger for
+        Kafka, maxFilesPerTrigger on the stand-in), so combining
+        ``input_stream`` with ``max_files_per_trigger`` is rejected
+        rather than silently ignored."""
+        if input_stream is None and input_path is None:
+            raise ValueError("start() needs input_path or input_stream")
+        if input_stream is not None and max_files_per_trigger is not None:
+            raise ValueError(
+                "max_files_per_trigger applies to the built-in file feed; "
+                "configure trigger sizing on the injected input_stream's "
+                "own reader instead"
+            )
         cfg = self.config
         # self-heal any compaction swap a previous process crashed inside:
         # without this, streaming appends recreate the live dir with only

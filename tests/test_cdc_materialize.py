@@ -157,3 +157,32 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.stop()
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2]
+
+
+def test_compaction_merges_mixed_vintage_schemas(spark, tmp_path):
+    """A sink dir can hold files from two transport vintages (file feed
+    without _kafka_* columns, Kafka leg with them). Compaction must union
+    the schemas (absent columns -> null), not resolve one footer and
+    silently delete the other vintage's columns on rewrite."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.operators.cdc import compact_table
+
+    path = str(tmp_path / "t")
+    old = spark.createDataFrame(
+        [(1, "a", "INSERT", 10, "2024-01-01")],
+        "id long, v string, _op string, _pos long, dt string",
+    ).withColumn("dt", F.col("dt").cast("date"))
+    old.write.partitionBy("dt").mode("append").parquet(path)
+    new = spark.createDataFrame(
+        [(1, "b", "UPDATE", 20, "cdc.t", 7, "2024-01-02")],
+        "id long, v string, _op string, _pos long, _kafka_topic string, "
+        "_kafka_offset long, dt string",
+    ).withColumn("dt", F.col("dt").cast("date"))
+    new.write.partitionBy("dt").mode("append").parquet(path)
+
+    n = compact_table(spark, path, ["id"], ["_pos"])
+    assert n == 1
+    got = spark.read.option("mergeSchema", "true").parquet(path).collect()[0]
+    # latest image won AND the kafka coordinates survived the rewrite
+    assert got["v"] == "b" and got["_kafka_offset"] == 7

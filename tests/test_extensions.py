@@ -663,7 +663,6 @@ def test_text_operators_fuzz_vs_python_reference(spark):
             assert not any(k[0] == i for k in chunks), (i, s)
             continue
         stride = 3
-        starts = [c for c in range(0, len(t), stride) if c * 1 < len(t)]
         exp = {
             (i, c): (" ".join(t[st : st + 5]), min(5, len(t) - st))
             for c, st in enumerate(range(0, len(t), stride))
