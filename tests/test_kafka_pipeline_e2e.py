@@ -174,3 +174,51 @@ def test_kafka_pipeline_end_to_end_with_resume(spark, tmp_path):
     }
     assert latest == {1: "DELETE", 2: "UPDATE", 3: "INSERT"}
     assert pipe2.offset_store.read() == "mysql-bin.000001,80"
+
+
+def test_transport_parity_file_vs_kafka(spark, tmp_path):
+    """The same event log through the file feed and through the Kafka leg
+    must materialize byte-identical tables (modulo the _kafka_* transport
+    coordinates) and identical offset files — the transports share every
+    stage downstream of the reader, and this pins it."""
+    lines = [
+        make_mysql_row(op="r", after={"id": 1, "v": "a"}, snapshot="true", pos=1),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=100, ts_ms=1700000001000),
+        make_mysql_row(
+            op="u", before={"id": 2, "v": "b"}, after={"id": 2, "v": "c"},
+            pos=200, ts_ms=1700000002000,
+        ),
+        make_mysql_row(op="d", before={"id": 1, "v": "a"}, after=None,
+                       pos=300, ts_ms=1700000003000),
+    ]
+
+    # file-feed run
+    file_base = tmp_path / "file"
+    feed = file_base / "feed"
+    feed.mkdir(parents=True)
+    (feed / "f1.json").write_text("\n".join(lines) + "\n")
+    pipe_f = _pipeline(file_base)
+    qf = pipe_f.start(spark, str(feed), str(file_base / "ckpt"))
+    qf.processAllAvailable()
+    qf.stop()
+
+    # kafka-leg run over the same records
+    kafka_base = tmp_path / "kafka_run"
+    kafka_base.mkdir()
+    kfeed = _kafka_feed(kafka_base, "seg0.json", [(v, 0, 100 + i) for i, v in enumerate(lines)])
+    pipe_k = _pipeline(kafka_base)
+    qk = pipe_k.start(
+        spark, None, str(kafka_base / "ckpt"),
+        input_stream=read_kafka_stream_standin(spark, kfeed, "mysql"),
+    )
+    qk.processAllAvailable()
+    qk.stop()
+
+    f_users = spark.read.parquet(str(file_base / "sink" / "k1_testdb__users"))
+    k_users = spark.read.parquet(str(kafka_base / "sink" / "k1_testdb__users"))
+    shared = [c for c in f_users.columns if not c.startswith("_kafka_")]
+    assert shared == [c for c in k_users.columns if not c.startswith("_kafka_")]
+    f_rows = sorted(tuple(r) for r in f_users.select(*shared).collect())
+    k_rows = sorted(tuple(r) for r in k_users.select(*shared).collect())
+    assert f_rows == k_rows
+    assert pipe_f.offset_store.read() == pipe_k.offset_store.read()
