@@ -37,8 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query key. Keys absent here (the
-    engine-local hash ops: xxhash64 minhash/simhash, kmeans IVF) get the
-    driver's rows-only check; each has an oracle-matched md5 twin or a
-    recall test. The hyperplane-LSH queries are fully oracle-checked via
-    the portable md5-parity signature."""
+    engine-local xxhash64 minhash/simhash) get the driver's rows-only
+    check; each has an oracle-matched md5 twin. The hyperplane-LSH and
+    fixed-centroid IVF queries are fully oracle-checked via portable
+    md5-parity / integer-quantized arithmetic."""
     return dict(ALL_ORACLE_SQL)
