@@ -44,7 +44,7 @@ def exact_dedup(
     """
     digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
     pick = F.min_by if keep == "min" else F.max_by
-    rep = (
+    return (
         df.groupBy(digest.alias("__digest"))
         .agg(pick(F.struct(*df.columns), F.col(id_col)).alias("__rep"))
         # min_by/max_by ignore NULL-id rows, so a group whose ids are ALL
@@ -53,7 +53,6 @@ def exact_dedup(
         .where(F.col("__rep").isNotNull())
         .select("__rep.*")
     )
-    return rep
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,19 @@ def md5_sign_matrix(dim: int, n_planes: int):
     return S
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(qid, nid, cos) → (qid, rank, nid): per-query top-k by cosine with
+    nid as the deterministic tie-break. Shared tail of every ANN variant;
+    compiles to WindowGroupLimit (per-partition top-k heap) before the
+    single small exchange on qid."""
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,12 +82,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "qid", "nid", F.try_divide(dot, F.col("qn") * F.col("cn")).alias("cos")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "nid")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_signature(
@@ -194,12 +202,7 @@ def lsh_topk(
         ["qid", "nid"]
     )
     scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "nid")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(
@@ -272,12 +275,7 @@ def ivf_topk(
     scored = indexed.join(F.broadcast(q), "cell").select(
         "qid", "nid", F.try_divide(dot, F.col("qn") * F.col("cn")).alias("cos")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "nid")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk_fixed(
@@ -359,9 +357,4 @@ def ivf_topk_fixed(
     ).select("qid", "qv", F.explode(probes_of(F.col("qv"))).alias("cell"))
     cand = c.join(F.broadcast(q), "cell")
     scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "nid")
-    )
+    return _rank_topk(scored, k)

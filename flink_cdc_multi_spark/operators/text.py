@@ -106,7 +106,9 @@ def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
 
 
-def vocab_topk(df, text_col: str = "text", k: int = 30, min_df: int = 2):
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 30, min_df: int = 2
+) -> DataFrame:
     """Top-k vocabulary by DOCUMENT frequency (the first step of any
     vocab/BPE build over a corpus): distinct tokens per document, counted
     across documents, highest-df first with the token as the total-order
@@ -131,12 +133,12 @@ def vocab_topk(df, text_col: str = "text", k: int = 30, min_df: int = 2):
 
 
 def chunk_documents(
-    df,
+    df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 32,
     overlap: int = 8,
-):
+) -> DataFrame:
     """Split documents into fixed-size token windows with overlap
     (context-window prep for training/embedding): chunk c covers token
     positions [c*stride, c*stride + chunk_tokens), stride = chunk_tokens -

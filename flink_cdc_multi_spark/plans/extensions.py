@@ -33,6 +33,28 @@ from flink_cdc_multi_spark.plans.queries import load_table
 # -- dedup ------------------------------------------------------------------
 
 
+def _ngram_pair_candidates(docs: DataFrame) -> DataFrame:
+    """Shared 3-gram Jaccard pair builder for the scoped dedup queries:
+    shingle equi-join + per-pair intersection count + per-doc distinct
+    counts, with the jaccard >= 0.2 threshold applied in exact integer
+    arithmetic. Returns (a_id, b_id, inter, union_sz)."""
+    sh = D.shingle_exploded(docs, "doc_id", "text", 3)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * 5 >= F.col("union_sz"))  # jaccard >= 0.2, exact
+        .select("a_id", "b_id", "inter", "union_sz")
+    )
+
+
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup representatives: one doc per distinct text (min doc_id),
     grouped on a 128-bit digest so the shuffle key is 16 bytes, not the
@@ -58,21 +80,7 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     # exact-integer variant of operators.dedup.ngram_jaccard_pairs (which
     # returns a rounded ratio for API use)
-    sh = D.shingle_exploded(docs, "doc_id", "text", 3)
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
-        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
-        .filter(F.col("inter") * 5 >= F.col("union_sz"))  # jaccard >= 0.2, exact
-        .select("a_id", "b_id", "inter", "union_sz")
-    )
+    return _ngram_pair_candidates(docs)
 
 
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,20 +477,7 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECURSIVE in the oracle — two independent formulations of the same
     fixpoint."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    sh = D.shingle_exploded(docs, "doc_id", "text", 3)
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
-        .filter(F.col("inter") * 5 >= F.col("na") + F.col("nb") - F.col("inter"))
-        .select("a_id", "b_id")
-    )
+    pairs = _ngram_pair_candidates(docs).select("a_id", "b_id")
     return D.neardup_clusters(docs.select("doc_id"), pairs, "doc_id")
 
 
