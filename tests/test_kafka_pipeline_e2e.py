@@ -222,3 +222,59 @@ def test_transport_parity_file_vs_kafka(spark, tmp_path):
     k_rows = sorted(tuple(r) for r in k_users.select(*shared).collect())
     assert f_rows == k_rows
     assert pipe_f.offset_store.read() == pipe_k.offset_store.read()
+
+
+def _pg_row(op, after, lsn, before=None, ts_ms=1700000000000, snapshot="false"):
+    return json.dumps(
+        {
+            "op": op,
+            "ts_ms": ts_ms,
+            "before": before,
+            "after": after,
+            "source": {
+                "db": "pgdb",
+                "schema": "public",
+                "table": "users",
+                "lsn": lsn,
+                "snapshot": snapshot,
+            },
+        }
+    )
+
+
+def test_kafka_leg_postgres_source(spark, tmp_path):
+    """Transport x source matrix: the Kafka consumer leg with a POSTGRES
+    envelope (LSN offsets) — decode, sink, and LSN offset store all run
+    the same shared path the mysql e2e pinned."""
+    rows = [
+        (_pg_row("c", {"id": 1, "v": "a"}, lsn=100), 0, 500),
+        (_pg_row("u", {"id": 1, "v": "b"}, lsn=200, before={"id": 1, "v": "a"},
+                 ts_ms=1700000001000), 0, 501),
+    ]
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "pg1",
+            "source.type": "postgres",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+        }
+    )
+    reg = TableRegistry.build(
+        "postgres", {("pgdb", "users"): USERS},
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+    )
+    pipe = CDCPipeline(cfg, reg)
+    feed = _kafka_feed(tmp_path, "seg0.json", rows)
+    stream = read_kafka_stream_standin(spark, feed, "postgres")
+    q = pipe.start(spark, None, str(tmp_path / "ckpt"), input_stream=stream)
+    q.processAllAvailable()
+    q.stop()
+
+    users = spark.read.parquet(str(tmp_path / "sink" / "pg1_pgdb__users"))
+    got = users.orderBy("_kafka_offset").collect()
+    assert [r["_op"] for r in got] == ["INSERT", "UPDATE"]
+    assert [r["_kafka_offset"] for r in got] == [500, 501]
+    # LSN offset store advanced to the max
+    assert pipe.offset_store.read() == "200"
