@@ -317,6 +317,128 @@ def minhash_signatures_md5(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_agree: int | None = None,
+) -> DataFrame:
+    """Engine-portable banded LSH over the md5-hash60 MinHash signatures:
+    the same shingle→minhash→band→bucket-join pipeline as
+    minhash_lsh_pairs, but every hash is md5-derived so a DuckDB oracle
+    reproduces the PAIR OUTPUT exactly (the xxhash64 form is the fast
+    path; this form is the cross-engine proof of the banding itself).
+    Band bucket = md5-hash60 of the comma-joined band values; agreement
+    is reported as the exact integer count of matching minhashes
+    (default threshold: half, i.e. est. jaccard >= 0.5).
+    Output: (a_id, b_id, n_agree).
+
+    Scale shape is identical to the fast path: K min-aggs per doc, banded
+    equi-join on (band, 60-bit bucket), verify on the already-joined
+    signatures — never all-pairs."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    if min_agree is None:
+        min_agree = num_hashes // 2
+    sig_long = minhash_signatures_md5(df, id_col, text_col, num_hashes, shingle_n)
+    # wide signature array in k order via conditional min-aggs (partial-agg
+    # friendly; no collect_list ordering concerns)
+    aggs = [
+        F.min(F.when(F.col("k") == k, F.col("minhash"))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = (
+        sig_long.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select("id", "sig", band_idx).withColumn(
+        "bucket",
+        _md5_hash60(
+            F.array_join(
+                F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
+                .cast("array<string>"),
+                ",",
+            )
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    ).cast("long")
+    return (
+        cand.withColumn("n_agree", agree)
+        .filter(F.col("n_agree") >= min_agree)
+        .select("a_id", "b_id", "n_agree")
+    )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Engine-portable pigeonhole pair join over the 60-bit md5 SimHash:
+    same block-join + bit_count verify as simhash_pairs, with md5-derived
+    token hashes so a DuckDB oracle reproduces the PAIR OUTPUT exactly.
+    Output: (a_id, b_id, hamming)."""
+    assert blocks > max_hamming, "need more blocks than allowed bit-errors"
+    width = bits // blocks
+    sig = simhash_md5(df, id_col, text_col, bits)
+    blk = sig.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
+    ).withColumn(
+        "blk_val",
+        F.expr(f"shiftrightunsigned(simhash, blk * {width}) & {(1 << width) - 1}"),
+    )
+    a, b = blk.alias("a"), blk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb")).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 def simhash_md5(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
@@ -433,6 +555,44 @@ def cosine_sim(a, b):
     return F.try_divide(dot, na * nb)
 
 
+def _gram_verify_fn(threshold: float):
+    """Per-bucket vectorized cosine verify: one float64 matmul scores
+    every pair in the bucket (the shared kernel behind BOTH embedding
+    near-dup paths). The earlier self-join + per-pair zip_with/aggregate
+    fold ran the 64-term dot INTERPRETED per candidate (PERF.md HOF
+    lesson) — 26.5 s at sf1; this kernel is 1 BLAS call per row block.
+
+    Expects columns (id, v); emits (a_id, b_id). Zero-norm semantics,
+    pinned across all paths: a pair involving a zero vector has cosine
+    0/0 → NaN here, NULL in DuckDB (x/0 → NULL) and in the Spark fold
+    form (try_divide) — dropped by `>= threshold` in every engine;
+    numpy's IEEE NaN-compare (False) matches that for free."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        out_a, out_b = [], []
+        # row-block the Gram matrix so a hot bucket never materializes n²
+        # floats at once
+        for lo in range(0, len(ids), 4096):
+            hi = min(lo + 4096, len(ids))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+            bi, bj = np.nonzero(cos >= threshold)
+            bi += lo
+            keep = bi < bj  # each unordered pair once, no self-pairs
+            out_a.append(ids[bi[keep]])
+            out_b.append(ids[bj[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pd.DataFrame({"a_id": np.minimum(a, b), "b_id": np.maximum(a, b)})
+
+    return verify
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     dim: int,
@@ -446,45 +606,12 @@ def embedding_neardup_pairs_lsh(
     bucket the vectors; exact cosine verification runs only within buckets
     (high cosine ⇒ same signature with high probability; n_planes trades
     recall for candidate volume). Candidates join on a long key; the
-    quadratic verify is per-bucket, not global."""
-    import numpy as np
-    import pandas as pd
-
+    quadratic verify is per-bucket, not global. Buckets are the unit of
+    parallelism; at scale, raise n_planes to keep buckets bounded
+    (candidate volume ~ sum of bucket²)."""
     from flink_cdc_multi_spark.operators.similarity import hyperplane_signature
 
     sig = hyperplane_signature(df, dim, n_planes, id_col, vec_col)
-
-    # Per-bucket vectorized verify: one float64 matmul scores every pair in
-    # the bucket. The earlier self-join + per-pair zip_with/aggregate fold
-    # ran the 64-term dot INTERPRETED per candidate (PERF.md HOF lesson) —
-    # 26.5 s at sf1; this kernel is 1 BLAS call per bucket. Buckets are the
-    # unit of parallelism; at scale, raise n_planes to keep buckets bounded
-    # (candidate volume ~ sum of bucket² — same knob as before).
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        out_a, out_b = [], []
-        # row-block the Gram matrix so a hot bucket never materializes n²
-        # floats at once
-        for lo in range(0, len(ids), 4096):
-            hi = min(lo + 4096, len(ids))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
-            # Zero-norm semantics, pinned across all three paths: a pair
-            # involving a zero vector has cosine 0/0 → NaN here, NULL in
-            # DuckDB (x/0 → NULL) and in the Spark exact fold (try_divide)
-            # — dropped by `>= threshold` in every engine. numpy's IEEE
-            # NaN-compare (False) matches that for free.
-            bi, bj = np.nonzero(cos >= threshold)
-            bi += lo
-            keep = bi < bj  # each unordered pair once, no self-pairs
-            out_a.append(ids[bi[keep]])
-            out_b.append(ids[bj[keep]])
-        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
-        return pd.DataFrame({"a_id": np.minimum(a, b), "b_id": np.maximum(a, b)})
-
     return (
         sig.select(
             F.col(id_col).alias("id"),
@@ -492,7 +619,7 @@ def embedding_neardup_pairs_lsh(
             "bucket",
         )
         .groupBy("bucket")
-        .applyInPandas(verify, "a_id bigint, b_id bigint")
+        .applyInPandas(_gram_verify_fn(threshold), "a_id bigint, b_id bigint")
     )
 
 
@@ -516,38 +643,25 @@ def embedding_neardup_pairs(
     """Exact all-pairs cosine ≥ threshold. Quadratic BY CONTRACT — a verify
     pass for scoped slices and in-bucket candidates; unscoped inputs above
     ``max_rows`` are refused (10k rows is already 5·10⁷ pairs). The scale
-    path is embedding_neardup_pairs_lsh, which runs this verify per LSH
-    bucket instead of globally."""
+    path is embedding_neardup_pairs_lsh, which buckets first and verifies
+    per bucket.
+
+    The scoring runs through the SAME numpy Gram kernel as the LSH path
+    (one pseudo-bucket): the earlier BroadcastNestedLoop self-join scored
+    each pair with an interpreted zip_with/aggregate fold — 5.9 s for 1000
+    vectors at sf0.1 vs one BLAS matmul here. Zero-norm pairs drop via
+    IEEE NaN-compare, identical to try_divide-NULL and DuckDB x/0-NULL
+    (see _gram_verify_fn)."""
     _guard_pairs_input(
         df, max_rows, "embedding_neardup_pairs", "embedding_neardup_pairs_lsh"
     )
-    arr = F.col(vec_col).cast("array<double>")
     v = df.select(
         F.col(id_col).alias("id"),
-        arr.alias("v"),
-        # norms precomputed once per vector, not once per pair (the dot is
-        # the only per-pair fold); same arithmetic as cosine_sim, so the
-        # result is bit-identical
-        F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x)).alias("nrm"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit(0).alias("bucket"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            # try_divide: zero-norm → NULL (not an ANSI DIVIDE_BY_ZERO
-            # error), matching DuckDB x/0 → NULL and the numpy kernel's
-            # NaN-drop — see cosine_sim
-            F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm")).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("a_id", "b_id")
+    return v.groupBy("bucket").applyInPandas(
+        _gram_verify_fn(threshold), "a_id bigint, b_id bigint"
     )
 
 

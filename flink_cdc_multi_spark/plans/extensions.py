@@ -90,17 +90,24 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only check: xxhash64 is
-    Spark-local). 64 hashes, 16 bands → catches est. jaccard >= ~0.5."""
+    """MinHash+LSH near-dup PAIRS, fully oracle-checked: banded LSH over
+    the portable md5-hash60 signatures (16 hashes, 4 bands; band bucket =
+    md5-hash60 of the comma-joined band values), agreement reported as the
+    exact integer count of matching minhashes (>= 8 ⇔ est. jaccard >=
+    0.5). The xxhash64 operator (D.minhash_lsh_pairs, 64 hashes / 16
+    bands) is the documented non-gated fast path — same pipeline shape,
+    cheaper hash; pinned against this form in tests."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return D.minhash_lsh_pairs(docs, threshold=0.5)
+    return D.minhash_lsh_pairs_md5(docs, num_hashes=16, bands=4)
 
 
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming <= 3 via pigeonhole block join
-    (rows-only check)."""
+    """SimHash near-dup PAIRS, hamming <= 3 via pigeonhole block join over
+    the portable 60-bit md5 SimHash — fully oracle-checked. The xxhash64
+    64-bit operator (D.simhash_pairs) is the documented non-gated fast
+    path."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return D.simhash_pairs(docs, max_hamming=3)
+    return D.simhash_pairs_md5(docs, max_hamming=3)
 
 
 def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +693,75 @@ EXT_ORACLE_SQL = {
         SELECT doc_id, k,
                MIN(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS minhash
         FROM ks GROUP BY doc_id, k ORDER BY doc_id, k
+    """,
+    "ext_dedup_minhash": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 300
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), e AS (
+          SELECT doc_id, unnest(sh) shingle FROM s
+        ), ks AS (
+          SELECT doc_id, shingle, unnest(range(16)) k FROM e
+        ), sigl AS (
+          SELECT doc_id, k,
+                 MIN(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS mh
+          FROM ks GROUP BY doc_id, k
+        ), sig AS (
+          SELECT doc_id, list(mh ORDER BY k) AS sig FROM sigl GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, sig, b.b AS band,
+                 ('0x' || substr(md5(
+                    array_to_string(sig[b.b*4+1 : b.b*4+4], ',')), 1, 15))::BIGINT
+                   AS bucket
+          FROM sig, range(4) b(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.sig AS sa, b.sig AS sb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id,
+               CAST(len(list_filter(range(16), i -> sa[i+1] = sb[i+1])) AS BIGINT)
+                 AS n_agree
+        FROM cand
+        WHERE len(list_filter(range(16), i -> sa[i+1] = sb[i+1])) >= 8
+        ORDER BY a_id, b_id
+    """,
+    "ext_dedup_simhash": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) t
+          FROM documents WHERE doc_id < 300 AND trim(text) <> ''
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok
+        ), bits AS (
+          SELECT doc_id, b.b,
+                 SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) s
+          FROM h, (SELECT unnest(range(60)) b) b
+          GROUP BY doc_id, b.b
+        ), sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                   AS simhash
+          FROM bits GROUP BY doc_id
+        ), blk AS (
+          SELECT doc_id, simhash, b.b AS blk,
+                 (simhash >> (b.b * 15)) & 32767 AS blk_val
+          FROM sh, range(4) b(b)
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming
+        FROM blk a JOIN blk b
+          ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING MIN(bit_count(xor(a.simhash, b.simhash))) <= 3
+        ORDER BY a_id, b_id
     """,
     "ext_dedup_simhash_md5": r"""
         WITH tok AS (

@@ -77,6 +77,30 @@ def test_simhash_pairs_hamming(docs):
     assert pairs.get((1, 3)) == 0
 
 
+def test_minhash_md5_pairs_match_fast_path_on_fixture(docs):
+    """The oracle-checked md5 banded-LSH pair form and the xxhash64 fast
+    path implement the same pipeline; on the fixture both must find the
+    exact dup and the near dup and exclude the unrelated doc."""
+    md5_pairs = {
+        (r["a_id"], r["b_id"]): r["n_agree"]
+        for r in D.minhash_lsh_pairs_md5(docs).collect()
+    }
+    assert md5_pairs.get((1, 3)) == 16  # exact dup: all 16 minhashes agree
+    assert (1, 2) in md5_pairs and md5_pairs[(1, 2)] >= 8
+    assert not any(4 in p for p in md5_pairs)
+    fast = {(r["a_id"], r["b_id"]) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert {(1, 2), (1, 3)} <= fast
+
+
+def test_simhash_md5_pairs_fixture(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in D.simhash_pairs_md5(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 3)) == 0  # identical text → hamming 0
+    assert not any(4 in p for p in pairs)
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
