@@ -51,10 +51,18 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """(qid, nid, cos) → (qid, rank, nid): per-query top-k by cosine with
     nid as the deterministic tie-break. Shared tail of every ANN variant;
     compiles to WindowGroupLimit (per-partition top-k heap) before the
-    single small exchange on qid."""
+    single small exchange on qid.
+
+    Zero-norm candidates are DROPPED before ranking (contract: zero-norm
+    cosine pairs drop in all engines). Without the filter they'd survive
+    as NULL cosine — sorted NULLS LAST here but NaN-ABOVE-everything under
+    DuckDB's ORDER BY DESC — a latent top-k divergence the pair paths'
+    `>= threshold` filters never hit; the ext_ann_* oracles mirror the
+    drop with NOT isnan(...)."""
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid")
     )

@@ -482,10 +482,25 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs and keep-one-per-group (similarity is not transitive). Iterative
     min-label propagation on Spark; reachability closure via WITH
     RECURSIVE in the oracle — two independent formulations of the same
-    fixpoint."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    pairs = _ngram_pair_candidates(docs).select("a_id", "b_id")
-    return D.neardup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    fixpoint.
+
+    The built (persisted) result is MEMOIZED per (session, sf_dir): the
+    fixpoint is eager by nature (loop convergence probes execute it at
+    plan-build time) and neardup_clusters documents caller-side
+    unpersist — without the memo every plan build in a long-lived session
+    (bench prepare, parametrized smoke tests, plan_report) would leak one
+    cached block and re-pay the fixpoint. Same pattern as load_table's
+    lazy-plan memo."""
+    cache = getattr(spark, "_fcm_result_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fcm_result_cache = cache
+    key = ("ext_dedup_clusters", sf_dir)
+    if key not in cache:
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        pairs = _ngram_pair_candidates(docs).select("a_id", "b_id")
+        cache[key] = D.neardup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return cache[key]
 
 
 def ext_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,6 +862,7 @@ EXT_ORACLE_SQL = {
                  ROW_NUMBER() OVER (PARTITION BY cand.qid
                    ORDER BY list_cosine_similarity(qq.emb, cc.emb) DESC, cand.nid) AS rank
           FROM cand JOIN e qq ON qq.vec_id = cand.qid JOIN e cc ON cc.vec_id = cand.nid
+          WHERE NOT isnan(list_cosine_similarity(qq.emb, cc.emb))
         )
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
@@ -881,6 +897,7 @@ EXT_ORACLE_SQL = {
                  ROW_NUMBER() OVER (PARTITION BY cand.qid
                    ORDER BY list_cosine_similarity(qq.emb, cc.emb) DESC, cand.nid) AS rank
           FROM cand JOIN e qq ON qq.vec_id = cand.qid JOIN e cc ON cc.vec_id = cand.nid
+          WHERE NOT isnan(list_cosine_similarity(qq.emb, cc.emb))
         )
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
@@ -893,6 +910,9 @@ EXT_ORACLE_SQL = {
                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
                    ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
           FROM q CROSS JOIN c
+          -- zero-norm drop, mirroring Spark _rank_topk's cos IS NOT NULL
+          -- (DuckDB yields NaN there, which sorts ABOVE real values DESC)
+          WHERE NOT isnan(list_cosine_similarity(q.emb, c.emb))
         )
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,

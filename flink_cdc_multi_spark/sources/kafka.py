@@ -93,7 +93,14 @@ def read_kafka_stream_standin(
     itself (the integration jar is absent in this container; see
     tests/test_kafka_pipeline_e2e.py which pins schema equivalence)."""
     reader = spark.readStream.schema(_STANDIN_JSON_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # loud rejection, consistent with CDCPipeline.start's trigger
+        # validation — a caller-supplied 0 must not silently mean
+        # "unbounded trigger"
+        if max_files_per_trigger <= 0:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.json(path).select(
         F.col("key").cast("binary"),

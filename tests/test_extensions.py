@@ -314,6 +314,22 @@ def test_embedding_zero_norm_dropped_consistently(spark):
     assert lsh <= exact
 
 
+def test_topk_drops_zero_norm_candidates(spark):
+    """_rank_topk must DROP zero-norm candidates, not rank them NULLS-LAST:
+    DuckDB's list_cosine_similarity yields NaN there, which sorts ABOVE
+    real values under ORDER BY DESC — ranking instead of dropping would be
+    a latent top-k oracle divergence (ADVICE r5)."""
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 0.0])],  # 12 zero-norm
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = [(r["rank"], r["nid"]) for r in S.brute_force_topk(corpus, queries, k=3).collect()]
+    assert got == [(1, 10), (2, 11)]  # zero-norm candidate absent entirely
+
+
 def test_quadratic_pair_guard_fires(spark):
     """Unscoped input above max_rows is refused — the exact pair operators
     must not be usable as accidental all-pairs scale paths."""

@@ -22,3 +22,15 @@ def test_kafka_values_decode_and_retain_offsets(spark):
     assert [r["_op"] for r in got] == ["INSERT", "UPDATE"]
     assert [r["_kafka_offset"] for r in got] == [100, 101]
     assert got[0]["_db"] == "testdb" and got[0]["_tbl"] == "users"
+
+
+def test_standin_rejects_zero_trigger(spark, tmp_path):
+    """An explicit max_files_per_trigger=0 is a caller bug — rejected
+    loudly (consistent with CDCPipeline.start), never silently treated as
+    'unbounded trigger' (ADVICE r5)."""
+    import pytest
+
+    from flink_cdc_multi_spark.sources.kafka import read_kafka_stream_standin
+
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_kafka_stream_standin(spark, str(tmp_path), "mysql", max_files_per_trigger=0)
