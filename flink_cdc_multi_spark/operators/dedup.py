@@ -717,16 +717,24 @@ def neardup_clusters(
     GROUP" (similarity is not transitive, so groups need closure, not
     just pairs). Singletons cluster to themselves.
 
-    Algorithm: min-label propagation to a fixpoint — iterations bounded
-    by component diameter, and near-dup components are shallow (hub-and-
-    spoke around popular templates), so this converges in a handful of
-    rounds. Each round is one shuffle-by-id join + a partial-aggregated
-    min; the convergence check is a limit(1) existence probe, not a full
-    count. At extreme scale swap in the path-doubling / large-star
-    small-star variants (HashToMin, Vassilvitskii et al.) — same
-    DataFrame surface. The fixpoint is deterministic regardless of
-    iteration order, which is what makes the result oracle-checkable
-    against a recursive-CTE reachability closure.
+    Algorithm: min-label propagation WITH pointer doubling (the
+    shortcutting step of the MapReduce CC family — HashToMin /
+    large-star-small-star, Vassilvitskii et al.): each round first takes
+    the min over graph neighbors' labels, then jumps one hop up the label
+    forest (label(v) ← label(label(v))), so label distance-to-root
+    roughly DOUBLES per round — O(log diameter) rounds instead of
+    O(diameter). Near-dup components are usually shallow hub-and-spoke,
+    where both variants take a handful of rounds; the doubling step is
+    what keeps adversarial chain-shaped components (diameter ~ n) from
+    blowing the round budget — a 1000-node chain converges in ~11 rounds
+    (pinned by test_neardup_clusters_chain_path_doubling). Each round is
+    two shuffle-by-key joins + a partial-aggregated min; the convergence
+    check is a limit(1) existence probe, not a full count. The fixpoint
+    is deterministic regardless of iteration order, which is what makes
+    the result oracle-checkable against a recursive-CTE reachability
+    closure (the combined propagate+shortcut operator has the same
+    fixpoint as propagation alone: at the closure, label(label(v)) ==
+    label(v) == component min).
 
     The returned DataFrame is PERSISTED (the loop materialized it for the
     convergence probes — an iterative result is inherently a materialized
@@ -742,13 +750,33 @@ def neardup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new = (
+        prop = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .persist()
+            .persist()  # self-joined next; don't recompute the nbr join twice
+        )
+        # pointer doubling: label(v) ← label(label(v)). label(v) ≤ v by
+        # the min invariant and is always reachable from v, so the jump
+        # preserves both invariants while doubling distance-to-root.
+        lk = prop.select(F.col("id").alias("lid"), F.col("label").alias("llabel"))
+        new = (
+            prop.join(lk, prop.label == lk.lid, "left")
+            .select(
+                "id",
+                F.coalesce("llabel", "label").alias("label"),
+            )
+            # eager lineage TRUNCATION, not just caching: an iterative
+            # loop that only persists still grows the logical plan by two
+            # joins per round, and Catalyst analysis cost on the nested
+            # plan dominates wall-clock long before the data does (the
+            # GraphX/GraphFrames iteration lesson). localCheckpoint keeps
+            # plan depth O(1) per round; on a real cluster prefer
+            # checkpoint(dir) if executor loss must be survivable
+            # mid-fixpoint.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.alias("n")
@@ -757,20 +785,24 @@ def neardup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()  # no-op on the unpersisted first iteration
+        prop.unpersist()
+        # old `labels` was a localCheckpoint (or the initial projection):
+        # its cached RDD blocks are released by the ContextCleaner once
+        # the reference drops — unpersist() is a no-op there by design
         labels = new
         if changed == 0:
             break
     else:
-        # never exit with silently-wrong labels: a component with diameter
-        # > max_iter would still be mid-propagation here while the caller
-        # (and the recursive-CTE oracle) expects the true closure
+        # never exit with silently-wrong labels: a component whose
+        # log-diameter exceeds max_iter would still be mid-propagation
+        # here while the caller (and the recursive-CTE oracle) expects
+        # the true closure
         labels.unpersist()
         raise RuntimeError(
             f"neardup_clusters did not converge in max_iter={max_iter} "
-            "rounds — a component diameter exceeds the bound; raise "
-            "max_iter (or switch to a path-doubling variant for "
-            "pathological chain-shaped components)"
+            "rounds — log2(component diameter) exceeds the bound; raise "
+            "max_iter (pointer doubling makes rounds ~ log2(diameter), "
+            "so this indicates an extreme graph or a bug)"
         )
     # persist + materialize the RETURNED plan (not just the loop-internal
     # labels): Spark uncaches by exact plan, so handing back a projection

@@ -5,10 +5,13 @@ resize / frame-sample operators over ``mapInPandas``.
 Dimension/format decode is REAL: ``parse_image_header`` reads PNG IHDR,
 JPEG SOF, GIF logical-screen, and BMP InfoHeader dimensions straight from
 the container bytes (public format knowledge, no media library needed).
-Only the pixel-level kernels (mean luma; resize) still require PIL/opencv,
-which are NOT in this container — those remain stubbed behind
-``fake_luma=True`` (a deterministic fake clearly marked as such). Swapping
-that kernel body for a real pixel decoder changes nothing upstream.
+PNG PIXEL decode is REAL too (round 6): ``png_luma_sum`` inflates IDAT
+with stdlib zlib and unfilters all five PNG filter types, so ``mean_luma``
+is a genuine pixel statistic for PNG. Pixel kernels for the
+entropy-coded formats (JPEG) and the resize resample still require
+PIL/opencv, which are NOT in this container — those remain stubbed
+behind ``fake_luma=True`` (a deterministic fake clearly marked as such).
+Swapping that kernel body for a real decoder changes nothing upstream.
 
 Scale notes: media blobs ride in parquet binary columns; mapInPandas streams
 Arrow batches so one task never materializes more than
@@ -116,6 +119,200 @@ def make_tiny_png(width: int, height: int) -> bytes:
     )
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG Paeth predictor (spec §9.4): pick the neighbor closest to
+    # a + b - c, ties broken left, up, up-left
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def make_png_rgb(width: int, height: int, seed: int) -> bytes:
+    """REAL spec-valid PNG (8-bit RGB, zlib IDAT, correct CRCs) with a
+    deterministic pixel pattern:
+
+        R(x,y) = (seed + x) % 256
+        G(x,y) = (seed + y) % 256
+        B(x,y) = (seed + x + y) % 256
+
+    Scanline filters CYCLE through all five PNG filter types (y % 5:
+    None/Sub/Up/Average/Paeth) so a decoder has to implement genuine
+    unfiltering — constant filter-0 data would let a broken Sub/Up/
+    Average/Paeth path pass. The closed-form pattern is what makes the
+    decoded mean luma oracle-checkable: DuckDB can recompute it from
+    (width, height, seed) with generate_series — see the
+    ext_multimodal_luma oracle."""
+    import zlib
+
+    bpp = 3  # RGB8: filter predictors look back one whole pixel
+    raw = bytearray()
+    prev = bytes(width * bpp)  # row above the first row is all zero
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line += bytes(
+                (
+                    (seed + x) % 256,
+                    (seed + y) % 256,
+                    (seed + x + y) % 256,
+                )
+            )
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(len(line))
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((line[i] - prev[i]) % 256 for i in range(len(line)))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2) % 256
+                for i in range(len(line))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                % 256
+                for i in range(len(line))
+            )
+        prev = bytes(line)
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Rec.601 luma weights scaled to integers — mean_luma is defined over
+# THESE exact integer per-pixel values so every engine (this decoder, the
+# DuckDB closed-form oracle) sums identical integers; only the final
+# division is floating-point
+_LUMA_W = (299, 587, 114)
+
+
+def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
+    """Decode a PNG's pixels with the stdlib only (zlib inflate + spec
+    unfiltering, all five filter types) and return
+    (Σ 299·R + 587·G + 114·B over pixels, n_pixels) as exact integers —
+    mean luma = sum / (1000 · n). Supports the non-interlaced 8-bit
+    grayscale / RGB / RGBA color types (0/2/6), which covers the
+    generated fixtures and the common corpus cases; anything else
+    (palette, 16-bit, interlaced, truncated, bad zlib) → None, never an
+    exception. Pixel decode became REAL in round 6 — only formats other
+    than PNG still need an external media library."""
+    import zlib
+
+    try:
+        if blob[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        # walk chunks: IHDR first, concatenate IDAT payloads
+        pos = 8
+        ihdr = None
+        idat = bytearray()
+        while pos + 8 <= len(blob):
+            (clen,) = struct.unpack(">I", blob[pos : pos + 4])
+            tag = blob[pos + 4 : pos + 8]
+            payload = blob[pos + 8 : pos + 8 + clen]
+            if len(payload) != clen:
+                return None  # truncated
+            if tag == b"IHDR":
+                ihdr = payload
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+            pos += 12 + clen  # len + tag + payload + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(">II5B", ihdr)
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+        if channels is None or w == 0 or h == 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        # unfilter in place, row by row
+        out = bytearray(h * stride)
+        prev_off = None
+        for y in range(h):
+            ftype = raw[y * (stride + 1)]
+            src = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            off = y * stride
+            if ftype == 0:
+                out[off : off + stride] = src
+            elif ftype == 1:  # Sub
+                for i in range(stride):
+                    left = out[off + i - channels] if i >= channels else 0
+                    out[off + i] = (src[i] + left) % 256
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    up = out[prev_off + i] if prev_off is not None else 0
+                    out[off + i] = (src[i] + up) % 256
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = out[off + i - channels] if i >= channels else 0
+                    up = out[prev_off + i] if prev_off is not None else 0
+                    out[off + i] = (src[i] + (left + up) // 2) % 256
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    left = out[off + i - channels] if i >= channels else 0
+                    up = out[prev_off + i] if prev_off is not None else 0
+                    ul = out[prev_off + i - channels] if (
+                        prev_off is not None and i >= channels
+                    ) else 0
+                    out[off + i] = (src[i] + _paeth(left, up, ul)) % 256
+            else:
+                return None
+            prev_off = off
+        # vectorized integer luma over the unfiltered pixel matrix
+        import numpy as np
+
+        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(-1, channels)
+        wr, wg, wb = _LUMA_W
+        if channels == 1:
+            s = int(px[:, 0].astype(np.int64).sum()) * (wr + wg + wb)
+        else:  # RGB / RGBA (alpha ignored)
+            s = int(
+                (
+                    px[:, 0].astype(np.int64) * wr
+                    + px[:, 1].astype(np.int64) * wg
+                    + px[:, 2].astype(np.int64) * wb
+                ).sum()
+            )
+        return s, w * h
+    except (struct.error, IndexError, zlib.error, ValueError):
+        return None
+
+
 def attach_media_meta(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
     """Wrap an opaque binary column with the typed metadata struct (decode
     fills width/height/duration later)."""
@@ -134,11 +331,23 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str, fmt: str)
 def _fake_luma(blob: bytes) -> float:
     """Deterministic fake mean-luma derived from an md5 of the bytes
     (Python's builtin hash() is per-process salted — not reproducible).
-    Stands in for the pixel-decode kernel until PIL/opencv is available."""
+    Stands in for the pixel-decode kernel for formats whose pixel decode
+    needs PIL/opencv (JPEG/GIF/BMP); PNG decode is REAL (png_luma_sum)."""
     import hashlib
 
     h = int.from_bytes(hashlib.md5(blob).digest()[:4], "big") & 0x7FFFFFFF
     return round((h % 256) / 255.0, 6)
+
+
+def _real_or_none_luma(blob: bytes) -> float | None:
+    """Mean luma in [0, 255]: real stdlib pixel decode for PNG, None for
+    formats that need an external media library (JPEG entropy decode) or
+    undecodable input."""
+    r = png_luma_sum(blob)
+    if r is None:
+        return None
+    s, n = r
+    return s / (1000.0 * n)
 
 
 def decode_image_features(
@@ -151,9 +360,12 @@ def decode_image_features(
     mean_luma) via mapInPandas (Arrow-batched).
 
     format/width/height are REAL — parsed from the container header bytes
-    (parse_image_header), null for unrecognized formats. mean_luma needs a
-    pixel decode, which this container cannot do (no PIL/opencv): it is
-    null unless ``fake_luma=True`` substitutes the deterministic fake."""
+    (parse_image_header), null for unrecognized formats. mean_luma is
+    REAL for PNG (stdlib zlib inflate + spec unfiltering, png_luma_sum;
+    scale 0-255), null for formats whose pixel decode needs PIL/opencv
+    (JPEG/GIF/BMP). ``fake_luma=True`` substitutes the deterministic
+    md5 fake for EVERY blob — the pre-round-6 behavior, kept for
+    pipelines that need a non-null placeholder for all formats."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -167,7 +379,8 @@ def decode_image_features(
                     "width": pd.array([w for _, w, _ in headers], dtype="Int32"),
                     "height": pd.array([h for _, _, h in headers], dtype="Int32"),
                     "mean_luma": [
-                        _fake_luma(b) if fake_luma else None for b in blobs
+                        _fake_luma(b) if fake_luma else _real_or_none_luma(b)
+                        for b in blobs
                     ],
                 }
             )

@@ -448,6 +448,57 @@ def ext_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_multimodal_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode end to end (round 6): synthesize a spec-valid
+    RGB8 PNG per document — zlib-compressed IDAT, correct CRCs, scanline
+    filters cycling through ALL FIVE PNG filter types — then decode it
+    back with the stdlib-only pixel decoder (zlib inflate + spec
+    unfiltering, operators/multimodal.png_luma_sum) and emit the exact
+    integer luma sum + pixel count (ratio rule: never rounded doubles).
+    The pixel pattern is closed-form in (doc_id, x, y), so the DuckDB
+    oracle recomputes the same integer sums from pure SQL arithmetic —
+    a decoder regression (wrong unfilter, wrong channel order, wrong
+    stride) breaks the hash. Arrow-batched mapInPandas; the blob never
+    leaves the task that created it.
+
+    The id column is REPARTITIONED before the map: the Python pixel
+    kernel is the cost center (~0.25 ms/doc) and the small parquet scan
+    arrives in one partition, which would serialize the whole decode on
+    one core — the shuffle moves 8-byte ids, the repartition moves the
+    kernel onto every core (at 100 TB the scan is already wide and the
+    exchange collapses to a no-op-sized cost)."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen_and_decode(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            sums, npxs = [], []
+            for i in ids:
+                blob = M.make_png_rgb(int(i) % 24 + 4, int(i) % 16 + 4, int(i) % 256)
+                s, n = M.png_luma_sum(blob)
+                sums.append(s)
+                npxs.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "luma_sum": pd.Series(sums, dtype="int64"),
+                    "n_px": pd.Series(npxs, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        gen_and_decode, "doc_id long, luma_sum long, n_px long"
+    )
+
+
 def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 vocabulary by document frequency over non-empty docs (vocab /
     BPE-prep first pass). TakeOrderedAndProject top-k — no global sort; the
@@ -545,6 +596,7 @@ EXT_QUERIES = {
     "ext_text_tokens_by_lang": ext_text_tokens_by_lang,
     "ext_multimodal_bytes": ext_multimodal_bytes,
     "ext_multimodal_dims": ext_multimodal_dims,
+    "ext_multimodal_luma": ext_multimodal_luma,
     "ext_rollup_agg": ext_rollup_agg,
     "ext_window_running": ext_window_running,
     "ext_sessionize": ext_sessionize,
@@ -980,6 +1032,23 @@ EXT_ORACLE_SQL = {
     "ext_multimodal_bytes": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id
+    """,
+    "ext_multimodal_luma": """
+        WITH d AS (
+          SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h,
+                 doc_id % 256 AS s
+          FROM documents
+        ), dx AS (
+          SELECT doc_id, h, s, unnest(range(w)) AS x FROM d
+        ), dxy AS (
+          SELECT doc_id, s, x, unnest(range(h)) AS y FROM dx
+        )
+        SELECT doc_id,
+               CAST(SUM(299 * ((s + x) % 256)
+                      + 587 * ((s + y) % 256)
+                      + 114 * ((s + x + y) % 256)) AS BIGINT) AS luma_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_px
+        FROM dxy GROUP BY doc_id ORDER BY doc_id
     """,
     "ext_multimodal_dims": """
         SELECT doc_id, 'png' AS format,

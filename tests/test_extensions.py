@@ -235,6 +235,82 @@ def test_multimodal_real_dims_decode(spark):
     assert all(0.0 <= r["mean_luma"] <= 1.0 for r in faked)
 
 
+def test_png_pixel_decode_roundtrip_all_filters():
+    # make_png_rgb cycles scanline filters y % 5, so any height >= 5
+    # exercises None/Sub/Up/Average/Paeth; the decoder must invert every
+    # one to recover the closed-form pixel sums. (Encoder and decoder are
+    # separately-written forward/inverse transcriptions of the PNG spec
+    # formulas; the ext_multimodal_luma DuckDB oracle independently
+    # recomputes the sums from the closed form.)
+    for w, h, s in [(1, 1, 0), (4, 7, 255), (27, 19, 200), (8, 5, 31)]:
+        blob = M.make_png_rgb(w, h, s)
+        exp_sum = sum(
+            299 * ((s + x) % 256) + 587 * ((s + y) % 256) + 114 * ((s + x + y) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+        assert M.png_luma_sum(blob) == (exp_sum, w * h)
+        assert M.parse_image_header(blob) == ("png", w, h)
+
+
+def test_png_pixel_decode_filter0_known_answer():
+    # independent of the encoder's filter math: a filter-0-only PNG whose
+    # IDAT raw bytes ARE the pixels, built inline — constant RGB
+    # (10, 20, 30) over 2x2 → luma_sum = 4 * (299*10 + 587*20 + 114*30)
+    import struct as st
+    import zlib
+
+    w = h = 2
+    raw = b""
+    for _ in range(h):
+        raw += b"\x00" + bytes((10, 20, 30)) * w
+    ihdr = st.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(raw))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.png_luma_sum(blob) == (4 * (299 * 10 + 587 * 20 + 114 * 30), 4)
+
+
+def test_png_pixel_decode_rejects_unsupported():
+    # header-only container (no IDAT), truncation, palette type, garbage:
+    # all None, never an exception
+    assert M.png_luma_sum(M.make_tiny_png(5, 5)) is None
+    assert M.png_luma_sum(M.make_png_rgb(4, 4, 1)[:40]) is None
+    assert M.png_luma_sum(b"junk") is None
+    import struct as st
+    import zlib
+
+    ihdr = st.pack(">II5B", 2, 2, 8, 3, 0, 0, 0)  # color type 3 = palette
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.png_luma_sum(blob) is None
+
+
+def test_real_luma_through_decode_image_features(spark):
+    # PNG pixel decode is REAL in the Spark path: mean_luma equals the
+    # closed-form integer sum / (1000 * n_px); non-PNG and pixel-less
+    # containers stay null
+    rows = [
+        (1, bytearray(M.make_png_rgb(6, 5, 40))),
+        (2, bytearray(M.make_tiny_png(100, 50))),  # no IDAT → null luma
+        (3, bytearray(b"opaque")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    by_id = {r["doc_id"]: r for r in M.decode_image_features(df).collect()}
+    s, n = M.png_luma_sum(M.make_png_rgb(6, 5, 40))
+    assert abs(by_id[1]["mean_luma"] - s / (1000.0 * n)) < 1e-12
+    assert by_id[1]["format"] == "png" and by_id[1]["width"] == 6
+    assert by_id[2]["mean_luma"] is None
+    assert by_id[3]["mean_luma"] is None
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 2500)], "doc_id long, duration_ms long")
     ts = [r["frame_ts_ms"] for r in M.frame_sample_plan(df, every_ms=1000).collect()]
@@ -620,6 +696,25 @@ def test_resize_plan_zero_dim_header_no_crash(spark):
     )
     r = M.resize_plan(df, max_dim=320).collect()[0]
     assert (r["target_width"], r["target_height"]) == (0, 0)
+
+
+def test_neardup_clusters_chain_path_doubling(spark):
+    # adversarial worst case for plain min-label propagation: a 1000-node
+    # chain (diameter 999 would need ~999 propagate-only rounds). Pointer
+    # doubling must converge in ~log2(n) rounds — max_iter=16 both proves
+    # the doubling step works AND pins the complexity class (plain
+    # propagation would raise here).
+    n = 1000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
+    )
+    out = D.neardup_clusters(ids, pairs, max_iter=16)
+    got = out.groupBy("cluster_id").count().collect()
+    out.unpersist()
+    assert len(got) == 1
+    assert (got[0]["cluster_id"], got[0]["count"]) == (0, n)
 
 
 def test_neardup_clusters_nonconvergence_raises(spark):
