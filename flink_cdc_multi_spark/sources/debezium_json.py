@@ -50,6 +50,18 @@ _RAW_SOURCE = T.StructType(
     ]
 )
 
+# Debezium transaction-metadata block (provide.transaction.metadata=true;
+# public envelope docs): identifies the source transaction an event belongs
+# to and its order within it.
+_RAW_TXN = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("total_order", T.LongType()),
+        T.StructField("data_collection_order", T.LongType()),
+    ]
+)
+
+
 def _meta_schema(payload_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -71,6 +83,23 @@ def _meta_schema(payload_type: T.DataType) -> T.StructType:
             T.StructField("offset_pos", T.LongType()),
             T.StructField("txn_op_index", T.StringType()),
             T.StructField("_id", T.StringType()),
+            # real-Debezium surfaces (round 6): transaction metadata block;
+            # schema-change topic events carry the database as a top-level
+            # `databaseName` plus structured `tableChanges` (the `ddl` text
+            # is top-level in both the stand-in and the real format).
+            T.StructField("transaction", _RAW_TXN),
+            T.StructField("databaseName", T.StringType()),
+            T.StructField(
+                "tableChanges",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("type", T.StringType()),
+                            T.StructField("id", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
         ]
     )
 
@@ -116,12 +145,34 @@ def decode_raw(
     df = raw.select(meta, *[F.col(c) for c in passthrough])
 
     src = F.col("m.source")
-    snapshotting = F.coalesce(src["snapshot"], F.lit("false")).isin("true", "TRUE", "last")
+    # Debezium's full snapshot-phase vocabulary (`source.snapshot`):
+    # true / first / last plus the per-collection and incremental variants —
+    # anything but false/null means "this event is part of a snapshot"
+    snapshotting = F.coalesce(src["snapshot"], F.lit("false")).isin(
+        "true",
+        "TRUE",
+        "first",
+        "last",
+        "first_in_data_collection",
+        "last_in_data_collection",
+        "incremental",
+    )
     op = _canonical_op(F.col("m.op"), snapshotting)
     is_ddl = F.col("m.ddl").isNotNull()
 
-    database = F.coalesce(src["db"], src["schema"])
-    table = F.coalesce(src["table"], src["collection"])
+    # schema-change topic events carry the database as top-level
+    # `databaseName` (source.db is usually ALSO set there — the coalesce
+    # covers connector versions where it isn't)
+    database = F.coalesce(src["db"], src["schema"], F.col("m.databaseName"))
+    # DDL events may scope the table only inside tableChanges[0].id
+    # ('"inventory"."customers"') — strip the quoting and take the last
+    # dotted segment
+    tc_table = F.regexp_extract(
+        F.element_at(F.col("m.tableChanges"), 1)["id"], r'"?([^".]+)"?$', 1
+    )
+    table = F.coalesce(
+        src["table"], src["collection"], F.nullif(tc_table, F.lit(""))
+    )
 
     cols = [
         sanitize_col(database).alias("_db"),
@@ -142,6 +193,9 @@ def decode_raw(
         .otherwise(F.col("m.after"))
         .alias("payload"),
         snapshotting.alias("_snapshotting"),
+        # transaction-metadata block when the capture has
+        # provide.transaction.metadata=true; null otherwise
+        F.col("m.transaction")["id"].alias("_txn_id"),
     ]
 
     if source_type == "mysql":
@@ -162,18 +216,38 @@ def decode_raw(
             F.coalesce(src["scn"], F.lit("0")).alias("_scn"),
         ]
     elif source_type == "mongodb":
+        # _id: stand-in top-level first; real Debezium Mongo carries it only
+        # inside the document (extended-JSON string in before/after) — fall
+        # back to the picked image's $._id (typed-payload streams pass
+        # payload_schema and keep the stand-in convention)
+        image = F.when(op == OP_DELETE, F.col("m.before")).otherwise(F.col("m.after"))
+        id_candidates = [
+            F.get_json_object(F.col("m._id"), "$.$oid"),
+            F.col("m._id"),
+        ]
+        if payload_schema is None:
+            id_candidates += [
+                F.get_json_object(image, "$._id.$oid"),
+                F.get_json_object(image, "$._id.$numberLong"),
+                F.get_json_object(image, "$._id"),
+            ]
         cols += [
             sanitize_col(table).alias("_coll"),
-            F.coalesce(F.get_json_object(F.col("m._id"), "$.$oid"), F.col("m._id")).alias(
-                "_id"
-            ),
+            F.coalesce(*id_candidates).alias("_id"),
             F.col("m.txn_op_index").alias("_txn_op_index"),
         ]
     else:
         raise ValueError(f"unknown source type: {source_type}")
 
     cols += [F.col(c) for c in passthrough]
-    return df.select(*cols)
+    # Heartbeats ({"ts_ms":...} on the heartbeat topic — no op, no source),
+    # Kafka delete tombstones (null value → all-null parse), and blank feed
+    # lines are transport artifacts, not change events: drop them here so
+    # routing/offsets/status never see them. A data event always has _op;
+    # a DDL event always has _ddl; both carry a database.
+    return df.select(*cols).filter(
+        F.col("_op").isNotNull() | F.col("_ddl").isNotNull() | F.col("_db").isNotNull()
+    )
 
 
 def unwrap_mongo_extended_json(payload: DataFrame | None = None):

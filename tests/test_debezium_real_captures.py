@@ -1,0 +1,248 @@
+"""Recorded REAL-format Debezium captures through the full pipeline.
+
+The stand-in feeds elsewhere in the suite are schema-exact but minimal;
+these fixtures replicate the wire format a real Debezium 2.x deployment
+produces with the JSON converter (``schemas.enable=false``), as published
+in the Debezium tutorial/connector docs (public knowledge):
+
+- full ``source`` blocks (version/connector/name/server_id/gtid/thread/
+  sequence/txId/xmin/rs/ord — fields the decoder must IGNORE gracefully),
+- the snapshot-phase vocabulary ``first``/``true``/``last``,
+- ``transaction`` metadata blocks (provide.transaction.metadata=true),
+- heartbeat events (``{"ts_ms": ...}`` — no op, no source),
+- Kafka delete tombstones (null record value; Kafka-leg test),
+- schema-change topic events (top-level ``databaseName``/``ddl``/
+  ``tableChanges``),
+- MongoDB's image-as-extended-JSON-string envelope with
+  ``updateDescription`` and a pre-image ``before`` on delete.
+
+Reference semantics to match: MySQLDebeziumToJSONDeserializer.java:103-182
+(op vocabulary, DELETE-carries-before, ts fallback) — driven here through
+decode → route → materialize → offset store, per source.
+"""
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_multi_spark.catalog import TableRegistry
+from flink_cdc_multi_spark.config import JobConfig
+from flink_cdc_multi_spark.sources.kafka import read_kafka_stream_standin
+from flink_cdc_multi_spark.streaming.pipeline import CDCPipeline
+
+FIXTURES = Path(__file__).parent / "fixtures" / "debezium"
+
+CUSTOMERS_SQL = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("email", T.StringType()),
+    ]
+)
+
+CUSTOMERS_MONGO = T.StructType(
+    [
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("email", T.StringType()),
+    ]
+)
+
+
+def _run_file_feed(spark, tmp_path, source_type, source_id, db, schema, fixture,
+                   **cfg_extra):
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": source_id,
+            "source.type": source_type,
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+            **cfg_extra,
+        }
+    )
+    reg = TableRegistry.build(
+        source_type,
+        {(db, "customers"): schema},
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+    )
+    pipe = CDCPipeline(cfg, reg)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "capture.jsonl").write_text((FIXTURES / fixture).read_text())
+    q = pipe.start(spark, str(feed), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    return pipe
+
+
+def test_mysql_real_capture_end_to_end(spark, tmp_path):
+    pipe = _run_file_feed(
+        spark, tmp_path, "mysql", "m1", "inventory", CUSTOMERS_SQL,
+        "mysql_inventory.jsonl",
+    )
+    customers = spark.read.parquet(str(tmp_path / "sink" / "m1_inventory__customers"))
+    got = customers.orderBy("_ts").collect()
+    # 3 snapshot reads + insert + update + delete; the heartbeat line and
+    # the two schema-change events contribute NO data rows
+    assert [r["_op"] for r in got] == [
+        "READ", "READ", "READ", "INSERT", "UPDATE", "DELETE",
+    ]
+    by_op = {r["_op"]: r for r in got}
+    # DELETE carries the before image
+    assert (by_op["DELETE"]["id"], by_op["DELETE"]["email"]) == (1005, "kander@acme.com")
+    assert by_op["UPDATE"]["first_name"] == "Anne Marie"
+    # full source blocks decoded: binlog coordinates present on every row
+    assert all(r["_binlog_file_internal"] == "mysql-bin.000003" for r in got)
+    # offset store advanced to the last non-READ position — the final
+    # schema-change event at pos 1300 (DDL rows advance the offset; only
+    # READs are skipped, F5) (the real
+    # capture has no stand-in offset_file/offset_pos injection — the
+    # coalesce falls back to source.file/source.pos)
+    assert pipe.offset_store.read() == "mysql-bin.000003,1300"
+    # both schema-change topic events landed in the per-db DDL table
+    ddl = spark.read.parquet(str(tmp_path / "sink" / "m1_inventory___inventory_ddl"))
+    rows = {r["_ddl"]: r for r in ddl.collect()}
+    assert len(rows) == 2
+    assert any("CREATE INDEX" in d for d in rows)
+    assert any("ADD COLUMN middle_name" in d for d in rows)
+    assert all(r["_ddl_tbl"] == "customers" for r in rows.values())
+    # CREATE INDEX is non-structural (ignored); ALTER ... ADD COLUMN is
+    # structural -> the controller must have requested a stop
+    assert pipe.controller.stop_requested
+    assert "ADD COLUMN" in (pipe.controller.stop_reason or "")
+
+
+def test_mysql_real_capture_transaction_metadata(spark):
+    """The transaction block survives decode as _txn_id (null on events
+    captured without provide.transaction.metadata)."""
+    from flink_cdc_multi_spark.sources.debezium_json import decode_raw
+
+    raw = spark.read.text(str(FIXTURES / "mysql_inventory.jsonl"))
+    env = decode_raw(raw, "mysql")
+    rows = env.filter(F.col("_op").isNotNull()).orderBy("_ts").collect()
+    assert [r["_txn_id"] for r in rows] == [
+        None, None, None,
+        "file=mysql-bin.000003,pos=300",
+        "file=mysql-bin.000003,pos=700",
+        "file=mysql-bin.000003,pos=1050",
+    ]
+    # heartbeat dropped at decode (no op, no ddl, no source)
+    assert env.count() == 8  # 9 lines - 1 heartbeat
+
+
+def test_postgres_real_capture_end_to_end(spark, tmp_path):
+    pipe = _run_file_feed(
+        spark, tmp_path, "postgres", "pg1", "postgres", CUSTOMERS_SQL,
+        "postgres_inventory.jsonl",
+    )
+    customers = spark.read.parquet(str(tmp_path / "sink" / "pg1_postgres__customers"))
+    got = customers.orderBy("_ts").collect()
+    assert [r["_op"] for r in got] == ["READ", "READ", "INSERT", "UPDATE", "DELETE"]
+    by_op = {r["_op"]: r for r in got}
+    assert by_op["UPDATE"]["email"] == "kenneth.anderson@acme.com"
+    assert (by_op["DELETE"]["id"], by_op["DELETE"]["email"]) == (
+        1005, "kenneth.anderson@acme.com",
+    )
+    # LSN offset store: max non-READ lsn from the capture
+    assert pipe.offset_store.read() == "24023500"
+
+
+def test_mongodb_real_capture_end_to_end(spark, tmp_path):
+    pipe = _run_file_feed(
+        spark, tmp_path, "mongodb", "mg1", "inventory", CUSTOMERS_MONGO,
+        "mongodb_inventory.jsonl",
+        **{"mongodb.server.version": "6.0"},
+    )
+    customers = spark.read.parquet(str(tmp_path / "sink" / "mg1_inventory__customers"))
+    got = customers.orderBy("_ts").collect()
+    assert [r["_op"] for r in got] == ["READ", "READ", "INSERT", "UPDATE", "DELETE"]
+    # _id extracted from the extended-JSON image ($numberLong unwrap) —
+    # real Debezium Mongo has no top-level _id field; the DELETE pulls it
+    # from the pre-image `before`
+    assert [r["_id"] for r in got] == ["1001", "1002", "1005", "1005", "1005"]
+    by_op = {r["_op"]: r for r in got}
+    assert by_op["UPDATE"]["email"] == "kenneth.anderson@acme.com"
+    assert by_op["DELETE"]["first_name"] == "Kenneth"
+    # mongo offset = max ts of non-READ events
+    assert pipe.offset_store.read() == str(by_op["DELETE"]["_ts"])
+
+
+def test_mysql_real_capture_kafka_leg_with_tombstone(spark, tmp_path):
+    """The same capture through the Kafka consumer leg, plus the two
+    transport artifacts only Kafka has: a delete TOMBSTONE (null record
+    value) and a heartbeat-topic record. Both must vanish at decode; the
+    data path must match the file-feed run."""
+    lines = [
+        ln
+        for ln in (FIXTURES / "mysql_inventory.jsonl").read_text().splitlines()
+        if ln.strip()
+    ]
+    feed = tmp_path / "kafka"
+    feed.mkdir()
+    records = []
+    for i, value in enumerate(lines):
+        topic = (
+            "__debezium-heartbeat.dbserver1"
+            if json.loads(value).get("op") is None and "ddl" not in value
+            else "dbserver1.inventory.customers"
+        )
+        records.append(
+            {
+                "key": None,
+                "value": value,
+                "topic": topic,
+                "partition": 0,
+                "offset": 100 + i,
+                "timestamp": "2024-01-01T00:00:00.000Z",
+                "timestampType": 0,
+            }
+        )
+    # delete tombstone: Debezium emits a null-value record after each
+    # delete so Kafka log compaction can drop the key
+    records.append(
+        {
+            "key": json.dumps({"id": 1005}),
+            "value": None,
+            "topic": "dbserver1.inventory.customers",
+            "partition": 0,
+            "offset": 100 + len(lines),
+            "timestamp": "2024-01-01T00:00:00.000Z",
+            "timestampType": 0,
+        }
+    )
+    (feed / "seg0.json").write_text("\n".join(json.dumps(r) for r in records) + "\n")
+
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "mk1",
+            "source.type": "mysql",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+        }
+    )
+    reg = TableRegistry.build(
+        "mysql", {("inventory", "customers"): CUSTOMERS_SQL},
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+    )
+    pipe = CDCPipeline(cfg, reg)
+    stream = read_kafka_stream_standin(spark, str(feed), "mysql")
+    q = pipe.start(spark, None, str(tmp_path / "ckpt"), input_stream=stream)
+    q.processAllAvailable()
+    q.stop()
+
+    customers = spark.read.parquet(str(tmp_path / "sink" / "mk1_inventory__customers"))
+    got = customers.orderBy("_ts").collect()
+    assert [r["_op"] for r in got] == [
+        "READ", "READ", "READ", "INSERT", "UPDATE", "DELETE",
+    ]
+    # neither the tombstone nor the heartbeat materialized anywhere
+    assert customers.count() == 6
+    assert pipe.offset_store.read() == "mysql-bin.000003,1300"
+    assert pipe.controller.stop_requested
