@@ -228,6 +228,14 @@ def ivf_topk(
     into n_clusters cells; each query scores only the members of its
     n_probe nearest cells.
 
+    TRAINING HELPER, not the gated query path: with ``model=None`` this is
+    EAGER at plan-construction time (a ``count()`` plus an ML fit), and its
+    output is recall-tested but not oracle-hashed — the driver-gated IVF
+    query is ``ivf_topk_fixed`` (deterministic integer-quantized
+    centroids, fully hash-checked). Use this form to FIT an index once and
+    pass the ``model`` to later calls; use ``ivf_topk_fixed`` when the
+    centroids are already known/fixed.
+
     Scale shape: the index assign is one ML transform over the corpus; the
     probe step broadcasts (query × n_probe) rows and equi-joins on the cell
     id, so the per-query candidate set is |corpus|·n_probe/n_clusters.

@@ -181,3 +181,89 @@ def chunk_documents(
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 512,
+    order_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing by global token offset: concatenate the
+    corpus in a deterministic document order (``order_col``, default the
+    id — must be numeric and unique), then slice the token stream into
+    fixed ``block_tokens`` training sequences — documents may SPAN block
+    boundaries (the standard concatenate-then-chunk pretraining layout,
+    vs chunk_documents' per-doc windows). Output per document: token
+    count, global start offset, and the first/last training sequence it
+    lands in.
+
+    Scale shape — a DISTRIBUTED prefix sum, never a global window: the
+    tempting ``sum() OVER (ORDER BY order)`` with no PARTITION BY drags
+    every row onto ONE partition in Spark. Instead:
+
+      1. bucket = floor(order·B / (max+1)) — monotone in the order key, so
+         buckets partition the global order into contiguous runs; max
+         rides a broadcast 1-row aggregate (lazy, no driver collect),
+      2. within-bucket exclusive cumsum (window PARTITIONED by bucket),
+      3. per-bucket totals → exclusive running bases via a window over
+         the B-row totals frame (control-plane-sized by construction),
+      4. broadcast-join the bases back: start = base + local cumsum.
+
+    Everything shuffled is one narrow (id, n_tokens) row per DOCUMENT
+    (never per token), and the only all-on-one-partition step has exactly
+    ``n_buckets`` rows. The result is bucket-count-invariant — the oracle
+    is a plain windowed running sum. Skewed order keys skew buckets;
+    raise n_buckets or pre-normalize the key if the id space is sparse."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col) if order_col else F.col(id_col)
+    n_tok = token_count(F.col(text_col)).cast("bigint")
+    base_rows = df.select(
+        F.col(id_col), order.alias("_ord"), n_tok.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    stats = base_rows.agg(F.max("_ord").alias("_mx"))
+    bucketed = base_rows.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "_ord",
+        "n_tokens",
+        F.floor(
+            F.col("_ord").cast("double") * n_buckets / (F.col("_mx") + 1)
+        ).alias("_bkt"),
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("bigint"))
+    )
+    totals = bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    # exclusive running base per bucket via a triangular self-join: the
+    # frame is n_buckets rows BY CONSTRUCTION, so the O(B²) pair count is
+    # control-plane-sized and the join broadcasts — unlike a global-order
+    # window, which Spark would (correctly) flag as an unpartitioned
+    # single-partition WindowExec even at 64 rows
+    bases = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.select(
+                F.col("_bkt").alias("_pb"), F.col("_tot").alias("_pt")
+            )),
+            F.col("_pb") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_pt"), F.lit(0).cast("bigint")).alias("_base"))
+    )
+    start = F.col("_base") + F.col("_local")
+    return local.join(F.broadcast(bases), "_bkt").select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / block_tokens).alias("start_seq"),
+        F.floor((start + F.col("n_tokens") - 1) / block_tokens).alias("end_seq"),
+    )

@@ -84,9 +84,12 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.35, vec_id < 1000 scope)."""
+    """Embedding-cosine near-dup pairs (cos >= 0.35, vec_id < 1000 scope).
+    max_rows=None: the vec_id filter IS the scope contract, so the
+    operator's limit(n+1).count() guard would only add a Spark job per
+    execution (the guard exists for unscoped API callers)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return D.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
+    return D.embedding_neardup_pairs(emb, threshold=0.35, dim=64, max_rows=None)
 
 
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +502,18 @@ def ext_multimodal_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concatenate-then-chunk): global token
+    start offset per document in doc_id order plus the 256-token training
+    sequences it spans. The Spark side is a DISTRIBUTED prefix sum
+    (monotone bucketing + per-bucket cumsum + broadcast base join,
+    operators/text.pack_offsets — never a single-partition global
+    window); the oracle is the plain windowed running sum the packing is
+    defined as. Bucket-count invariance is what the hash check proves."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pack_offsets(docs, "doc_id", "text", block_tokens=256)
+
+
 def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 vocabulary by document frequency over non-empty docs (vocab /
     BPE-prep first pass). TakeOrderedAndProject top-k — no global sort; the
@@ -597,6 +612,7 @@ EXT_QUERIES = {
     "ext_multimodal_bytes": ext_multimodal_bytes,
     "ext_multimodal_dims": ext_multimodal_dims,
     "ext_multimodal_luma": ext_multimodal_luma,
+    "ext_pack_sequences": ext_pack_sequences,
     "ext_rollup_agg": ext_rollup_agg,
     "ext_window_running": ext_window_running,
     "ext_sessionize": ext_sessionize,
@@ -1032,6 +1048,26 @@ EXT_ORACLE_SQL = {
     "ext_multimodal_bytes": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id
+    """,
+    "ext_pack_sequences": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents WHERE trim(text) <> ''
+        ), s AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS start_offset
+          FROM t
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS start_seq,
+               CAST(FLOOR((start_offset + n_tokens - 1) / 256.0) AS BIGINT)
+                 AS end_seq
+        FROM s ORDER BY doc_id
     """,
     "ext_multimodal_luma": """
         WITH d AS (

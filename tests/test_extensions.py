@@ -670,6 +670,47 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert got[(3, 0)] == ("a b", 2)              # short doc → one chunk
 
 
+def test_pack_offsets_prefix_sum_and_bucket_invariance(spark):
+    # docs: 3, 5, 2 tokens in id order -> starts 0, 3, 8; block=4:
+    # doc 1 in seq 0; doc 2 spans seqs 0-1 (tokens 3..7); doc 3 spans 2-2
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h"), (3, "i j"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    expect = {
+        1: (3, 0, 0, 0),
+        2: (5, 3, 0, 1),
+        3: (2, 8, 2, 2),
+    }
+    for n_buckets in (1, 2, 7):  # result must be bucket-count invariant
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["start_offset"], r["start_seq"], r["end_seq"]
+            )
+            for r in X.pack_offsets(
+                df, block_tokens=4, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == expect, f"n_buckets={n_buckets}"
+    # whitespace-only doc contributes nothing (id 4 absent)
+
+
+def test_pack_offsets_matches_serial_reference(spark):
+    # 200 docs with varied token counts: distributed prefix sum must equal
+    # the serial cumulative sum
+    rows = [(i, " ".join("t" * 1 for _ in range(1 + i * 7 % 13))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["start_seq"], r["end_seq"])
+        for r in X.pack_offsets(df, block_tokens=32).collect()
+    }
+    acc = 0
+    for i in range(200):
+        n = 1 + i * 7 % 13
+        assert got[i] == (acc, acc // 32, (acc + n - 1) // 32), i
+        acc += n
+
+
 def test_resize_plan_targets(spark):
     rows = [
         (1, bytearray(M.make_tiny_png(640, 480))),   # downscale 2x

@@ -475,6 +475,56 @@ def test_onepass_matches_general_path(spark, tmp_path):
     assert results["onepass"] == results["general"]
 
 
+@pytest.mark.parametrize("n_tables", [24, 64])
+def test_onepass_matches_general_path_many_tables(spark, tmp_path, n_tables):
+    """Result-equivalence at the widths the r6 crossover sweep measured
+    (tools/sweep_onepass.py, PERF.md): the one-pass path forced ABOVE the
+    shipped 16-table default must still land identical tables + offset +
+    status as the general path — the default is a perf knob, not a
+    correctness boundary."""
+    lines = [
+        make_mysql_row(
+            op="c",
+            table=f"t{i % n_tables}",
+            after={"id": i, "v": f"v{i}"},
+            pos=100 + i,
+            ts_ms=1700000000000 + i,
+        )
+        for i in range(2 * n_tables)
+    ]
+    tables = {("testdb", f"t{i}"): USERS for i in range(n_tables)}
+    results = {}
+    for label, overrides in [
+        ("onepass", {"streaming.onepass.max.tables": 999}),
+        ("general", {"streaming.onepass.max.tables": 0}),
+    ]:
+        sub = tmp_path / label
+        sub.mkdir()
+        pipe = _pipeline(sub, tables=tables, **overrides)
+        feed = _feed(sub, "f1.json", lines)
+        query = pipe.start(spark, feed, str(sub / "ckpt"))
+        query.processAllAvailable()
+        query.stop()
+        per_table = {}
+        for i in range(n_tables):
+            rows = spark.read.parquet(str(sub / "sink" / f"s1_testdb__t{i}"))
+            per_table[i] = sorted(
+                (r["id"], r["v"], r["_op"], r["_binlog_pos_internal"])
+                for r in rows.collect()
+            )
+        results[label] = {
+            "tables": per_table,
+            "offset": pipe.offset_store.read(),
+            "onepass_used": pipe._onepass_eligible(),
+        }
+    assert results["onepass"]["onepass_used"] is True
+    assert results["general"]["onepass_used"] is False
+    assert results["onepass"]["tables"] == results["general"]["tables"]
+    assert results["onepass"]["offset"] == results["general"]["offset"]
+    # every table got its 2 rows on both paths
+    assert all(len(v) == 2 for v in results["onepass"]["tables"].values())
+
+
 def test_schema_change_reversion_lifecycle(spark, tmp_path):
     """The reference's documented schema-evolution workflow (README.md:26,
     160): structural DDL halts the job (flush-then-stop); the operator
