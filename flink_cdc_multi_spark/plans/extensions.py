@@ -401,6 +401,90 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: hit TARGET per-source mixture shares
+    (the 'mix N% web, M% code' pretraining knob) by scaling the whole
+    corpus to the largest size where every source can still fill its
+    share, then keeping a deterministic md5-bucket slice of each source.
+
+    Exact-integer math end to end (engine-portable, no RNG): shares are
+    integer percents p_s derived from the source id; n_out =
+    min_s(cnt_s·100 DIV p_s) is the achievable corpus size; per-source
+    keep threshold = n_out·p_s·M DIV (100·cnt_s) over M=1e6 md5 buckets
+    of the doc id — byte-stable across runs, engines, partitionings.
+
+    Scale shape: per-source counts are ONE partial-aggregated groupBy
+    over a source-column-pruned scan (tiny result); the min rides a
+    broadcast 1-row agg; thresholds broadcast-join back onto the corpus
+    scan, which is filtered map-side — the corpus itself never shuffles.
+    BIGINT range holds to ~9e10 docs/source (cnt·1e8 < 2^63). The
+    realized share tracks the target at md5-bucket granularity (±1/M),
+    exactly like any hash-rate sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = 1_000_000
+    p = (
+        F.coalesce(
+            F.regexp_extract(F.col("source"), r"(\d+)$", 1).try_cast("int"),
+            F.lit(0),
+        )
+        % 4
+    ) * 2 + 2
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("p", p.cast("bigint"))
+    )
+    nout = counts.agg(F.expr("MIN(cnt * 100 DIV p)").alias("n_out"))
+    thr = counts.crossJoin(F.broadcast(nout)).select(
+        "source",
+        F.expr(f"(n_out * p * {m}) DIV (100 * cnt)").alias("thr"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % m
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "source")
+    )
+
+
+def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal: per document, the exact-integer
+    pair (sum of corpus-wide term frequencies over its token occurrences,
+    token count) — high mean commonness flags boilerplate/templates, low
+    flags noise/gibberish; a standard cheap stand-in for model-based
+    quality scores.
+
+    Scale shape — the ext suite's one LARGE-LARGE equi-join: a 100 TB
+    corpus's term-frequency table is itself huge (no broadcast), so both
+    sides hash-partition on the token and sort-merge/hash join at full
+    width; the per-doc rollup is one more partial-aggregated shuffle.
+    The exploded token stream is deliberately NOT cached even though two
+    branches consume it (frequency build + join probe): token rows are
+    corpus-sized, so re-running the pruned scan+explode is cheaper than
+    holding the token stream resident — the OPPOSITE trade from
+    pack_offsets, whose shared frame is 16 bytes/doc (see PERF.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("tf_sum"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+        .select("doc_id", "tf_sum", "n_tokens")
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -619,6 +703,8 @@ EXT_QUERIES = {
     "ext_cdc_scd2": ext_cdc_scd2,
     "ext_asof_join": ext_asof_join,
     "ext_sample_stratified": ext_sample_stratified,
+    "ext_mixture_sample": ext_mixture_sample,
+    "ext_text_commonness": ext_text_commonness,
     "ext_text_vocab": ext_text_vocab,
     "ext_contamination": ext_contamination,
     "ext_text_repetition": ext_text_repetition,
@@ -1152,6 +1238,41 @@ EXT_ORACLE_SQL = {
         ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events
                         WHERE event_type = 'click') f
           ON l.user_id = f.user_id AND f.event_id <= l.event_id
+    """,
+    "ext_text_commonness": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ), freq AS (
+          SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+        )
+        SELECT tok.doc_id,
+               CAST(SUM(freq.tf) AS BIGINT) AS tf_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok JOIN freq USING (token)
+        GROUP BY tok.doc_id ORDER BY tok.doc_id
+    """,
+    "ext_mixture_sample": r"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS cnt,
+                 CAST((COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$', 1)
+                                         AS INT), 0) % 4) * 2 + 2 AS BIGINT) AS p
+          FROM documents GROUP BY source
+        ), n AS (
+          SELECT MIN(cnt * 100 // p) AS n_out FROM c
+        ), thr AS (
+          SELECT source, CAST((n.n_out * c.p * 1000000) // (100 * c.cnt)
+                              AS BIGINT) AS thr
+          FROM c, n
+        )
+        SELECT d.doc_id, d.source
+        FROM (SELECT doc_id, source,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 AS bucket
+              FROM documents) d
+        JOIN thr USING (source)
+        WHERE d.bucket < thr.thr
+        ORDER BY d.doc_id
     """,
     "ext_sample_stratified": """
         SELECT doc_id, lang, bucket FROM (

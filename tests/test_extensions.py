@@ -670,6 +670,71 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert got[(3, 0)] == ("a b", 2)              # short doc → one chunk
 
 
+def test_text_commonness_exact_counts(spark, tmp_path):
+    # corpus: "a a b" + "b c" -> tf: a=2, b=2, c=1
+    # doc1 tokens (a,a,b): tf_sum = 2+2+2 = 6, n=3
+    # doc2 tokens (b,c):   tf_sum = 2+1 = 3,  n=2
+    import pandas as pd
+
+    from flink_cdc_multi_spark.plans.extensions import ext_text_commonness
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "b c", "   "],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [5, 3, 3],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    got = {
+        r["doc_id"]: (r["tf_sum"], r["n_tokens"])
+        for r in ext_text_commonness(spark, str(sf)).collect()
+    }
+    assert got == {1: (6, 3), 2: (3, 2)}  # whitespace-only doc absent
+
+
+def test_mixture_sample_hits_target_shares(spark, tmp_path):
+    # 4 sources x uniform 250 docs, target shares 2/4/6/8 percent
+    # (p = idx%4*2+2): n_out = min(250*100//p) = floor(25000/8) = 3125,
+    # thresholds = n_out*p*1e6 // (100*250). src3 (p=8) binds: threshold
+    # = 1e6 -> keeps ALL its docs; others keep ~p/8 of theirs. The kept
+    # sets must be deterministic md5 slices (re-run identical).
+    import pandas as pd
+
+    from flink_cdc_multi_spark.plans.extensions import ext_mixture_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "text": ["x"] * 1000,
+            "lang": ["en"] * 1000,
+            "source": [f"src{i % 4}" for i in range(1000)],
+            "n_chars": [1] * 1000,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    got = ext_mixture_sample(spark, str(sf)).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # binding source keeps everything; md5-rate sources land near target
+    assert len(by_src["src3"]) == 250
+    assert abs(len(by_src["src0"]) - 250 * 2 / 8) <= 15
+    assert abs(len(by_src["src1"]) - 250 * 4 / 8) <= 20
+    assert abs(len(by_src["src2"]) - 250 * 6 / 8) <= 20
+    # deterministic: identical on re-execution
+    again = {
+        (r["doc_id"], r["source"]) for r in ext_mixture_sample(spark, str(sf)).collect()
+    }
+    assert again == {(r["doc_id"], r["source"]) for r in got}
+
+
 def test_pack_offsets_prefix_sum_and_bucket_invariance(spark):
     # docs: 3, 5, 2 tokens in id order -> starts 0, 3, 8; block=4:
     # doc 1 in seq 0; doc 2 spans seqs 0-1 (tokens 3..7); doc 3 spans 2-2
