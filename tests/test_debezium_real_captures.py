@@ -172,6 +172,51 @@ def test_mongodb_real_capture_end_to_end(spark, tmp_path):
     assert pipe.offset_store.read() == str(by_op["DELETE"]["_ts"])
 
 
+def test_oracle_real_capture_end_to_end(spark, tmp_path):
+    """Oracle LogMiner envelope (uppercase identifiers, string SCNs,
+    txId/commit_scn/rs_id source fields the decoder must ignore)."""
+    schema = T.StructType(
+        [
+            T.StructField("ID", T.LongType()),
+            T.StructField("FIRST_NAME", T.StringType()),
+            T.StructField("LAST_NAME", T.StringType()),
+            T.StructField("EMAIL", T.StringType()),
+        ]
+    )
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "or1",
+            "source.type": "oracle",
+            "sink.path": str(tmp_path / "sink"),
+            "offset.store.path": str(tmp_path / "store"),
+            "status.store.path": str(tmp_path / "store"),
+            "checkpoint.interval": 1,
+        }
+    )
+    reg = TableRegistry.build(
+        "oracle", {("ORCLPDB1", "CUSTOMERS"): schema},
+        fail_on_unknown_tables=cfg.fail_on_unknown_tables,
+    )
+    pipe = CDCPipeline(cfg, reg)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "capture.jsonl").write_text(
+        (FIXTURES / "oracle_inventory.jsonl").read_text()
+    )
+    q = pipe.start(spark, str(feed), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    customers = spark.read.parquet(str(tmp_path / "sink" / "or1_ORCLPDB1__CUSTOMERS"))
+    got = customers.orderBy("_ts").collect()
+    assert [r["_op"] for r in got] == ["READ", "READ", "INSERT", "UPDATE", "DELETE"]
+    by_op = {r["_op"]: r for r in got}
+    assert by_op["UPDATE"]["EMAIL"] == "kenneth.anderson@acme.com"
+    assert (by_op["DELETE"]["ID"], by_op["DELETE"]["FIRST_NAME"]) == (1005, "Kenneth")
+    # numeric-SCN offset store: max non-READ scn (string in the envelope,
+    # compared numerically)
+    assert pipe.offset_store.read() == "447260"
+
+
 def test_mysql_real_capture_kafka_leg_with_tombstone(spark, tmp_path):
     """The same capture through the Kafka consumer leg, plus the two
     transport artifacts only Kafka has: a delete TOMBSTONE (null record
