@@ -452,6 +452,37 @@ def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-prep pass 2 (after vocab_topk's unigram pass): top-30
+    adjacent token pairs by corpus count — the highest-count pair is
+    exactly what the first BPE merge step would fuse. (count DESC, pair
+    ASC) is a total order, so the top-k SET is engine-independent.
+
+    Scale: tokenize once (posexplode + one per-doc lead window — the
+    shingle_rows shape without its short-doc fallback: strictly true
+    pairs), partial-agg count per pair, TakeOrderedAndProject top-k — no
+    global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.withColumn("nxt", F.lead("t").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "t", "nxt").alias("pair"))
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(30)
+    )
+
+
 def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality signal: per document, the exact-integer
     pair (sum of corpus-wide term frequencies over its token occurrences,
@@ -705,6 +736,7 @@ EXT_QUERIES = {
     "ext_sample_stratified": ext_sample_stratified,
     "ext_mixture_sample": ext_mixture_sample,
     "ext_text_commonness": ext_text_commonness,
+    "ext_text_bigrams": ext_text_bigrams,
     "ext_text_vocab": ext_text_vocab,
     "ext_contamination": ext_contamination,
     "ext_text_repetition": ext_text_repetition,
@@ -1238,6 +1270,19 @@ EXT_ORACLE_SQL = {
         ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events
                         WHERE event_type = 'click') f
           ON l.user_id = f.user_id AND f.event_id <= l.event_id
+    """,
+    "ext_text_bigrams": r"""
+        WITH t AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE trim(text) <> ''
+        ), p AS (
+          SELECT toks, unnest(range(len(toks) - 1)) AS i FROM t
+          WHERE len(toks) >= 2
+        )
+        SELECT toks[i+1] || ' ' || toks[i+2] AS pair,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM p GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 30
     """,
     "ext_text_commonness": r"""
         WITH tok AS (

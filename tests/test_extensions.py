@@ -293,6 +293,49 @@ def test_png_pixel_decode_rejects_unsupported():
     assert M.png_luma_sum(blob) is None
 
 
+def test_png_decoder_fuzz():
+    """Property coverage for the stdlib PNG pixel decoder: (a) encode→
+    decode roundtrip equals the closed form for random dims/seeds (all
+    five filter types in play for h >= 5), (b) arbitrary byte garbage —
+    including truncations and bit-flips of VALID PNGs, the nastiest
+    inputs — returns None, never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=0, max_value=255),
+    )
+    def roundtrip(w, h, s):
+        exp = sum(
+            299 * ((s + x) % 256) + 587 * ((s + y) % 256) + 114 * ((s + x + y) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+        assert M.png_luma_sum(M.make_png_rgb(w, h, s)) == (exp, w * h)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=120), st.integers(0, 3))
+    def garbage(blob, mode):
+        if mode == 1:  # valid signature + garbage chunks
+            blob = b"\x89PNG\r\n\x1a\n" + blob
+        elif mode == 2:  # truncated valid PNG
+            full = M.make_png_rgb(5, 6, 77)
+            blob = full[: len(blob) % max(1, len(full))]
+        elif mode == 3:  # bit-flipped valid PNG (corrupt zlib/filters)
+            full = bytearray(M.make_png_rgb(5, 6, 77))
+            if blob:
+                full[blob[0] % len(full)] ^= 0xFF
+            blob = bytes(full)
+        r = M.png_luma_sum(bytes(blob))
+        assert r is None or (isinstance(r, tuple) and len(r) == 2)
+
+    roundtrip()
+    garbage()
+
+
 def test_real_luma_through_decode_image_features(spark):
     # PNG pixel decode is REAL in the Spark path: mean_luma equals the
     # closed-form integer sum / (1000 * n_px); non-PNG and pixel-less
