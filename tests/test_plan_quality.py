@@ -174,3 +174,33 @@ def test_ext_text_vocab_topk_no_global_sort(spark):
     plan = plan_of(spark, "ext_text_vocab")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final token count
+
+
+def test_ext_text_bigrams_topk_no_global_sort(spark):
+    plan = plan_of(spark, "ext_text_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("Sort [pos", "")  # per-doc lead sort ok
+
+
+def test_ext_pack_sequences_distributed_prefix_sum(spark):
+    """The prefix sum must stay two-phase: the per-doc window PARTITIONS
+    by the bucket (no unpartitioned global-order WindowExec over the
+    corpus), and the shared counted frame reads from cache (tokenize-once
+    contract) rather than re-scanning per branch."""
+    plan = plan_of(spark, "ext_pack_sequences")
+    assert "InMemoryTableScan" in plan
+    # every Window in the plan carries the bucket partition spec
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        assert "_bkt" in m.group(0), m.group(0)
+
+
+def test_ext_ann_topk_vectorized_kernel_and_group_limit(spark):
+    """Brute-force ANN must score through the Arrow kernel (MapInPandas)
+    with the final rank as a WindowGroupLimit (per-partition top-k heap),
+    never a corpus-wide cartesian through an interpreted fold."""
+    plan = plan_of(spark, "ext_ann_topk")
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
