@@ -680,21 +680,35 @@ def contamination_report(
 
     Scale (100 TB corpus vs a benchmark suite of ~1e4-1e6 shingles): the
     probe shingle SET is deduplicated and BROADCAST, so the corpus side
-    streams map-side through a LEFT join with a hit marker, and BOTH
-    outputs (total distinct shingles, shared count) come from ONE
-    partial-aggregated groupBy — no n_sh window, no extra shuffle. The
-    corpus is never all-pairs'd against the probes and never re-shuffled
-    on the shingle. Shingling reuses the posexplode+lead shape (tokenize
-    once — see shingle_rows' perf note)."""
-    c = shingle_rows(corpus, id_col, text_col, n).distinct()
+    streams map-side through a LEFT join with a hit marker; both outputs
+    (distinct shingles, shared count) come from the two-level compact
+    aggregation below. The corpus is never all-pairs'd against the probes
+    and never re-shuffled on the raw shingle. Shingling reuses the
+    posexplode+lead shape (tokenize once — see shingle_rows' perf note).
+
+    Every wide operation moves the 8-byte md5-hash60 of the shingle, not
+    the shingle STRING (shuffle-keys-are-compact rule): the r6 sf10
+    profile showed a `.distinct()` over (id, shingle-string) rows costing
+    7 s to dedupe ~0.1% — pure shuffle-payload overhead. The counts are
+    distinct-HASH counts, identical to distinct-shingle counts unless two
+    of a doc's shingles collide in 60 bits (engine-identical either way —
+    the DuckDB oracle computes the same md5-hash60, the minhash/simhash
+    portability pattern). Topology: hash → map-side broadcast hit-join →
+    groupBy(id, h) max(hit) (partial agg collapses repeats map-side,
+    16-byte shuffle rows) → groupBy(id) counts (second shuffle is
+    post-dedup and cheap). Measured 21.8 → ~8 s on 26M shingles."""
+    h60 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    c = shingle_rows(corpus, id_col, text_col, n).select("id", h60.alias("h"))
     p = (
         shingle_rows(probes, id_col, text_col, n)
-        .select("shingle")
+        .select(h60.alias("h"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     return (
-        c.join(F.broadcast(p), "shingle", "left")
+        c.join(F.broadcast(p), "h", "left")
+        .groupBy("id", "h")
+        .agg(F.max("__hit").alias("__hit"))
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count("__hit").alias("n_shared"),  # non-null hits only

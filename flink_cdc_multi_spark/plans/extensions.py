@@ -827,19 +827,26 @@ EXT_ORACLE_SQL = {
         ), s AS (
           SELECT doc_id,
                  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                      ELSE list_distinct(list_transform(range(len(toks)-2),
-                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                      ELSE list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
                  END sh
           FROM t
         ), e AS (
-          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+          -- distinct md5-hash60 per doc: mirrors the engine's
+          -- compact-shuffle form (counts are hash-distinct in BOTH
+          -- engines, so a 60-bit collision cannot diverge them)
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(sh2.shingle), 1, 15))::BIGINT AS h
+          FROM s, unnest(s.sh) AS sh2(shingle)
+        ), n AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM e GROUP BY doc_id
         ), probe AS (
-          SELECT DISTINCT shingle FROM e WHERE doc_id < 5
+          SELECT DISTINCT h FROM e WHERE doc_id < 5
         )
         SELECT c.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_shared,
-               CAST(any_value(c.n_sh) AS BIGINT) AS n_sh
-        FROM e c JOIN probe p USING (shingle)
+               CAST(any_value(n.n_sh) AS BIGINT) AS n_sh
+        FROM e c JOIN n USING (doc_id) JOIN probe p USING (h)
         WHERE c.doc_id >= 5
         GROUP BY c.doc_id ORDER BY c.doc_id
     """,
