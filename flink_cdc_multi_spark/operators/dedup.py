@@ -83,6 +83,37 @@ def shingles(text_col, n: int = 3):
     return _shingles_of(tokens(text_col), n)
 
 
+def _token_barrier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks) with the tokenizer MATERIALIZED behind a Generate
+    barrier: ``explode(array(split(...)))`` forces the split to evaluate
+    once per document. Projecting ``split() AS toks`` and then using it
+    inside a transform() lambda does NOT do that — CollapseProject merges
+    the projections and re-inlines the split into the lambda (no CSE
+    inside higher-order functions), making every shingle re-split the
+    text: the O(tokens²) trap PERF.md documents. Generate is a barrier
+    CollapseProject cannot cross, so downstream array lambdas see a
+    materialized array column."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("toks"),
+    )
+
+
+def _shingle_array(n: int):
+    """Positional n-gram shingle array (duplicates kept, document order)
+    over a materialized ``toks`` column. Short docs (< n tokens)
+    contribute one whole-text shingle; empty text the empty-string
+    shingle, matching DuckDB's regexp_split_to_array('') = ['']."""
+    return F.when(
+        F.size("toks") < n, F.array(F.concat_ws(" ", F.col("toks")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+        )
+    )
+
+
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -90,41 +121,36 @@ def shingle_rows(
     DUPLICATES KEPT (the multiset form; distinct is layered on by
     shingle_exploded).
 
-    Built with posexplode + window lead instead of the array-lambda form:
-    Catalyst's CollapseProject re-inlines the tokenizer into a transform()
-    lambda (no CSE inside higher-order functions), making the array form
-    O(tokens²) regex splits per doc. This shape tokenizes once, stays in
-    whole-stage codegen, and its only shuffle is the per-doc window —
-    measured ~20× faster at 300 sf0.1 docs and scales linearly.
-
-    Short docs (< n tokens) contribute one whole-text shingle; empty text
-    contributes the empty-string shingle, matching DuckDB's
-    regexp_split_to_array('') = [''] in the oracle."""
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "t"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("t", i).over(w) for i in range(1, n)]
-    rows = tok.withColumn(
-        "shingle", F.concat_ws(" ", F.col("t"), *leads)
-    ).withColumn("last_lead", leads[-1] if leads else F.col("t"))
-    # keep-set without a second (count) window pass: a full n-gram exists
-    # iff its last lead is non-null; a short doc (< n tokens) has null
-    # last_lead everywhere and keeps only pos 0, whose concat_ws already
-    # skipped the null leads = the whole-text shingle.
-    kept = rows.filter(F.col("last_lead").isNotNull() | (F.col("pos") == 0))
-    return kept.select("id", "shingle")
+    Shingling is DOC-LOCAL (r6): tokenize once behind the _token_barrier
+    Generate, build the shingle array with one linear lambda pass, and
+    explode — a pure scan-side pipeline with ZERO shuffles. The previous
+    shape (posexplode tokens + per-doc window lead) paid a full shuffle +
+    sort of the token stream before any consumer did its own work: at
+    sf10 that window build alone was 4.1 s of ext_text_repetition's 8.9 s;
+    the barrier form computes the same 26M shingles in 0.3 s. (The window
+    form itself existed to dodge the lambda-re-inlines-the-tokenizer trap
+    — the barrier dodges it without the shuffle; see _token_barrier.)"""
+    tok = _token_barrier(df, id_col, text_col)
+    return tok.select("id", F.explode(_shingle_array(n)).alias("shingle"))
 
 
 def shingle_exploded(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, n_sh, shingle) rows — DISTINCT n-gram shingles per doc, with
-    the per-doc distinct count alongside. See shingle_rows for the
-    tokenize-once perf rationale."""
-    ded = shingle_rows(df, id_col, text_col, n).distinct()
-    return ded.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+    """(id, shingle, n_sh) rows — DISTINCT n-gram shingles per doc, with
+    the per-doc distinct count alongside. Doc-local like shingle_rows:
+    array_distinct + size replace what used to be a distinct SHUFFLE plus
+    a count WINDOW over the exploded stream."""
+    tok = _token_barrier(df, id_col, text_col)
+    # second Generate barrier: _sh is referenced twice below (explode +
+    # size); without the barrier CollapseProject would duplicate the
+    # whole array_distinct(transform(...)) tree into both expressions
+    arr = tok.select(
+        "id", F.explode(F.array(F.array_distinct(_shingle_array(n)))).alias("_sh")
+    )
+    return arr.select(
+        "id", F.explode("_sh").alias("shingle"), F.size("_sh").alias("n_sh")
+    )
 
 
 def repetition_stats(
@@ -137,13 +163,26 @@ def repetition_stats(
     ratio is left to the consumer (oracle-parity rule: never emit rounded
     doubles).
 
-    Scale: one partial-aggregated groupBy per doc (count + count_distinct
-    expand to Catalyst's standard two-level aggregate); no joins, no
-    windows beyond the shingle builder's per-doc lead()."""
-    rows = shingle_rows(df, id_col, text_col, n)
-    return rows.groupBy(F.col("id").alias(id_col)).agg(
-        F.count("*").alias("n_shingles"),
-        F.count_distinct("shingle").alias("n_distinct"),
+    Scale (r6): fully DOC-LOCAL — shingle array behind the tokenize
+    barrier, counts from size/array_distinct per row. No explode, no
+    groupBy, no shuffle at all: the operator is a projection over the
+    pruned scan. (History: the exploded groupBy + count_distinct form
+    cost 8.9 s at sf10; this form, 0.67 s — the same per-row shape as
+    DuckDB's 1.9 s list_distinct oracle.) The distinct count runs over
+    the 8-byte md5-hash60 of each shingle, mirrored exactly in the
+    oracle, so a 60-bit collision cannot diverge the engines."""
+
+    def h60(x):
+        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+
+    tok = _token_barrier(df, id_col, text_col)
+    sh = _shingle_array(n)
+    return tok.select(
+        F.col("id").alias(id_col),
+        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(F.transform(sh, h60)))
+        .cast("bigint")
+        .alias("n_distinct"),
     )
 
 
@@ -693,22 +732,26 @@ def contamination_report(
     distinct-HASH counts, identical to distinct-shingle counts unless two
     of a doc's shingles collide in 60 bits (engine-identical either way —
     the DuckDB oracle computes the same md5-hash60, the minhash/simhash
-    portability pattern). Topology: hash → map-side broadcast hit-join →
-    groupBy(id, h) max(hit) (partial agg collapses repeats map-side,
-    16-byte shuffle rows) → groupBy(id) counts (second shuffle is
-    post-dedup and cheap). Measured 21.8 → ~8 s on 26M shingles."""
-    h60 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
-    c = shingle_rows(corpus, id_col, text_col, n).select("id", h60.alias("h"))
-    p = (
-        shingle_rows(probes, id_col, text_col, n)
-        .select(h60.alias("h"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    portability pattern). Topology (r6, doc-local first): per-doc
+    DISTINCT hash arrays are built locally behind the tokenize barrier
+    (no distinct shuffle, no window — see shingle_rows), explode to
+    16-byte (id, h) rows, map-side broadcast hit-join, then ONE
+    partial-aggregated groupBy(id) for both counts. Measured 21.8 s
+    (string shuffles) → 9.4 s (compact two-level) → this single-shuffle
+    form on 26M shingles at sf10."""
+
+    def h60(x):
+        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+
+    def distinct_hash_rows(d: DataFrame) -> DataFrame:
+        tok = _token_barrier(d, id_col, text_col)
+        hs = F.array_distinct(F.transform(_shingle_array(n), h60))
+        return tok.select("id", F.explode(hs).alias("h"))
+
+    c = distinct_hash_rows(corpus)
+    p = distinct_hash_rows(probes).select("h").distinct().withColumn("__hit", F.lit(1))
     return (
         c.join(F.broadcast(p), "h", "left")
-        .groupBy("id", "h")
-        .agg(F.max("__hit").alias("__hit"))
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count("__hit").alias("n_shared"),  # non-null hits only

@@ -805,7 +805,11 @@ EXT_ORACLE_SQL = {
         )
         SELECT doc_id,
                CAST(len(sh) AS BIGINT) AS n_shingles,
-               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+               -- distinct md5-hash60 counts, mirroring the engine's
+               -- compact-shuffle form (engine-identical under collision)
+               CAST(len(list_distinct(list_transform(sh,
+                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)))
+                    AS BIGINT) AS n_distinct
         FROM s ORDER BY doc_id
     """,
     "ext_text_vocab": r"""
