@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_cdc_multi_spark.operators.text import normalize_text, tokens
+from flink_cdc_multi_spark.operators.text import (
+    normalize_text,
+    token_barrier,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -83,20 +87,9 @@ def shingles(text_col, n: int = 3):
     return _shingles_of(tokens(text_col), n)
 
 
-def _token_barrier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, toks) with the tokenizer MATERIALIZED behind a Generate
-    barrier: ``explode(array(split(...)))`` forces the split to evaluate
-    once per document. Projecting ``split() AS toks`` and then using it
-    inside a transform() lambda does NOT do that — CollapseProject merges
-    the projections and re-inlines the split into the lambda (no CSE
-    inside higher-order functions), making every shingle re-split the
-    text: the O(tokens²) trap PERF.md documents. Generate is a barrier
-    CollapseProject cannot cross, so downstream array lambdas see a
-    materialized array column."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("toks"),
-    )
+# tokenize-once Generate barrier lives in operators.text (token_barrier);
+# all shingle builders below consume it
+_token_barrier = token_barrier
 
 
 def _shingle_array(n: int):

@@ -38,6 +38,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def token_barrier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks) with the tokenizer MATERIALIZED behind a Generate
+    barrier: ``explode(array(split(...)))`` forces the split to evaluate
+    once per document. Projecting ``split() AS toks`` and then using it
+    inside a transform() lambda does NOT do that — CollapseProject merges
+    the projections and re-inlines the split into the lambda (no CSE
+    inside higher-order functions), making every element re-split the
+    text: the O(tokens²) trap PERF.md documents. Generate is a barrier
+    CollapseProject cannot cross, so downstream array lambdas see a
+    materialized array column. This is the sanctioned way to feed array
+    lambdas from a computed expression."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("toks"),
+    )
+
+
 def bpe_token_estimate(text: Column) -> Column:
     """chars/4 heuristic — the standard back-of-envelope BPE estimate."""
     return F.ceil(F.length(text) / F.lit(4)).cast("bigint")
@@ -145,41 +162,34 @@ def chunk_documents(
     overlap. Output (doc_id, chunk_id, chunk_text, n_tokens); empty docs
     produce no chunks.
 
-    Shape: tokenize ONCE via posexplode, map each token to the ≤2 chunks
-    containing it (small sequence explode), then one partial-aggregated
-    groupBy per (doc, chunk) rebuilds the window text with an ordered
-    collect. The tempting alternative — transform() over an array of
-    chunk starts slicing a tokens array — re-inlines the tokenizer into
-    the lambda (no CSE in HOFs, the shingle_rows lesson) and re-splits
-    the text once per chunk. This form is linear and whole-stage-codegen
-    friendly; its one shuffle is the (doc, chunk) agg."""
+    DOC-LOCAL (r6): tokenize once behind the Generate barrier
+    (token_barrier), build every chunk with one linear slice/array_join
+    lambda over the materialized token array, and explode — ZERO
+    shuffles, pure scan-side pipeline. The previous shape exploded each
+    token into its ≤2 covering chunks and rebuilt windows with a
+    (doc, chunk) groupBy + ordered collect_list — a full shuffle of the
+    token stream that the barrier makes unnecessary. (Naively slicing a
+    PROJECTED tokens array inside transform() is the O(tokens²)
+    CollapseProject trap the barrier exists for — see token_barrier.)"""
     stride = chunk_tokens - overlap
     assert stride > 0, "overlap must be smaller than chunk_tokens"
-    tok = df.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "t"),
+    tok = token_barrier(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col, text_col
     )
-    # chunks containing pos: c in [floor((pos-chunk_tokens)/stride)+1, floor(pos/stride)]
-    c_min = F.greatest(
-        F.lit(0).cast("long"),
-        (F.floor((F.col("pos") - chunk_tokens) / stride) + 1).cast("long"),
-    )
-    c_max = F.floor(F.col("pos") / stride).cast("long")
-    tc = tok.select(
-        "id", "pos", "t", F.explode(F.sequence(c_min, c_max)).alias("chunk_id")
-    )
-    return (
-        tc.groupBy(F.col("id").alias(id_col), "chunk_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
-                    lambda x: x["t"],
-                ),
+    n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda c: F.struct(
+            c.alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), c * stride + 1, chunk_tokens), " "
             ).alias("chunk_text"),
-            F.count("*").alias("n_tokens"),
-        )
+            F.least(F.lit(chunk_tokens).cast("long"), F.size("toks") - c * stride)
+            .alias("n_tokens"),
+        ),
+    )
+    return tok.select(
+        F.col("id").alias(id_col), F.inline(chunks)
     )
 
 
