@@ -166,9 +166,11 @@ def decode_raw(
     database = F.coalesce(src["db"], src["schema"], F.col("m.databaseName"))
     # DDL events may scope the table only inside tableChanges[0].id
     # ('"inventory"."customers"') — strip the quoting and take the last
-    # dotted segment
+    # dotted segment. try_element_at: database-level DDL ships
+    # tableChanges: [] and ANSI element_at would crash the stream on it
+    # (found by the decode fuzz test)
     tc_table = F.regexp_extract(
-        F.element_at(F.col("m.tableChanges"), 1)["id"], r'"?([^".]+)"?$', 1
+        F.try_element_at(F.col("m.tableChanges"), F.lit(1))["id"], r'"?([^".]+)"?$', 1
     )
     table = F.coalesce(
         src["table"], src["collection"], F.nullif(tc_table, F.lit(""))

@@ -101,3 +101,62 @@ def test_mongo_replace_snapshot_and_oid(spark):
 def test_debezium_enum_name_create(spark):
     line = make_mysql_row(op="CREATE", after={"id": 9})
     assert _decode(spark, [line], "mysql").first()["_op"] == "INSERT"
+
+
+def test_decode_raw_fuzz_never_crashes_and_drops_artifacts(spark):
+    """Wire-garbage robustness: arbitrary lines (invalid JSON, wrong-typed
+    fields, heartbeats, nulls, partial envelopes) must never crash
+    decode_raw for ANY source type, and rows that carry neither an op,
+    a DDL, nor a database identity (heartbeats/tombstones/junk) must be
+    dropped rather than forwarded to routing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.one_of(
+        st.none(), st.integers(-2**40, 2**40), st.text(max_size=8), st.booleans()
+    )
+    envelope = st.fixed_dictionaries(
+        {},
+        optional={
+            "op": st.one_of(scalar, st.sampled_from(["r", "c", "u", "d", "CREATE"])),
+            "ts_ms": scalar,
+            "ddl": scalar,
+            "before": st.one_of(scalar, st.dictionaries(st.text(max_size=5), scalar, max_size=2)),
+            "after": st.one_of(scalar, st.dictionaries(st.text(max_size=5), scalar, max_size=2)),
+            "source": st.one_of(
+                scalar,
+                st.fixed_dictionaries(
+                    {},
+                    optional={
+                        "db": scalar,
+                        "schema": scalar,
+                        "table": scalar,
+                        "collection": scalar,
+                        "file": scalar,
+                        "pos": scalar,
+                        "lsn": scalar,
+                        "scn": scalar,
+                        "snapshot": scalar,
+                    },
+                ),
+            ),
+            "transaction": st.one_of(scalar, st.fixed_dictionaries({}, optional={"id": scalar})),
+            "databaseName": scalar,
+            "tableChanges": st.one_of(scalar, st.lists(st.fixed_dictionaries({}, optional={"id": scalar}), max_size=2)),
+        },
+    )
+    line = st.one_of(
+        st.text(max_size=30),                       # invalid JSON
+        envelope.map(json.dumps),                   # structured-ish
+        st.just(json.dumps({"ts_ms": 1})),          # heartbeat
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=8), st.sampled_from(["mysql", "postgres", "oracle", "mongodb"]))
+    def run(lines, source_type):
+        rows = _decode(spark, lines, source_type).collect()
+        for r in rows:
+            # the artifact-drop contract: every surviving row has identity
+            assert r["_op"] is not None or r["_ddl"] is not None or r["_db"] is not None
+
+    run()
