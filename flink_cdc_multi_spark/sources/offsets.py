@@ -56,9 +56,12 @@ def reduce_offset(envelope: DataFrame, source_type: str) -> str | None:
         return None if row is None or row["o"] is None else str(row["o"])
     if source_type == "oracle":
         # ST7 emits _scn on change; batch equivalent: numerically-last SCN.
+        # try_cast: a malformed SCN string on one corrupt line must not
+        # ANSI-crash the whole offset reduction — it degrades to null and
+        # falls out of the max (same family as the tableChanges fuzz find)
         row = (
             envelope.filter(F.col("_scn").isNotNull() & (F.col("_scn") != "0"))
-            .agg(F.max(F.col("_scn").cast("decimal(38,0)")).alias("o"))
+            .agg(F.max(F.col("_scn").try_cast("decimal(38,0)")).alias("o"))
             .first()
         )
         return None if row is None or row["o"] is None else str(row["o"])
@@ -143,9 +146,16 @@ def resume_filter(envelope: DataFrame, source_type: str, offset: str | None) -> 
     if source_type == "oracle":
         # position-less DDL (decoder's "0" default SCN) passes through,
         # matching the mysql/pg null-position rule above
+        # try_cast + coalesce-to-True: an unparseable SCN means the row's
+        # position is UNKNOWN — keeping it is the replay-safe choice under
+        # at-least-once (dropping would be silent data loss; ANSI cast
+        # would crash the stream)
         return envelope.filter(
             (F.col("_op").isNull() & (F.col("_scn") == "0"))
-            | (F.col("_scn").cast("decimal(38,0)") >= int(offset))
+            | F.coalesce(
+                F.col("_scn").try_cast("decimal(38,0)") >= int(offset),
+                F.lit(True),
+            )
         )
     if source_type == "mongodb":
         return envelope.filter(F.col("_ts") >= int(offset))

@@ -79,7 +79,7 @@ def batch_summary(envelope: DataFrame, source_type: str) -> list:
             F.max(
                 F.when(
                     F.col("_scn").isNotNull() & (F.col("_scn") != "0"),
-                    F.col("_scn").cast("decimal(38,0)"),
+                    F.col("_scn").try_cast("decimal(38,0)"),  # malformed SCN -> null, not ANSI crash
                 )
             ).alias("offset")
         )
@@ -149,7 +149,7 @@ def control_metric_aggs(source_type: str) -> list:
             F.max(
                 F.when(
                     F.col("_scn").isNotNull() & (F.col("_scn") != "0"),
-                    F.col("_scn").cast("decimal(38,0)"),
+                    F.col("_scn").try_cast("decimal(38,0)"),  # malformed SCN -> null, not ANSI crash
                 )
             ).alias("offset")
         )
@@ -659,7 +659,7 @@ class CDCPipeline:
         if st == "mysql":
             return ["_binlog_file_internal", "_binlog_pos_internal"]
         if st == "mongodb":
-            return [F.col("_ts"), F.col("_txn_op_index").cast("int")]
+            return [F.col("_ts"), F.col("_txn_op_index").try_cast("int")]
         return ["_ts"]
 
     def run_compaction(self, spark) -> dict[str, int]:

@@ -200,3 +200,20 @@ def test_resume_filter_oracle_ddl_default_scn_passes(spark):
     out = resume_filter(env, "oracle", "50").collect()
     # default-"0"-SCN DDL passes; scn=40 data dropped; scn=60 kept
     assert sorted(r["_scn"] for r in out) == ["0", "60"]
+
+
+def test_oracle_malformed_scn_degrades_not_crashes(spark):
+    """A corrupt line whose SCN is not numeric must not ANSI-crash the
+    offset reduction (try_cast → null, falls out of the max), and the
+    resume filter must KEEP a row with an unparseable SCN — its position
+    is unknown, so replaying it is the at-least-once-safe choice."""
+    import json
+
+    mk = lambda scn: json.dumps(
+        {"op": "c", "ts_ms": 1, "after": {"a": "1"},
+         "source": {"db": "d", "schema": "s", "table": "t", "scn": scn}}
+    )
+    env = _envelope(spark, [mk("99"), mk("garbage"), mk("120")], "oracle")
+    assert reduce_offset(env, "oracle") == "120"
+    kept = sorted(r["_scn"] for r in resume_filter(env, "oracle", "100").collect())
+    assert kept == ["120", "garbage"]  # 99 dropped; unknown position kept
