@@ -94,7 +94,14 @@ def project_mongo_payload(
         ]
         return df.select(*others, *fields)
 
-    # top-level-type: unwrap $-wrappers then cast to the inferred type
+    # top-level-type: unwrap $-wrappers then cast to the inferred type.
+    # The ANSI cast is DELIBERATE: a value that no longer fits the pinned
+    # type is schema drift just like an extra field, and the drift
+    # contract is null-fill for MISSING, hard-fail for CHANGED — the
+    # batch aborts uncommitted (at-least-once replay) and the operator
+    # re-versions the collection, exactly like the extra-field path.
+    # try_cast here would silently null real data instead.
+    # (test_type_mismatch_hard_fails pins this.)
     fields = [
         unwrap_field(F.col(payload_col), f.name)
         .cast(f.dataType)

@@ -91,3 +91,14 @@ def test_id_normalization(spark):
     df = _df(spark, [{"_id": {"$oid": "65f0"}}, {"_id": "plain"}, {"_id": 42}])
     got = [r["i"] for r in df.select(normalize_mongo_id(F.col("payload")).alias("i")).collect()]
     assert got == ["65f0", "plain", "42"]
+
+
+def test_type_mismatch_hard_fails(spark):
+    """Drift contract, type axis: a value that no longer fits the pinned
+    field type must FAIL the batch loudly (ANSI cast), not silently
+    null-fill — changed types are schema drift exactly like extra
+    fields, and the operator re-versions the collection. (Missing fields
+    null-fill; extra fields hard-fail; changed types hard-fail.)"""
+    df = _df(spark, [{"a": "not-a-number"}])
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        project_mongo_payload(df, "payload", SCHEMA, "top-level-type").collect()
