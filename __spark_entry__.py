@@ -36,9 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query key. Keys absent here (the
-    engine-local xxhash64 minhash/simhash) get the driver's rows-only
-    check; each has an oracle-matched md5 twin. The hyperplane-LSH and
-    fixed-centroid IVF queries are fully oracle-checked via portable
-    md5-parity / integer-quantized arithmetic."""
+    """DuckDB-runnable ANSI SQL per query key — since round 6 EVERY
+    registered query has one (the former rows-only xxhash64
+    minhash/simhash entries became banded-LSH pair queries over portable
+    md5-hash60 signatures; the xxhash64 operators remain as non-gated
+    fast paths pinned against them in tests). Hyperplane-LSH, IVF, PNG
+    pixel decode, and the shingle distinct counts are oracle-checked via
+    engine-portable arithmetic (md5-parity planes, integer quantization,
+    closed-form pixel sums, md5-hash60 distinct)."""
     return dict(ALL_ORACLE_SQL)

@@ -146,4 +146,42 @@ ORACLE_SQL: dict[str, str] = {
           FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey) t
         GROUP BY c_count ORDER BY c_count
     """,
+    "q21": """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late a JOIN supplier ON a.l_suppkey = s_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem b
+                WHERE b.l_orderkey = a.l_orderkey
+                  AND b.l_suppkey <> a.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM late c
+                WHERE c.l_orderkey = a.l_orderkey
+                  AND c.l_suppkey <> a.l_suppkey)
+        GROUP BY s_name ORDER BY s_name
+    """,
+    "q22": """
+        WITH c AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_cents
+          FROM customer
+        ), s AS (
+          SELECT CAST(SUM(c_cents) AS BIGINT) AS sum_cents,
+                 COUNT(*) AS n_pos
+          FROM c WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(c_cents) AS BIGINT) AS total_cents
+        FROM c, s
+        WHERE c_cents * n_pos > sum_cents
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
 }

@@ -483,6 +483,83 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS correlation — suppliers who
+    were the ONLY late supplier on a multi-supplier finished order
+    ("late" adapted to this schema: l_shipdate > o_orderdate + 30 days;
+    the reference TPC-H uses receipt/commit dates the fixture lacks).
+
+    Scale/plan shape: the correlated EXISTS compiles to a LEFT SEMI join
+    and the NOT EXISTS to a LEFT ANTI join on the same (orderkey)-keyed
+    lineitem — the optimizer-shape this query exists to exercise; both
+    shuffle on the orderkey with partial-agg'd distinct inputs, supplier
+    is broadcast-sized. Output (s_name, numwait) is all-integer."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = late.alias("a")
+    multi = a.join(
+        pairs.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    only_late = multi.alias("a").join(
+        late.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(supplier, F.col("a.l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-aggregate subquery + NOT EXISTS — customers
+    with above-average positive balance and no URGENT orders, per market
+    segment (the fixture has no phone country codes so c_mktsegment plays
+    the grouping role, and every synthetic customer has at least one
+    order so the NOT-EXISTS scopes to urgent orders to stay non-trivial).
+
+    Scale/plan shape: the scalar average rides a broadcast 1-row
+    aggregate (lazy crossJoin, no driver collect); NOT EXISTS compiles to
+    LEFT ANTI against the orders key set. The above-average comparison is
+    EXACT integer cents (c_cents · n > sum_cents) — never a float-vs-avg
+    boundary that could flip between engines — and the output balance sum
+    is exact cents too (ratio rule)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cents = F.bround(F.col("c_acctbal") * 100).cast("bigint")
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    rich = (
+        customer.withColumn("c_cents", cents)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("c_cents") * F.col("n_pos") > F.col("sum_cents"))
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.sum("c_cents").alias("total_cents"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01": q01,
     "q02": q02,
@@ -504,4 +581,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18": q18,
     "q19": q19,
     "q20": q20,
+    "q21": q21,
+    "q22": q22,
 }

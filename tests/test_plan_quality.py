@@ -204,3 +204,19 @@ def test_ext_ann_topk_vectorized_kernel_and_group_limit(spark):
     assert "MapInPandas" in plan or "PythonMapInArrow" in plan
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_semi_anti_join_shape(spark):
+    """The EXISTS/NOT-EXISTS pair must compile to LEFT SEMI + LEFT ANTI
+    joins on the orderkey — never a cartesian or a full join + filter."""
+    plan = plan_of(spark, "q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_q22_scalar_subquery_broadcast_and_anti(spark):
+    plan = plan_of(spark, "q22")
+    assert "LeftAnti" in plan
+    # the 1-row stats aggregate rides a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
