@@ -184,4 +184,13 @@ ORACLE_SQL: dict[str, str] = {
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
+    "q23": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
 }

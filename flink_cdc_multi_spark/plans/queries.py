@@ -560,6 +560,28 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile aggregate (sort-based aggregation shape): per
+    (returnflag, linestatus), the exact MEDIAN of quantity plus count and
+    range. Scoped deliberately to an INTEGRAL-valued column at q=0.5:
+    median interpolation is then midpoint-of-two-small-integers — exact
+    in binary under both engines' formulas — whereas arbitrary
+    percentiles of decimal columns interpolate with a fractional weight
+    whose last-ulp can differ between (1-g)·a+g·b and a+g·(b-a) forms
+    (the ratio-metric float rule, percentile edition).
+
+    Scale: percentile is a sort-based ObjectHashAggregate — per-group
+    value buffers, partial-merged map-side; groups are tiny (6) so the
+    final exchange is control-plane-sized."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01": q01,
     "q02": q02,
@@ -583,4 +605,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20": q20,
     "q21": q21,
     "q22": q22,
+    "q23": q23,
 }
