@@ -16,14 +16,10 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_cdc_multi_spark.operators.text import (
-    normalize_text,
-    token_barrier,
-    tokens,
-)
+from flink_cdc_multi_spark.operators.text import token_barrier, tokens
 
 
 # ---------------------------------------------------------------------------
