@@ -516,6 +516,47 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (the storage/serving compression pass:
+    4 bytes/dim → 1): per vector, symmetric scale = max|x|, q_i =
+    floor(x_i·127/scale + 0.5). Emits exact integer summaries of the
+    quantized vector (sum/min/max/nonzero count) — auditable without
+    hashing arrays, and any quantizer regression shifts the sums.
+
+    Engine parity: floor(x·127/m + 0.5) is the SAME IEEE op sequence in
+    Spark and DuckDB → bit-identical int8 codes (Spark round() is
+    HALF_UP, DuckDB round() is half-away — neither is used). Zero
+    vectors are dropped by contract (scale 0 → ±inf codes), same rule as
+    the cosine paths. Scale shape: pure per-row array lambdas over the
+    parquet-materialized embedding column — one codegen-adjacent
+    projection, zero shuffles, no barrier needed (the array is already a
+    materialized column, not a computed expression)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    qarr = F.transform(
+        F.col("_v"), lambda x: F.floor(x * 127 / F.col("_scale") + 0.5)
+    ).cast("array<bigint>")
+    # Generate barrier on the QUANTIZED array: four summaries read it —
+    # without the barrier each would re-run the transform (no CSE across
+    # interpreted HOFs). The input embedding needs no barrier: it is a
+    # materialized parquet column, not a computed expression.
+    quantized = (
+        emb.select("vec_id", v.alias("_v"))
+        .withColumn("_scale", F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))))
+        .filter(F.col("_scale") > 0)
+        .select("vec_id", F.explode(F.array(qarr)).alias("_q"))
+    )
+    return quantized.select(
+        "vec_id",
+        F.aggregate(
+            "_q", F.lit(0).cast("bigint"), lambda s, x: s + x
+        ).alias("q_sum"),
+        F.array_min("_q").alias("q_min"),
+        F.array_max("_q").alias("q_max"),
+        F.size(F.filter("_q", lambda x: x != 0)).cast("bigint").alias("q_nonzero"),
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
@@ -727,6 +768,7 @@ EXT_QUERIES = {
     "ext_multimodal_bytes": ext_multimodal_bytes,
     "ext_multimodal_dims": ext_multimodal_dims,
     "ext_multimodal_luma": ext_multimodal_luma,
+    "ext_embed_quantize": ext_embed_quantize,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_rollup_agg": ext_rollup_agg,
     "ext_window_running": ext_window_running,
@@ -1177,6 +1219,24 @@ EXT_ORACLE_SQL = {
     "ext_multimodal_bytes": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id
+    """,
+    "ext_embed_quantize": r"""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) AS scale
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT)) AS qv
+          FROM s WHERE scale > 0
+        )
+        SELECT vec_id,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_min(qv) AS BIGINT) AS q_min,
+               CAST(list_max(qv) AS BIGINT) AS q_max,
+               CAST(len(list_filter(qv, x -> x <> 0)) AS BIGINT) AS q_nonzero
+        FROM q ORDER BY vec_id
     """,
     "ext_pack_sequences": r"""
         WITH t AS (
