@@ -252,12 +252,18 @@ def pack_offsets(
     if cache:
         base_rows = base_rows.persist()
     stats = base_rows.agg(F.max("_ord").alias("_mx"))
+    # greatest(mx+1, 1): only MONOTONICITY of the bucket map matters, and
+    # a non-positive divisor (possible when every order key is negative)
+    # would otherwise put ±inf through floor(); with divisor 1 the map
+    # degrades to floor(ord·B) — still monotone, still correct
     bucketed = base_rows.crossJoin(F.broadcast(stats)).select(
         id_col,
         "_ord",
         "n_tokens",
         F.floor(
-            F.col("_ord").cast("double") * n_buckets / (F.col("_mx") + 1)
+            F.col("_ord").cast("double")
+            * n_buckets
+            / F.greatest(F.col("_mx") + 1, F.lit(1))
         ).alias("_bkt"),
     )
     w_in = (

@@ -953,3 +953,16 @@ def test_text_operators_fuzz_vs_python_reference(spark):
         }
         mine = {k: v for k, v in chunks.items() if k[0] == i}
         assert mine == exp, (i, s)
+
+
+def test_pack_offsets_negative_order_domain(spark):
+    # all-negative order keys: greatest(mx+1, 1) keeps the bucket map
+    # finite and monotone instead of flooring +-inf
+    df = spark.createDataFrame(
+        [(-5, "a b"), (-3, "c d e"), (-1, "f")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["start_offset"])
+        for r in X.pack_offsets(df, block_tokens=4).collect()
+    )
+    assert got == [(-5, 0), (-3, 2), (-1, 5)]
