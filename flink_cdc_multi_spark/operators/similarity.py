@@ -105,6 +105,8 @@ def brute_force_topk(
 
         def score(it):
             for pdf in it:
+                if len(pdf) == 0:  # np.stack([]) raises
+                    continue
                 mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 nids = pdf[id_col].to_numpy().astype(np.int64)
                 cn = np.sqrt((mat * mat).sum(axis=1))
