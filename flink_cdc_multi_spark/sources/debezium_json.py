@@ -47,6 +47,10 @@ _RAW_SOURCE = T.StructType(
         T.StructField("lsn", T.LongType()),
         T.StructField("scn", T.StringType()),
         T.StructField("snapshot", T.StringType()),
+        # event-time fallback: the reference's DDL branch falls back to
+        # source.ts_ms when the top-level ts is undecodable
+        # (MySQLDebeziumToJSONDeserializer.java:80-87)
+        T.StructField("ts_ms", T.LongType()),
     ]
 )
 
@@ -183,8 +187,14 @@ def decode_raw(
         .alias("_tbl"),
         database.alias("_database"),
         F.when(is_ddl, F.lit(None).cast("string")).otherwise(op).alias("_op"),
-        F.when(F.col("m.ts_ms") < 1, F.unix_millis(F.current_timestamp()))
-        .otherwise(F.col("m.ts_ms"))
+        # ts precedence: envelope ts_ms, then source.ts_ms (the reference's
+        # DDL-branch fallback), then wall clock for present-but-absurd
+        # values (< 1, :166)
+        F.when(
+            F.coalesce(F.col("m.ts_ms"), src["ts_ms"]) < 1,
+            F.unix_millis(F.current_timestamp()),
+        )
+        .otherwise(F.coalesce(F.col("m.ts_ms"), src["ts_ms"]))
         .alias("_ts"),
         F.col("m.ddl").alias("_ddl"),
         F.when(is_ddl, sanitize_col(table)).otherwise(F.lit(None)).alias("_ddl_tbl"),

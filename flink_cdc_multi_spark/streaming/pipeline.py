@@ -179,6 +179,12 @@ class SnapshotPhaseError(RuntimeError):
     reference errors (DelayedStopSignalProcessFunction.java:69-78)."""
 
 
+class InvalidDDLError(RuntimeError):
+    """DDL event with a blank database or table identity — the reference
+    hard-fails (MySQLDebeziumToJSONDeserializer.java:56-67) because the
+    schema history is unresolvable without operator intervention."""
+
+
 @dataclass
 class StopController:
     """ST1-ST3 equivalent. All of the reference's 'global keyed state'
@@ -231,6 +237,16 @@ class StopController:
             if not ddl:
                 continue
             db, ddl_tbl = row.get("_db"), row.get("_ddl_tbl")
+            if not (db or "").strip() or not (ddl_tbl or "").strip():
+                # reference parity (MySQLDebeziumToJSONDeserializer.java:
+                # 56-67): a DDL event whose database or table identity is
+                # blank means the history is unresolvable (e.g. a table
+                # altered repeatedly on a field that predates capture) —
+                # manual intervention, never silent routing to nowhere
+                raise InvalidDDLError(
+                    f"INVALID DDL FOUND, MANUAL INTERVENTION NEEDED "
+                    f"(db={db!r}, table={ddl_tbl!r}): {ddl}"
+                )
             if self.target_tables is not None and f"{db}.{ddl_tbl}" not in self.target_tables:
                 LOG.info("DDL for non-target table ignored: %s.%s", db, ddl_tbl)
                 continue

@@ -808,3 +808,41 @@ def test_replay_convergence_property(spark, tmp_path):
         assert latest == latest0
         assert scd2 == scd20
         assert offset == offset0
+
+
+def test_invalid_ddl_blank_identity_hard_fails(spark, tmp_path):
+    """Reference parity (MySQLDebeziumToJSONDeserializer.java:56-67): a
+    DDL event whose database or table identity is blank is unresolvable
+    schema history — the job must fail loudly for manual intervention,
+    never route the DDL to nowhere."""
+    import json as _json
+
+    from flink_cdc_multi_spark.streaming.pipeline import InvalidDDLError, StopController
+
+    ctl = StopController(snapshot_only=False)
+    with pytest.raises(InvalidDDLError, match="INVALID DDL"):
+        ctl.on_ddl_rows(
+            [{"_db": "testdb", "_ddl": "ALTER TABLE x ADD COLUMN y INT", "_ddl_tbl": "  "}]
+        )
+    with pytest.raises(InvalidDDLError):
+        ctl.on_ddl_rows(
+            [{"_db": None, "_ddl": "DROP TABLE z", "_ddl_tbl": "z"}]
+        )
+
+
+def test_ts_falls_back_to_source_ts(spark):
+    """ts precedence: envelope ts_ms, then source.ts_ms (the reference's
+    DDL-branch fallback), then wall clock for < 1 values."""
+    import json as _json
+
+    from flink_cdc_multi_spark.sources.debezium_json import decode_raw
+
+    line = _json.dumps(
+        {
+            "ddl": "CREATE INDEX i ON users (id)",
+            "source": {"db": "testdb", "table": "users", "ts_ms": 1700000009000,
+                       "file": "b.1", "pos": 5},
+        }
+    )
+    df = spark.createDataFrame([(line,)], "value string")
+    assert decode_raw(df, "mysql").first()["_ts"] == 1700000009000
