@@ -119,6 +119,37 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# PII scrub patterns, applied IN ORDER: each replacement token is free of
+# characters later patterns match (no digits in <EMAIL>/<IP>), so the
+# sequential passes never double-count or re-match their own output.
+# Dialect-portable subset: no backreferences, no lookaround — the same
+# pattern strings compile under Java regex (Spark) and RE2 (DuckDB).
+REDACT_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\d+", "<NUM>"),
+]
+
+
+def redact(text: Column, patterns=None) -> tuple[Column, Column]:
+    """PII redaction for training corpora: sequentially replace each
+    pattern with its placeholder and return (redacted, n_redactions).
+    Counting happens BEFORE each replacement on the current intermediate
+    string, so a match consumed by an earlier pattern (digits inside an
+    email) is counted once, under its most specific category.
+
+    Pure Column expressions (regexp_count + regexp_replace) — stays in
+    whole-stage codegen, no UDF; the scrub is a scan-side map at 100 TB."""
+    if patterns is None:
+        patterns = REDACT_PATTERNS
+    n = F.lit(0).cast("bigint")
+    out = text
+    for _name, pat, repl in patterns:
+        n = n + F.regexp_count(out, F.lit(pat)).cast("bigint")
+        out = F.regexp_replace(out, pat, repl)
+    return out, n
+
+
 def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
 

@@ -748,6 +748,114 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- event analytics (funnel / retention / JSON props / PII scrub) ---------
+
+
+def ext_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: a user
+    reaches stage k only via an event of that type AT OR AFTER their
+    first qualifying time for stage k-1 (a per-type unconditional min
+    would count out-of-order journeys). Output: (stage, stage_name,
+    n_users) — exact user counts per stage.
+
+    Scale: ONE shuffle on user_id. The four stage times are
+    partition-constant mins over the SAME window spec, so Catalyst plans
+    one Exchange+Sort shared by all four Window nodes (each min feeds the
+    next stage's condition — the sequential dependency that makes this
+    un-expressible as a single aggregate). The final stage counts are a
+    global 4-counter aggregate, partial-agg'd map-side, unpivoted with
+    stack() — control-plane-sized output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    stages = [("signup", None), ("view", 1), ("click", 2), ("purchase", 3)]
+    df = ev
+    for i, (etype, prev) in enumerate(stages, start=1):
+        cond = F.col("event_type") == etype
+        if prev is not None:
+            cond = cond & (F.col("t") >= F.col(f"m{prev}"))
+        df = df.withColumn(f"m{i}", F.min(F.when(cond, F.col("t"))).over(w))
+    per_user = df.groupBy("user_id").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(1, 5)]
+    )
+    counts = per_user.agg(*[F.count(f"m{i}").alias(f"c{i}") for i in range(1, 5)])
+    return counts.select(
+        F.expr(
+            "stack(4, 1, 'signup', c1, 2, 'view', c2, 3, 'click', c3,"
+            " 4, 'purchase', c4) as (stage, stage_name, n_users)"
+        )
+    ).select(F.col("stage").cast("bigint").alias("stage"), "stage_name", "n_users")
+
+
+def ext_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active date, then
+    counted per (cohort, day-offset) of later activity — the standard
+    curve behind 'day-N retention'. Output: (cohort_dt, day_offset,
+    n_users), exact integers.
+
+    Scale: TWO exchanges total. One groupBy(user_id) builds the per-user
+    DISTINCT-day set (collect_set state is bounded by the calendar span —
+    a year is ≤366 dates per user, safe partial-agg state even when one
+    user has billions of events, which the map-side set dedup collapses);
+    cohort = array_min of that set, offsets come from a row-local explode,
+    and the final (cohort × offset) aggregate is cell-count-sized. The
+    naive distinct→groupBy→join→groupBy formulation (the oracle's shape)
+    costs 4 exchanges and re-shuffles the activity stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("days"))
+    return (
+        per_user.select(
+            F.array_min("days").alias("cohort_dt"), F.explode("days").alias("d")
+        )
+        # days is a per-user SET, so each output row is a distinct
+        # (user, day): count(*) per cell IS the distinct-user count
+        .groupBy(
+            "cohort_dt", F.datediff("d", "cohort_dt").cast("bigint").alias("day_offset")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def ext_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured prop extraction: pull the integer `k` out of the
+    JSON props column and aggregate per event type — the schema-on-read
+    path every event pipeline needs (reference analogue: the Debezium
+    envelope's JSON traversal, SURVEY §2.9). try_cast keeps a malformed
+    value NULL (counted by n minus n_k) instead of an ANSI crash.
+
+    Scale: get_json_object is a codegen'd JVM path (Jackson streaming,
+    no UDF); one partial-agg'd groupBy on a 5-value key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def ext_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the event props payload: sequential email → IPv4 →
+    digit-run redaction with per-row match counts (operators.text.redact
+    — counting precedes each replacement, so a digit inside an email is
+    counted once, as an email). Scoped to event_id < 4000 to keep the
+    gate result compact; the operator is unbounded (a scan-side map)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    red, n = X.redact(F.col("props"))
+    return ev.select(
+        "event_id", red.alias("redacted"), n.alias("n_redactions")
+    )
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_fingerprint": ext_dedup_fingerprint,
@@ -784,6 +892,10 @@ EXT_QUERIES = {
     "ext_text_repetition": ext_text_repetition,
     "ext_dedup_clusters": ext_dedup_clusters,
     "ext_text_chunks": ext_text_chunks,
+    "ext_events_funnel": ext_events_funnel,
+    "ext_events_retention": ext_events_retention,
+    "ext_events_json": ext_events_json,
+    "ext_text_redact": ext_text_redact,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -1399,5 +1511,93 @@ EXT_ORACLE_SQL = {
         WHERE bucket < CASE WHEN lang = 'en' THEN 20
                             WHEN lang = 'de' THEN 50
                             ELSE 80 END
+    """,
+    # independent formulation: chained join+aggregate CTEs vs Spark's
+    # window-min cascade over one user_id exchange
+    "ext_events_funnel": """
+        WITH m1 AS (
+          SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'signup') AS m1
+          FROM events GROUP BY user_id
+        ), m2 AS (
+          SELECT e.user_id,
+                 MIN(e.ts) FILTER (WHERE e.event_type = 'view'
+                                   AND e.ts >= m1.m1) AS m2
+          FROM events e JOIN m1 USING (user_id) GROUP BY e.user_id
+        ), m3 AS (
+          SELECT e.user_id,
+                 MIN(e.ts) FILTER (WHERE e.event_type = 'click'
+                                   AND e.ts >= m2.m2) AS m3
+          FROM events e JOIN m2 USING (user_id) GROUP BY e.user_id
+        ), m4 AS (
+          SELECT e.user_id,
+                 MIN(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                                   AND e.ts >= m3.m3) AS m4
+          FROM events e JOIN m3 USING (user_id) GROUP BY e.user_id
+        ), u AS (
+          SELECT m1.user_id, m1.m1, m2.m2, m3.m3, m4.m4
+          FROM m1 LEFT JOIN m2 USING (user_id)
+                  LEFT JOIN m3 USING (user_id)
+                  LEFT JOIN m4 USING (user_id)
+        )
+        SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+               CAST(COUNT(m1) AS BIGINT) AS n_users FROM u
+        UNION ALL SELECT 2, 'view', COUNT(m2) FROM u
+        UNION ALL SELECT 3, 'click', COUNT(m3) FROM u
+        UNION ALL SELECT 4, 'purchase', COUNT(m4) FROM u
+    """,
+    "ext_events_retention": """
+        WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), c AS (
+          SELECT user_id, MIN(d) AS cohort_dt FROM act GROUP BY user_id
+        )
+        SELECT c.cohort_dt,
+               CAST(act.d - c.cohort_dt AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM act JOIN c USING (user_id)
+        GROUP BY c.cohort_dt, day_offset
+        ORDER BY c.cohort_dt, day_offset
+    """,
+    "ext_events_json": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(k) AS BIGINT) AS n_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k
+        FROM (SELECT event_type,
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events) t
+        GROUP BY event_type
+    """,
+    # sequential scrub mirrored stage by stage; counts taken BEFORE each
+    # replacement, same as operators.text.redact
+    "ext_text_redact": r"""
+        WITH r0 AS (
+          SELECT event_id, props AS s FROM events WHERE event_id < 4000
+        ), r1 AS (
+          SELECT event_id,
+                 len(regexp_extract_all(s,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+')) AS c1,
+                 regexp_replace(s,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+',
+                     '<EMAIL>', 'g') AS s
+          FROM r0
+        ), r2 AS (
+          SELECT event_id, c1,
+                 len(regexp_extract_all(s,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+                 regexp_replace(s,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+          FROM r1
+        ), r3 AS (
+          SELECT event_id, c1, c2,
+                 len(regexp_extract_all(s, '\d+')) AS c3,
+                 regexp_replace(s, '\d+', '<NUM>', 'g') AS s
+          FROM r2
+        )
+        SELECT event_id, s AS redacted,
+               CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions
+        FROM r3
     """,
 }

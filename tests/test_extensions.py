@@ -966,3 +966,86 @@ def test_pack_offsets_negative_order_domain(spark):
         for r in X.pack_offsets(df, block_tokens=4).collect()
     )
     assert got == [(-5, 0), (-3, 2), (-1, 5)]
+
+
+def test_redact_fuzz_vs_python_reference(spark):
+    """Seeded fuzz: operators.text.redact over adversarial strings must
+    match a pure-Python sequential re reference (same pattern order,
+    count-before-replace semantics). One Spark job for all examples."""
+    import random
+    import re
+
+    rng = random.Random(77)
+    frags = [
+        "call 555-0199", "x@y.com", "a.b-c@mail.example.co.uk", "10.0.0.1",
+        "999.999.999.999", "v2", "no pii here", "{\"k\": 42}", "",
+        "a@b", "@", "1.2.3", "user+tag@host.io,10.1.2.3", "π≈3.14159",
+        "e@ε.gr", "..@..", "0", "00x00", "12 34 56",
+    ]
+    texts = [" ".join(rng.choice(frags) for _ in range(rng.randint(0, 5))) for _ in range(150)]
+    texts += frags  # each fragment alone too
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, s string")
+    red, n = X.redact(F.col("s"))
+    got = {
+        r["id"]: (r["red"], r["n"])
+        for r in df.select("id", red.alias("red"), n.alias("n")).collect()
+    }
+
+    def py_redact(s):
+        total = 0
+        for _name, pat, repl in X.REDACT_PATTERNS:
+            total += len(re.findall(pat, s))
+            s = re.sub(pat, repl, s)
+        return s, total
+
+    for i, s in enumerate(texts):
+        assert got[i] == py_redact(s), (i, s)
+
+
+def test_redact_counts_most_specific_category_once(spark):
+    # digits inside an email must be consumed by the email pass, not
+    # recounted by the digit-run pass
+    df = spark.createDataFrame([(0, "mail a1b2@dom42.net now 7")], "id long, s string")
+    red, n = X.redact(F.col("s"))
+    row = df.select(red.alias("r"), n.alias("n")).collect()[0]
+    assert row["r"] == "mail <EMAIL> now <NUM>"
+    assert row["n"] == 2
+
+
+def test_events_funnel_requires_stage_order(spark, tmp_path):
+    """A click BEFORE the user's first view must not advance the funnel;
+    at-or-after (inclusive) timestamps do."""
+    import datetime as dt
+
+    from flink_cdc_multi_spark.plans.extensions import ext_events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: full ordered journey
+        (1, ts(0), 1, "signup", 0.0, "{}"),
+        (2, ts(1), 1, "view", 0.0, "{}"),
+        (3, ts(2), 1, "click", 0.0, "{}"),
+        (4, ts(3), 1, "purchase", 0.0, "{}"),
+        # user 2: click precedes the only view -> stops at view
+        (5, ts(0), 2, "signup", 0.0, "{}"),
+        (6, ts(1), 2, "click", 0.0, "{}"),
+        (7, ts(2), 2, "view", 0.0, "{}"),
+        # user 3: no signup -> reaches nothing
+        (8, ts(0), 3, "view", 0.0, "{}"),
+        (9, ts(1), 3, "click", 0.0, "{}"),
+        # user 4: simultaneous signup+view (inclusive >=) then purchase
+        # without click -> stops after view
+        (10, ts(0), 4, "signup", 0.0, "{}"),
+        (11, ts(0), 4, "view", 0.0, "{}"),
+        (12, ts(5), 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["stage_name"]: r["n_users"] for r in ext_events_funnel(spark, str(tmp_path)).collect()}
+    assert got == {"signup": 3, "view": 3, "click": 1, "purchase": 1}

@@ -220,3 +220,38 @@ def test_q22_scalar_subquery_broadcast_and_anti(spark):
     assert "LeftAnti" in plan
     # the 1-row stats aggregate rides a broadcast, not a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ext_events_funnel_single_exchange_window_chain(spark):
+    """The four stage mins share ONE user_id Exchange+Sort (partition-
+    constant windows over the same spec); only the final global 4-counter
+    agg adds a single-partition exchange."""
+    plan = plan_of(spark, "ext_events_funnel")
+    # formatted plans render each node twice (tree line + detail block)
+    assert plan.count("Window") == 8  # 4 Window nodes
+    assert plan.count("Exchange") <= 4  # user_id + final-agg, 2 nodes
+    assert plan.count("Sort (") <= 1  # ONE sort shared by all 4 windows
+
+
+def test_ext_events_retention_two_exchanges_no_join(spark):
+    """Retention is a 2-exchange plan: per-user day-set aggregate + tiny
+    cell aggregate; no join, no re-shuffle of the activity stream."""
+    plan = plan_of(spark, "ext_events_retention")
+    assert plan.count("Exchange") <= 4  # 2 nodes (tree + detail lines)
+    assert "Join" not in plan
+
+
+def test_ext_text_redact_stays_in_scan_projection(spark):
+    """The scrub is a scan-side map: no exchange, no UDF eval node —
+    regexp_count/replace stay in the codegen'd projection."""
+    plan = plan_of(spark, "ext_text_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,4000)]" in plan
+
+
+def test_ext_events_json_partial_agg(spark):
+    plan = plan_of(spark, "ext_events_json")
+    # partial + final aggregate pair; JSON extraction is JVM-side
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
