@@ -186,6 +186,97 @@ def compact_table(
     return n
 
 
+def maintain_group_agg(
+    prev_state: DataFrame,
+    prev_agg: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    value_col: str,
+    order_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental view maintenance: keep a per-group (cnt, total)
+    aggregate of the CURRENT table state up to date from a CDC batch,
+    without recomputing over the full table — the classic delta-
+    maintenance consumer the reference's materialized change logs feed
+    (SURVEY §2.6; the reference stops at the log, this maintains the
+    downstream view).
+
+    Envelope contract (envelope.py): each change carries ONE image
+    (DELETE → before, else after), so the OLD contribution of an updated
+    key comes from ``prev_state``, not from the change row — the batch's
+    touched keys are joined against the materialized state to retract
+    their previous (group, value) contribution, then the batch's
+    surviving latest images add their new one.
+
+    Inputs: ``prev_state`` — the materialized current table (what
+    latest_image/compact_table produce; must contain key/group/value
+    columns and be a column superset match of the envelope payload);
+    ``prev_agg`` — (group_col, cnt, total) from a previous call (seed
+    with an empty frame or a one-off groupBy of the initial state);
+    ``batch`` — the new slice of the change log (any mix of READ/INSERT/
+    UPDATE/DELETE, duplicates tolerated — the per-key max_by reduction
+    collapses replays exactly like latest_image does).
+
+    Returns (new_state, new_agg). NULL values contribute 0 to ``total``
+    and 1 to ``cnt`` (count(*) semantics); groups whose cnt reaches 0
+    drop out, matching a fresh groupBy of the state.
+
+    Scale: every join is keyed on the table's primary key or the group —
+    batch-sized inputs on one side throughout (AQE broadcasts them when
+    small). The full state is touched ONLY by the one pk anti-join that
+    removes replaced rows; the aggregate merge is delta×groups sized.
+    Nothing ever recomputes over the table's history — cost per batch is
+    O(batch + touched groups), the property that makes a 100 TB table's
+    rolling aggregate maintainable at streaming cadence."""
+    imgs = latest_image(batch, key_cols, order_cols, drop_deletes=False)
+    touched = imgs.select(
+        *key_cols,
+        F.col("_op").alias("__op"),
+        F.col(group_col).alias("__g_new"),
+        F.col(value_col).alias("__v_new"),
+    )
+    old = prev_state.select(
+        *key_cols,
+        F.col(group_col).alias("__g_old"),
+        F.col(value_col).alias("__v_old"),
+        F.lit(True).alias("__had"),
+    )
+    j = touched.join(old, key_cols, "left")
+    zero = F.lit(0).cast("long")
+    minus = j.filter(F.col("__had").isNotNull()).select(
+        F.col("__g_old").alias(group_col),
+        F.lit(-1).cast("long").alias("cnt"),
+        (-F.coalesce(F.col("__v_old"), zero)).alias("total"),
+    )
+    plus = j.filter(F.col("__op") != OP_DELETE).select(
+        F.col("__g_new").alias(group_col),
+        F.lit(1).cast("long").alias("cnt"),
+        F.coalesce(F.col("__v_new"), zero).alias("total"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(group_col)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+    )
+    new_agg = (
+        prev_agg.alias("p")
+        .join(delta.alias("d"), group_col, "full")
+        .select(
+            group_col,
+            (F.coalesce("p.cnt", zero) + F.coalesce("d.cnt", zero)).alias("cnt"),
+            (F.coalesce("p.total", zero) + F.coalesce("d.total", zero)).alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    new_state = prev_state.join(
+        imgs.select(*key_cols), key_cols, "left_anti"
+    ).unionByName(
+        imgs.filter(F.col("_op") != OP_DELETE).select(*prev_state.columns)
+    )
+    return new_state, new_agg
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

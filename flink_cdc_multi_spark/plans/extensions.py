@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_cdc_multi_spark.operators import cdc as C
 from flink_cdc_multi_spark.operators import dedup as D
 from flink_cdc_multi_spark.operators import similarity as S
 from flink_cdc_multi_spark.operators import text as X
@@ -843,6 +844,43 @@ def ext_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proved against recomputation: the
+    events table is read as a CDC change log (pk = event_id % 500, op =
+    DELETE on 'error' else UPDATE, monotone offset = event_id), split
+    into three ordered batches, and pushed through
+    operators.cdc.maintain_group_agg — per-group (cnt, total-cents) of
+    the CURRENT state maintained by retract-and-add deltas, never by
+    re-aggregating history. The DuckDB oracle computes the same aggregate
+    the opposite way (one-shot latest-image recompute), so a hash match
+    IS the delta≡recompute equivalence, cross-engine.
+
+    Scale: each batch costs O(batch + touched groups) — pk-keyed joins
+    with the batch side small (AQE broadcasts it); the only full-state
+    touch is the pk anti-join. This is the operator that keeps a rolling
+    aggregate over a 100 TB table maintainable at streaming cadence."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        (F.col("event_id") % 500).alias("pk"),
+        (F.col("user_id") % 10).alias("g"),
+        F.bround(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+        .alias("_op"),
+        F.col("event_id").alias("_pos"),
+    )
+    state = spark.createDataFrame([], "pk long, g long, v long, _op string, _pos long")
+    agg = spark.createDataFrame([], "g long, cnt long, total long")
+    for lo, hi in ((None, 3000), (3000, 6000), (6000, None)):
+        b = log
+        if lo is not None:
+            b = b.filter(F.col("_pos") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("_pos") < hi)
+        state, agg = C.maintain_group_agg(state, agg, b, ["pk"], "g", "v", ["_pos"])
+    return agg
+
+
 def ext_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the event props payload: sequential email → IPv4 →
     digit-run redaction with per-row match counts (operators.text.redact
@@ -896,6 +934,7 @@ EXT_QUERIES = {
     "ext_events_retention": ext_events_retention,
     "ext_events_json": ext_events_json,
     "ext_text_redact": ext_text_redact,
+    "ext_cdc_ivm": ext_cdc_ivm,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -1569,6 +1608,28 @@ EXT_ORACLE_SQL = {
                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events) t
         GROUP BY event_type
+    """,
+    # independent formulation: one-shot latest-image recompute vs the
+    # engine's three-batch retract-and-add delta maintenance — a hash
+    # match proves delta ≡ recompute cross-engine
+    "ext_cdc_ivm": """
+        WITH log AS (
+          SELECT event_id % 500 AS pk,
+                 user_id % 10 AS g,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'error' THEN 'DELETE'
+                      ELSE 'UPDATE' END AS op,
+                 event_id AS pos
+          FROM events
+        ), latest AS (
+          SELECT pk, max_by(g, pos) AS g, max_by(v, pos) AS v,
+                 max_by(op, pos) AS op
+          FROM log GROUP BY pk
+        )
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(v) AS BIGINT) AS total
+        FROM latest WHERE op <> 'DELETE'
+        GROUP BY g
     """,
     # sequential scrub mirrored stage by stage; counts taken BEFORE each
     # replacement, same as operators.text.redact

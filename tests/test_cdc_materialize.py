@@ -186,3 +186,96 @@ def test_compaction_merges_mixed_vintage_schemas(spark, tmp_path):
     got = spark.read.option("mergeSchema", "true").parquet(path).collect()[0]
     # latest image won AND the kafka coordinates survived the rewrite
     assert got["v"] == "b" and got["_kafka_offset"] == 7
+
+
+def test_maintain_group_agg_matches_full_recompute(spark):
+    """Randomized IVM check: feed random CDC batches (insert/update/delete/
+    replayed duplicates, group moves) through maintain_group_agg and after
+    every batch compare BOTH outputs against a from-scratch recompute of
+    the cumulative log — the delta path must be indistinguishable from
+    recomputation."""
+    import random
+
+    from flink_cdc_multi_spark.operators.cdc import maintain_group_agg
+
+    rng = random.Random(42)
+    schema = "pk long, g string, v long, _op string, _pos long"
+    groups = ["g0", "g1", "g2"]
+
+    live: dict[int, tuple[str, int]] = {}  # model table for op generation
+    pos = 0
+    log: list[tuple] = []
+    batches: list[list[tuple]] = []
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(1, 12)):
+            pos += 10
+            op = rng.choice(["INSERT", "UPDATE", "DELETE", "INSERT", "UPDATE"])
+            if op == "INSERT" or not live:
+                pk = rng.randint(0, 15)
+                g, v = rng.choice(groups), rng.randint(-5, 100)
+                # inserting an existing pk acts as an upsert in the log
+                row = (pk, g, v, "INSERT" if pk not in live else "UPDATE", pos)
+                live[pk] = (g, v)
+            elif op == "UPDATE":
+                pk = rng.choice(list(live))
+                g, v = rng.choice(groups), rng.randint(-5, 100)
+                row = (pk, g, v, "UPDATE", pos)
+                live[pk] = (g, v)
+            else:
+                pk = rng.choice(list(live))
+                g, v = live.pop(pk)
+                row = (pk, g, v, "DELETE", pos)  # DELETE carries before-image
+            batch.append(row)
+            if rng.random() < 0.25:
+                batch.append(row)  # at-least-once replay inside the batch
+        batches.append(batch)
+        log.extend(batch)
+
+    state = spark.createDataFrame([], schema)
+    agg = spark.createDataFrame([], "g string, cnt long, total long")
+    seen: list[tuple] = []
+    for batch in batches:
+        bdf = spark.createDataFrame(batch, schema)
+        state, agg = maintain_group_agg(
+            state, agg, bdf, ["pk"], "g", "v", ["_pos"]
+        )
+        # plans grow per batch (joins over joins); truncate like the
+        # fixpoint operators do
+        state = state.localCheckpoint(eager=True)
+        agg = agg.localCheckpoint(eager=True)
+        seen.extend(batch)
+        full = latest_image(
+            spark.createDataFrame(seen, schema), ["pk"], ["_pos"]
+        )
+        expect_state = sorted(
+            (r["pk"], r["g"], r["v"]) for r in full.collect()
+        )
+        got_state = sorted((r["pk"], r["g"], r["v"]) for r in state.collect())
+        assert got_state == expect_state
+        expect_agg = sorted(
+            (r["g"], r["cnt"], r["total"])
+            for r in full.groupBy("g")
+            .agg(F.count("*").alias("cnt"), F.sum("v").alias("total"))
+            .collect()
+        )
+        got_agg = sorted((r["g"], r["cnt"], r["total"]) for r in agg.collect())
+        assert got_agg == expect_agg
+
+
+def test_maintain_group_agg_insert_delete_same_batch(spark):
+    """A pk created and deleted inside one batch must leave no trace in
+    either the state or the aggregate."""
+    from flink_cdc_multi_spark.operators.cdc import maintain_group_agg
+
+    schema = "pk long, g string, v long, _op string, _pos long"
+    state = spark.createDataFrame([(1, "a", 10, "INSERT", 5)], schema)
+    agg = spark.createDataFrame([("a", 1, 10)], "g string, cnt long, total long")
+    batch = spark.createDataFrame(
+        [(2, "b", 7, "INSERT", 10), (2, "b", 7, "DELETE", 20)], schema
+    )
+    new_state, new_agg = maintain_group_agg(
+        state, agg, batch, ["pk"], "g", "v", ["_pos"]
+    )
+    assert sorted((r["pk"],) for r in new_state.collect()) == [(1,)]
+    assert [(r["g"], r["cnt"], r["total"]) for r in new_agg.collect()] == [("a", 1, 10)]
