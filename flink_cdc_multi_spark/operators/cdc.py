@@ -244,20 +244,31 @@ def maintain_group_agg(
     )
     j = touched.join(old, key_cols, "left")
     zero = F.lit(0).cast("long")
-    minus = j.filter(F.col("__had").isNotNull()).select(
-        F.col("__g_old").alias(group_col),
-        F.lit(-1).cast("long").alias("cnt"),
-        (-F.coalesce(F.col("__v_old"), zero)).alias("total"),
+    # each joined row yields up to TWO delta contributions (retract old,
+    # add new) — emitted via one explode over a 2-slot array instead of a
+    # union of two projections of the join, which would plan the
+    # state-probe join twice
+    retract = F.when(
+        F.col("__had").isNotNull(),
+        F.struct(
+            F.col("__g_old").alias("g"),
+            F.lit(-1).cast("long").alias("cnt"),
+            (-F.coalesce(F.col("__v_old"), zero)).alias("total"),
+        ),
     )
-    plus = j.filter(F.col("__op") != OP_DELETE).select(
-        F.col("__g_new").alias(group_col),
-        F.lit(1).cast("long").alias("cnt"),
-        F.coalesce(F.col("__v_new"), zero).alias("total"),
+    add = F.when(
+        F.col("__op") != OP_DELETE,
+        F.struct(
+            F.col("__g_new").alias("g"),
+            F.lit(1).cast("long").alias("cnt"),
+            F.coalesce(F.col("__v_new"), zero).alias("total"),
+        ),
     )
     delta = (
-        minus.unionByName(plus)
-        .groupBy(group_col)
-        .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+        j.select(F.explode(F.array(retract, add)).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .groupBy(F.col("c.g").alias(group_col))
+        .agg(F.sum("c.cnt").alias("cnt"), F.sum("c.total").alias("total"))
     )
     new_agg = (
         prev_agg.alias("p")

@@ -193,4 +193,51 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    "q24": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                   AS total_rev_u
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_rev_u AS BIGINT) AS total_rev_u
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_u = (SELECT MAX(total_rev_u) FROM rev)
+    """,
+    "q25": """
+        WITH sup AS (
+          SELECT s_suppkey FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey = 0
+        ), v AS (
+          SELECT l_partkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND(l_quantity) AS BIGINT)) AS value_u
+          FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value_u AS BIGINT) AS value_u
+        FROM v
+        WHERE value_u * 2000 > (SELECT SUM(value_u) FROM v)
+    """,
+    "q26": """
+        SELECT n_name,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                        - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                          * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+                    AS BIGINT) AS profit_u,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, o_year
+    """,
 }

@@ -582,6 +582,102 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-revenue supplier(s) over a ship-date quarter —
+    the materialized-view + scalar-max equality pattern. Revenue is exact
+    integer 1e-4-dollar units (cents × discount-percent), so the MAX
+    equality cannot be flipped by float accumulation order in either
+    engine (the ratio-metric rule, argmax edition).
+
+    Scale: one partial-agg'd groupBy(l_suppkey) over the date-pruned scan
+    (predicate pushdown on l_shipdate); the scalar max is a 1-row
+    broadcast; the supplier join ships only the max-revenue rows (≈1) —
+    AQE broadcasts that side, never the supplier table."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    cents = F.bround(F.col("l_extendedprice") * 100).cast("long")
+    dh = F.bround(F.col("l_discount") * 100).cast("long")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(cents * (100 - dh)).alias("total_rev_u")
+    )
+    mx = rev.agg(F.max("total_rev_u").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_u == F.col("mx"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_u")
+    )
+
+
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value (through suppliers of
+    one region) exceeds a fixed fraction of the total — global-scalar
+    HAVING. The 0.05% threshold is applied as value_u · 2000 > total_u in
+    exact integer units; the scalar total is a 1-row broadcast.
+
+    Scale: nation is the only forced broadcast (25 rows); the
+    supplier-restriction join and the partkey rollup shuffle on their
+    keys with map-side partials; AQE broadcasts the filtered supplier
+    side at bench SF and shuffles it on a cluster."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sup = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    cents = F.bround(F.col("l_extendedprice") * 100).cast("long")
+    qi = F.bround(F.col("l_quantity")).cast("long")
+    val = (
+        lineitem.join(sup, lineitem.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents * qi).alias("value_u"))
+    )
+    tot = val.agg(F.sum("value_u").alias("tot_u"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_u") * 2000 > F.col("tot_u"))
+        .select("l_partkey", "value_u")
+    )
+
+
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (nation, order-year) for one product
+    line — the widest join tree in the suite (lineitem ⋈ part ⋈ orders ⋈
+    supplier ⋈ nation) with signed arithmetic in the rollup. Profit =
+    revenue − cost proxy (p_retailprice·qty; the fixture has no partsupp
+    table), all in exact 1e-4-dollar integer units.
+
+    Scale: only nation is broadcast-hinted; the selective part filter
+    (p_name) prunes before its join so AQE can broadcast the survivors;
+    lineitem⋈orders is the large-large sort-merge shuffle on the
+    orderkey; the final rollup is |nations|×|years| cells with map-side
+    partials."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ext_c = F.bround(F.col("l_extendedprice") * 100).cast("long")
+    dh = F.bround(F.col("l_discount") * 100).cast("long")
+    ret_c = F.bround(F.col("p_retailprice") * 100).cast("long")
+    qi = F.bround(F.col("l_quantity")).cast("long")
+    profit_u = ext_c * (100 - dh) - ret_c * qi * 100
+    return (
+        lineitem.join(part.select("p_partkey", "p_retailprice"),
+                      lineitem.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+              lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name", F.col("o_year").cast("bigint").alias("o_year"))
+        .agg(F.sum(profit_u).alias("profit_u"), F.count("*").alias("n_items"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01": q01,
     "q02": q02,
@@ -606,4 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21": q21,
     "q22": q22,
     "q23": q23,
+    "q24": q24,
+    "q25": q25,
+    "q26": q26,
 }
