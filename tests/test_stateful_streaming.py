@@ -47,3 +47,61 @@ def test_running_status_state_across_batches(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["max_offset"] == 30
     assert rows[0]["last_ts"] == 3000
+
+
+def test_cdc_delta_stream_matches_recompute_and_drops_replays(spark, tmp_path):
+    """Streaming IVM: deltas accumulated across micro-batches must equal a
+    batch recompute of the cumulative log's latest image, and a fully
+    replayed batch (offsets <= applied) must emit no deltas at all."""
+    from flink_cdc_multi_spark.streaming.stateful import cdc_delta_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = "pk long, g string, v long, _op string, pos long"
+
+    b1 = [(1, "a", 10, "INSERT", 10), (2, "b", 5, "INSERT", 20)]
+    b2 = [
+        (1, "b", 7, "UPDATE", 30),   # group move a -> b
+        (2, "b", 5, "DELETE", 40),   # delete
+        (3, "a", 1, "INSERT", 50),
+        (3, "a", 4, "UPDATE", 60),   # two changes, one batch -> one net delta
+    ]
+    b3 = list(b2)  # full replay: must emit nothing
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(feed / "f1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(feed) + "/*")
+    deltas = cdc_delta_stream(stream, "pk", "g", "v", "pos")
+    q = (
+        deltas.writeStream.format("memory")
+        .queryName("ivm_deltas")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def totals():
+        rows = spark.sql(
+            "SELECT g, SUM(d_cnt) cnt, SUM(d_total) total FROM ivm_deltas "
+            "GROUP BY g HAVING SUM(d_cnt) > 0"
+        ).collect()
+        return sorted((r["g"], r["cnt"], r["total"]) for r in rows)
+
+    def n_delta_rows():
+        return spark.sql("SELECT COUNT(*) n FROM ivm_deltas").collect()[0]["n"]
+
+    q.processAllAvailable()
+    assert totals() == [("a", 1, 10), ("b", 1, 5)]
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(feed / "f2"))
+    q.processAllAvailable()
+    # latest state: pk1 -> (b,7), pk2 deleted, pk3 -> (a,4)
+    assert totals() == [("a", 1, 4), ("b", 1, 7)]
+
+    before_replay = n_delta_rows()
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(str(feed / "f3"))
+    q.processAllAvailable()
+    q.stop()
+    assert n_delta_rows() == before_replay  # replayed batch emitted nothing
+    assert totals() == [("a", 1, 4), ("b", 1, 7)]
