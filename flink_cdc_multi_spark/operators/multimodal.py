@@ -313,6 +313,71 @@ def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
         return None
 
 
+# -- audio: real RIFF/WAVE container + PCM16 decode (stdlib + numpy) --------
+
+
+def make_wav_pcm16(sample_rate: int, samples, extra_chunk: bool = False) -> bytes:
+    """Spec-valid mono PCM16 WAV: RIFF header, fmt chunk, optional LIST
+    (INFO) chunk to exercise the chunk walker, data chunk. ``samples`` is
+    any int sequence in int16 range."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        payload = b"INFOISFT" + struct.pack("<I", 5) + b"tests"  # odd length
+        payload += b"\x00" * (len(payload) & 1)  # writer pads to word
+        chunks += b"LIST" + struct.pack("<I", len(payload)) + payload
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_wav_pcm16(blob: bytes):
+    """Real RIFF walk: returns (sample_rate, samples ndarray[int16]) for
+    mono 16-bit PCM, None for anything else (stereo, 8/24-bit, float,
+    truncated, non-RIFF). Chunks are word-aligned per spec — an
+    odd-length chunk is followed by a pad byte the walker must skip."""
+    import numpy as np
+
+    try:
+        if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        pos, sr, ch, bits, data = 12, None, None, None, None
+        while pos + 8 <= len(blob):
+            tag = blob[pos : pos + 4]
+            (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            body = blob[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                return None  # truncated chunk
+            if tag == b"fmt " and len(body) >= 16:
+                afmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+                if afmt != 1:  # PCM only
+                    return None
+            elif tag == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)
+        if sr is None or data is None or bits != 16 or ch != 1:
+            return None
+        return sr, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    except (struct.error, ValueError):
+        return None
+
+
+def wav_pcm16_stats(blob: bytes):
+    """(sample_rate, n_samples, sum_abs, peak) from a real decode of the
+    WAV bytes — exact integers (the audio analogue of png_luma_sum's
+    integer luma sums; ratio-rule outputs, no rounded doubles)."""
+    import numpy as np
+
+    parsed = parse_wav_pcm16(blob)
+    if parsed is None:
+        return None
+    sr, a = parsed
+    ab = np.abs(a.astype(np.int64))
+    return int(sr), int(a.size), int(ab.sum()), int(ab.max()) if a.size else 0
+
+
 def attach_media_meta(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
     """Wrap an opaque binary column with the typed metadata struct (decode
     fills width/height/duration later)."""

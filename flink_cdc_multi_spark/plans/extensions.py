@@ -659,6 +659,56 @@ def ext_multimodal_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end (round 6): synthesize a spec-valid
+    mono PCM16 WAV per document — RIFF container, fmt/LIST/data chunks,
+    word-aligned — then decode it BACK through the stdlib RIFF walker +
+    numpy PCM reader (operators/multimodal.wav_pcm16_stats) and emit
+    exact integer waveform stats. The sample pattern is closed-form in
+    (doc_id, i), so the DuckDB oracle recomputes the same integers from
+    pure SQL — a codec regression (endianness, chunk alignment, stride)
+    breaks the hash. Same repartition rationale as ext_multimodal_luma:
+    the Python kernel is the cost center, spread it across cores."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen_and_decode(it):
+        import numpy as np
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            out = {"doc_id": ids, "sample_rate": [], "n_samples": [], "sum_abs": [], "peak": []}
+            for d in ids:
+                d = int(d)
+                n = d % 50 + 20
+                i = np.arange(n, dtype=np.int64)
+                samples = (d % 97 * 31 + i * 37) % 4001 - 2000
+                blob = M.make_wav_pcm16(
+                    8000 + d % 4 * 4000, samples, extra_chunk=(d % 3 == 0)
+                )
+                sr, ns, sa, pk = M.wav_pcm16_stats(blob)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(ns)
+                out["sum_abs"].append(sa)
+                out["peak"].append(pk)
+            yield pd.DataFrame(
+                {k: (v if k == "doc_id" else pd.Series(v, dtype="int64"))
+                 for k, v in out.items()}
+            )
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "doc_id long, sample_rate long, n_samples long, sum_abs long, peak long",
+    )
+
+
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (concatenate-then-chunk): global token
     start offset per document in doc_id order plus the 256-token training
@@ -935,6 +985,7 @@ EXT_QUERIES = {
     "ext_events_json": ext_events_json,
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
+    "ext_multimodal_audio": ext_multimodal_audio,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -1608,6 +1659,27 @@ EXT_ORACLE_SQL = {
                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events) t
         GROUP BY event_type
+    """,
+    # closed-form recompute of the waveform the engine encodes AND
+    # decodes through real RIFF/PCM bytes
+    "ext_multimodal_audio": """
+        WITH d AS (
+          SELECT doc_id,
+                 doc_id % 97 AS seed,
+                 doc_id % 50 + 20 AS n,
+                 8000 + (doc_id % 4) * 4000 AS sample_rate
+          FROM documents
+        ), s AS (
+          SELECT doc_id, sample_rate, n,
+                 ABS(((seed * 31 + i.i * 37) % 4001) - 2000) AS a
+          FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i
+        )
+        SELECT doc_id,
+               CAST(sample_rate AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(a) AS BIGINT) AS sum_abs,
+               CAST(MAX(a) AS BIGINT) AS peak
+        FROM s GROUP BY doc_id, sample_rate, n
     """,
     # independent formulation: one-shot latest-image recompute vs the
     # engine's three-batch retract-and-add delta maintenance — a hash

@@ -1049,3 +1049,47 @@ def test_events_funnel_requires_stage_order(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     got = {r["stage_name"]: r["n_users"] for r in ext_events_funnel(spark, str(tmp_path)).collect()}
     assert got == {"signup": 3, "view": 3, "click": 1, "purchase": 1}
+
+
+def test_wav_codec_roundtrip_and_rejections():
+    """Real RIFF walk: roundtrip with LIST chunk + word alignment; reject
+    stereo, non-PCM, truncated, and non-RIFF inputs."""
+    import struct
+
+    import numpy as np
+
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    blob = M.make_wav_pcm16(44100, samples, extra_chunk=True)
+    sr, arr = M.parse_wav_pcm16(blob)
+    assert sr == 44100 and list(arr) == samples
+    assert M.wav_pcm16_stats(blob) == (
+        44100, 6, sum(abs(s) for s in samples), 32768
+    )
+    # odd-length LIST chunk: data must still be found AFTER the pad byte
+    assert b"LIST" in blob
+
+    assert M.parse_wav_pcm16(b"") is None
+    assert M.parse_wav_pcm16(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    assert M.parse_wav_pcm16(b"OggS" + blob[4:]) is None  # wrong container
+
+    # stereo fmt -> rejected
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    stereo = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", 0))
+    assert M.parse_wav_pcm16(stereo) is None
+
+    # IEEE-float fmt -> rejected
+    ffmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    floaty = (b"RIFF" + struct.pack("<I", 4 + 8 + len(ffmt)) + b"WAVE"
+              + b"fmt " + struct.pack("<I", len(ffmt)) + ffmt)
+    assert M.parse_wav_pcm16(floaty) is None
+
+    # truncated data chunk -> rejected (declared length exceeds bytes)
+    trunc = blob[:-4]
+    assert M.parse_wav_pcm16(trunc) is None
+
+    # empty sample stream is valid
+    assert M.wav_pcm16_stats(M.make_wav_pcm16(8000, np.array([], dtype=np.int16))) == (
+        8000, 0, 0, 0
+    )
