@@ -659,6 +659,52 @@ def ext_multimodal_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by (value, event_id) per event type — the canonical
+    top-N-per-group pattern. The (value DESC, event_id ASC) order is
+    total (event_id unique), so the result SET is engine-independent.
+
+    Scale: Spark plans the rank-filter as WindowGroupLimit (plan-pinned):
+    each map task keeps only k rows per group BEFORE the exchange, so the
+    shuffle carries ≤ k·|groups| rows per partition instead of the whole
+    table — the per-group analogue of TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "value", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def ext_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in exact integer arithmetic — the
+    k-means M-step as a distributed vector aggregate. Components are
+    quantized to 1e-6 (bround·1e6, bit-identical in DuckDB via
+    CAST(ROUND(
+    x*1e6))) and emitted in LONG form (label, dim, sum_q6, n_vecs): the
+    consumer divides sum_q6 / n_vecs for the mean — ratio rule, float
+    division never crosses the engine boundary.
+
+    Scale: posexplode to (label, dim, v) rows — 16-byte shuffle payload —
+    then ONE partial-agg'd groupBy(label, dim); the classic shape that
+    computes centroids over billions of vectors without ever holding a
+    vector-width accumulator per task thread."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q6 = F.bround(F.col("v").cast("double") * 1e6).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("dim").cast("bigint").alias("dim"),
+        )
+        .agg(F.sum(q6).alias("sum_q6"), F.count("*").alias("n_vecs"))
+    )
+
+
 def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end to end (round 6): synthesize a spec-valid
     mono PCM16 WAV per document — RIFF container, fmt/LIST/data chunks,
@@ -986,6 +1032,8 @@ EXT_QUERIES = {
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
+    "ext_events_topk": ext_events_topk,
+    "ext_embed_centroid": ext_embed_centroid,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -1659,6 +1707,28 @@ EXT_ORACLE_SQL = {
                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events) t
         GROUP BY event_type
+    """,
+    "ext_events_topk": """
+        SELECT event_type, event_id, value, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rk
+          FROM events) t
+        WHERE rk <= 3
+    """,
+    # exact .5 cannot occur in v*1e6: a float is a dyadic rational, and
+    # (2k+1)/2e6 has a 5^6 factor in the denominator — so ROUND
+    # (half-away) and bround (half-even) agree on every component
+    "ext_embed_centroid": """
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(i.i AS BIGINT) AS dim,
+               CAST(SUM(CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6)
+                             AS BIGINT)) AS BIGINT) AS sum_q6,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(len(embedding))) AS i) i
+        GROUP BY label, dim
     """,
     # closed-form recompute of the waveform the engine encodes AND
     # decodes through real RIFF/PCM bytes

@@ -255,3 +255,19 @@ def test_ext_events_json_partial_agg(spark):
     # partial + final aggregate pair; JSON extraction is JVM-side
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ext_events_topk_window_group_limit(spark):
+    """Top-N-per-group must push the k-limit below the exchange: the map
+    side forwards <= k rows per group (WindowGroupLimit), never the whole
+    table through the sort."""
+    plan = plan_of(spark, "ext_events_topk")
+    assert "WindowGroupLimit" in plan
+
+
+def test_ext_embed_centroid_partial_agg(spark):
+    """Vector aggregate: posexplode then ONE partial+final aggregate pair
+    on (label, dim) — no window, no join."""
+    plan = plan_of(spark, "ext_embed_centroid")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan and "Window" not in plan
