@@ -209,18 +209,32 @@ def maintain_group_agg(
     their previous (group, value) contribution, then the batch's
     surviving latest images add their new one.
 
-    Inputs: ``prev_state`` — the materialized current table (what
-    latest_image/compact_table produce; must contain key/group/value
-    columns and be a column superset match of the envelope payload);
+    Inputs: ``prev_state`` — the materialized table WITH delete
+    tombstones retained (what ``latest_image(drop_deletes=False)``
+    produces; must contain key/group/value/_op columns and be a column
+    superset match of the envelope payload). Tombstones are what make
+    the stale-redelivery guard sound across deletes: without the deleted
+    key's applied offset in state, a redelivered pre-delete change would
+    be indistinguishable from a fresh insert and would resurrect the
+    row. Live rows are ``state.filter(_op != DELETE)``; tombstones below
+    the resumed offset can be compacted away safely (the
+    compact_table argument);
     ``prev_agg`` — (group_col, cnt, total) from a previous call (seed
     with an empty frame or a one-off groupBy of the initial state);
     ``batch`` — the new slice of the change log (any mix of READ/INSERT/
-    UPDATE/DELETE, duplicates tolerated — the per-key max_by reduction
-    collapses replays exactly like latest_image does).
+    UPDATE/DELETE; duplicates AND stale redeliveries tolerated — the
+    per-key max_by reduction collapses within-batch replays, and a
+    cross-batch guard drops any image whose order columns are at or
+    below the applied state's, so an at-least-once source redelivering
+    an OLD change can never regress the state or the aggregate — the
+    batch analogue of the streaming twin's last_pos check and of
+    sources.offsets.offset_greater).
 
     Returns (new_state, new_agg). NULL values contribute 0 to ``total``
-    and 1 to ``cnt`` (count(*) semantics); groups whose cnt reaches 0
-    drop out, matching a fresh groupBy of the state.
+    and 1 to ``cnt`` (count(*) semantics); a NULL GROUP is one group
+    (the aggregate merge joins null-safely, matching groupBy semantics);
+    groups whose cnt reaches 0 drop out, matching a fresh groupBy of the
+    state.
 
     Scale: every join is keyed on the table's primary key or the group —
     batch-sized inputs on one side throughout (AQE broadcasts them when
@@ -229,27 +243,30 @@ def maintain_group_agg(
     Nothing ever recomputes over the table's history — cost per batch is
     O(batch + touched groups), the property that makes a 100 TB table's
     rolling aggregate maintainable at streaming cadence."""
+    ordc = [(F.col(c) if isinstance(c, str) else c) for c in order_cols]
     imgs = latest_image(batch, key_cols, order_cols, drop_deletes=False)
-    touched = imgs.select(
-        *key_cols,
-        F.col("_op").alias("__op"),
-        F.col(group_col).alias("__g_new"),
-        F.col(value_col).alias("__v_new"),
-    )
+    im = imgs.withColumn("__new_ord", F.struct(*ordc))
     old = prev_state.select(
         *key_cols,
         F.col(group_col).alias("__g_old"),
         F.col(value_col).alias("__v_old"),
-        F.lit(True).alias("__had"),
+        F.col("_op").alias("__op_old"),
+        F.struct(*ordc).alias("__old_ord"),
     )
-    j = touched.join(old, key_cols, "left")
+    # stale-redelivery guard: only images strictly NEWER than the applied
+    # state pass (an unmatched key has a NULL __old_ord and always
+    # passes); dropped rows contribute neither deltas nor state changes
+    j = im.join(old, key_cols, "left").filter(
+        F.col("__old_ord").isNull() | (F.col("__new_ord") > F.col("__old_ord"))
+    )
     zero = F.lit(0).cast("long")
-    # each joined row yields up to TWO delta contributions (retract old,
-    # add new) — emitted via one explode over a 2-slot array instead of a
-    # union of two projections of the join, which would plan the
-    # state-probe join twice
+    # each surviving row yields up to TWO delta contributions (retract
+    # old, add new) — emitted via one explode over a 2-slot array instead
+    # of a union of two projections, which would plan the state-probe
+    # join twice
     retract = F.when(
-        F.col("__had").isNotNull(),
+        # a tombstone contributed nothing — only LIVE old rows retract
+        F.col("__old_ord").isNotNull() & (F.col("__op_old") != OP_DELETE),
         F.struct(
             F.col("__g_old").alias("g"),
             F.lit(-1).cast("long").alias("cnt"),
@@ -257,11 +274,11 @@ def maintain_group_agg(
         ),
     )
     add = F.when(
-        F.col("__op") != OP_DELETE,
+        F.col("_op") != OP_DELETE,
         F.struct(
-            F.col("__g_new").alias("g"),
+            F.col(group_col).alias("g"),
             F.lit(1).cast("long").alias("cnt"),
-            F.coalesce(F.col("__v_new"), zero).alias("total"),
+            F.coalesce(F.col(value_col), zero).alias("total"),
         ),
     )
     delta = (
@@ -270,21 +287,34 @@ def maintain_group_agg(
         .groupBy(F.col("c.g").alias(group_col))
         .agg(F.sum("c.cnt").alias("cnt"), F.sum("c.total").alias("total"))
     )
+    # null-safe group equality: a NULL group must MERGE with its prior
+    # aggregate row exactly like groupBy treats NULL as one group — a
+    # plain equi-join would fragment it into duplicate rows forever
+    p, d = prev_agg.alias("p"), delta.alias("d")
     new_agg = (
-        prev_agg.alias("p")
-        .join(delta.alias("d"), group_col, "full")
+        p.join(
+            d,
+            F.col(f"p.{group_col}").eqNullSafe(F.col(f"d.{group_col}")),
+            "full",
+        )
         .select(
-            group_col,
+            # on a full join one side may be entirely NULL; for a matched
+            # NULL group both sides carry NULL — coalesce yields the
+            # correct NULL group label either way
+            F.coalesce(F.col(f"p.{group_col}"), F.col(f"d.{group_col}")).alias(
+                group_col
+            ),
             (F.coalesce("p.cnt", zero) + F.coalesce("d.cnt", zero)).alias("cnt"),
             (F.coalesce("p.total", zero) + F.coalesce("d.total", zero)).alias("total"),
         )
         .filter(F.col("cnt") > 0)
     )
+    # deletes stay in state as TOMBSTONES (carrying their applied offset)
+    # so the order guard keeps working across a delete; live rows are
+    # filter(_op != DELETE)
     new_state = prev_state.join(
-        imgs.select(*key_cols), key_cols, "left_anti"
-    ).unionByName(
-        imgs.filter(F.col("_op") != OP_DELETE).select(*prev_state.columns)
-    )
+        j.select(*key_cols), key_cols, "left_anti"
+    ).unionByName(j.select(*prev_state.columns))
     return new_state, new_agg
 
 

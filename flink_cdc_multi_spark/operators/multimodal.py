@@ -326,9 +326,14 @@ def make_wav_pcm16(sample_rate: int, samples, extra_chunk: bool = False) -> byte
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if extra_chunk:
-        payload = b"INFOISFT" + struct.pack("<I", 5) + b"tests"  # odd length
-        payload += b"\x00" * (len(payload) & 1)  # writer pads to word
-        chunks += b"LIST" + struct.pack("<I", len(payload)) + payload
+        payload = b"INFOISFT" + struct.pack("<I", 5) + b"tests"  # 17 bytes: ODD
+        # RIFF odd-chunk encoding: the DECLARED length stays odd and the
+        # pad byte sits outside it — this is what forces the reader's
+        # (ln & 1) word-alignment skip to actually run
+        chunks += (
+            b"LIST" + struct.pack("<I", len(payload)) + payload
+            + b"\x00" * (len(payload) & 1)
+        )
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 

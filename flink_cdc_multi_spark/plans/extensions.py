@@ -683,18 +683,20 @@ def ext_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid in exact integer arithmetic — the
     k-means M-step as a distributed vector aggregate. Components are
-    quantized to 1e-6 (bround·1e6, bit-identical in DuckDB via
-    CAST(ROUND(
-    x*1e6))) and emitted in LONG form (label, dim, sum_q6, n_vecs): the
-    consumer divides sum_q6 / n_vecs for the mean — ratio rule, float
-    division never crosses the engine boundary.
+    quantized to 1e-6 via floor(x·1e6 + 0.5) — the SAME IEEE op sequence
+    in both engines (the ext_embed_quantize parity idiom; bround/ROUND
+    would diverge on exact halves, which float inputs CAN produce: any
+    odd multiple of 2^-7 lands on .5 after ·1e6) — and emitted in LONG
+    form (label, dim, sum_q6, n_vecs): the consumer divides
+    sum_q6 / n_vecs for the mean — ratio rule, float division never
+    crosses the engine boundary.
 
     Scale: posexplode to (label, dim, v) rows — 16-byte shuffle payload —
     then ONE partial-agg'd groupBy(label, dim); the classic shape that
     computes centroids over billions of vectors without ever holding a
     vector-width accumulator per task thread."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q6 = F.bround(F.col("v").cast("double") * 1e6).cast("long")
+    q6 = F.floor(F.col("v").cast("double") * 1e6 + 0.5).cast("long")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy(
@@ -899,8 +901,13 @@ def ext_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final (cohort × offset) aggregate is cell-count-sized. The
     naive distinct→groupBy→join→groupBy formulation (the oracle's shape)
     costs 4 exchanges and re-shuffles the activity stream."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("d")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        # pin the NULL-ts contract explicitly: collect_set silently drops
+        # NULLs but the oracle's SELECT DISTINCT keeps them — both sides
+        # filter so a NULL-ts fixture row can't diverge the engines
+        .filter(F.col("d").isNotNull())
     )
     per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("days"))
     return (
@@ -920,13 +927,17 @@ def ext_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured prop extraction: pull the integer `k` out of the
     JSON props column and aggregate per event type — the schema-on-read
     path every event pipeline needs (reference analogue: the Debezium
-    envelope's JSON traversal, SURVEY §2.9). try_cast keeps a malformed
-    value NULL (counted by n minus n_k) instead of an ANSI crash.
+    envelope's JSON traversal, SURVEY §2.9). A value only counts as an
+    integer if it LOOKS like one (^-?[0-9]+$) — pinned in BOTH engines,
+    because the engines' bare try_casts disagree on decimals (Spark
+    try_cast('3.5') → NULL, DuckDB TRY_CAST('3.5') → 4); the inner
+    try_cast still guards the out-of-bigint-range case (NULL in both).
 
     Scale: get_json_object is a codegen'd JVM path (Jackson streaming,
     no UDF); one partial-agg'd groupBy on a 5-value key."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("bigint"))
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -1686,6 +1697,7 @@ EXT_ORACLE_SQL = {
     "ext_events_retention": """
         WITH act AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+          WHERE ts IS NOT NULL
         ), c AS (
           SELECT user_id, MIN(d) AS cohort_dt FROM act GROUP BY user_id
         )
@@ -1704,7 +1716,10 @@ EXT_ORACLE_SQL = {
                MIN(k) AS min_k,
                MAX(k) AS max_k
         FROM (SELECT event_type,
-                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                     CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                              '^-?[0-9]+$')
+                          THEN TRY_CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) END AS k
               FROM events) t
         GROUP BY event_type
     """,
@@ -1717,13 +1732,14 @@ EXT_ORACLE_SQL = {
           FROM events) t
         WHERE rk <= 3
     """,
-    # exact .5 cannot occur in v*1e6: a float is a dyadic rational, and
-    # (2k+1)/2e6 has a 5^6 factor in the denominator — so ROUND
-    # (half-away) and bround (half-even) agree on every component
+    # floor(x*1e6 + 0.5): same IEEE sequence both engines (exact halves
+    # DO occur for float components that are odd multiples of 2^-7, where
+    # ROUND/bround would disagree — the ext_embed_quantize parity idiom)
     "ext_embed_centroid": """
         SELECT CAST(label AS BIGINT) AS label,
                CAST(i.i AS BIGINT) AS dim,
-               CAST(SUM(CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6)
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6
+                                   + 0.5)
                              AS BIGINT)) AS BIGINT) AS sum_q6,
                CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM embeddings,

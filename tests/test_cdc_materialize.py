@@ -200,7 +200,8 @@ def test_maintain_group_agg_matches_full_recompute(spark):
 
     rng = random.Random(42)
     schema = "pk long, g string, v long, _op string, _pos long"
-    groups = ["g0", "g1", "g2"]
+    # None: the NULL group must merge like any other (null-safe agg join)
+    groups = ["g0", "g1", "g2", None]
 
     live: dict[int, tuple[str, int]] = {}  # model table for op generation
     pos = 0
@@ -229,6 +230,12 @@ def test_maintain_group_agg_matches_full_recompute(spark):
             batch.append(row)
             if rng.random() < 0.25:
                 batch.append(row)  # at-least-once replay inside the batch
+            if log and rng.random() < 0.3:
+                # STALE cross-batch redelivery: an old change re-arrives in
+                # a later batch; the order guard must drop it (it cannot
+                # regress state/agg, and latest_image of the cumulative
+                # log is naturally immune — so the equality still holds)
+                batch.append(rng.choice(log))
         batches.append(batch)
         log.extend(batch)
 
@@ -251,15 +258,22 @@ def test_maintain_group_agg_matches_full_recompute(spark):
         expect_state = sorted(
             (r["pk"], r["g"], r["v"]) for r in full.collect()
         )
-        got_state = sorted((r["pk"], r["g"], r["v"]) for r in state.collect())
+        live = state.filter(F.col("_op") != "DELETE")  # tombstones excluded
+        got_state = sorted((r["pk"], r["g"], r["v"]) for r in live.collect())
         assert got_state == expect_state
+        gkey = lambda t: (t[0] is None, t[0] or "", t[1], t[2])  # noqa: E731
         expect_agg = sorted(
-            (r["g"], r["cnt"], r["total"])
-            for r in full.groupBy("g")
-            .agg(F.count("*").alias("cnt"), F.sum("v").alias("total"))
-            .collect()
+            (
+                (r["g"], r["cnt"], r["total"])
+                for r in full.groupBy("g")
+                .agg(F.count("*").alias("cnt"), F.sum("v").alias("total"))
+                .collect()
+            ),
+            key=gkey,
         )
-        got_agg = sorted((r["g"], r["cnt"], r["total"]) for r in agg.collect())
+        got_agg = sorted(
+            ((r["g"], r["cnt"], r["total"]) for r in agg.collect()), key=gkey
+        )
         assert got_agg == expect_agg
 
 
@@ -277,5 +291,14 @@ def test_maintain_group_agg_insert_delete_same_batch(spark):
     new_state, new_agg = maintain_group_agg(
         state, agg, batch, ["pk"], "g", "v", ["_pos"]
     )
-    assert sorted((r["pk"],) for r in new_state.collect()) == [(1,)]
+    live = new_state.filter(F.col("_op") != "DELETE")
+    assert sorted((r["pk"],) for r in live.collect()) == [(1,)]
+    # pk2 stays as a TOMBSTONE carrying its applied offset (pos 20): a
+    # stale redelivery of its insert must keep being dropped
+    tomb = new_state.filter(F.col("_op") == "DELETE").collect()
+    assert [(r["pk"], r["_pos"]) for r in tomb] == [(2, 20)]
     assert [(r["g"], r["cnt"], r["total"]) for r in new_agg.collect()] == [("a", 1, 10)]
+    replay = spark.createDataFrame([(2, "b", 7, "INSERT", 10)], schema)
+    s2, a2 = maintain_group_agg(new_state, new_agg, replay, ["pk"], "g", "v", ["_pos"])
+    assert sorted((r["pk"],) for r in s2.filter(F.col("_op") != "DELETE").collect()) == [(1,)]
+    assert [(r["g"], r["cnt"], r["total"]) for r in a2.collect()] == [("a", 1, 10)]
