@@ -850,6 +850,40 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- event analytics (funnel / retention / JSON props / PII scrub) ---------
 
 
+def ext_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts for the orders
+    table in long form (col_name, n_rows, n_null, n_distinct) — the
+    schema-discovery/data-quality pass any ingestion engine runs after
+    landing a table (the batch analogue of catalog.py's Mongo sampling
+    inference).
+
+    Scale: ONE pass over the scan. Multiple exact count_distincts compile
+    to Catalyst's Expand (each input row fans out once per distinct
+    aggregate — a deliberate |cols|× map-side expansion, shuffled as
+    compact (gid, value) keys with partial aggs). For very wide tables
+    the alternative is one job per column; at 6 columns the single-pass
+    Expand wins. approx_count_distinct would avoid the Expand entirely
+    but is engine-local (HLL± differs from DuckDB's), so the exact form
+    is the oracle-gated one."""
+    t = load_table(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for c in t.columns:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"__nd_{c}"))
+    one = t.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}" for c in t.columns
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(t.columns)}, {stack_args})"
+            " as (col_name, n_null, n_distinct)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
 def ext_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → view → click → purchase: a user
     reaches stage k only via an event of that type AT OR AFTER their
@@ -1045,6 +1079,7 @@ EXT_QUERIES = {
     "ext_multimodal_audio": ext_multimodal_audio,
     "ext_events_topk": ext_events_topk,
     "ext_embed_centroid": ext_embed_centroid,
+    "ext_profile_orders": ext_profile_orders,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -1722,6 +1757,22 @@ EXT_ORACLE_SQL = {
                                         AS BIGINT) END AS k
               FROM events) t
         GROUP BY event_type
+    """,
+    "ext_profile_orders": """
+        SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                         COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+                         COUNT(DISTINCT o_orderstatus) FROM orders
+        UNION ALL SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+                         COUNT(DISTINCT o_totalprice) FROM orders
+        UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+                         COUNT(DISTINCT o_orderdate) FROM orders
+        UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+                         COUNT(DISTINCT o_orderpriority) FROM orders
     """,
     "ext_events_topk": """
         SELECT event_type, event_id, value, CAST(rk AS BIGINT) AS rk
