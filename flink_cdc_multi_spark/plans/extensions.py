@@ -957,6 +957,30 @@ def ext_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-window aggregate: 24-hour windows every 12 hours
+    (each event lands in exactly 2 windows) with row and distinct-user
+    counts — the batch form of the streaming windowed aggregates in
+    streaming/windows.py, using Spark's native F.window assignment.
+
+    Scale: window assignment is a row-local explode (2 rows per event);
+    one partial-agg'd groupBy on the window start. The DuckDB oracle
+    reproduces the epoch-aligned window starts with integer epoch
+    arithmetic (floor to the 12 h slide, minus one slide for the second
+    window), so the hash pins Spark's window-alignment semantics, not
+    just the counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day", "12 hours")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "n_users")
+    )
+
+
 def ext_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured prop extraction: pull the integer `k` out of the
     JSON props column and aggregate per event type — the schema-on-read
@@ -1074,6 +1098,7 @@ EXT_QUERIES = {
     "ext_events_funnel": ext_events_funnel,
     "ext_events_retention": ext_events_retention,
     "ext_events_json": ext_events_json,
+    "ext_events_sliding": ext_events_sliding,
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
@@ -1742,6 +1767,23 @@ EXT_ORACLE_SQL = {
         FROM act JOIN c USING (user_id)
         GROUP BY c.cohort_dt, day_offset
         ORDER BY c.cohort_dt, day_offset
+    """,
+    # epoch-aligned window starts recomputed with integer arithmetic:
+    # every event belongs to the 12h-floor window and the one 12h before
+    "ext_events_sliding": """
+        WITH e AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 43200000000) * 43200000000 AS b
+          FROM events
+        ), x AS (
+          SELECT user_id, b AS ws FROM e
+          UNION ALL
+          SELECT user_id, b - 43200000000 FROM e
+        )
+        SELECT make_timestamp(ws) AS win_start,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM x GROUP BY ws
     """,
     "ext_events_json": """
         SELECT event_type,
