@@ -313,6 +313,283 @@ def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
         return None
 
 
+# -- JPEG: real baseline entropy decode, DC-only profile --------------------
+#
+# A genuinely spec-conformant subset of ITU T.81 baseline JPEG: marker
+# walk (DQT/SOF0/DHT/SOS), canonical Huffman table construction from the
+# DHT payload, the stuffed-byte bit reader, DC prediction with the
+# EXTEND sign convention, and AC run-length parsing. The PROFILE is
+# restricted to what is exactly computable without a float IDCT: every
+# block carries only its DC coefficient (AC = immediate EOB), so the
+# decoded block is flat and the pixel value is the exact integer
+# dc·q0/8 + 128. Any nonzero AC coefficient, multi-component scan, or
+# non-8-multiple geometry returns None — out of profile, honestly
+# reported rather than approximated. Full AC/IDCT decode still needs a
+# media library; the ENTROPY layer (the part that was stubbed) is real.
+
+# Standard luminance Huffman tables, ITU T.81 Annex K.3 (public spec).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_encode_table(bits, vals):
+    """value → (code, length) under canonical JPEG code assignment."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def make_jpeg_gray_dc(width: int, height: int, dc_values) -> bytes:
+    """Spec-valid baseline JPEG, grayscale, every 8×8 block flat (DC-only,
+    AC = immediate EOB), q0 = 8 so the decoded pixel is exactly dc + 128.
+    width/height must be multiples of 8; dc_values has one entry per
+    block in raster order, each in [-128, 127]."""
+    assert width % 8 == 0 and height % 8 == 0
+    nblocks = (width // 8) * (height // 8)
+    dc_values = list(dc_values)
+    assert len(dc_values) == nblocks
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    pred = 0
+    for dc in dc_values:
+        diff = dc - pred
+        pred = dc
+        mag = abs(diff)
+        size = mag.bit_length()
+        code, length = dc_tab[size]
+        w.put(code, length)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            w.put(amp, size)
+        eob_code, eob_len = ac_tab[0x00]
+        w.put(eob_code, eob_len)
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtable = bytes([0]) + bytes([8] * 64)  # Pq=0/Tq=0, all-8 (q0 = 8)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, qtable)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) → value map built canonically from a DHT payload."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("bitstream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                # stuffed byte: the following 0x00 was inserted by the
+                # encoder and must be skipped
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the `size` raw amplitude bits back to a signed
+    coefficient (values with a 0 high bit are negative)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_gray_luma_sum(blob: bytes):
+    """(luma_sum, n_px) from a REAL baseline-JPEG entropy decode of the
+    DC-only grayscale profile; None for anything outside it (nonzero AC
+    coefficients, multi-component scans, geometry not a multiple of 8,
+    progressive/extended frames, malformed streams)."""
+    try:
+        if blob[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qtables: dict[int, list[int]] = {}
+        dc_table = ac_table = None
+        width = height = None
+        comp_q = 0
+        scan_start = None
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            marker = blob[pos + 1]
+            if marker == 0xD9:
+                break
+            (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+            body = blob[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    if body[i] >> 4 != 0:
+                        return None  # 16-bit qtable: out of profile
+                    qtables[body[i] & 0xF] = list(body[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC0:
+                prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp != 1:
+                    return None
+                comp_q = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame type
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    cls, tid = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    tab = _huff_decode_table(bits, vals)
+                    if cls == 0 and tid == 0:
+                        dc_table = tab
+                    elif cls == 1 and tid == 0:
+                        ac_table = tab
+                    i += 17 + nv
+            elif marker == 0xDA:
+                if body[0] != 1:
+                    return None  # multi-component scan
+                scan_start = pos + 2 + ln
+                break
+            pos += 2 + ln
+        if (
+            scan_start is None or dc_table is None or ac_table is None
+            or width is None or width % 8 or height % 8
+            or comp_q not in qtables
+        ):
+            return None
+        q0 = qtables[comp_q][0]
+        end = blob.rfind(b"\xff\xd9")
+        if end < 0:
+            return None
+        r = _BitReader(blob[scan_start:end])
+        nblocks = (width // 8) * (height // 8)
+        pred = 0
+        total = 0
+        for _ in range(nblocks):
+            size = r.decode(dc_table)
+            diff = _jpeg_extend(r.bits(size), size)
+            pred += diff
+            k = 0
+            while k < 63:
+                rs = r.decode(ac_table)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: sixteen zero coefficients
+                    k += 16
+                    continue
+                return None  # nonzero AC: flat-block profile violated
+            # DC-only IDCT: every pixel is F00/8 + 128 = dc*q0/8 + 128
+            num = pred * q0
+            if num % 8:
+                return None  # not exactly representable: out of profile
+            px = num // 8 + 128
+            px = 0 if px < 0 else 255 if px > 255 else px
+            total += 64 * px
+        return total, width * height
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
 # -- audio: real RIFF/WAVE container + PCM16 decode (stdlib + numpy) --------
 
 
@@ -410,14 +687,19 @@ def _fake_luma(blob: bytes) -> float:
 
 
 def _real_or_none_luma(blob: bytes) -> float | None:
-    """Mean luma in [0, 255]: real stdlib pixel decode for PNG, None for
-    formats that need an external media library (JPEG entropy decode) or
-    undecodable input."""
+    """Mean luma in [0, 255]: real stdlib pixel decode for PNG and for
+    DC-only baseline JPEG (jpeg_gray_luma_sum); None for formats/profiles
+    that need an external media library (JPEGs with AC coefficients, GIF,
+    BMP) or undecodable input."""
     r = png_luma_sum(blob)
-    if r is None:
-        return None
-    s, n = r
-    return s / (1000.0 * n)
+    if r is not None:
+        s, n = r
+        return s / (1000.0 * n)
+    j = jpeg_gray_luma_sum(blob)
+    if j is not None:
+        s, n = j
+        return s / float(n)
+    return None
 
 
 def decode_image_features(

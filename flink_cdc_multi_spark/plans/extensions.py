@@ -757,6 +757,54 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG entropy decode end to end (round 6): synthesize a
+    spec-valid baseline grayscale JPEG per document — canonical Huffman
+    tables from DHT, stuffed-byte bitstream, DC prediction, EOB-coded
+    flat blocks (the DC-only profile where pixels are exactly dc+128) —
+    and decode it BACK through operators/multimodal.jpeg_gray_luma_sum.
+    Dimensions come from the real header parse, integer luma sums from
+    the real entropy decode; the DuckDB oracle recomputes both closed-
+    form, so a regression anywhere in the marker walk, Huffman decode,
+    sign EXTEND, or DC chain breaks the hash. (Nonzero-AC/IDCT decode
+    remains out of profile — documented, not faked.)"""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen_and_decode(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            out = {"doc_id": ids, "width": [], "height": [], "luma_sum": [], "n_px": []}
+            for d in ids:
+                d = int(d)
+                bw, bh = d % 3 + 1, d % 2 + 1
+                dcs = [((d * 7 + b * 13) % 201) - 100 for b in range(bw * bh)]
+                blob = M.make_jpeg_gray_dc(bw * 8, bh * 8, dcs)
+                fmt, w, h = M.parse_image_header(blob)
+                assert fmt == "jpeg"
+                s, n = M.jpeg_gray_luma_sum(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["luma_sum"].append(s)
+                out["n_px"].append(n)
+            yield pd.DataFrame(
+                {k: (v if k == "doc_id" else pd.Series(v, dtype="int64"))
+                 for k, v in out.items()}
+            )
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "doc_id long, width long, height long, luma_sum long, n_px long",
+    )
+
+
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (concatenate-then-chunk): global token
     start offset per document in doc_id order plus the 256-token training
@@ -1102,6 +1150,7 @@ EXT_QUERIES = {
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
+    "ext_multimodal_jpeg": ext_multimodal_jpeg,
     "ext_events_topk": ext_events_topk,
     "ext_embed_centroid": ext_embed_centroid,
     "ext_profile_orders": ext_profile_orders,
@@ -1838,6 +1887,25 @@ EXT_ORACLE_SQL = {
         FROM embeddings,
              LATERAL (SELECT unnest(range(len(embedding))) AS i) i
         GROUP BY label, dim
+    """,
+    # closed-form recompute of the DC-only JPEG pixel pattern the engine
+    # encodes AND decodes through real baseline-JPEG entropy bytes
+    "ext_multimodal_jpeg": """
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb,
+                 CAST((doc_id % 3 + 1) * 8 AS BIGINT) AS width,
+                 CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS height
+          FROM documents
+        ), b AS (
+          SELECT doc_id, width, height,
+                 ((doc_id * 7 + bb.b * 13) % 201) - 100 + 128 AS px
+          FROM d, LATERAL (SELECT unnest(range(d.nb)) AS b) bb
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(64 * px) AS BIGINT) AS luma_sum,
+               CAST(width * height AS BIGINT) AS n_px
+        FROM b GROUP BY doc_id, width, height
     """,
     # closed-form recompute of the waveform the engine encodes AND
     # decodes through real RIFF/PCM bytes

@@ -1093,3 +1093,37 @@ def test_wav_codec_roundtrip_and_rejections():
     assert M.wav_pcm16_stats(M.make_wav_pcm16(8000, np.array([], dtype=np.int16))) == (
         8000, 0, 0, 0
     )
+
+
+def test_jpeg_dc_profile_roundtrip_fuzz():
+    """Real baseline-JPEG entropy roundtrip over 200 seeded images: the
+    decoder's Huffman/EXTEND/DC-prediction chain must reproduce the exact
+    closed-form pixel sums, including clipped DCs and stuffed 0xFF bytes
+    in the scan (padding-with-ones makes those frequent)."""
+    import random
+
+    rng = random.Random(31337)
+    for _ in range(200):
+        bw, bh = rng.randint(1, 4), rng.randint(1, 4)
+        dcs = [rng.randint(-128, 127) for _ in range(bw * bh)]
+        blob = M.make_jpeg_gray_dc(bw * 8, bh * 8, dcs)
+        exp = (sum(64 * max(0, min(255, d + 128)) for d in dcs), bw * 8 * bh * 8)
+        assert M.jpeg_gray_luma_sum(blob) == exp, dcs
+        assert M.parse_image_header(blob) == ("jpeg", bw * 8, bh * 8)
+
+
+def test_jpeg_decoder_rejects_out_of_profile():
+    blob = M.make_jpeg_gray_dc(16, 8, [5, -5])
+    assert M.jpeg_gray_luma_sum(blob) is not None
+    # truncated entropy stream
+    assert M.jpeg_gray_luma_sum(blob[:-10] + b"\xff\xd9") is None
+    # not a JPEG at all
+    assert M.jpeg_gray_luma_sum(b"\x89PNG\r\n\x1a\n") is None
+    # progressive frame marker (SOF2) instead of baseline: rejected
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert M.jpeg_gray_luma_sum(prog) is None
+    # multi-component SOF: rejected
+    bad = bytearray(blob)
+    i = blob.index(b"\xff\xc0")
+    bad[i + 9] = 3  # ncomp byte inside SOF payload
+    assert M.jpeg_gray_luma_sum(bytes(bad)) is None
