@@ -590,6 +590,235 @@ def jpeg_gray_luma_sum(blob: bytes):
         return None
 
 
+# -- BMP: real uncompressed 24-bit decode -----------------------------------
+
+
+def make_bmp_rgb(width: int, height: int, px_fn) -> bytes:
+    """Spec-valid bottom-up 24-bit BITMAPINFOHEADER BMP; ``px_fn(x, y)``
+    returns (r, g, b) with y=0 the TOP row (the writer handles the
+    bottom-up storage order)."""
+    row_len = (width * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = px_fn(x, y)
+            row += bytes([b, g, r])  # BGR on disk
+        row += b"\x00" * (row_len - len(row))
+        rows += row
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
+    return header + info + bytes(rows)
+
+
+def bmp_luma_sum(blob: bytes):
+    """(luma_sum·1000-scale, n_px) from a real decode of an uncompressed
+    24-bit BMP (bottom-up or top-down); None for palettized/compressed/
+    16-32bpp variants or malformed input. Same integer Rec.601 weights as
+    png_luma_sum, so the two formats' luma columns are comparable."""
+    try:
+        if blob[:2] != b"BM":
+            return None
+        (offset,) = struct.unpack("<I", blob[10:14])
+        (hsize,) = struct.unpack("<I", blob[14:18])
+        if hsize < 40:
+            return None
+        width, height = struct.unpack("<ii", blob[18:26])
+        planes, bpp = struct.unpack("<HH", blob[26:30])
+        (compression,) = struct.unpack("<I", blob[30:34])
+        if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+            return None
+        nrows = abs(height)
+        row_len = (width * 3 + 3) & ~3
+        if offset + row_len * nrows > len(blob):
+            return None
+        wr, wg, wb = _LUMA_W
+        total = 0
+        for ri in range(nrows):
+            base = offset + ri * row_len
+            row = blob[base : base + width * 3]
+            # BGR triplets; row order is irrelevant to the sum
+            total += (
+                wb * sum(row[0::3]) + wg * sum(row[1::3]) + wr * sum(row[2::3])
+            )
+        return total, width * nrows
+    except (struct.error, IndexError):
+        return None
+
+
+# -- GIF: real LZW codec (encode + decode) ----------------------------------
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width (LSB-first packing), CLEAR
+    emitted first and on dictionary overflow at 4096 codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    put(clear, width)
+    seq: tuple = ()
+    for idx in indices:
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            # 12-bit code space exhausted: reset rather than assign 4096
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (idx,)
+    if seq:
+        put(table[seq], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW decode, including the cScSc (code == next_code)
+    special case and mid-stream CLEAR handling."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream exhausted")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out: list[int] = []
+    table: list[tuple] = []
+    width = min_code_size + 1
+    prev: tuple | None = None
+    while True:
+        code = get(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + (prev[0],)  # cScSc
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def make_gif_gray(width: int, height: int, px_fn) -> bytes:
+    """Spec-valid GIF89a with a 256-entry grayscale global palette and a
+    real LZW-compressed index stream; ``px_fn(x, y)`` returns the gray
+    level 0-255."""
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    indices = [px_fn(x, y) for y in range(height) for x in range(width)]
+    lzw = _lzw_encode_gif(indices, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def gif_luma_sum(blob: bytes):
+    """(luma_sum·1000-scale, n_px) from a REAL GIF decode: LZW index
+    stream → global color table → Rec.601 integer weights. None for
+    interlaced images, local palettes, missing GCT, or malformed input.
+    (No transparency/animation handling — first image block only.)"""
+    try:
+        if blob[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+        if not flags & 0x80:
+            return None  # no global color table
+        gct_len = 2 << (flags & 0x07)
+        pos = 13
+        palette = blob[pos : pos + 3 * gct_len]
+        pos += 3 * gct_len
+        # skip extension blocks to the first image descriptor
+        while pos < len(blob) and blob[pos] == 0x21:
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        if pos >= len(blob) or blob[pos] != 0x2C:
+            return None
+        _l, _t, w, h, iflags = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+        if iflags & 0xC0:
+            return None  # local palette / interlace: out of profile
+        pos += 10
+        mcs = blob[pos]
+        pos += 1
+        lzw = bytearray()
+        while blob[pos] != 0:
+            n = blob[pos]
+            lzw += blob[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        indices = _lzw_decode_gif(bytes(lzw), mcs)
+        if len(indices) != w * h:
+            return None
+        wr, wg, wb = _LUMA_W
+        lut = [
+            wr * palette[3 * i] + wg * palette[3 * i + 1] + wb * palette[3 * i + 2]
+            for i in range(gct_len)
+        ]
+        return sum(lut[i] for i in indices), w * h
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
 # -- audio: real RIFF/WAVE container + PCM16 decode (stdlib + numpy) --------
 
 

@@ -805,6 +805,71 @@ def ext_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_multimodal_gifbmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF and BMP pixel decode end to end (round 6): alternate
+    docs get a spec-valid GIF89a (grayscale palette + genuine LZW-coded
+    index stream, operators/multimodal._lzw_encode_gif) or a 24-bit
+    bottom-up BMP; both are decoded BACK through the real readers
+    (gif_luma_sum runs the full LZW decode incl. variable code widths;
+    bmp_luma_sum walks the padded BGR rows) and the exact 1000-scale
+    Rec.601 luma sums are hash-checked against a closed-form SQL
+    recompute — with PNG (ext_multimodal_luma) and DC-JPEG
+    (ext_multimodal_jpeg) this makes pixel decode REAL and oracle-gated
+    for all four header-supported formats."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen_and_decode(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            out = {"doc_id": ids, "format": [], "width": [], "height": [],
+                   "luma_sum": [], "n_px": []}
+            for d in ids:
+                d = int(d)
+                w, h = d % 24 + 8, d % 16 + 8
+                if d % 2 == 0:
+                    blob = M.make_gif_gray(
+                        w, h, lambda x, y: (d * 5 + x * 16 + y * 3) % 256
+                    )
+                    s, n = M.gif_luma_sum(blob)
+                    fmt = "gif"
+                else:
+                    blob = M.make_bmp_rgb(
+                        w, h,
+                        lambda x, y: (
+                            (d + x * 7) % 256,
+                            (d * 3 + y * 11) % 256,
+                            (x + y + d) % 256,
+                        ),
+                    )
+                    s, n = M.bmp_luma_sum(blob)
+                    fmt = "bmp"
+                assert M.parse_image_header(blob)[:1] == (fmt,)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["luma_sum"].append(s)
+                out["n_px"].append(n)
+            yield pd.DataFrame(
+                {k: (pd.Series(v, dtype="int64")
+                     if k in ("width", "height", "luma_sum", "n_px") else v)
+                 for k, v in out.items()}
+            )
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "doc_id long, format string, width long, height long,"
+        " luma_sum long, n_px long",
+    )
+
+
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (concatenate-then-chunk): global token
     start offset per document in doc_id order plus the 256-token training
@@ -1151,6 +1216,7 @@ EXT_QUERIES = {
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
     "ext_multimodal_jpeg": ext_multimodal_jpeg,
+    "ext_multimodal_gifbmp": ext_multimodal_gifbmp,
     "ext_events_topk": ext_events_topk,
     "ext_embed_centroid": ext_embed_centroid,
     "ext_profile_orders": ext_profile_orders,
@@ -1887,6 +1953,33 @@ EXT_ORACLE_SQL = {
         FROM embeddings,
              LATERAL (SELECT unnest(range(len(embedding))) AS i) i
         GROUP BY label, dim
+    """,
+    # closed-form recompute of the GIF/BMP pixel patterns the engine
+    # encodes (real LZW / padded BGR rows) and decodes back
+    "ext_multimodal_gifbmp": """
+        WITH d AS (
+          SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+                 doc_id % 2 AS f
+          FROM documents
+        ), px AS (
+          SELECT doc_id, w, h, f,
+                 CASE WHEN f = 0
+                      THEN 1000 * ((doc_id * 5 + xx.x * 16 + yy.y * 3) % 256)
+                      ELSE 299 * ((doc_id + xx.x * 7) % 256)
+                         + 587 * ((doc_id * 3 + yy.y * 11) % 256)
+                         + 114 * ((xx.x + yy.y + doc_id) % 256)
+                 END AS l
+          FROM d,
+               LATERAL (SELECT unnest(range(d.w)) AS x) xx,
+               LATERAL (SELECT unnest(range(d.h)) AS y) yy
+        )
+        SELECT doc_id,
+               CASE WHEN f = 0 THEN 'gif' ELSE 'bmp' END AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(SUM(l) AS BIGINT) AS luma_sum,
+               CAST(w * h AS BIGINT) AS n_px
+        FROM px GROUP BY doc_id, f, w, h
     """,
     # closed-form recompute of the DC-only JPEG pixel pattern the engine
     # encodes AND decodes through real baseline-JPEG entropy bytes

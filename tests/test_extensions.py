@@ -1127,3 +1127,48 @@ def test_jpeg_decoder_rejects_out_of_profile():
     i = blob.index(b"\xff\xc0")
     bad[i + 9] = 3  # ncomp byte inside SOF payload
     assert M.jpeg_gray_luma_sum(bytes(bad)) is None
+
+
+def test_lzw_roundtrip_fuzz():
+    """Raw GIF-variant LZW: roundtrip over random and highly-repetitive
+    streams (repetition grows the dictionary fast — exercises variable
+    code widths, the cScSc case, and the 12-bit reset)."""
+    import random
+
+    rng = random.Random(5)
+    for trial in range(40):
+        n = rng.choice([1, 10, 500, 5000, 20000])
+        if rng.random() < 0.5:
+            data = [rng.randint(0, 255) for _ in range(n)]
+        else:
+            pat = [rng.randint(0, 3) for _ in range(rng.randint(1, 5))]
+            data = (pat * (n // len(pat) + 1))[:n]
+        assert M._lzw_decode_gif(M._lzw_encode_gif(data, 8), 8) == data, trial
+
+
+def test_gif_bmp_pixel_decode_roundtrip():
+    blob = M.make_gif_gray(16, 8, lambda x, y: (x * 16 + y * 3) % 256)
+    exp = sum(1000 * ((x * 16 + y * 3) % 256) for y in range(8) for x in range(16))
+    assert M.gif_luma_sum(blob) == (exp, 128)
+    assert M.parse_image_header(blob) == ("gif", 16, 8)
+
+    b2 = M.make_bmp_rgb(13, 5, lambda x, y: ((x * 7) % 256, (y * 11) % 256, (x + y) % 256))
+    wr, wg, wb = 299, 587, 114
+    exp2 = sum(
+        wr * ((x * 7) % 256) + wg * ((y * 11) % 256) + wb * ((x + y) % 256)
+        for y in range(5) for x in range(13)
+    )
+    assert M.bmp_luma_sum(b2) == (exp2, 65)  # odd width: row padding walked
+    assert M.parse_image_header(b2) == ("bmp", 13, 5)
+
+    # cross-format and malformed rejections
+    assert M.gif_luma_sum(b2) is None and M.bmp_luma_sum(blob) is None
+    assert M.gif_luma_sum(b"GIF89a") is None and M.bmp_luma_sum(b"BMxx") is None
+    # interlaced image descriptor flag -> out of profile (descriptor sits
+    # after the 13-byte header + 768-byte palette; .index would find a
+    # 0x2C PALETTE byte first)
+    il = bytearray(blob)
+    idx = 13 + 768
+    assert il[idx] == 0x2C
+    il[idx + 9] |= 0x40
+    assert M.gif_luma_sum(bytes(il)) is None
