@@ -916,18 +916,21 @@ def _fake_luma(blob: bytes) -> float:
 
 
 def _real_or_none_luma(blob: bytes) -> float | None:
-    """Mean luma in [0, 255]: real stdlib pixel decode for PNG and for
-    DC-only baseline JPEG (jpeg_gray_luma_sum); None for formats/profiles
-    that need an external media library (JPEGs with AC coefficients, GIF,
-    BMP) or undecodable input."""
-    r = png_luma_sum(blob)
-    if r is not None:
-        s, n = r
-        return s / (1000.0 * n)
-    j = jpeg_gray_luma_sum(blob)
-    if j is not None:
-        s, n = j
-        return s / float(n)
+    """Mean luma in [0, 255] via REAL pixel decode for every supported
+    format: PNG (zlib+unfilter), DC-only baseline JPEG (entropy decode),
+    GIF (LZW), 24-bit BMP. None only for out-of-profile variants (JPEG
+    with AC coefficients, interlaced GIF, palettized BMP) or undecodable
+    input — never a fake value."""
+    for fn, scale in (
+        (png_luma_sum, 1000.0),
+        (gif_luma_sum, 1000.0),
+        (bmp_luma_sum, 1000.0),
+        (jpeg_gray_luma_sum, 1.0),
+    ):
+        r = fn(blob)
+        if r is not None:
+            s, n = r
+            return s / (scale * n)
     return None
 
 

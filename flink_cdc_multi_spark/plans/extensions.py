@@ -963,6 +963,38 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- event analytics (funnel / retention / JSON props / PII scrub) ---------
 
 
+def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-cardinality sketch per language:
+    the k=64 smallest md5-hash60 values of the distinct token set. The
+    consumer estimates |distinct| ≈ (k_eff-1)·2^60 / kth_min — the
+    mergeable-sketch path for distinct counting at 100 TB, where exact
+    per-group count_distinct shuffles every distinct value and HLL±
+    (approx_count_distinct) is engine-local and can't be oracle-gated.
+    This md5-derived KMV is DETERMINISTIC and portable, so the sketch
+    itself is hash-checked cross-engine (output: lang, k_eff, kth_min —
+    exact integers; the float estimate never crosses the engine
+    boundary, ratio rule).
+
+    Scale: distinct (lang, h) collapses duplicates with one partial-agg'd
+    exchange on the compact 8-byte hash; the k-smallest selection is a
+    rank window that compiles to WindowGroupLimit (pinned) — each map
+    task forwards ≤ k rows per lang BEFORE the lang exchange, which is
+    exactly the distributed merge of per-partition KMV sketches."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    distinct_h = toks.select("lang", h.alias("h")).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    return (
+        distinct_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("lang")
+        .agg(F.count("*").alias("k_eff"), F.max("h").alias("kth_min"))
+    )
+
+
 def ext_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling: per-column row/null/distinct counts for the orders
     table in long form (col_name, n_rows, n_null, n_distinct) — the
@@ -1220,6 +1252,7 @@ EXT_QUERIES = {
     "ext_events_topk": ext_events_topk,
     "ext_embed_centroid": ext_embed_centroid,
     "ext_profile_orders": ext_profile_orders,
+    "ext_sketch_kmv": ext_sketch_kmv,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -1914,6 +1947,22 @@ EXT_ORACLE_SQL = {
                                         AS BIGINT) END AS k
               FROM events) t
         GROUP BY event_type
+    """,
+    "ext_sketch_kmv": """
+        WITH t AS (
+          SELECT DISTINCT lang,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM (SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) <> '') u
+        ), r AS (
+          SELECT lang, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM t
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_eff,
+               CAST(MAX(h) AS BIGINT) AS kth_min
+        FROM r WHERE rn <= 64 GROUP BY lang
     """,
     "ext_profile_orders": """
         SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -271,3 +271,11 @@ def test_ext_embed_centroid_partial_agg(spark):
     plan = plan_of(spark, "ext_embed_centroid")
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_ext_sketch_kmv_window_group_limit(spark):
+    """The k-smallest selection must pre-reduce map-side (WindowGroupLimit
+    = distributed per-partition KMV merge), never ship every distinct
+    hash through the lang sort unlimited."""
+    plan = plan_of(spark, "ext_sketch_kmv")
+    assert "WindowGroupLimit" in plan
