@@ -118,6 +118,7 @@ def compact_table(
     order_cols: list[str],
     max_records_per_file: int = 5_000_000,
     target_partition_bytes: int = 128 << 20,
+    drop_deletes: bool = True,
 ) -> int:
     """Rewrite a change-log table as its materialized state, dt-partitioned,
     coalescing the micro-batch small files. Returns the row count of the
@@ -141,6 +142,14 @@ def compact_table(
     back automatically. Concurrent readers of a table being compacted must
     tolerate a transient missing-path error — the same contract as Hive
     INSERT OVERWRITE on plain parquet.
+
+    ``drop_deletes=False`` keeps each deleted key's latest image as a
+    TOMBSTONE row (``_op == DELETE``) — required when the compacted
+    output seeds ``maintain_group_agg``'s ``prev_state``, whose
+    stale-redelivery guard needs the deleted key's applied offset.
+    The default (True) produces the live table; dropping tombstones is
+    safe only once redeliveries at or below their offsets can no longer
+    occur (i.e., below the stored resume offset).
     """
     import math
 
@@ -160,7 +169,7 @@ def compact_table(
     # null) across transport switches.
     df = spark.read.option("mergeSchema", "true").parquet(table_path)
     obs = Observation()
-    state = latest_image(df, key_cols, order_cols).observe(
+    state = latest_image(df, key_cols, order_cols, drop_deletes=drop_deletes).observe(
         obs, F.count(F.lit(1)).alias("n")
     )
     tmp = f"{table_path}__compact"
@@ -216,9 +225,10 @@ def maintain_group_agg(
     the stale-redelivery guard sound across deletes: without the deleted
     key's applied offset in state, a redelivered pre-delete change would
     be indistinguishable from a fresh insert and would resurrect the
-    row. Live rows are ``state.filter(_op != DELETE)``; tombstones below
-    the resumed offset can be compacted away safely (the
-    compact_table argument);
+    row. Live rows are ``state.filter(_op != DELETE)``; compaction must
+    preserve them (``compact_table(..., drop_deletes=False)``) —
+    dropping tombstones is safe only below the stored resume offset,
+    where redeliveries can no longer occur;
     ``prev_agg`` — (group_col, cnt, total) from a previous call (seed
     with an empty frame or a one-off groupBy of the initial state);
     ``batch`` — the new slice of the change log (any mix of READ/INSERT/

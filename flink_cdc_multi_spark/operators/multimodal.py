@@ -5,13 +5,16 @@ resize / frame-sample operators over ``mapInPandas``.
 Dimension/format decode is REAL: ``parse_image_header`` reads PNG IHDR,
 JPEG SOF, GIF logical-screen, and BMP InfoHeader dimensions straight from
 the container bytes (public format knowledge, no media library needed).
-PNG PIXEL decode is REAL too (round 6): ``png_luma_sum`` inflates IDAT
-with stdlib zlib and unfilters all five PNG filter types, so ``mean_luma``
-is a genuine pixel statistic for PNG. Pixel kernels for the
-entropy-coded formats (JPEG) and the resize resample still require
-PIL/opencv, which are NOT in this container — those remain stubbed
-behind ``fake_luma=True`` (a deterministic fake clearly marked as such).
-Swapping that kernel body for a real decoder changes nothing upstream.
+PIXEL decode is REAL for all four formats (round 6): ``png_luma_sum``
+(stdlib zlib + all-five-filter unfiltering), ``jpeg_gray_luma_sum``
+(baseline entropy decode, DC-only profile), ``gif_luma_sum`` (full LZW
+codec), and ``bmp_luma_sum`` (padded BGR rows) — so ``mean_luma`` is a
+genuine pixel statistic everywhere the profile allows. Out-of-profile
+variants (JPEG with AC coefficients — a float IDCT needs a media
+library — interlaced GIF, palettized BMP) return None, never a fake;
+``fake_luma=True`` remains only as an explicit opt-in stand-in. The
+resize RESAMPLE kernel still requires PIL/opencv (absent here) and
+stays a plan-only stub.
 
 Scale notes: media blobs ride in parquet binary columns; mapInPandas streams
 Arrow batches so one task never materializes more than
@@ -553,7 +556,8 @@ def jpeg_gray_luma_sum(blob: bytes):
             pos += 2 + ln
         if (
             scan_start is None or dc_table is None or ac_table is None
-            or width is None or width % 8 or height % 8
+            or width is None or not width or not height
+            or width % 8 or height % 8
             or comp_q not in qtables
         ):
             return None
@@ -628,7 +632,7 @@ def bmp_luma_sum(blob: bytes):
         width, height = struct.unpack("<ii", blob[18:26])
         planes, bpp = struct.unpack("<HH", blob[26:30])
         (compression,) = struct.unpack("<I", blob[30:34])
-        if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+        if planes != 1 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
             return None
         nrows = abs(height)
         row_len = (width * 3 + 3) & ~3
@@ -807,7 +811,7 @@ def gif_luma_sum(blob: bytes):
             lzw += blob[pos + 1 : pos + 1 + n]
             pos += 1 + n
         indices = _lzw_decode_gif(bytes(lzw), mcs)
-        if len(indices) != w * h:
+        if w == 0 or h == 0 or len(indices) != w * h:
             return None
         wr, wg, wb = _LUMA_W
         lut = [
@@ -907,8 +911,9 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str, fmt: str)
 def _fake_luma(blob: bytes) -> float:
     """Deterministic fake mean-luma derived from an md5 of the bytes
     (Python's builtin hash() is per-process salted — not reproducible).
-    Stands in for the pixel-decode kernel for formats whose pixel decode
-    needs PIL/opencv (JPEG/GIF/BMP); PNG decode is REAL (png_luma_sum)."""
+    Opt-in stand-in only: real decode covers PNG/DC-JPEG/GIF/BMP
+    (_real_or_none_luma); this fake exists for pipelines that need a
+    non-null placeholder for OUT-OF-PROFILE blobs too."""
     import hashlib
 
     h = int.from_bytes(hashlib.md5(blob).digest()[:4], "big") & 0x7FFFFFFF
@@ -945,9 +950,10 @@ def decode_image_features(
 
     format/width/height are REAL — parsed from the container header bytes
     (parse_image_header), null for unrecognized formats. mean_luma is
-    REAL for PNG (stdlib zlib inflate + spec unfiltering, png_luma_sum;
-    scale 0-255), null for formats whose pixel decode needs PIL/opencv
-    (JPEG/GIF/BMP). ``fake_luma=True`` substitutes the deterministic
+    REAL for PNG, DC-only baseline JPEG, GIF, and 24-bit BMP
+    (_real_or_none_luma; scale 0-255), null only for out-of-profile
+    variants (JPEG with AC coefficients, interlaced GIF, palettized
+    BMP). ``fake_luma=True`` substitutes the deterministic
     md5 fake for EVERY blob — the pre-round-6 behavior, kept for
     pipelines that need a non-null placeholder for all formats."""
 

@@ -33,14 +33,21 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
-def salt_probe(df: DataFrame, n_salts: int) -> DataFrame:
+def salt_probe(df: DataFrame, n_salts: int, salt_cols: list[str] | None = None) -> DataFrame:
     """Deterministically spread each row of the (large, skewed) probe side
-    over ``n_salts`` buckets. The salt is a hash of ALL columns — row-
-    stable (re-executions of a lost task re-derive the same salt, which a
-    random salt would not survive under Spark's task-retry semantics) and
-    uniform enough that a hot key's rows split evenly."""
+    over ``n_salts`` buckets. The salt is a hash of ``salt_cols`` (default:
+    ALL columns) — row-stable (re-executions of a lost task re-derive the
+    same salt, which a random salt would not survive under Spark's
+    task-retry semantics) and uniform as long as those columns vary.
+
+    LIMITATION: EXACT-duplicate rows (identical across the salt columns)
+    hash to ONE bucket — no deterministic function can split identical
+    rows. If the hot key's rows are near-duplicates, that is the signal
+    to aggregate BEFORE joining (carry a count column; q10's pre-agg
+    shape) rather than to salt at all."""
+    cols = salt_cols if salt_cols is not None else df.columns
     return df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
     )
 
 

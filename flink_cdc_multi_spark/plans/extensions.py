@@ -1114,7 +1114,9 @@ def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (floor to the 12 h slide, minus one slide for the second
     window), so the hash pins Spark's window-alignment semantics, not
     just the counts."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts contract pinned on both sides (the retention rule): F.window
+    # drops NULL timestamps, the oracle's UNION ALL would keep them
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = F.window("ts", "1 day", "12 hours")
     return (
         ev.groupBy(w.alias("w"))
@@ -1140,7 +1142,10 @@ def ext_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF); one partial-agg'd groupBy on a 5-value key."""
     ev = load_table(spark, sf_dir, "events")
     ks = F.get_json_object("props", "$.k")
-    k = F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("bigint"))
+    # \A/\z anchors, NOT ^/$: Java's $ matches before a trailing newline
+    # while RE2's does not, so '7\n' would diverge the engines under ^$;
+    # \A...\z means whole-text in BOTH dialects
+    k = F.when(ks.rlike(r"\A-?[0-9]+\z"), ks.try_cast("bigint"))
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -1922,7 +1927,7 @@ EXT_ORACLE_SQL = {
         WITH e AS (
           SELECT user_id,
                  (epoch_us(ts) // 43200000000) * 43200000000 AS b
-          FROM events
+          FROM events WHERE ts IS NOT NULL
         ), x AS (
           SELECT user_id, b AS ws FROM e
           UNION ALL
@@ -1942,7 +1947,7 @@ EXT_ORACLE_SQL = {
                MAX(k) AS max_k
         FROM (SELECT event_type,
                      CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-                                              '^-?[0-9]+$')
+                                              '\A-?[0-9]+\z')
                           THEN TRY_CAST(json_extract_string(props, '$.k')
                                         AS BIGINT) END AS k
               FROM events) t

@@ -1172,3 +1172,26 @@ def test_gif_bmp_pixel_decode_roundtrip():
     assert il[idx] == 0x2C
     il[idx + 9] |= 0x40
     assert M.gif_luma_sum(bytes(il)) is None
+
+
+def test_json_integer_guard_anchors_cross_engine(spark):
+    """\\A..\\z anchors must agree between Spark (Java regex) and DuckDB
+    (RE2) on the trailing-newline class where ^$ DIVERGES (Java's $
+    matches before a final newline, RE2's does not)."""
+    import duckdb
+
+    cases = ["7", "7\n", "-42", "3.5", " 7", "7 ", "", "+7", "1e3"]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {
+        r["s"]: r["m"]
+        for r in df.select(
+            "s", F.col("s").rlike(r"\A-?[0-9]+\z").alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in cases:
+        d = con.execute(
+            "SELECT regexp_matches(?, '\\A-?[0-9]+\\z')", [s]
+        ).fetchone()[0]
+        assert got[s] == d, (repr(s), got[s], d)
+    assert got["7\n"] is False  # the class ^$ got wrong
