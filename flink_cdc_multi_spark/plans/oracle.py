@@ -240,4 +240,34 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name, o_year
     """,
+    "q27": """
+        WITH pick AS (
+          SELECT n_nationkey, n_name FROM nation
+          WHERE n_name IN ('NATION_1', 'NATION_2')
+        )
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS volume_u,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN pick sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN pick cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY supp_nation, cust_nation, o_year
+    """,
+    "q28": """
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY ship_year
+    """,
 }

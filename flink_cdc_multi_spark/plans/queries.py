@@ -678,6 +678,76 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nation pairs by year —
+    supplier nation ≠ customer nation, both drawn from a two-nation set,
+    revenue in exact 1e-4-dollar integer units grouped by (supp_nation,
+    cust_nation, year).
+
+    Scale: nation (25 rows) is the only forced broadcast, applied on
+    both the supplier and customer dims; lineitem⋈orders and
+    orders⋈customer shuffle on their keys; the final rollup is
+    2×2×|years| cells with map-side partials."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pick = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sup_n = supplier.join(
+        F.broadcast(pick.select(F.col("n_nationkey").alias("snk"),
+                                F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = customer.join(
+        F.broadcast(pick.select(F.col("n_nationkey").alias("cnk"),
+                                F.col("n_name").alias("cust_nation"))),
+        customer.c_nationkey == F.col("cnk"),
+    ).select("c_custkey", "cust_nation")
+    ord_n = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
+        "o_orderkey", "cust_nation", F.year("o_orderdate").alias("o_year")
+    )
+    ext_c = F.bround(F.col("l_extendedprice") * 100).cast("long")
+    dh = F.bround(F.col("l_discount") * 100).cast("long")
+    return (
+        lineitem.join(sup_n, lineitem.l_suppkey == sup_n.s_suppkey)
+        .join(ord_n, lineitem.l_orderkey == ord_n.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.col("o_year").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(ext_c * (100 - dh)).alias("volume_u"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority counts per lineitem ship bucket —
+    conditional aggregation (CASE counts) after a large-large join, the
+    classic "one pass, many predicates" rollup. high = priority in
+    {1-URGENT, 2-HIGH}; buckets by ship year.
+
+    Scale: one orderkey-keyed shuffle join + a partial-agg'd groupBy on
+    a |years|-sized key; both counts ride the same aggregate (no second
+    pass over the join)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        lineitem.select("l_orderkey", F.year("l_shipdate").alias("ship_year"))
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("ship_year").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01": q01,
     "q02": q02,
@@ -705,4 +775,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24": q24,
     "q25": q25,
     "q26": q26,
+    "q27": q27,
+    "q28": q28,
 }
