@@ -302,3 +302,63 @@ def test_maintain_group_agg_insert_delete_same_batch(spark):
     s2, a2 = maintain_group_agg(new_state, new_agg, replay, ["pk"], "g", "v", ["_pos"])
     assert sorted((r["pk"],) for r in s2.filter(F.col("_op") != "DELETE").collect()) == [(1,)]
     assert [(r["g"], r["cnt"], r["total"]) for r in a2.collect()] == [("a", 1, 10)]
+
+
+def test_maintain_group_agg_over_real_envelope_tables(spark, tmp_path):
+    """Integration: the IVM consumer fed from the REAL pipeline artifacts —
+    Debezium-decoded rows routed to parquet, compacted WITH tombstones
+    (compact_table(drop_deletes=False)), then a second decoded batch
+    applied incrementally, including a stale cross-batch redelivery that
+    the tombstone-aware order guard must drop."""
+    from flink_cdc_multi_spark.operators.cdc import maintain_group_agg
+
+    accounts = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    reg = TableRegistry.build("mysql", {("testdb", "users"): accounts})
+
+    def write(lines, where):
+        env = decode_raw(
+            spark.createDataFrame([(ln,) for ln in lines], "value string"), "mysql"
+        )
+        route_batch(env, reg, str(where), "s")
+        return str(where / "s_testdb__users")
+
+    b1 = [
+        make_mysql_row(op="c", after={"id": 1, "g": "a", "amount": 10}, pos=10),
+        make_mysql_row(op="c", after={"id": 2, "g": "b", "amount": 5}, pos=20),
+        make_mysql_row(op="d", before={"id": 2, "g": "b", "amount": 5}, pos=30),
+    ]
+    b2 = [
+        # group move a -> b
+        make_mysql_row(op="u", before={"id": 1, "g": "a", "amount": 10},
+                       after={"id": 1, "g": "b", "amount": 7}, pos=40),
+        # STALE redelivery of pk2's insert (pos 20 < its tombstone's 30):
+        # without the tombstone this would resurrect the deleted row
+        make_mysql_row(op="c", after={"id": 2, "g": "b", "amount": 5}, pos=20),
+        make_mysql_row(op="c", after={"id": 3, "g": "a", "amount": 2}, pos=50),
+    ]
+    p1 = write(b1, tmp_path / "t1")
+    compact_table(spark, p1, ["id"], ORDER, drop_deletes=False)
+    state = spark.read.parquet(p1)
+    assert {r["id"]: r["_op"] for r in state.collect()} == {1: "INSERT", 2: "DELETE"}
+    agg = (
+        state.filter(F.col("_op") != "DELETE")
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"), F.sum("amount").alias("total"))
+    )
+    changes2 = spark.read.parquet(write(b2, tmp_path / "t2"))
+    new_state, new_agg = maintain_group_agg(
+        state, agg, changes2, ["id"], "g", "amount", ORDER
+    )
+    live = {
+        r["id"]: (r["g"], r["amount"])
+        for r in new_state.filter(F.col("_op") != "DELETE").collect()
+    }
+    assert live == {1: ("b", 7), 3: ("a", 2)}  # pk2 NOT resurrected
+    got = sorted((r["g"], r["cnt"], r["total"]) for r in new_agg.collect())
+    assert got == [("a", 1, 2), ("b", 1, 7)]
