@@ -105,3 +105,56 @@ def test_cdc_delta_stream_matches_recompute_and_drops_replays(spark, tmp_path):
     q.stop()
     assert n_delta_rows() == before_replay  # replayed batch emitted nothing
     assert totals() == [("a", 1, 4), ("b", 1, 7)]
+
+
+def test_cdc_delta_stream_state_survives_restart(spark, tmp_path):
+    """Kill-and-restart: a NEW query over the SAME checkpoint must restore
+    the per-pk state — the restarted stream sees an UPDATE for a key whose
+    INSERT was processed before the stop, and must emit the retraction of
+    the old value (impossible without restored state)."""
+    from flink_cdc_multi_spark.streaming.stateful import cdc_delta_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = "pk long, g string, v long, _op string, pos long"
+    spark.createDataFrame(
+        [(1, "a", 10, "INSERT", 10)], schema
+    ).coalesce(1).write.parquet(str(feed / "f1"))
+
+    emitted: list[tuple] = []
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(feed) + "/*")
+
+        def sink(df, _bid):
+            emitted.extend(
+                (r["g"], r["d_cnt"], r["d_total"]) for r in df.collect()
+            )
+
+        # foreachBatch (not the memory sink, which refuses checkpoint
+        # recovery) — the same sink shape the CDC pipeline itself uses
+        return (
+            cdc_delta_stream(stream, "pk", "g", "v", "pos")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(emitted) == [("a", 1, 10)]
+
+    emitted.clear()
+    spark.createDataFrame(
+        [(1, "b", 7, "UPDATE", 20)], schema
+    ).coalesce(1).write.parquet(str(feed / "f2"))
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    # the restarted query emits ONLY batch 2's deltas, and the retraction
+    # (a, -10) proves the pre-restart state was restored from checkpoint
+    assert sorted(emitted) == [("a", -1, -10), ("b", 1, 7)]
