@@ -362,3 +362,25 @@ def test_maintain_group_agg_over_real_envelope_tables(spark, tmp_path):
     assert live == {1: ("b", 7), 3: ("a", 2)}  # pk2 NOT resurrected
     got = sorted((r["g"], r["cnt"], r["total"]) for r in new_agg.collect())
     assert got == [("a", 1, 2), ("b", 1, 7)]
+
+
+def test_sink_table_dt_partition_pruning(spark, tmp_path):
+    """The dt=YYYY-MM-DD sink layout must buy partition PRUNING on read: a
+    dt-filtered scan of a routed table lists only the matching partition
+    directories (PartitionFilters in the plan, one dt in the scanned
+    files) — the property that lets a 100 TB CDC lake serve day-scoped
+    queries without touching cold partitions."""
+    import io
+    from contextlib import redirect_stdout
+
+    path = _write_multi_dt_changes(spark, tmp_path)
+    df = spark.read.parquet(path).filter(F.col("dt") == "2023-11-14")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    # and the filter actually prunes: only day-0 rows come back
+    rows = df.collect()
+    assert rows and all(r["dt"].isoformat() == "2023-11-14" for r in rows)
+    assert {r["id"] // 1000 for r in rows} == {0}
