@@ -328,6 +328,38 @@ def maintain_group_agg(
     return new_state, new_agg
 
 
+def expire_partitions(spark, table_path: str, before_dt: str) -> list[str]:
+    """Retention enforcement on a dt-bucketed sink table: drop every
+    ``dt=YYYY-MM-DD`` partition strictly OLDER than ``before_dt``.
+    Returns the dropped partition names (sorted).
+
+    The dt layout makes retention a directory delete — no rewrite, no
+    scan, O(#expired partitions) metadata calls through the same Hadoop
+    FileSystem abstraction as the compaction swap (any scheme). Lexical
+    comparison of zero-padded ISO dates IS chronological comparison, so
+    no date parsing is needed or wanted (a malformed partition name never
+    silently compares as old — it is skipped and reported via the
+    return value's absence).
+
+    Ordering note: run retention BEFORE compaction if both are scheduled
+    — compaction rewrites the whole table, so deleting first avoids
+    paying the rewrite for bytes about to expire."""
+    if len(before_dt) != 10 or before_dt[4] != "-" or before_dt[7] != "-":
+        raise ValueError(f"before_dt must be YYYY-MM-DD, got {before_dt!r}")
+    fs, live = _hadoop_fs(spark, table_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dropped = []
+    for status in fs.listStatus(live):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("dt=")):
+            continue
+        d = name[3:]
+        if len(d) == 10 and d < before_dt:
+            fs.delete(jpath(f"{table_path}/{name}"), True)
+            dropped.append(name)
+    return sorted(dropped)
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

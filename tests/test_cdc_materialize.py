@@ -384,3 +384,30 @@ def test_sink_table_dt_partition_pruning(spark, tmp_path):
     rows = df.collect()
     assert rows and all(r["dt"].isoformat() == "2023-11-14" for r in rows)
     assert {r["id"] // 1000 for r in rows} == {0}
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """Retention drops only dt partitions strictly older than the cutoff,
+    leaves newer days and non-partition files untouched, and validates
+    the cutoff format."""
+    import os
+
+    import pytest
+
+    from flink_cdc_multi_spark.operators.cdc import expire_partitions
+
+    path = _write_multi_dt_changes(spark, tmp_path)  # two dt days
+    dts = sorted(
+        n[3:] for n in os.listdir(path) if n.startswith("dt=")
+    )
+    assert len(dts) == 2
+    # cutoff between the two days: only the older partition goes
+    dropped = expire_partitions(spark, path, dts[1])
+    assert dropped == [f"dt={dts[0]}"]
+    remaining = spark.read.parquet(path)
+    assert remaining.select("dt").distinct().count() == 1
+    assert remaining.count() == 20
+    # idempotent; nothing older remains
+    assert expire_partitions(spark, path, dts[1]) == []
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        expire_partitions(spark, path, "20231114")
