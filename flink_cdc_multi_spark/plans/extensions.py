@@ -963,6 +963,57 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- event analytics (funnel / retention / JSON props / PII scrub) ---------
 
 
+def ext_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority dedup: among exact-duplicate texts, keep the copy
+    from the most-preferred source (src0 > src1 > ... by trailing index;
+    doc_id breaks ties) — the 'prefer the curated source over the crawl'
+    rule real curation pipelines apply when the same document appears in
+    multiple feeds.
+
+    Scale: same shape as exact_dedup — groupBy a 16-byte digest with a
+    min_by(struct(priority, doc_id)) REDUCTION (partial agg collapses
+    hot digests map-side; no window, no sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prio = F.coalesce(
+        F.regexp_extract("source", r"(\d+)$", 1).try_cast("long"), F.lit(999)
+    )
+    pick = F.min_by(
+        F.struct("doc_id", "source"), F.struct(prio.alias("p"), F.col("doc_id"))
+    )
+    return (
+        docs.groupBy(F.md5("text").alias("__d"))
+        .agg(pick.alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.source").alias("source"))
+    )
+
+
+def ext_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsampling: per source, take documents in doc_id
+    order until a 600-token budget is exhausted (the first doc may
+    straddle the boundary; selection is by EXCLUSIVE running total <
+    budget — deterministic, order-defined). The knob that turns 'use 5%
+    of source X' into an exact token count during mixture construction.
+    (600 tokens ≈ half a source's volume at the sf0.01 gate, so BOTH the
+    kept-side and cut-side of the boundary are exercised at the gate SF.)
+
+    Scale: one cumulative window per source partition — the running sum
+    is PARTITIONED (never a global-order window); token counts are
+    integer and exact, so the cut point cannot drift between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = X.token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("before") < 600)
+        .select("doc_id", "source", "n_tokens", F.col("before").alias("tokens_before"))
+    )
+
+
 def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-cardinality sketch per language:
     the k=64 smallest md5-hash60 values of the distinct token set. The
@@ -1261,6 +1312,8 @@ EXT_QUERIES = {
     "ext_embed_centroid": ext_embed_centroid,
     "ext_profile_orders": ext_profile_orders,
     "ext_sketch_kmv": ext_sketch_kmv,
+    "ext_dedup_priority": ext_dedup_priority,
+    "ext_budget_sample": ext_budget_sample,
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
@@ -1955,6 +2008,37 @@ EXT_ORACLE_SQL = {
                                         AS BIGINT) END AS k
               FROM events) t
         GROUP BY event_type
+    """,
+    "ext_dedup_priority": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$', 1)
+                                              AS BIGINT), 999),
+                            doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1
+    """,
+    "ext_budget_sample": r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 -- 0 for empty text, matching Spark's guarded tokens()
+                 -- (DuckDB split('') would yield [''] = 1)
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS tokens_before
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, tokens_before
+        FROM c WHERE tokens_before < 600
     """,
     "ext_sketch_kmv": """
         WITH t AS (
