@@ -347,7 +347,6 @@ def expire_partitions(spark, table_path: str, before_dt: str) -> list[str]:
     if len(before_dt) != 10 or before_dt[4] != "-" or before_dt[7] != "-":
         raise ValueError(f"before_dt must be YYYY-MM-DD, got {before_dt!r}")
     fs, live = _hadoop_fs(spark, table_path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
     dropped = []
     for status in fs.listStatus(live):
         name = status.getPath().getName()
@@ -355,7 +354,9 @@ def expire_partitions(spark, table_path: str, before_dt: str) -> list[str]:
             continue
         d = name[3:]
         if len(d) == 10 and d < before_dt:
-            fs.delete(jpath(f"{table_path}/{name}"), True)
+            # the listed FileStatus already carries the exact Path —
+            # no string reconcatenation/scheme-normalization round-trip
+            fs.delete(status.getPath(), True)
             dropped.append(name)
     return sorted(dropped)
 

@@ -28,10 +28,16 @@ from flink_cdc_multi_spark.operators.text import token_barrier, tokens
 
 
 def exact_dedup(
-    df: DataFrame, content_cols: list[str], id_col: str, keep: str = "min"
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    keep: str = "min",
+    order_by=None,
 ) -> DataFrame:
-    """Keep one representative (min/max id) per distinct content. Returns the
-    full rows of the representatives.
+    """Keep one representative per distinct content — by min/max id, or by
+    an arbitrary ``order_by`` Column (e.g. a (source-priority, id) struct
+    for the prefer-curated-source rule). Returns the full rows of the
+    representatives.
 
     Shape: ``groupBy(digest).agg(min_by(struct(*), id))`` — a partial+final
     aggregate reduction, NOT a row_number window. The partial agg collapses
@@ -44,12 +50,14 @@ def exact_dedup(
     """
     digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
     pick = F.min_by if keep == "min" else F.max_by
+    order = order_by if order_by is not None else F.col(id_col)
     return (
         df.groupBy(digest.alias("__digest"))
-        .agg(pick(F.struct(*df.columns), F.col(id_col)).alias("__rep"))
-        # min_by/max_by ignore NULL-id rows, so a group whose ids are ALL
-        # NULL has no representative — drop it rather than emit an
-        # all-NULL row (contract: rows with a NULL id are never chosen)
+        .agg(pick(F.struct(*df.columns), order).alias("__rep"))
+        # min_by/max_by ignore NULL-order rows, so a group whose order
+        # keys are ALL NULL has no representative — drop it rather than
+        # emit an all-NULL row (contract: rows with a NULL order key are
+        # never chosen; struct-valued order_by keys are never NULL)
         .where(F.col("__rep").isNotNull())
         .select("__rep.*")
     )

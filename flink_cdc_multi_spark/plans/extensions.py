@@ -970,21 +970,21 @@ def ext_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule real curation pipelines apply when the same document appears in
     multiple feeds.
 
-    Scale: same shape as exact_dedup — groupBy a 16-byte digest with a
-    min_by(struct(priority, doc_id)) REDUCTION (partial agg collapses
-    hot digests map-side; no window, no sort)."""
-    docs = load_table(spark, sf_dir, "documents")
+    Scale: IS exact_dedup with a custom order key — groupBy a 16-byte
+    digest with a min_by(struct(priority, doc_id)) REDUCTION (partial
+    agg collapses hot digests map-side; no window, no sort). The pick
+    ordering itself is pinned by
+    test_exact_dedup_order_by_prefers_curated_source (the gate-SF
+    fixture has no duplicate texts, so the gate alone would only prove
+    an identity projection)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     prio = F.coalesce(
         F.regexp_extract("source", r"(\d+)$", 1).try_cast("long"), F.lit(999)
     )
-    pick = F.min_by(
-        F.struct("doc_id", "source"), F.struct(prio.alias("p"), F.col("doc_id"))
-    )
-    return (
-        docs.groupBy(F.md5("text").alias("__d"))
-        .agg(pick.alias("k"))
-        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.source").alias("source"))
-    )
+    return D.exact_dedup(
+        docs, ["text"], "doc_id",
+        order_by=F.struct(prio.alias("p"), F.col("doc_id")),
+    ).select("doc_id", "source")
 
 
 def ext_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

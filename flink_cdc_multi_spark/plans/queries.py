@@ -735,7 +735,12 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the join)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # coalesce + count(*)-sum: a NULL priority row counts as LOW (the
+    # oracle's CASE ELSE branch); bare sum(1 - high) would silently DROP
+    # NULL rows from both counts and diverge on a NULL-bearing fixture
+    high = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"), F.lit(0)
+    )
     return (
         lineitem.select("l_orderkey", F.year("l_shipdate").alias("ship_year"))
         .join(orders.select("o_orderkey", "o_orderpriority"),
@@ -743,7 +748,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ship_year").cast("bigint").alias("ship_year"))
         .agg(
             F.sum(high).alias("high_line_count"),
-            F.sum(1 - high).alias("low_line_count"),
+            (F.count("*") - F.sum(high)).alias("low_line_count"),
         )
     )
 

@@ -1195,3 +1195,28 @@ def test_json_integer_guard_anchors_cross_engine(spark):
         ).fetchone()[0]
         assert got[s] == d, (repr(s), got[s], d)
     assert got["7\n"] is False  # the class ^$ got wrong
+
+
+def test_exact_dedup_order_by_prefers_curated_source(spark):
+    """The priority pick that ext_dedup_priority relies on, exercised on
+    actual duplicate groups (the gate-SF fixture has none): lower source
+    index wins; doc_id breaks ties; unparseable sources rank last."""
+    rows = [
+        (1, "same text", "src9"),
+        (2, "same text", "src2"),   # winner: lowest source index
+        (3, "same text", "weird"),  # unparseable -> priority 999
+        (4, "other", "src5"),
+        (5, "same text", "src2"),   # same priority as 2 -> doc_id tie-break
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    prio = F.coalesce(
+        F.regexp_extract("source", r"(\d+)$", 1).try_cast("long"), F.lit(999)
+    )
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in D.exact_dedup(
+            df, ["text"], "doc_id",
+            order_by=F.struct(prio.alias("p"), F.col("doc_id")),
+        ).collect()
+    )
+    assert got == [(2, "src2"), (4, "src5")]
