@@ -976,8 +976,16 @@ def ext_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering itself is pinned by
     test_exact_dedup_order_by_prefers_curated_source (the gate-SF
     fixture has no duplicate texts, so the gate alone would only prove
-    an identity projection)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    an identity projection). NULL texts are excluded on both sides:
+    exact_dedup's concat_ws digest folds NULL to the empty string
+    (grouping NULL text WITH empty text) while the oracle's md5(text)
+    keeps a separate NULL partition — pinned out rather than left
+    engine-specific."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+    )
     prio = F.coalesce(
         F.regexp_extract("source", r"(\d+)$", 1).try_cast("long"), F.lit(999)
     )
@@ -1162,8 +1170,12 @@ def ext_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle+sort per user partition, same cost shape as any
     ordered window; the range frame is evaluated with a sliding pointer
-    over the sorted run, not a per-row rescan. Sums are exact cents."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    over the sorted run, not a per-row rescan. Sums are exact cents.
+    NULL-ts rows are excluded on both sides (a NULL range-order key forms
+    its own peer group in Spark — engine-specific, so pinned out)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 10) & F.col("ts").isNotNull()
+    )
     cents = F.bround(F.col("value") * 100).cast("long")
     w = (
         Window.partitionBy("user_id")
@@ -2047,7 +2059,7 @@ EXT_ORACLE_SQL = {
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
                     AS BIGINT) AS cents_10m
         FROM (SELECT user_id, event_id, value, epoch_us(ts) AS t
-              FROM events WHERE user_id < 10) e
+              FROM events WHERE user_id < 10 AND ts IS NOT NULL) e
         WINDOW w AS (PARTITION BY user_id ORDER BY t
                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
     """,
@@ -2120,7 +2132,7 @@ EXT_ORACLE_SQL = {
                    ORDER BY COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$', 1)
                                               AS BIGINT), 999),
                             doc_id) AS rn
-          FROM documents) t
+          FROM documents WHERE text IS NOT NULL) t
         WHERE rn = 1
     """,
     "ext_budget_sample": r"""
