@@ -1176,7 +1176,7 @@ def ext_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         (F.col("user_id") < 10) & F.col("ts").isNotNull()
     )
-    cents = F.bround(F.col("value") * 100).cast("long")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -1306,7 +1306,7 @@ def ext_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = ev.select(
         (F.col("event_id") % 500).alias("pk"),
         (F.col("user_id") % 10).alias("g"),
-        F.bround(F.col("value") * 100).cast("long").alias("v"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
         F.when(F.col("event_type") == "error", "DELETE")
         .otherwise("UPDATE")
         .alias("_op"),
@@ -1503,8 +1503,12 @@ EXT_ORACLE_SQL = {
         GROUP BY c.doc_id ORDER BY c.doc_id
     """,
     "ext_dedup_exact": """
+        -- COALESCE mirrors exact_dedup's concat_ws digest, which folds a
+        -- NULL text into the same group as the empty string
         SELECT doc_id FROM (
-          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY md5(COALESCE(text, ''))
+                                    ORDER BY doc_id) rn
           FROM documents) t
         WHERE rn = 1 ORDER BY doc_id
     """,
@@ -1707,7 +1711,10 @@ EXT_ORACLE_SQL = {
                  ROW_NUMBER() OVER (PARTITION BY cand.qid
                    ORDER BY list_cosine_similarity(qq.emb, cc.emb) DESC, cand.nid) AS rank
           FROM cand JOIN e qq ON qq.vec_id = cand.qid JOIN e cc ON cc.vec_id = cand.nid
-          WHERE NOT isnan(list_cosine_similarity(qq.emb, cc.emb))
+          -- explicit zero-norm drop (this DuckDB's zero cosine is -1.0,
+          -- not NaN; the engine drops the pair)
+          WHERE list_dot_product(qq.emb, qq.emb) > 0
+            AND list_dot_product(cc.emb, cc.emb) > 0
         )
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
@@ -1742,22 +1749,25 @@ EXT_ORACLE_SQL = {
                  ROW_NUMBER() OVER (PARTITION BY cand.qid
                    ORDER BY list_cosine_similarity(qq.emb, cc.emb) DESC, cand.nid) AS rank
           FROM cand JOIN e qq ON qq.vec_id = cand.qid JOIN e cc ON cc.vec_id = cand.nid
-          WHERE NOT isnan(list_cosine_similarity(qq.emb, cc.emb))
+          WHERE list_dot_product(qq.emb, qq.emb) > 0
+            AND list_dot_product(cc.emb, cc.emb) > 0
         )
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
     "ext_ann_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
-        q AS (SELECT * FROM e WHERE vec_id < 20),
-        c AS (SELECT * FROM e WHERE vec_id >= 20),
+        -- zero-norm drop mirrored as an explicit norm guard: this DuckDB
+        -- returns -1.0 (not NaN) for a zero-vector cosine, so an isnan
+        -- filter alone would NOT drop the pair the engine drops
+        q AS (SELECT * FROM e
+              WHERE vec_id < 20 AND list_dot_product(emb, emb) > 0),
+        c AS (SELECT * FROM e
+              WHERE vec_id >= 20 AND list_dot_product(emb, emb) > 0),
         scored AS (
           SELECT q.vec_id AS qid, c.vec_id AS nid,
                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
                    ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
           FROM q CROSS JOIN c
-          -- zero-norm drop, mirroring Spark _rank_topk's cos IS NOT NULL
-          -- (DuckDB yields NaN there, which sorts ABOVE real values DESC)
-          WHERE NOT isnan(list_cosine_similarity(q.emb, c.emb))
         )
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
@@ -1864,10 +1874,14 @@ EXT_ORACLE_SQL = {
                  AS end_seq
         FROM s ORDER BY doc_id
     """,
+    # ((x % k) + k) % k = Python's floored modulo: the synth kernels run
+    # in Python where % is non-negative, SQL % follows the dividend sign
     "ext_multimodal_luma": """
         WITH d AS (
-          SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h,
-                 doc_id % 256 AS s
+          SELECT doc_id,
+                 ((doc_id % 24) + 24) % 24 + 4 AS w,
+                 ((doc_id % 16) + 16) % 16 + 4 AS h,
+                 ((doc_id % 256) + 256) % 256 AS s
           FROM documents
         ), dx AS (
           SELECT doc_id, h, s, unnest(range(w)) AS x FROM d
@@ -1883,8 +1897,8 @@ EXT_ORACLE_SQL = {
     """,
     "ext_multimodal_dims": """
         SELECT doc_id, 'png' AS format,
-               CAST(doc_id % 640 + 16 AS BIGINT) AS width,
-               CAST(doc_id % 480 + 16 AS BIGINT) AS height,
+               CAST(((doc_id % 640) + 640) % 640 + 16 AS BIGINT) AS width,
+               CAST(((doc_id % 480) + 480) % 480 + 16 AS BIGINT) AS height,
                CAST(45 AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id
     """,
@@ -2056,7 +2070,7 @@ EXT_ORACLE_SQL = {
     "ext_window_range": """
         SELECT user_id, event_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
                     AS BIGINT) AS cents_10m
         FROM (SELECT user_id, event_id, value, epoch_us(ts) AS t
               FROM events WHERE user_id < 10 AND ts IS NOT NULL) e
@@ -2117,7 +2131,11 @@ EXT_ORACLE_SQL = {
                MIN(k) AS min_k,
                MAX(k) AS max_k
         FROM (SELECT event_type,
-                     CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                     -- json_valid guard: DuckDB json_extract_string THROWS
+                     -- on malformed JSON where Spark get_json_object
+                     -- returns NULL
+                     CASE WHEN json_valid(props)
+                           AND regexp_matches(json_extract_string(props, '$.k'),
                                               '\A-?[0-9]+\z')
                           THEN TRY_CAST(json_extract_string(props, '$.k')
                                         AS BIGINT) END AS k
@@ -2214,16 +2232,18 @@ EXT_ORACLE_SQL = {
     # encodes (real LZW / padded BGR rows) and decodes back
     "ext_multimodal_gifbmp": """
         WITH d AS (
-          SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
-                 doc_id % 2 AS f
+          SELECT doc_id,
+                 ((doc_id % 24) + 24) % 24 + 8 AS w,
+                 ((doc_id % 16) + 16) % 16 + 8 AS h,
+                 ((doc_id % 2) + 2) % 2 AS f
           FROM documents
         ), px AS (
           SELECT doc_id, w, h, f,
                  CASE WHEN f = 0
-                      THEN 1000 * ((doc_id * 5 + xx.x * 16 + yy.y * 3) % 256)
-                      ELSE 299 * ((doc_id + xx.x * 7) % 256)
-                         + 587 * ((doc_id * 3 + yy.y * 11) % 256)
-                         + 114 * ((xx.x + yy.y + doc_id) % 256)
+                      THEN 1000 * ((((doc_id * 5 + xx.x * 16 + yy.y * 3) % 256) + 256) % 256)
+                      ELSE 299 * ((((doc_id + xx.x * 7) % 256) + 256) % 256)
+                         + 587 * ((((doc_id * 3 + yy.y * 11) % 256) + 256) % 256)
+                         + 114 * ((((xx.x + yy.y + doc_id) % 256) + 256) % 256)
                  END AS l
           FROM d,
                LATERAL (SELECT unnest(range(d.w)) AS x) xx,
@@ -2242,13 +2262,13 @@ EXT_ORACLE_SQL = {
     "ext_multimodal_jpeg": """
         WITH d AS (
           SELECT doc_id,
-                 (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb,
-                 CAST((doc_id % 3 + 1) * 8 AS BIGINT) AS width,
-                 CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS height
+                 (((doc_id % 3) + 3) % 3 + 1) * (((doc_id % 2) + 2) % 2 + 1) AS nb,
+                 CAST((((doc_id % 3) + 3) % 3 + 1) * 8 AS BIGINT) AS width,
+                 CAST((((doc_id % 2) + 2) % 2 + 1) * 8 AS BIGINT) AS height
           FROM documents
         ), b AS (
           SELECT doc_id, width, height,
-                 ((doc_id * 7 + bb.b * 13) % 201) - 100 + 128 AS px
+                 (((doc_id * 7 + bb.b * 13) % 201) + 201) % 201 - 100 + 128 AS px
           FROM d, LATERAL (SELECT unnest(range(d.nb)) AS b) bb
         )
         SELECT doc_id, width, height,
@@ -2261,13 +2281,13 @@ EXT_ORACLE_SQL = {
     "ext_multimodal_audio": """
         WITH d AS (
           SELECT doc_id,
-                 doc_id % 97 AS seed,
-                 doc_id % 50 + 20 AS n,
-                 8000 + (doc_id % 4) * 4000 AS sample_rate
+                 ((doc_id % 97) + 97) % 97 AS seed,
+                 ((doc_id % 50) + 50) % 50 + 20 AS n,
+                 8000 + (((doc_id % 4) + 4) % 4) * 4000 AS sample_rate
           FROM documents
         ), s AS (
           SELECT doc_id, sample_rate, n,
-                 ABS(((seed * 31 + i.i * 37) % 4001) - 2000) AS a
+                 ABS((((seed * 31 + i.i * 37) % 4001) + 4001) % 4001 - 2000) AS a
           FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i
         )
         SELECT doc_id,
@@ -2284,7 +2304,7 @@ EXT_ORACLE_SQL = {
         WITH log AS (
           SELECT event_id % 500 AS pk,
                  user_id % 10 AS g,
-                 CAST(ROUND(value * 100) AS BIGINT) AS v,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
                  CASE WHEN event_type = 'error' THEN 'DELETE'
                       ELSE 'UPDATE' END AS op,
                  event_id AS pos
@@ -2294,8 +2314,10 @@ EXT_ORACLE_SQL = {
                  max_by(op, pos) AS op
           FROM log GROUP BY pk
         )
+        -- COALESCE mirrors maintain_group_agg's NULL-value contract
+        -- (NULL contributes 0 to total, 1 to cnt)
         SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
-               CAST(SUM(v) AS BIGINT) AS total
+               CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS total
         FROM latest WHERE op <> 'DELETE'
         GROUP BY g
     """,

@@ -168,7 +168,7 @@ ORACLE_SQL: dict[str, str] = {
     "q22": """
         WITH c AS (
           SELECT c_custkey, c_mktsegment, c_acctbal,
-                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_cents
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c_cents
           FROM customer
         ), s AS (
           SELECT CAST(SUM(c_cents) AS BIGINT) AS sum_cents,
@@ -196,8 +196,8 @@ ORACLE_SQL: dict[str, str] = {
     "q24": """
         WITH rev AS (
           SELECT l_suppkey,
-                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                 SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
                    AS total_rev_u
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -215,8 +215,8 @@ ORACLE_SQL: dict[str, str] = {
           WHERE n_regionkey = 0
         ), v AS (
           SELECT l_partkey,
-                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                     * CAST(ROUND(l_quantity) AS BIGINT)) AS value_u
+                 SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS value_u
           FROM lineitem JOIN sup ON l_suppkey = s_suppkey
           GROUP BY l_partkey
         )
@@ -227,10 +227,10 @@ ORACLE_SQL: dict[str, str] = {
     "q26": """
         SELECT n_name,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
-                        - CAST(ROUND(p_retailprice * 100) AS BIGINT)
-                          * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                        - CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                          * CAST(FLOOR(l_quantity + 0.5) AS BIGINT) * 100)
                     AS BIGINT) AS profit_u,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem
@@ -248,8 +248,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
                     AS BIGINT) AS volume_u,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem

@@ -541,7 +541,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    cents = F.bround(F.col("c_acctbal") * 100).cast("bigint")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
     pos = customer.filter(F.col("c_acctbal") > 0)
     stats = pos.agg(
         F.sum(cents).alias("sum_cents"), F.count("*").alias("n_pos")
@@ -597,8 +597,8 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     supplier = load_table(spark, sf_dir, "supplier")
-    cents = F.bround(F.col("l_extendedprice") * 100).cast("long")
-    dh = F.bround(F.col("l_discount") * 100).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dh = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     rev = lineitem.groupBy("l_suppkey").agg(
         F.sum(cents * (100 - dh)).alias("total_rev_u")
     )
@@ -626,8 +626,8 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey")
-    cents = F.bround(F.col("l_extendedprice") * 100).cast("long")
-    qi = F.bround(F.col("l_quantity")).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    qi = F.floor(F.col("l_quantity") + 0.5).cast("long")
     val = (
         lineitem.join(sup, lineitem.l_suppkey == sup.s_suppkey)
         .groupBy("l_partkey")
@@ -660,10 +660,10 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    ext_c = F.bround(F.col("l_extendedprice") * 100).cast("long")
-    dh = F.bround(F.col("l_discount") * 100).cast("long")
-    ret_c = F.bround(F.col("p_retailprice") * 100).cast("long")
-    qi = F.bround(F.col("l_quantity")).cast("long")
+    ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dh = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    ret_c = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    qi = F.floor(F.col("l_quantity") + 0.5).cast("long")
     profit_u = ext_c * (100 - dh) - ret_c * qi * 100
     return (
         lineitem.join(part.select("p_partkey", "p_retailprice"),
@@ -707,8 +707,8 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_n = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
         "o_orderkey", "cust_nation", F.year("o_orderdate").alias("o_year")
     )
-    ext_c = F.bround(F.col("l_extendedprice") * 100).cast("long")
-    dh = F.bround(F.col("l_discount") * 100).cast("long")
+    ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dh = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     return (
         lineitem.join(sup_n, lineitem.l_suppkey == sup_n.s_suppkey)
         .join(ord_n, lineitem.l_orderkey == ord_n.o_orderkey)

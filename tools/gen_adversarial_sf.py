@@ -1,0 +1,146 @@
+"""Adversarial fixture builder: copy an sf dir and append hostile rows —
+NULLs in every nullable column, empty/whitespace/unicode text, malformed
+and decimal JSON, zero vectors, boundary numerics — then run the normal
+oracle gate against it.
+
+    python tools/gen_adversarial_sf.py /root/testdata/sf0.001 /tmp/adv_sf
+    python tools/check_oracle.py /tmp/adv_sf
+
+The point: the driver REGENERATES /root/testdata between rounds, so any
+query whose cross-engine parity silently depends on "the fixture never
+contains X" is a latent gate failure. Every query must either process
+these rows identically in both engines or exclude them identically
+(explicit, mirrored guards). This tool makes that property testable on
+demand instead of discovered per-round.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _append(src: str, dst: str, name: str, rows: list[dict]) -> None:
+    table = pq.read_table(f"{src}/{name}.parquet")
+    if rows:
+        extra = pa.Table.from_pylist(rows, schema=table.schema)
+        table = pa.concat_tables([table, extra])
+    pq.write_table(table, f"{dst}/{name}.parquet")
+
+
+def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
+    """Hostile rows per table; ids are negative so they never collide and
+    DO fall inside `id < N` query scopes. Datetime columns adapt to the
+    fixture vintage (TIMESTAMP vs nanos-as-int64)."""
+    import datetime as dt
+
+    def ts_val(field: str, y, mo, d, h=0, mi=0, s=0):
+        t = schema.field(field).type
+        stamp = dt.datetime(y, mo, d, h, mi, s)
+        if pa.types.is_integer(t):  # TIMESTAMP(NANOS) vintage read as int64
+            return int(stamp.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+        return stamp
+
+    if name == "events":
+        return [
+            {"event_id": -1, "ts": None, "user_id": None, "event_type": None,
+             "value": None, "props": None},
+            {"event_id": -2, "ts": ts_val("ts", 2024, 1, 1), "user_id": -5,
+             "event_type": "weird-type", "value": 84.5, "props": "not json"},
+            {"event_id": -3, "ts": ts_val("ts", 2024, 1, 1, 0, 0, 1),
+             "user_id": -5, "event_type": "purchase", "value": -0.005,
+             "props": '{"k": "3.5"}'},
+            {"event_id": -4, "ts": ts_val("ts", 2024, 1, 1, 0, 0, 1),
+             "user_id": -5, "event_type": "click", "value": 1e9,
+             "props": '{"k": "7\\n"}'},
+            {"event_id": -5, "ts": ts_val("ts", 1999, 12, 31, 23, 59, 59),
+             "user_id": -6, "event_type": "signup", "value": 0.0,
+             "props": '{"k": -12}'},
+        ]
+    if name == "documents":
+        return [
+            {"doc_id": -1, "text": None, "lang": None, "source": None,
+             "n_chars": None},
+            {"doc_id": -2, "text": "", "lang": "en", "source": "nodigits",
+             "n_chars": 0},
+            {"doc_id": -3, "text": "   ", "lang": "de", "source": "src1",
+             "n_chars": 3},
+            {"doc_id": -4, "text": "\t\n xé Ω ", "lang": "fr",
+             "source": "src2", "n_chars": 9},
+            {"doc_id": -5, "text": "dup dup dup dup", "lang": "en",
+             "source": "src3", "n_chars": 15},
+            {"doc_id": -6, "text": "dup dup dup dup", "lang": "en",
+             "source": "src1", "n_chars": 15},
+        ]
+    if name == "embeddings":
+        dim = 0
+        t = pq.read_table(f"{sys.argv[1]}/embeddings.parquet")
+        if t.num_rows:
+            dim = len(t.column("embedding")[0].as_py())
+        return [
+            {"vec_id": -1, "embedding": [0.0] * dim, "label": None},
+            {"vec_id": -2, "embedding": [-1e-7] * dim, "label": -3},
+        ]
+    if name == "orders":
+        return [
+            {"o_orderkey": -1, "o_custkey": None, "o_orderstatus": None,
+             "o_totalprice": None, "o_orderdate": None, "o_orderpriority": None},
+            {"o_orderkey": -2, "o_custkey": -9, "o_orderstatus": "F",
+             "o_totalprice": -0.005, "o_orderdate": __import__("datetime").datetime(1992, 1, 1),
+             "o_orderpriority": "1-URGENT"},
+        ]
+    if name == "lineitem":
+        return [
+            {"l_orderkey": -2, "l_partkey": None, "l_suppkey": None,
+             "l_linenumber": 1, "l_quantity": None, "l_extendedprice": None,
+             "l_discount": None, "l_tax": None, "l_returnflag": None,
+             "l_linestatus": None, "l_shipdate": None},
+            {"l_orderkey": -2, "l_partkey": -3, "l_suppkey": -4,
+             "l_linenumber": 2, "l_quantity": 0.0, "l_extendedprice": 0.005,
+             "l_discount": 1.0, "l_tax": 0.0, "l_returnflag": "Z",
+             "l_linestatus": "Z", "l_shipdate": __import__("datetime").datetime(1992, 1, 2)},
+        ]
+    if name == "customer":
+        return [
+            {"c_custkey": -9, "c_name": None, "c_nationkey": None,
+             "c_mktsegment": None, "c_acctbal": None},
+            {"c_custkey": -10, "c_name": "x", "c_nationkey": 0,
+             "c_mktsegment": "SEG-", "c_acctbal": -0.005},
+        ]
+    if name == "supplier":
+        return [
+            {"s_suppkey": -4, "s_name": None, "s_nationkey": None,
+             "s_acctbal": None},
+        ]
+    if name == "part":
+        return [
+            {"p_partkey": -3, "p_name": None, "p_brand": None, "p_type": None,
+             "p_size": None, "p_retailprice": None},
+        ]
+    return []  # region/nation: tiny fixed dims, left as-is
+
+
+def main() -> None:
+    src, dst = sys.argv[1], sys.argv[2]
+    shutil.rmtree(dst, ignore_errors=True)
+    import os
+
+    os.makedirs(dst)
+    for name in TABLES:
+        schema = pq.read_schema(f"{src}/{name}.parquet")
+        rows = adversarial_rows(name, schema)
+        # pyarrow from_pylist needs parseable timestamps; normalize str -> None
+        # mismatch is handled by the schema cast inside from_pylist
+        _append(src, dst, name, rows)
+        print(f"{name}: +{len(rows)} adversarial rows")
+
+
+if __name__ == "__main__":
+    main()
