@@ -281,9 +281,17 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (classic lag + cumulative-flag pattern):
     a new session starts when the gap to the previous event of the same
     user exceeds 30 minutes. Output: per-session row counts and integer
-    bounds."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    bounds.
+
+    Pinned NULL contract: NULL-ts rows are excluded on both sides — a
+    NULL ORDER BY key sorts NULLS FIRST in Spark and NULLS LAST in
+    DuckDB, which moves the row to a different session (caught by the
+    adversarial gate, r7). NULL user_id is KEPT: both engines treat NULL
+    as one PARTITION BY / GROUP BY group."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms"))
     )
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     gap_ms = 30 * 60 * 1000
@@ -986,8 +994,12 @@ def ext_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .select("doc_id", "source", "text")
     )
+    # \z (whole-text end), not $: Java's $ matches before a trailing
+    # newline while RE2's does not — 'src1\n' would extract 1 in Spark
+    # and 999 in DuckDB (same divergence class ext_events_json pins
+    # with \A/\z anchors).
     prio = F.coalesce(
-        F.regexp_extract("source", r"(\d+)$", 1).try_cast("long"), F.lit(999)
+        F.regexp_extract("source", r"(\d+)\z", 1).try_cast("long"), F.lit(999)
     )
     return D.exact_dedup(
         docs, ["text"], "doc_id",
@@ -1102,8 +1114,15 @@ def ext_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-expressible as a single aggregate). The final stage counts are a
     global 4-counter aggregate, partial-agg'd map-side, unpivoted with
     stack() — control-plane-sized output."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.col("ts").alias("t")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.col("ts").alias("t"))
+        # pinned NULL contract: the oracle's stage JOIN ... USING
+        # (user_id) drops NULL users from stages >= 2 while
+        # Window.partitionBy(user_id) would advance the NULL-user funnel
+        # normally — filter identically on both sides (same pattern as
+        # ext_window_range / ext_events_sliding).
+        .filter(F.col("user_id").isNotNull())
     )
     w = Window.partitionBy("user_id")
     stages = [("signup", None), ("view", 1), ("click", 2), ("purchase", 3)]
@@ -1142,10 +1161,12 @@ def ext_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("d"))
-        # pin the NULL-ts contract explicitly: collect_set silently drops
-        # NULLs but the oracle's SELECT DISTINCT keeps them — both sides
-        # filter so a NULL-ts fixture row can't diverge the engines
-        .filter(F.col("d").isNotNull())
+        # pin the NULL contracts explicitly: collect_set silently drops
+        # NULL dates but the oracle's SELECT DISTINCT keeps them, and the
+        # oracle's act JOIN c USING (user_id) drops NULL-user activity
+        # while groupBy(user_id) keeps NULL as a cohort — both sides
+        # filter both columns so a NULL fixture row can't diverge them
+        .filter(F.col("d").isNotNull() & F.col("user_id").isNotNull())
     )
     per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("days"))
     return (
@@ -1192,7 +1213,7 @@ def ext_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the near-dup pair graph (3-gram Jaccard
-    pairs, doc_id < 300 scope) — the graph statistic behind clustering-
+    pairs, doc_id < 500 scope) — the graph statistic behind clustering-
     coefficient quality checks on dedup graphs, and a different
     distributed-algorithm class from the CC fixpoint: NO iteration, just
     two self-joins over ORIENTED edges (a < b), which bounds the join
@@ -1922,7 +1943,10 @@ EXT_ORACLE_SQL = {
     """,
     "ext_sessionize": """
         WITH ev AS (
+          -- ts IS NOT NULL mirrors the Spark side (pinned NULL contract:
+          -- NULL order keys sort FIRST in Spark, LAST in DuckDB)
           SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+          WHERE ts IS NOT NULL
         ), flagged AS (
           SELECT user_id, event_id, ts_ms,
                  COALESCE(CAST(ts_ms - LAG(ts_ms, 1) OVER w > 1800000 AS INT), 0) AS new_s
@@ -2023,24 +2047,29 @@ EXT_ORACLE_SQL = {
     # independent formulation: chained join+aggregate CTEs vs Spark's
     # window-min cascade over one user_id exchange
     "ext_events_funnel": """
-        WITH m1 AS (
+        WITH ev AS (
+          -- pinned NULL contract: mirror the Spark side's user_id IS NOT
+          -- NULL filter (stage JOINs would drop NULL users from stages
+          -- >= 2 only, diverging the engines on a NULL-user fixture)
+          SELECT * FROM events WHERE user_id IS NOT NULL
+        ), m1 AS (
           SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'signup') AS m1
-          FROM events GROUP BY user_id
+          FROM ev GROUP BY user_id
         ), m2 AS (
           SELECT e.user_id,
                  MIN(e.ts) FILTER (WHERE e.event_type = 'view'
                                    AND e.ts >= m1.m1) AS m2
-          FROM events e JOIN m1 USING (user_id) GROUP BY e.user_id
+          FROM ev e JOIN m1 USING (user_id) GROUP BY e.user_id
         ), m3 AS (
           SELECT e.user_id,
                  MIN(e.ts) FILTER (WHERE e.event_type = 'click'
                                    AND e.ts >= m2.m2) AS m3
-          FROM events e JOIN m2 USING (user_id) GROUP BY e.user_id
+          FROM ev e JOIN m2 USING (user_id) GROUP BY e.user_id
         ), m4 AS (
           SELECT e.user_id,
                  MIN(e.ts) FILTER (WHERE e.event_type = 'purchase'
                                    AND e.ts >= m3.m3) AS m4
-          FROM events e JOIN m3 USING (user_id) GROUP BY e.user_id
+          FROM ev e JOIN m3 USING (user_id) GROUP BY e.user_id
         ), u AS (
           SELECT m1.user_id, m1.m1, m2.m2, m3.m3, m4.m4
           FROM m1 LEFT JOIN m2 USING (user_id)
@@ -2056,7 +2085,9 @@ EXT_ORACLE_SQL = {
     "ext_events_retention": """
         WITH act AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-          WHERE ts IS NOT NULL
+          -- user_id IS NOT NULL mirrors the Spark side (pinned NULL
+          -- contract: USING-join would drop NULL users, groupBy keeps)
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
         ), c AS (
           SELECT user_id, MIN(d) AS cohort_dt FROM act GROUP BY user_id
         )
@@ -2123,7 +2154,7 @@ EXT_ORACLE_SQL = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM x GROUP BY ws
     """,
-    "ext_events_json": """
+    "ext_events_json": r"""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(COUNT(k) AS BIGINT) AS n_k,
@@ -2142,12 +2173,12 @@ EXT_ORACLE_SQL = {
               FROM events) t
         GROUP BY event_type
     """,
-    "ext_dedup_priority": """
+    "ext_dedup_priority": r"""
         SELECT doc_id, source FROM (
           SELECT doc_id, source,
                  ROW_NUMBER() OVER (
                    PARTITION BY md5(text)
-                   ORDER BY COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$', 1)
+                   ORDER BY COALESCE(TRY_CAST(regexp_extract(source, '(\d+)\z', 1)
                                               AS BIGINT), 999),
                             doc_id) AS rn
           FROM documents WHERE text IS NOT NULL) t
@@ -2173,7 +2204,7 @@ EXT_ORACLE_SQL = {
         SELECT doc_id, source, n_tokens, tokens_before
         FROM c WHERE tokens_before < 600
     """,
-    "ext_sketch_kmv": """
+    "ext_sketch_kmv": r"""
         WITH t AS (
           SELECT DISTINCT lang,
                  ('0x' || substr(md5(token), 1, 15))::BIGINT AS h

@@ -3,6 +3,10 @@ on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
 count, column names, and an order-insensitive value rendering.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+The compare core (`check_one`) is importable — tests/test_adversarial_gate.py
+reuses it to run the same gate against the hostile fixture from
+tools/gen_adversarial_sf.py.
 """
 
 from __future__ import annotations
@@ -53,6 +57,48 @@ def canon_types(pairs, mapping):
     return {name: mapping.get(t, t.lower()) for name, t in pairs}
 
 
+def oracle_connection(sf_dir: str):
+    """A DuckDB connection with the standard table views over sf_dir."""
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def check_one(spark, con, fn, sql, sf_dir: str):
+    """Run one query on Spark and its oracle on DuckDB; return
+    (n_spark_rows, problems) where problems is a list of mismatch strings
+    (empty = gate-green). sql=None means rows-only (no oracle)."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        return len(srows), []
+    rel = con.sql(sql)
+    dcols = list(rel.columns)
+    dtypes = canon_types(zip(rel.columns, map(str, rel.types)), _DUCK_CANON)
+    stypes = canon_types(sdf.dtypes, _SPARK_CANON)
+    drows = rel.fetchall()
+    problems = []
+    if len(srows) != len(drows):
+        problems.append(f"ROWCOUNT MISMATCH spark={len(srows)} duckdb={len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"COLUMN MISMATCH spark={scols} duckdb={dcols}")
+    elif stypes != dtypes:
+        diff = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]}
+        problems.append(f"TYPE MISMATCH (spark,duckdb): {diff}")
+    if not problems:
+        sm = rows_to_multiset(srows, scols)
+        dm = rows_to_multiset(drows, dcols)
+        if sm != dm:
+            diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
+            problems.append(f"VALUE MISMATCH; first diffs: {diffs}")
+    return len(srows), problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entrymod
@@ -62,48 +108,21 @@ def main() -> int:
     only = set(sys.argv[2:]) or set(qs)
 
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    con = oracle_connection(sf_dir)
 
     failures = []
     for name in sorted(qs):
         if name not in only:
             continue
-        sdf = qs[name](spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
-            print(f"{name}: rows-only ({len(srows)} rows) [no oracle]")
+            n, _ = check_one(spark, con, qs[name], None, sf_dir)
+            print(f"{name}: rows-only ({n} rows) [no oracle]")
             continue
-        rel = con.sql(oracles[name])
-        dcols = list(rel.columns)
-        dtypes = canon_types(zip(rel.columns, map(str, rel.types)), _DUCK_CANON)
-        stypes = canon_types(sdf.dtypes, _SPARK_CANON)
-        drows = rel.fetchall()
-        ok = True
-        if len(srows) != len(drows):
-            print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} duckdb={len(drows)}")
-            ok = False
-        if sorted(scols) != sorted(dcols):
-            print(f"{name}: COLUMN MISMATCH spark={scols} duckdb={dcols}")
-            ok = False
-        elif stypes != dtypes:
-            diff = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]}
-            print(f"{name}: TYPE MISMATCH (spark,duckdb): {diff}")
-            ok = False
-        if ok:
-            sm = rows_to_multiset(srows, scols)
-            dm = rows_to_multiset(drows, dcols)
-            if sm != dm:
-                ok = False
-                diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
-                print(f"{name}: VALUE MISMATCH; first diffs: {diffs}")
-        print(f"{name}: {'OK' if ok else 'FAIL'} ({len(srows)} rows)")
-        if not ok:
+        n, problems = check_one(spark, con, qs[name], oracles[name], sf_dir)
+        for p in problems:
+            print(f"{name}: {p}")
+        print(f"{name}: {'OK' if not problems else 'FAIL'} ({n} rows)")
+        if problems:
             failures.append(name)
 
     print("\nFAILURES:", failures or "none")

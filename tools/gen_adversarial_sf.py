@@ -63,6 +63,13 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
             {"event_id": -5, "ts": ts_val("ts", 1999, 12, 31, 23, 59, 59),
              "user_id": -6, "event_type": "signup", "value": 0.0,
              "props": '{"k": -12}'},
+            # NULL user_id with a VALID ts (ADVICE r6): a USING(user_id)
+            # join drops this row while groupBy/Window keeps NULL as a
+            # group — funnel/retention must pin the contract identically.
+            {"event_id": -6, "ts": ts_val("ts", 2024, 1, 2), "user_id": None,
+             "event_type": "view", "value": 2.5, "props": '{"k": 1}'},
+            {"event_id": -7, "ts": ts_val("ts", 2024, 1, 3), "user_id": None,
+             "event_type": "purchase", "value": 9.0, "props": None},
         ]
     if name == "documents":
         return [
@@ -78,6 +85,11 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
              "source": "src3", "n_chars": 15},
             {"doc_id": -6, "text": "dup dup dup dup", "lang": "en",
              "source": "src1", "n_chars": 15},
+            # trailing-newline source (ADVICE r6): Java-regex $ matches
+            # before a final \n, RE2 $ does not — priority extraction must
+            # use the \z whole-text anchor in BOTH engines.
+            {"doc_id": -7, "text": "dup dup dup dup", "lang": "en",
+             "source": "src0\n", "n_chars": 15},
         ]
     if name == "embeddings":
         dim = 0
