@@ -295,7 +295,36 @@ def main() -> None:
             out["sf1"] = sf1_crossover(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             out["sf1"] = {"error": str(e)[:200]}
-    print(json.dumps(out))
+
+    # Full per-query detail goes to a file; stdout gets a COMPACT summary
+    # as the LAST line. The driver records only a 2000-char tail of stdout
+    # and json-parses it — r6's one-line full dump outgrew that window and
+    # the round was graded perf-blind (BENCH_r06 parsed: null). The
+    # compact line keeps the contract fields (metric/value/unit/queries/
+    # sf) plus the ratios; everything else lives in BENCH_DETAIL.json.
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": "q01-q14 suite wall-clock (14 concurrent streams, prepared plans)",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": sf,
+        "sequential_total": out.get("sequential_total"),
+        "duckdb_sec": out.get("duckdb_sec"),
+        "ratio_vs_duckdb": out.get("ratio_vs_duckdb"),
+        "ext_concurrent": out.get("ext_concurrent"),
+        "ext_duckdb_total": out.get("ext_duckdb_total"),
+        "n_ext_queries": len(out.get("ext", {})),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    sf1 = out.get("sf1")
+    if isinstance(sf1, dict) and "ratio_vs_duckdb" in sf1:
+        compact["sf1_ratio"] = sf1["ratio_vs_duckdb"]
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

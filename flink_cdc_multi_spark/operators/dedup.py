@@ -268,6 +268,38 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
 
 
+def _banded_pairs_compact(sig: DataFrame, bands: int, bucket_of) -> DataFrame:
+    """Candidate pairs from a (id, sig) frame via banded LSH with COMPACT
+    shuffles (r7, the contamination recipe): the band explode and the
+    band-bucket self-join move only (id, band, bucket) = 20-byte rows —
+    never the K-long signature array — and the signatures are re-attached
+    AFTER pair dedup by two equi-joins back to `sig`. Physically the
+    signature build is computed once: all three consumers sit above the
+    same groupBy(id) exchange, which ReuseExchange dedupes (pinned in
+    test_plan_quality). ``bucket_of(band, band_slice)`` supplies the
+    engine-specific band hash. Output: (a_id, b_id, sa, sb)."""
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select("id", "sig", band_idx).select(
+        "id",
+        "band",
+        bucket_of(F.col("band"), F.col("sig")).alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sa = sig.select(F.col("id").alias("a_id"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("id").alias("b_id"), F.col("sig").alias("sb"))
+    return cand.join(sa, "a_id").join(sb, "b_id")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -279,35 +311,18 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded LSH over minhash signatures, verified by
     signature-estimated Jaccard (fraction of agreeing minhashes ≥ threshold).
-    Output: (a_id, b_id, est_jaccard)."""
+    Output: (a_id, b_id, est_jaccard).
+
+    Scale: compact band join (see _banded_pairs_compact) — the 64-long
+    signature (512 B/doc, ×16 bands through the old join) never rides the
+    wide shuffles."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
 
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig.select("id", "sig", band_idx).select(
-        "id",
-        "sig",
-        "band",
-        F.xxhash64(
-            "band", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
-        ).alias("bucket"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    def bucket_of(band, sig_col):
+        return F.xxhash64(band, F.slice(sig_col, band * rows_per_band + 1, rows_per_band))
+
+    cand = _banded_pairs_compact(sig, bands, bucket_of)
     agree = F.size(
         F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
     )
@@ -328,6 +343,31 @@ def _md5_hash60(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def minhash_signatures_md5_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Wide engine-portable MinHash signatures (id, h0..h{K-1}) in ONE
+    groupBy: h_k(doc) = min over shingles of md5-hash60(k || ':' ||
+    shingle) — value contract identical to the long form. The K hashes
+    are K min-aggregate INPUT expressions over the shingle rows instead
+    of a K-way row explode (r7, VERDICT item 3): same md5 count, but the
+    16× row fan-out, its groupBy(id, k) exchange, and the second pivot
+    exchange all drop out. Multiset shingle rows — min is
+    duplicate-insensitive."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
+        "id", F.col("shingle").alias("s")
+    )
+    aggs = [
+        F.min(_md5_hash60(F.concat_ws(":", F.lit(str(k)), F.col("s")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures_md5(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -335,21 +375,13 @@ def minhash_signatures_md5(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Engine-portable MinHash: h_k(doc) = min over shingles of
-    md5-hash60(k || ':' || shingle). Long output (id, k, minhash) so the
-    DuckDB oracle can reproduce it row for row. Multiset shingle rows —
-    min is duplicate-insensitive (see minhash_signatures)."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
-        "id", F.col("shingle").alias("s")
-    )
-    ks = sh.select(
-        "id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
-    )
-    hv = _md5_hash60(F.concat_ws(":", F.col("k"), F.col("s")))
-    return (
-        ks.withColumn("hv", hv)
-        .groupBy("id", "k")
-        .agg(F.min("hv").alias("minhash"))
+    """Engine-portable MinHash in LONG form (id, k, minhash) so the DuckDB
+    oracle can reproduce it row for row — a stack() unpivot over the
+    one-shuffle wide build (minhash_signatures_md5_wide)."""
+    wide = minhash_signatures_md5_wide(df, id_col, text_col, num_hashes, shingle_n)
+    stack_args = ", ".join(f"{k}, h{k}" for k in range(num_hashes))
+    return wide.select(
+        "id", F.expr(f"stack({num_hashes}, {stack_args}) as (k, minhash)")
     )
 
 
@@ -372,52 +404,30 @@ def minhash_lsh_pairs_md5(
     (default threshold: half, i.e. est. jaccard >= 0.5).
     Output: (a_id, b_id, n_agree).
 
-    Scale shape is identical to the fast path: K min-aggs per doc, banded
-    equi-join on (band, 60-bit bucket), verify on the already-joined
-    signatures — never all-pairs."""
+    Scale shape is identical to the fast path: K min-aggs per doc in ONE
+    groupBy (minhash_signatures_md5_wide), compact banded equi-join on
+    (band, 60-bit bucket) with the signatures re-attached after pair
+    dedup (_banded_pairs_compact) — never all-pairs, and the signature
+    array never rides the wide shuffles."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     if min_agree is None:
         min_agree = num_hashes // 2
-    sig_long = minhash_signatures_md5(df, id_col, text_col, num_hashes, shingle_n)
-    # wide signature array in k order via conditional min-aggs (partial-agg
-    # friendly; no collect_list ordering concerns)
-    aggs = [
-        F.min(F.when(F.col("k") == k, F.col("minhash"))).alias(f"h{k}")
-        for k in range(num_hashes)
-    ]
-    sig = (
-        sig_long.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+    wide = minhash_signatures_md5_wide(df, id_col, text_col, num_hashes, shingle_n)
+    sig = wide.select(
+        "id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig")
     )
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig.select("id", "sig", band_idx).withColumn(
-        "bucket",
-        _md5_hash60(
+
+    def bucket_of(band, sig_col):
+        return _md5_hash60(
             F.array_join(
-                F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
+                F.slice(sig_col, band * rows_per_band + 1, rows_per_band)
                 .cast("array<string>"),
                 ",",
             )
-        ),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
-    )
+
+    cand = _banded_pairs_compact(sig, bands, bucket_of)
     agree = F.size(
         F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
     ).cast("long")

@@ -501,21 +501,33 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — the ext suite's one LARGE-LARGE equi-join: a 100 TB
     corpus's term-frequency table is itself huge (no broadcast), so both
-    sides hash-partition on the token and sort-merge/hash join at full
-    width; the per-doc rollup is one more partial-aggregated shuffle.
-    The exploded token stream is deliberately NOT cached even though two
-    branches consume it (frequency build + join probe): token rows are
-    corpus-sized, so re-running the pruned scan+explode is cheaper than
-    holding the token stream resident — the OPPOSITE trade from
-    pack_offsets, whose shared frame is 16 bytes/doc (see PERF.md)."""
+    sides hash-partition on the join key and sort-merge/hash join at
+    full width; the per-doc rollup is one more partial-aggregated
+    shuffle. Since r7 (VERDICT item 4) the join key is the 8-byte
+    md5-hash60 of the token, never the token STRING: the occurrence
+    stream through the join shuffle is (doc_id, h) = 16 bytes/row, the
+    frequency build's shuffle is (h, cnt). Term frequencies are
+    hash60-grouped counts BY CONTRACT, mirrored in the DuckDB oracle, so
+    a 60-bit collision cannot diverge the engines (the shingle-distinct
+    contract pattern). The exploded token stream is deliberately NOT
+    cached even though two branches consume it (frequency build + join
+    probe): token rows are corpus-sized, so re-running the pruned
+    scan+explode is cheaper than holding the token stream resident — the
+    OPPOSITE trade from pack_offsets, whose shared frame is 16 bytes/doc
+    (see PERF.md)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.filter(F.trim(F.col("text")) != "").select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    tok = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .select("doc_id", h.alias("h"))
     )
-    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    freq = tok.groupBy("h").agg(F.count("*").alias("tf"))
     return (
-        tok.join(freq, "token")
+        tok.join(freq, "h")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("tf_sum"),
@@ -2001,15 +2013,20 @@ EXT_ORACLE_SQL = {
     """,
     "ext_text_commonness": r"""
         WITH tok AS (
-          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-          FROM documents WHERE trim(text) <> ''
+          -- term frequencies are md5-hash60 counts BY CONTRACT, mirroring
+          -- the Spark side's 8-byte join key (collision-proof parity)
+          SELECT doc_id,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) <> '') u
         ), freq AS (
-          SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+          SELECT h, COUNT(*) AS tf FROM tok GROUP BY h
         )
         SELECT tok.doc_id,
                CAST(SUM(freq.tf) AS BIGINT) AS tf_sum,
                CAST(COUNT(*) AS BIGINT) AS n_tokens
-        FROM tok JOIN freq USING (token)
+        FROM tok JOIN freq USING (h)
         GROUP BY tok.doc_id ORDER BY tok.doc_id
     """,
     "ext_mixture_sample": r"""

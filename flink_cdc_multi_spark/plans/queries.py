@@ -489,36 +489,37 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("late" adapted to this schema: l_shipdate > o_orderdate + 30 days;
     the reference TPC-H uses receipt/commit dates the fixture lacks).
 
-    Scale/plan shape: the correlated EXISTS compiles to a LEFT SEMI join
-    and the NOT EXISTS to a LEFT ANTI join on the same (orderkey)-keyed
-    lineitem — the optimizer-shape this query exists to exercise; both
-    shuffle on the orderkey with partial-agg'd distinct inputs, supplier
-    is broadcast-sized. Output (s_name, numwait) is all-integer."""
+    Scale/plan shape (r7 rewrite, VERDICT r6 item 5): the EXISTS /
+    NOT-EXISTS correlation is evaluated as per-orderkey AGGREGATES
+    instead of semi/anti self-joins with non-equi residuals —
+    "exists another supplier on the order" is n_supp >= 2 over ALL
+    lineitem and "no other late supplier" is n_late == 1 over the late
+    pairs, with max(l_suppkey) recovering the unique late supplier when
+    n_late == 1. That replaces two joins (each carrying a != residual
+    that blocks broadcast-key pruning) with two orderkey-keyed partial
+    aggs and one equi-join; every exchange hashes the orderkey, so the
+    whole chain co-partitions and AQE coalesces it. supplier is
+    broadcast-sized. Output (s_name, numwait) is all-integer."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
-    pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
-    late = (
+    late_agg = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_late"),
+            F.max("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("n_late") == 1)
     )
-    a = late.alias("a")
-    multi = a.join(
-        pairs.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        "left_semi",
-    )
-    only_late = multi.alias("a").join(
-        late.alias("c"),
-        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
-        "left_anti",
+    supp_agg = lineitem.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
     )
     return (
-        only_late.join(supplier, F.col("a.l_suppkey") == supplier.s_suppkey)
+        late_agg.join(supp_agg, "l_orderkey")
+        .filter(F.col("n_supp") > 1)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

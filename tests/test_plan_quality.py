@@ -206,13 +206,19 @@ def test_ext_ann_topk_vectorized_kernel_and_group_limit(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q21_semi_anti_join_shape(spark):
-    """The EXISTS/NOT-EXISTS pair must compile to LEFT SEMI + LEFT ANTI
-    joins on the orderkey — never a cartesian or a full join + filter."""
+def test_q21_aggregate_form_no_self_joins(spark):
+    """The r7 rewrite evaluates the EXISTS/NOT-EXISTS correlation as
+    per-orderkey aggregates (n_late == 1, n_supp > 1): the plan must be
+    equi-joins only — no semi/anti self-joins with != residuals, no
+    cartesian — and the supplier dim must ride a broadcast."""
     plan = plan_of(spark, "q21")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
     assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+    # two orderkey aggs + join + final name agg: lineitem is scanned
+    # twice but never a third time (the old form built `late` twice)
+    assert plan.count("Scan parquet") <= 8  # 4 scan nodes (tree+detail)
 
 
 def test_q22_scalar_subquery_broadcast_and_anti(spark):
