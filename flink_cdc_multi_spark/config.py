@@ -102,8 +102,16 @@ class JobConfig:
             offset_value=offset_value,
             datetime_offset=cfg.get("datetime.offset"),
             database_name_map=dict(cfg.get("database.name.map") or {}),
-            table_name_map=dict(cfg.get("table.name.map") or {}),
-            source_table_list=_list("source.table.list") or _list("source.table.array"),
+            # collection.name.map is the Mongo-flavored alias the reference
+            # ships in its example configs (example-configs/mongodb-config
+            # .json); same for source.collection.list below
+            table_name_map={
+                **dict(cfg.get("collection.name.map") or {}),
+                **dict(cfg.get("table.name.map") or {}),
+            },
+            source_table_list=_list("source.table.list")
+            or _list("source.table.array")
+            or _list("source.collection.list"),
             source_database_list=_list("source.database.list"),
             mongodb_deserialization_mode=cfg.get(
                 "mongodb.deserialization.mode", "top-level-type"

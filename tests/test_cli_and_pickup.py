@@ -374,3 +374,67 @@ def test_cli_mongo_sample_provider_sanitized_lookup(tmp_path):
     schema = provider("appdb", "user_events")  # sanitized envelope identity
     assert schema is not None and "n" in schema.fieldNames()
     assert provider("appdb", "nope") is None
+
+
+# -- shipped example configs (reference parity: the reference ships
+# example-configs for mysql/oracle/mongodb/mongodb-multi + common;
+# src/main/resources/example-configs/) ---------------------------------------
+
+EXAMPLES = [
+    ("mysql-job.json", "mysql", 3),
+    ("postgres-job.json", "postgres", 2),
+    ("oracle-job.json", "oracle", 2),
+    ("mongodb-job.json", "mongodb", 1),
+    ("mongodb-multi-collection-job.json", "mongodb", 3),
+]
+
+
+@pytest.mark.parametrize("fname,stype,n_tables", EXAMPLES)
+def test_example_configs_load_and_validate(fname, stype, n_tables):
+    from flink_cdc_multi_spark.config import JobConfig
+
+    cfg = JobConfig.load(f"/root/repo/example-configs/{fname}")
+    assert cfg.source_type == stype
+    assert len(cfg.source_table_list) == n_tables
+    assert cfg.sink_path and cfg.source_id
+    # every _-prefixed key is a comment, reference convention — none may
+    # collide with a live key when uncommented
+    live = {k for k in cfg.raw if not k.startswith("_")}
+    for k in cfg.raw:
+        if k.startswith("_") and "." in k[1:]:
+            assert k[1:] not in live or k.startswith("_comment")
+
+
+def test_example_mongo_configs_pass_cli_validate():
+    """The mongo example configs ship with a sample file, so `--validate`
+    runs end-to-end out of the box: registry built from the samples, table
+    plan printed, exit 0 — the new-user smoke the reference's
+    mongodb-multi-collection-test.json exists for."""
+    for fname in ("mongodb-job.json", "mongodb-multi-collection-job.json"):
+        r = subprocess.run(
+            [sys.executable, "-m", "flink_cdc_multi_spark",
+             "-c", f"example-configs/{fname}", "--validate"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "table:" in r.stdout
+
+
+def test_collection_list_and_name_map_aliases():
+    """source.collection.list / collection.name.map are the Mongo-flavored
+    aliases the reference's example configs use — they must land in the
+    same fields as the table-flavored keys."""
+    from flink_cdc_multi_spark.config import JobConfig
+
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "m",
+            "source.type": "mongodb",
+            "sink.path": "/tmp/x",
+            "source.collection.list": "db.a, db.b",
+            "collection.name.map": {"db.a": "a_v2"},
+            "table.name.map": {"db.b": "b_v9"},
+        }
+    )
+    assert cfg.source_table_list == ["db.a", "db.b"]
+    assert cfg.table_name_map == {"db.a": "a_v2", "db.b": "b_v9"}

@@ -1220,3 +1220,20 @@ def test_exact_dedup_order_by_prefers_curated_source(spark):
         ).collect()
     )
     assert got == [(2, "src2"), (4, "src5")]
+
+
+def test_profile_table_approx_close_to_exact(spark):
+    """approx_count_distinct must agree with the exact profile on row and
+    null counts exactly, and on distinct counts within HLL tolerance."""
+    from flink_cdc_multi_spark.plans.extensions import profile_table
+    from flink_cdc_multi_spark.plans.queries import load_table
+
+    t = load_table(spark, "/root/testdata/sf0.001", "orders")
+    exact = {r["col_name"]: r for r in profile_table(t, approx=False).collect()}
+    approx = {r["col_name"]: r for r in profile_table(t, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_null"] == exact[c]["n_null"]
+        nd_e, nd_a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(nd_a - nd_e) <= max(2, 0.1 * nd_e), (c, nd_e, nd_a)

@@ -285,3 +285,31 @@ def test_ext_sketch_kmv_window_group_limit(spark):
     hash through the lang sort unlimited."""
     plan = plan_of(spark, "ext_sketch_kmv")
     assert "WindowGroupLimit" in plan
+
+
+def test_profile_table_approx_has_no_expand(spark):
+    """The approx profiling path (wide-table knob) must compile WITHOUT
+    Catalyst's Expand — no |cols|-way row fan-out — while the exact
+    oracle-gated default keeps the Expand single-pass form."""
+    import io
+    from contextlib import redirect_stdout
+
+    from flink_cdc_multi_spark.plans.extensions import profile_table
+    from flink_cdc_multi_spark.plans.queries import load_table
+
+    t = load_table(spark, SF, "orders")
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    exact = plan(profile_table(t, approx=False))
+    approx = plan(profile_table(t, approx=True))
+    assert "Expand" in exact
+    assert "Expand" not in approx
+    # both stay single-pass: one scan each (path appears once per scan
+    # node in the detail section)
+    assert approx.count("orders.parquet") == 1
+    assert exact.count("orders.parquet") == 1
