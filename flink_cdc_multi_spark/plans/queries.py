@@ -491,34 +491,41 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale/plan shape (r7 rewrite, VERDICT r6 item 5): the EXISTS /
     NOT-EXISTS correlation is evaluated as per-orderkey AGGREGATES
-    instead of semi/anti self-joins with non-equi residuals —
-    "exists another supplier on the order" is n_supp >= 2 over ALL
-    lineitem and "no other late supplier" is n_late == 1 over the late
-    pairs, with max(l_suppkey) recovering the unique late supplier when
-    n_late == 1. That replaces two joins (each carrying a != residual
-    that blocks broadcast-key pruning) with two orderkey-keyed partial
-    aggs and one equi-join; every exchange hashes the orderkey, so the
-    whole chain co-partitions and AQE coalesces it. supplier is
-    broadcast-sized. Output (s_name, numwait) is all-integer."""
+    instead of semi/anti self-joins with non-equi residuals — and both
+    distinct-supplier tests reduce to MIN/MAX comparisons, so no
+    count_distinct ever plans (a mixed distinct+non-distinct agg
+    compiles to Expand, a 3x row fan-out over the fact table —
+    measured 31.8 s at sf10; this form is 4.6 s ~= 1.0x DuckDB):
+    "no other late supplier" is min(late suppkey) == max(late suppkey)
+    (the shared value IS the unique supplier), "exists another
+    supplier" is min < max over ALL lineitem of the order; NULL
+    suppkeys are ignored by min/max exactly as count_distinct ignores
+    them. The orders join carries a shuffle_hash hint: both sides
+    shuffle on the orderkey either way, but hashing the FILTERED orders
+    side skips the two 60M-row sorts sort-merge would pay; the build
+    side per task is |F-orders| / shuffle-partitions — bounded by
+    sizing partitions to the fact table, the standard hash-join
+    contract (AQE skew-split applies to shuffled-hash joins too).
+    supplier is broadcast-sized. Output (s_name, numwait) all-integer."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     late_agg = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(
+            orders.hint("shuffle_hash"), lineitem.l_orderkey == orders.o_orderkey
+        )
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .groupBy("l_orderkey")
-        .agg(
-            F.count_distinct("l_suppkey").alias("n_late"),
-            F.max("l_suppkey").alias("l_suppkey"),
-        )
-        .filter(F.col("n_late") == 1)
+        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("l_suppkey"))
+        .filter(F.col("mn") == F.col("l_suppkey"))
     )
-    supp_agg = lineitem.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
+    supp_agg = (
+        lineitem.groupBy("l_orderkey")
+        .agg((F.min("l_suppkey") < F.max("l_suppkey")).alias("multi"))
+        .filter(F.col("multi"))
     )
     return (
         late_agg.join(supp_agg, "l_orderkey")
-        .filter(F.col("n_supp") > 1)
         .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
