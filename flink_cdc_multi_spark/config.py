@@ -74,6 +74,32 @@ class JobConfig:
         if source_type not in SOURCE_TYPES:
             raise ConfigError(f"unknown source.type: {source_type}")
 
+        if source_type == "mongodb":
+            # System DBs cannot be streamed (MongoDBStreamer.java:74-79);
+            # check source.database.name plus any db the collection list or
+            # database list names, since this engine is multi-collection.
+            from flink_cdc_multi_spark.sources.mongo import ensure_not_system_db
+
+            candidates = []
+            if cfg.get("source.database.name"):
+                candidates.append(str(cfg["source.database.name"]))
+            dbl = cfg.get("source.database.list")
+            if isinstance(dbl, str):
+                candidates += [s.strip() for s in dbl.split(",") if s.strip()]
+            elif dbl:
+                candidates += [str(s) for s in dbl]
+            coll = cfg.get("source.collection.list")
+            if isinstance(coll, str):
+                coll = [s.strip() for s in coll.split(",") if s.strip()]
+            for c in coll or []:
+                if "." in c:
+                    candidates.append(c.split(".", 1)[0])
+            for db in candidates:
+                try:
+                    ensure_not_system_db(db)
+                except ValueError as e:
+                    raise ConfigError(str(e)) from None
+
         def _list(key: str) -> list[str]:
             v = cfg.get(key)
             if not v:

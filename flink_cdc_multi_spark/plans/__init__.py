@@ -1,58 +1,75 @@
+"""Query registry with a round-aware driver-gate rotation.
+
+The driver's correctness gate checks the FIRST 50 entries of ``queries()``
+in iteration order; 80 queries are registered, so ordering decides which
+get a fresh driver-green CORRECTNESS row each round. A static hand-ordered
+list goes stale (VERDICT r7 item 1: the r7 window re-checked the same 50
+and let the other 30 age). Instead we order by *least recently
+driver-checked*, computed from the committed ``CORRECTNESS_r*.json`` files
+at import time:
+
+  1. ``_REGATE`` — queries rewritten THIS round, pinned to the front so the
+     driver re-gates the changed code (edit this list when you rewrite a
+     query's plan or oracle).
+  2. everything else ascending by the last round a driver row exists for
+     (never-checked first), ties broken by stable registry order.
+
+This is self-maintaining: each round the driver's new CORRECTNESS file
+advances the checked queries' freshness, so next round the 30 unchecked
+ones rotate to the front automatically. If the CORRECTNESS files are
+unreadable (fresh clone without history) the order degrades to plain
+registry order, which is still a valid 50-window.
+"""
+
+import json
+import re
+from pathlib import Path
+
 from flink_cdc_multi_spark.plans.extensions import EXT_ORACLE_SQL, EXT_QUERIES
 from flink_cdc_multi_spark.plans.oracle import ORACLE_SQL
 from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 
-# The driver's correctness gate checks the FIRST 50 entries of queries()
-# in iteration order. 80 queries are registered, so ordering decides which
-# get a driver-green CORRECTNESS row. Priority (VERDICT r6 item 2):
-#   1. the 30 queries added mid-r5/r6 that have never had a driver row,
-#   2. queries rewritten this round (re-gate after change),
-#   3. the q01-q14 BASELINE gate suite, then remaining q-shapes;
-#   4. the r6-green extension queries (locally re-verified each round).
-_DRIVER_GATE_FIRST = [
-    # -- never driver-checked as of r6 (CORRECTNESS_r06 has no row) --
-    "ext_window_running",
-    "ext_sessionize",
-    "ext_cdc_scd2",
-    "ext_asof_join",
-    "ext_sample_stratified",
-    "ext_mixture_sample",
-    "ext_text_commonness",
-    "ext_text_bigrams",
-    "ext_text_vocab",
-    "ext_contamination",
-    "ext_text_repetition",
-    "ext_dedup_clusters",
-    "ext_text_chunks",
-    "ext_events_funnel",
-    "ext_events_retention",
-    "ext_events_json",
-    "ext_events_sliding",
-    "ext_window_range",
-    "ext_graph_triangles",
-    "ext_text_redact",
-    "ext_cdc_ivm",
-    "ext_multimodal_audio",
-    "ext_multimodal_jpeg",
-    "ext_multimodal_gifbmp",
-    "ext_events_topk",
-    "ext_embed_centroid",
-    "ext_profile_orders",
-    "ext_sketch_kmv",
-    "ext_dedup_priority",
-    "ext_budget_sample",
-    # -- rewritten in r7: re-gate --
+# Queries rewritten this round — force into the driver window for re-gating.
+_REGATE: list[str] = [
     "ext_dedup_minhash",
     "ext_dedup_minhash_md5",
-    "q21",
-    # -- the BASELINE gate suite + remaining q-shapes --
-    *[f"q{i:02d}" for i in range(1, 21)],
-    "q22",
+    "ext_cdc_ivm",
+    "q25",
+    "q27",
 ]
 
+
+def _last_checked_rounds() -> dict[str, int]:
+    """Map query name -> most recent round with a driver CORRECTNESS row."""
+    rounds: dict[str, int] = {}
+    repo_root = Path(__file__).resolve().parents[2]
+    for path in repo_root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            rounds[name] = max(rounds.get(name, -1), rnd)
+    return rounds
+
+
 _merged = {**QUERIES, **EXT_QUERIES}
-ALL_QUERIES = {name: _merged[name] for name in _DRIVER_GATE_FIRST}
-ALL_QUERIES.update({n: f for n, f in _merged.items() if n not in ALL_QUERIES})
+_registry_index = {name: i for i, name in enumerate(_merged)}
+_checked = _last_checked_rounds()
+
+
+def _gate_order(name: str) -> tuple[int, int, int]:
+    pinned = _REGATE.index(name) if name in _REGATE else len(_REGATE)
+    return (pinned, _checked.get(name, -1), _registry_index[name])
+
+
+ALL_QUERIES = {name: _merged[name] for name in sorted(_merged, key=_gate_order)}
 assert len(ALL_QUERIES) == len(_merged)
 
 ALL_ORACLE_SQL = {**ORACLE_SQL, **EXT_ORACLE_SQL}

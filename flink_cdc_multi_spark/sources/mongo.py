@@ -148,6 +148,19 @@ def normalize_mongo_id(payload: Column) -> Column:
 COMPAT_VERSION_FLOOR = "4.0.0"
 _TS_OFFSET_RE = __import__("re").compile(r"^[1-9][0-9]*$")
 
+# MongoDB system databases cannot be streamed (change streams are not
+# supported on them); the reference refuses them up front
+# (MongoDBStreamer.java:74-79, case-insensitive).
+_SYSTEM_DBS = __import__("re").compile(r"^(?:admin|config|local)$", __import__("re").IGNORECASE)
+
+
+def ensure_not_system_db(database: str) -> str:
+    """Refuse admin/config/local (MongoDBStreamer.java:74-79). Returns the
+    name unchanged so callers can use it inline."""
+    if _SYSTEM_DBS.match(database or ""):
+        raise ValueError(f"CANNOT STREAM FROM SYSTEM DB: {database}")
+    return database
+
 
 def compare_versions(a: str, b: str) -> int:
     """Numeric dotted-segment compare ('3.6.4' < '4.0.0' < '4.10.1');

@@ -102,3 +102,32 @@ def test_type_mismatch_hard_fails(spark):
     df = _df(spark, [{"a": "not-a-number"}])
     with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
         project_mongo_payload(df, "payload", SCHEMA, "top-level-type").collect()
+
+
+def test_system_db_refused():
+    """The reference refuses to stream MongoDB system databases
+    (MongoDBStreamer.java:74-79, case-insensitive regex admin|config|local);
+    mirror the guard at config validation and as a reusable check."""
+    from flink_cdc_multi_spark.config import ConfigError, JobConfig
+    from flink_cdc_multi_spark.sources.mongo import ensure_not_system_db
+
+    for db in ("admin", "config", "local", "Admin", "LOCAL", "CONFIG"):
+        with pytest.raises(ValueError, match="CANNOT STREAM FROM SYSTEM DB"):
+            ensure_not_system_db(db)
+    # near-misses pass through unchanged
+    for db in ("admin2", "my-db", "localdata", "configs"):
+        assert ensure_not_system_db(db) == db
+
+    base = {"source.id": "m1", "source.type": "mongodb", "sink.path": "/tmp/x"}
+    for key, val in (
+        ("source.database.name", "admin"),
+        ("source.database.list", "good,config"),
+        ("source.collection.list", "local.oplog"),
+    ):
+        with pytest.raises(ConfigError, match="CANNOT STREAM FROM SYSTEM DB"):
+            JobConfig.from_dict({**base, key: val})
+    # a normal db with an authSource=admin connection option is fine
+    ok = JobConfig.from_dict(
+        {**base, "source.database.name": "my-db", "source.collection.list": "my-db.c1"}
+    )
+    assert ok.source_table_list == ["my-db.c1"]

@@ -222,8 +222,14 @@ def test_q21_aggregate_form_no_self_joins(spark):
     # the orders join must be shuffled-hash (skips two fact-table sorts)
     assert "ShuffledHashJoin" in plan
     # two orderkey aggs + join + final name agg: lineitem is scanned
-    # twice but never a third time (the old form built `late` twice)
-    assert plan.count("Scan parquet") <= 8  # 4 scan nodes (tree+detail)
+    # twice but never a third time (the old form built `late` twice).
+    # Count detail-section node headers ("(N) Scan parquet"), not raw
+    # substring hits — the tree+detail double-render is a formatting
+    # detail that could change across Spark versions.
+    import re
+
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scan_nodes) <= 4, scan_nodes
 
 
 def test_q22_scalar_subquery_broadcast_and_anti(spark):

@@ -49,6 +49,31 @@ def test_oracle_sql_keys_subset_of_queries():
     assert set(ALL_ORACLE_SQL) <= set(ALL_QUERIES)
 
 
+def test_driver_gate_window_rotates_to_stale_queries():
+    """The driver gates the first 50 of ALL_QUERIES. Pin the rotation
+    contract (VERDICT r7 item 1): every registered query that has NO row
+    in the most recent committed CORRECTNESS_r*.json must sit inside the
+    50-window, so it regains a fresh driver-green row this round."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
+    files = sorted(
+        repo_root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not files:
+        pytest.skip("no CORRECTNESS history committed")
+    latest = set(json.loads(files[-1].read_text()))
+    window = set(list(ALL_QUERIES)[:50])
+    stale = set(ALL_QUERIES) - latest
+    overflow = stale - window
+    assert len(stale) > 50 or not overflow, (
+        f"stale queries pushed outside the driver gate window: {sorted(overflow)}"
+    )
+
+
 def test_fixture_contract(spark):
     """Invariants the static oracle SQL depends on — if the driver
     regenerates testdata with different shapes, fail HERE with a clear
