@@ -92,6 +92,7 @@ class JobConfig:
             if isinstance(coll, str):
                 coll = [s.strip() for s in coll.split(",") if s.strip()]
             for c in coll or []:
+                c = str(c)  # list entries may be non-string (YAML ints)
                 if "." in c:
                     candidates.append(c.split(".", 1)[0])
             for db in candidates:

@@ -39,8 +39,24 @@ _REGATE: list[str] = [
 ]
 
 
+def _row_passed(row) -> bool:
+    """A CORRECTNESS row counts as 'checked' only if it PASSED.
+
+    Failed rows (err non-null, or rows/hash mismatch) must keep the query
+    stale so it stays at the front of the driver's 50-window until green —
+    otherwise a red query rotates to the back and goes unverified.
+    """
+    if not isinstance(row, dict):
+        return False
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("hash_match", True) is not False
+    )
+
+
 def _last_checked_rounds() -> dict[str, int]:
-    """Map query name -> most recent round with a driver CORRECTNESS row."""
+    """Map query name -> most recent round with a PASSING driver row."""
     rounds: dict[str, int] = {}
     repo_root = Path(__file__).resolve().parents[2]
     for path in repo_root.glob("CORRECTNESS_r*.json"):
@@ -54,8 +70,9 @@ def _last_checked_rounds() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            rounds[name] = max(rounds.get(name, -1), rnd)
+        for name, row in rows.items():
+            if _row_passed(row):
+                rounds[name] = max(rounds.get(name, -1), rnd)
     return rounds
 
 

@@ -229,7 +229,10 @@ def test_q21_aggregate_form_no_self_joins(spark):
     import re
 
     scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
-    assert len(scan_nodes) <= 4, scan_nodes
+    # Lower bound guards the guard: if a Spark version changes the
+    # formatted-explain header layout, findall returning 0 must fail
+    # loudly here, not silently disable the scanned-at-most-4 check.
+    assert 1 <= len(scan_nodes) <= 4, scan_nodes
 
 
 def test_q22_scalar_subquery_broadcast_and_anti(spark):
@@ -324,3 +327,26 @@ def test_profile_table_approx_has_no_expand(spark):
     # node in the detail section)
     assert approx.count("orders.parquet") == 1
     assert exact.count("orders.parquet") == 1
+
+
+def test_plans_md_is_fresh(spark):
+    """PLANS.md freshness guard (VERDICT r7 item 2 / r8 item 2): the
+    committed file must equal what tools/plan_report.generate() renders
+    from the current query code, so plan rewrites (like the r7 q21
+    shuffle-hash pin) can't silently leave PLANS.md lying. Regenerate
+    with `python tools/plan_report.py` when this fails."""
+    import sys
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo_root / "tools"))
+    try:
+        import plan_report
+    finally:
+        sys.path.pop(0)
+
+    fresh = plan_report.generate(spark, SF)
+    committed = (repo_root / "PLANS.md").read_text()
+    assert fresh == committed, (
+        "PLANS.md is stale — regenerate with `python tools/plan_report.py`"
+    )

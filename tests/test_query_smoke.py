@@ -51,12 +51,17 @@ def test_oracle_sql_keys_subset_of_queries():
 
 def test_driver_gate_window_rotates_to_stale_queries():
     """The driver gates the first 50 of ALL_QUERIES. Pin the rotation
-    contract (VERDICT r7 item 1): every registered query that has NO row
-    in the most recent committed CORRECTNESS_r*.json must sit inside the
-    50-window, so it regains a fresh driver-green row this round."""
+    contract (VERDICT r7 item 1, refined r9): every registered query
+    without a PASSING row in the most recent committed
+    CORRECTNESS_r*.json must sit inside the 50-window, so it regains a
+    fresh driver-green row this round. Failed rows don't count as
+    checked (ADVICE r8): a red query must stay in the window until
+    green, not rotate to the back because the driver 'looked at it'."""
     import json
     import re
     from pathlib import Path
+
+    from flink_cdc_multi_spark.plans import _row_passed
 
     repo_root = Path(__file__).resolve().parents[1]
     files = sorted(
@@ -65,7 +70,11 @@ def test_driver_gate_window_rotates_to_stale_queries():
     )
     if not files:
         pytest.skip("no CORRECTNESS history committed")
-    latest = set(json.loads(files[-1].read_text()))
+    latest = {
+        name
+        for name, row in json.loads(files[-1].read_text()).items()
+        if _row_passed(row)
+    }
     window = set(list(ALL_QUERIES)[:50])
     stale = set(ALL_QUERIES) - latest
     overflow = stale - window
