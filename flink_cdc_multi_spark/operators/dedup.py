@@ -334,6 +334,70 @@ def minhash_lsh_pairs(
     )
 
 
+def _banded_pairs_fused(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Candidate pairs from a (id, sig) frame via banded LSH with FUSED
+    pair-dedup (r9, VERDICT item 4): the band explode carries the
+    signature, the self-join keys directly on the band SLICE (candidate ⇔
+    an identical band slice — the LSH banding definition itself; no
+    bucket hash, so no 60-bit-collision false candidates), and each pair
+    is emitted exactly ONCE by keeping only the row whose band is the
+    FIRST band where the slices agree — a row-local filter over the two
+    carried signatures. This removes the compact form's three post-join
+    exchanges (pair dropDuplicates + two signature re-attach joins): the
+    whole pipeline is sig-groupBy → one slice-keyed self-join → filter.
+
+    Trade-off vs _banded_pairs_compact: the banded shuffle here carries
+    K longs per (doc, band) instead of 20 bytes, i.e. ~(K×8×bands) bytes
+    per doc through one exchange, against the compact form's three extra
+    exchanges of pair- and doc-sized frames. For small signatures
+    (16 hashes × 4 bands = 512 B/doc) the fused form wins on both bytes
+    in flight and stage count; for wide signatures (64×16 = 8 KB/doc) the
+    compact form moves fewer bytes — measured at sf10 in PERF.md, which
+    is why minhash_lsh_pairs (64-hash fast path) keeps compact and
+    minhash_lsh_pairs_md5 (16-hash gated path) uses fused.
+
+    Output: (a_id, b_id, sa, sb)."""
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select("id", "sig", band_idx).select(
+        "id",
+        "sig",
+        "band",
+        F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band).alias("bslice"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    # first band (0-based) where the two signatures' slices agree — the
+    # emit-once condition. Built as a flat when-chain over the (small,
+    # Python-side) band count, NOT a transform/zip_with fold: higher-order
+    # array lambdas run interpreted per element (PERF.md lesson) and this
+    # predicate evaluates on EVERY joined row, pre-dedup.
+    def _slice_eq(j):
+        lo = j * rows_per_band + 1
+        return F.slice(F.col("sa"), lo, rows_per_band) == F.slice(
+            F.col("sb"), lo, rows_per_band
+        )
+
+    first_eq = F.lit(bands)  # sentinel; unreachable for joined rows
+    for j in range(bands - 1, -1, -1):
+        first_eq = F.when(_slice_eq(j), F.lit(j)).otherwise(first_eq)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bslice") == F.col("b.bslice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+            F.col("a.band").alias("band"),
+        )
+        .filter(F.col("band") == first_eq)
+        .drop("band")
+    )
+
+
 def _md5_hash60(col) -> "F.Column":
     """Portable 60-bit hash: first 15 hex chars of md5 → bigint. Identical
     in Spark (conv base16→10) and DuckDB (('0x'||hex)::BIGINT); 60 bits
@@ -404,11 +468,16 @@ def minhash_lsh_pairs_md5(
     (default threshold: half, i.e. est. jaccard >= 0.5).
     Output: (a_id, b_id, n_agree).
 
-    Scale shape is identical to the fast path: K min-aggs per doc in ONE
-    groupBy (minhash_signatures_md5_wide), compact banded equi-join on
-    (band, 60-bit bucket) with the signatures re-attached after pair
-    dedup (_banded_pairs_compact) — never all-pairs, and the signature
-    array never rides the wide shuffles."""
+    Scale shape: K min-aggs per doc in ONE groupBy
+    (minhash_signatures_md5_wide), then the FUSED banded self-join
+    (_banded_pairs_fused): one slice-keyed exchange, pair-dedup as a
+    row-local first-equal-band filter, no re-attach joins. At this
+    signature width (16 longs) the fused form both moves fewer bytes and
+    runs 3 fewer exchanges than the compact bucket-join form (sf10
+    measurement in PERF.md r9); the 64-hash fast path keeps the compact
+    form. Candidates are defined by slice EQUALITY (not a 60-bit bucket
+    hash), which the DuckDB oracle mirrors with list equality — never
+    all-pairs either way."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     if min_agree is None:
@@ -417,17 +486,7 @@ def minhash_lsh_pairs_md5(
     sig = wide.select(
         "id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig")
     )
-
-    def bucket_of(band, sig_col):
-        return _md5_hash60(
-            F.array_join(
-                F.slice(sig_col, band * rows_per_band + 1, rows_per_band)
-                .cast("array<string>"),
-                ",",
-            )
-        )
-
-    cand = _banded_pairs_compact(sig, bands, bucket_of)
+    cand = _banded_pairs_fused(sig, bands, rows_per_band)
     agree = F.size(
         F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
     ).cast("long")

@@ -31,11 +31,7 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 
 # Queries rewritten this round — force into the driver window for re-gating.
 _REGATE: list[str] = [
-    "ext_dedup_minhash",
-    "ext_dedup_minhash_md5",
-    "ext_cdc_ivm",
-    "q25",
-    "q27",
+    "ext_dedup_minhash",  # r9: fused banded pair path + slice-equality oracle
 ]
 
 

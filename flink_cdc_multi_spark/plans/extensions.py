@@ -1632,15 +1632,20 @@ EXT_ORACLE_SQL = {
           SELECT doc_id, list(mh ORDER BY k) AS sig FROM sigl GROUP BY doc_id
         ), banded AS (
           SELECT doc_id, sig, b.b AS band,
-                 ('0x' || substr(md5(
-                    array_to_string(sig[b.b*4+1 : b.b*4+4], ',')), 1, 15))::BIGINT
-                   AS bucket
+                 sig[b.b*4+1 : b.b*4+4] AS bslice
           FROM sig, range(4) b(b)
         ), cand AS (
-          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          -- candidate = identical band SLICE (the banding definition;
+          -- no bucket hash), emitted once per pair: only the FIRST band
+          -- whose slices agree survives (mirrors _banded_pairs_fused)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                  a.sig AS sa, b.sig AS sb
           FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ON a.band = b.band AND a.bslice = b.bslice AND a.doc_id < b.doc_id
+          WHERE a.band = list_position(
+                  list_transform(range(4),
+                    j -> a.sig[j*4+1 : j*4+4] = b.sig[j*4+1 : j*4+4]),
+                  true) - 1
         )
         SELECT a_id, b_id,
                CAST(len(list_filter(range(16), i -> sa[i+1] = sb[i+1])) AS BIGINT)

@@ -350,3 +350,21 @@ def test_plans_md_is_fresh(spark):
     assert fresh == committed, (
         "PLANS.md is stale — regenerate with `python tools/plan_report.py`"
     )
+
+
+def test_ext_dedup_minhash_fused_pair_dedup(spark):
+    """The md5 LSH pair path (16-hash signatures) must stay the FUSED
+    form (r9): one slice-keyed self-join with pair-dedup as a row-local
+    first-equal-band filter — no pair dropDuplicates exchange, no
+    signature re-attach joins. Measured at sf1 unscoped: fused 23.2 s vs
+    compact 23.6 s, and ~3 fewer stages at the gated floor scale; the
+    64-hash fast path keeps the compact form (its 8 KB/doc banded
+    shuffle loses: 7.4 s vs 5.4 s — PERF.md r9)."""
+    import re
+
+    plan = plan_of(spark, "ext_dedup_minhash")
+    shuffles = re.findall(r"\(\d+\) Exchange", plan)
+    assert 1 <= len(shuffles) <= 3, shuffles
+    # exactly one join in the whole pipeline (the banded self-join)
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 1, joins
