@@ -32,6 +32,8 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # Queries rewritten this round — force into the driver window for re-gating.
 _REGATE: list[str] = [
     "ext_dedup_minhash",  # r9: fused banded pair path + slice-equality oracle
+    "q27",  # r9: shuffle_hash hints on the nation-restricted sides
+    "q28",  # r9: shuffle_hash hint on the orders side
 ]
 
 

@@ -626,8 +626,15 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: nation is the only forced broadcast (25 rows); the
     supplier-restriction join and the partkey rollup shuffle on their
-    keys with map-side partials; AQE broadcasts the filtered supplier
-    side at bench SF and shuffles it on a cluster."""
+    keys with map-side partials; the partkey exchange is reused for the
+    scalar total (ReusedExchange at runtime). The supplier side stays
+    AQE-DECIDED by measurement (sf10 r9): AQE runtime-converts it to a
+    broadcast join; a shuffle_hash hint measured SLOWER (3.1 s vs
+    2.76 s unhinted), and a forced broadcast measured 1.31 s but is
+    rejected — region-filtered supplier is SF-proportional, the q18
+    rule (a forced broadcast of a fact-sized side dies at cluster
+    scale). The residual vs DuckDB is the statically-planned lineitem
+    shuffle write AQE's late conversion can't un-plan."""
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -695,7 +702,12 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: nation (25 rows) is the only forced broadcast, applied on
     both the supplier and customer dims; lineitem⋈orders and
     orders⋈customer shuffle on their keys; the final rollup is
-    2×2×|years| cells with map-side partials."""
+    2×2×|years| cells with map-side partials. The nation-restricted
+    sides (sup_n ≈ 8% of suppliers, cust_n ≈ 8% of customers, ord_n ≈
+    8% of orders) carry shuffle_hash hints — the q21 contract (hint the
+    SMALLER, filtered side; skips the fact-side sort-merge sorts).
+    Interleaved sf10 A/B, min-of-3 (r9): unhinted 4.63 s, ord_n-only
+    2.90 s, all three hinted 2.63 s."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -706,15 +718,15 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(pick.select(F.col("n_nationkey").alias("snk"),
                                 F.col("n_name").alias("supp_nation"))),
         supplier.s_nationkey == F.col("snk"),
-    ).select("s_suppkey", "supp_nation")
+    ).select("s_suppkey", "supp_nation").hint("shuffle_hash")
     cust_n = customer.join(
         F.broadcast(pick.select(F.col("n_nationkey").alias("cnk"),
                                 F.col("n_name").alias("cust_nation"))),
         customer.c_nationkey == F.col("cnk"),
-    ).select("c_custkey", "cust_nation")
+    ).select("c_custkey", "cust_nation").hint("shuffle_hash")
     ord_n = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
         "o_orderkey", "cust_nation", F.year("o_orderdate").alias("o_year")
-    )
+    ).hint("shuffle_hash")
     ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     dh = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     return (
@@ -740,7 +752,12 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one orderkey-keyed shuffle join + a partial-agg'd groupBy on
     a |years|-sized key; both counts ride the same aggregate (no second
-    pass over the join)."""
+    pass over the join). The orders side (4× smaller than lineitem,
+    2 narrow columns) carries a shuffle_hash hint — the q21 contract:
+    sort-merge pays full sorts of BOTH fact tables; hashing the smaller
+    side skips them (sf10 measured 11.9 s SMJ → 2.94 s hinted; per-task
+    build = |orders|/shuffle-partitions, sized by the same rule as any
+    hash join, AQE skew-split still applies)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     # coalesce + count(*)-sum: a NULL priority row counts as LOW (the
@@ -751,7 +768,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.select("l_orderkey", F.year("l_shipdate").alias("ship_year"))
-        .join(orders.select("o_orderkey", "o_orderpriority"),
+        .join(orders.select("o_orderkey", "o_orderpriority").hint("shuffle_hash"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("ship_year").cast("bigint").alias("ship_year"))
         .agg(
