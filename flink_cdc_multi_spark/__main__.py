@@ -159,12 +159,42 @@ def main(argv: list[str] | None = None) -> int:
     if args.validate:
         return 0
 
+    # Transport selection (README "Deployment topology"): a Kafka topic fed
+    # by Debezium Server / Kafka Connect (kafka.bootstrap.servers +
+    # kafka.topics), the file-backed Kafka stand-in (kafka.standin.path —
+    # same consumer code path, no broker socket), or the plain
+    # Debezium-JSON file feed (feed.path).
     feed = cfg.raw.get("feed.path")
-    if not feed:
-        raise ConfigError("feed.path required to run (Debezium-JSON lines dir)")
+    kafka_servers = cfg.raw.get("kafka.bootstrap.servers")
+    kafka_standin = cfg.raw.get("kafka.standin.path")
+    transports = [t for t in (feed, kafka_servers, kafka_standin) if t]
+    if len(transports) != 1:
+        raise ConfigError(
+            "exactly ONE transport required: feed.path (Debezium-JSON lines "
+            "dir), kafka.bootstrap.servers + kafka.topics (live topic), or "
+            "kafka.standin.path (file-backed Kafka stand-in)"
+        )
+    input_path, input_stream = feed, None
+    if kafka_servers:
+        from flink_cdc_multi_spark.sources.kafka import read_kafka_stream
+
+        topics = cfg.raw.get("kafka.topics")
+        if not topics:
+            raise ConfigError("kafka.bootstrap.servers set but kafka.topics missing")
+        input_stream = read_kafka_stream(
+            spark,
+            kafka_servers,
+            topics,
+            cfg.source_type,
+            starting_offsets=cfg.raw.get("kafka.starting.offsets", "earliest"),
+        )
+    elif kafka_standin:
+        from flink_cdc_multi_spark.sources.kafka import read_kafka_stream_standin
+
+        input_stream = read_kafka_stream_standin(spark, kafka_standin, cfg.source_type)
     pipe = CDCPipeline(cfg, registry, schema_provider=provider)
     ckpt = cfg.checkpoint_directory or f"{cfg.sink_path.rstrip('/')}/_checkpoint"
-    query = pipe.start(spark, feed, ckpt)
+    query = pipe.start(spark, input_path, ckpt, input_stream=input_stream)
     if args.timeout is not None:
         # bounded run: drain whatever the feed has, then stop (tests/demos)
         query.processAllAvailable()

@@ -438,3 +438,57 @@ def test_collection_list_and_name_map_aliases():
     )
     assert cfg.source_table_list == ["db.a", "db.b"]
     assert cfg.table_name_map == {"db.a": "a_v2", "db.b": "b_v9"}
+
+
+def test_deploy_example_configs_validate(tmp_path):
+    """README 'Deployment topology' contract: every config in
+    example-configs/deploy must pass --validate after the artifact
+    generator runs (the configs stand in for live introspection; a key
+    drift here means the deployment docs lie)."""
+    import glob
+
+    r = subprocess.run(
+        [sys.executable, "tools/gen_example_catalog.py"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    configs = sorted(glob.glob("/root/repo/example-configs/deploy/*.json"))
+    assert len(configs) == 4
+    for cfg in configs:
+        v = subprocess.run(
+            [sys.executable, "-m", "flink_cdc_multi_spark", "-c", cfg, "--validate"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert v.returncode == 0, (cfg, v.stderr[-2000:])
+        assert "table:" in v.stdout, cfg
+
+
+def test_transport_exclusivity(tmp_path):
+    """Exactly one transport (feed.path | kafka.bootstrap.servers |
+    kafka.standin.path) — zero or two must fail loudly, not pick one."""
+    import pandas as pd
+
+    pd.DataFrame(
+        _catalog_rows(),
+        columns=["table_schema", "table_name", "column_name",
+                 "type_name", "ordinal_position"],
+    ).to_parquet(tmp_path / "catalog.parquet")
+    base = {
+        "source.id": "x", "source.type": "mysql",
+        "source.table.list": "testdb.users",
+        "sink.path": str(tmp_path / "sink"),
+        "offset.store.path": str(tmp_path / "store"),
+        "catalog.file": str(tmp_path / "catalog.parquet"),
+    }
+    for extra in (
+        {},  # zero transports
+        {"feed.path": str(tmp_path), "kafka.standin.path": str(tmp_path)},  # two
+    ):
+        (tmp_path / "job.json").write_text(json.dumps({**base, **extra}))
+        r = subprocess.run(
+            [sys.executable, "-m", "flink_cdc_multi_spark",
+             "-c", str(tmp_path / "job.json")],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode != 0
+        assert "transport" in (r.stderr + r.stdout)
