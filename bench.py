@@ -288,7 +288,7 @@ def main() -> None:
             df.count()  # materialize before the timed waves
         ext_waves: list[float] = []
         best_ext = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             with ThreadPoolExecutor(min(len(ext_ok), 16)) as ex:
                 futs = {q: ex.submit(run, q) for q in ext_ok}
@@ -302,6 +302,11 @@ def main() -> None:
         for df in hot:
             df.unpersist()
         out["ext_concurrent"] = best_ext
+        # The ext wave runs with documents/events/embeddings persisted
+        # (warm cache) while ext_duckdb_total is measured cold — flag it so
+        # round-over-round and Spark-vs-DuckDB comparisons can't silently
+        # mix warm and cold numbers (ADVICE r9).
+        out["ext_cached"] = True
         # Both wave times + spread (VERDICT r8 item 1): with only the best
         # wave recorded, an environment hiccup is indistinguishable from a
         # plan regression in the artifact.
@@ -344,7 +349,10 @@ def main() -> None:
         "duckdb_sec": out.get("duckdb_sec"),
         "ratio_vs_duckdb": out.get("ratio_vs_duckdb"),
         "ext_concurrent": out.get("ext_concurrent"),
+        "ext_cached": out.get("ext_cached"),
         "ext_duckdb_total": out.get("ext_duckdb_total"),
+        "n_gate_waves": len(gate_waves),
+        "n_ext_waves": len(out.get("ext_waves", [])),
         "n_ext_queries": len(out.get("ext", {})),
         "n_errors": len(errors),
         "detail": "BENCH_DETAIL.json",
@@ -358,6 +366,7 @@ def main() -> None:
     # until the line fits the driver's 2000-char stdout tail.
     line = json.dumps(compact)
     for droppable in ("queries", "ext_duckdb_total", "ext_concurrent",
+                      "ext_cached", "n_gate_waves", "n_ext_waves",
                       "sequential_total", "detail"):
         if len(line) < 1900:
             break

@@ -30,11 +30,9 @@ from flink_cdc_multi_spark.plans.oracle import ORACLE_SQL
 from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 
 # Queries rewritten this round — force into the driver window for re-gating.
-_REGATE: list[str] = [
-    "ext_dedup_minhash",  # r9: fused banded pair path + slice-equality oracle
-    "q27",  # r9: shuffle_hash hints on the nation-restricted sides
-    "q28",  # r9: shuffle_hash hint on the orders side
-]
+# (q29 is NEW this round and sorts to the front automatically: never-checked
+# queries rank before any checked one.)
+_REGATE: list[str] = []
 
 
 def _row_passed(row) -> bool:
@@ -50,6 +48,7 @@ def _row_passed(row) -> bool:
         row.get("err") is None
         and row.get("rows_match") is True
         and row.get("hash_match", True) is not False
+        and row.get("schema_match", True) is not False
     )
 
 

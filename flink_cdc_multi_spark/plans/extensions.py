@@ -95,8 +95,10 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup PAIRS, fully oracle-checked: banded LSH over
-    the portable md5-hash60 signatures (16 hashes, 4 bands; band bucket =
-    md5-hash60 of the comma-joined band values), agreement reported as the
+    the portable md5-hash60 signatures (16 hashes, 4 bands; candidates =
+    pairs whose 4-hash band SLICES are equal for some band, joined on the
+    band-slice key and emitted once at the first equal band — see
+    _banded_pairs_fused), agreement reported as the
     exact integer count of matching minhashes (>= 8 ⇔ est. jaccard >=
     0.5). The xxhash64 operator (D.minhash_lsh_pairs, 64 hashes / 16
     bands) is the documented non-gated fast path — same pipeline shape,

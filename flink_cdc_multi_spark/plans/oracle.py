@@ -270,4 +270,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY ship_year
     """,
+    "q29": """
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY k
+    """,
 }

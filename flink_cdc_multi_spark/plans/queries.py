@@ -778,6 +778,31 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) — the last SURVEY §2.8 set-op with
+    zero gate coverage (VERDICT r9 item 4): customers holding a finished
+    ('F') order but no open ('O') order. ``DataFrame.subtract`` == SQL
+    EXCEPT [DISTINCT] in both engines.
+
+    NULL-key contract (pinned by the adversarial fixture's NULL-custkey
+    'F' order): set ops compare by GROUPING equality, so a NULL key on
+    the left SURVIVES unless the right also has one — the opposite of an
+    ``=``-keyed anti join, which never matches NULL and is pinned against
+    this in tests/test_adversarial_gate.py.
+
+    Scale: both branches partial-agg to |distinct custkeys| map-side
+    before the single hash shuffle; no sort, no fact-fact join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    return finished.subtract(open_)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01": q01,
     "q02": q02,
@@ -807,4 +832,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26": q26,
     "q27": q27,
     "q28": q28,
+    "q29": q29,
 }

@@ -42,7 +42,8 @@ ADVERSARIAL_QUERIES = [
     "ext_window_running",
     "ext_sessionize",
     # documents: NULL/empty/whitespace/unicode text, dup texts across
-    # sources, trailing-newline source
+    # sources, trailing-newline source, DDL-text match/near-miss rows
+    "q08",
     "ext_dedup_priority",
     "ext_dedup_exact",
     "ext_dedup_ngram",
@@ -64,6 +65,8 @@ ADVERSARIAL_QUERIES = [
     "q14",
     "q21",
     "q22",
+    # EXCEPT with a NULL key reaching the set-op (NULL-custkey 'F' order)
+    "q29",
     "ext_profile_orders",
 ]
 
@@ -108,3 +111,47 @@ def test_adversarial_rows_actually_reach_the_queries(spark, adv_sf):
     assert (
         docs.filter("source LIKE '%' || chr(10)").count() >= 1
     ), "trailing-newline source row missing (ADVICE r6 fixture)"
+
+
+def test_q08_is_not_vacuous_on_adversarial_fixture(spark, adv_sf):
+    """q08's RLIKE vs REGEXP_MATCHES contract passed every round on 0
+    rows (VERDICT r9 item 2). The hostile fixture now carries DDL-text
+    rows: the three keyword+whitespace variants MUST match and the two
+    near-misses (keyword+letter, keyword at end of text) MUST NOT —
+    asserted on the Spark side here; cross-engine equality of the same
+    rows is the sweep above."""
+    import __spark_entry__ as entrymod
+
+    got = {
+        r.doc_id
+        for r in entrymod.queries()["q08"](spark, adv_sf)
+        .filter("doc_id < 0")
+        .collect()
+    }
+    assert got == {-8, -9, -10}, got
+
+
+def test_q29_except_null_key_vs_anti_join(spark, adv_sf):
+    """EXCEPT vs anti-join NULL-key contract (VERDICT r9 item 4): the
+    fixture's NULL-custkey 'F' order puts a NULL key into q29's left
+    branch with no NULL on the right. EXCEPT uses grouping equality →
+    NULL survives (both engines — cross-engine equality is the sweep);
+    an =-keyed LEFT ANTI join never matches NULL → it ALSO keeps the
+    NULL here, but drops it the moment the right side gains a NULL,
+    where EXCEPT still removes it. Pin the divergent case explicitly."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["q29"](spark, adv_sf)
+    assert out.filter("k IS NULL").count() == 1, "NULL key must survive EXCEPT"
+
+    orders = spark.read.parquet(f"{adv_sf}/orders.parquet")
+    f_side = orders.filter("o_orderstatus = 'F'").select(
+        F.col("o_custkey").alias("k"))
+    # Gain a NULL on the right: EXCEPT now drops the NULL; anti join keeps it.
+    o_side_with_null = orders.filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("k")
+    ).unionAll(spark.sql("SELECT CAST(NULL AS BIGINT) AS k"))
+    assert f_side.subtract(o_side_with_null).filter("k IS NULL").count() == 0
+    anti = f_side.join(o_side_with_null, "k", "left_anti")
+    assert anti.filter("k IS NULL").count() >= 1

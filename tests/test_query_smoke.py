@@ -83,6 +83,28 @@ def test_driver_gate_window_rotates_to_stale_queries():
     )
 
 
+def test_driver_gate_window_is_least_recently_checked(  # VERDICT r9 item 6
+):
+    """History-wide rotation contract: no query INSIDE the 50-window may
+    have a more recent passing driver row than any query OUTSIDE it
+    (modulo explicit _REGATE pins). This is the property that makes the
+    rotation self-maintaining — each round the window is exactly the
+    least-recently-checked 50 of the committed CORRECTNESS history."""
+    from flink_cdc_multi_spark.plans import _REGATE, _last_checked_rounds
+
+    checked = _last_checked_rounds()
+    names = list(ALL_QUERIES)
+    window, outside = names[:50], names[50:]
+    if not outside:
+        pytest.skip("registry fits inside one driver window")
+    newest_in = max(checked.get(q, -1) for q in window if q not in _REGATE)
+    oldest_out = min(checked.get(q, -1) for q in outside)
+    assert newest_in <= oldest_out, (
+        f"window holds a fresher query (r{newest_in}) than one it "
+        f"excludes (r{oldest_out}) — rotation is not least-recently-checked"
+    )
+
+
 def test_fixture_contract(spark):
     """Invariants the static oracle SQL depends on — if the driver
     regenerates testdata with different shapes, fail HERE with a clear

@@ -111,12 +111,15 @@ def main() -> int:
     con = oracle_connection(sf_dir)
 
     failures = []
+    zero_rows = []
     for name in sorted(qs):
         if name not in only:
             continue
         if name not in oracles:
             n, _ = check_one(spark, con, qs[name], None, sf_dir)
             print(f"{name}: rows-only ({n} rows) [no oracle]")
+            if n == 0:
+                zero_rows.append(name)
             continue
         n, problems = check_one(spark, con, qs[name], oracles[name], sf_dir)
         for p in problems:
@@ -124,7 +127,15 @@ def main() -> int:
         print(f"{name}: {'OK' if not problems else 'FAIL'} ({n} rows)")
         if problems:
             failures.append(name)
+        elif n == 0:
+            zero_rows.append(name)
 
+    # A 0-row match is a VACUOUS green: the per-value cross-engine contract
+    # was never exercised (VERDICT r9 item 2 — q08 passed every round
+    # without a single matching row). Surface it loudly so fixture gaps are
+    # visible; the adversarial fixture is the place to add a hostile row.
+    if zero_rows:
+        print("\nZERO-ROW (vacuous) matches:", zero_rows)
     print("\nFAILURES:", failures or "none")
     return 1 if failures else 0
 

@@ -90,6 +90,25 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
             # use the \z whole-text anchor in BOTH engines.
             {"doc_id": -7, "text": "dup dup dup dup", "lang": "en",
              "source": "src0\n", "n_chars": 15},
+            # DDL-text rows (VERDICT r9 item 2): q08's RLIKE vs
+            # REGEXP_MATCHES contract was never exercised on a MATCHING
+            # row (0 rows at every tested SF = vacuous green). Match rows
+            # cover each keyword with each whitespace class both engines'
+            # \s agree on (space, tab, newline — NOT \x0B, where Java \s
+            # and RE2 \s diverge; keep \x0B out of text columns or the
+            # \s+ tokenizers split differently). Near-miss rows pin the
+            # negative side: keyword+letter and keyword-at-end-of-text
+            # must match in NEITHER engine.
+            {"doc_id": -8, "text": "CREATE TABLE users (id INT)",
+             "lang": "en", "source": "src1", "n_chars": 27},
+            {"doc_id": -9, "text": "please drop\tthe index now",
+             "lang": "en", "source": "src2", "n_chars": 25},
+            {"doc_id": -10, "text": "AlTeR\nsession set x=1",
+             "lang": "de", "source": "src3", "n_chars": 21},
+            {"doc_id": -11, "text": "created a new file yesterday",
+             "lang": "en", "source": "src1", "n_chars": 28},
+            {"doc_id": -12, "text": "nothing left to alter",
+             "lang": "fr", "source": "src2", "n_chars": 21},
         ]
     if name == "embeddings":
         dim = 0
@@ -107,6 +126,16 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
             {"o_orderkey": -2, "o_custkey": -9, "o_orderstatus": "F",
              "o_totalprice": -0.005, "o_orderdate": __import__("datetime").datetime(1992, 1, 1),
              "o_orderpriority": "1-URGENT"},
+            # NULL custkey with status 'F' (VERDICT r9 item 4): flows a
+            # NULL KEY into q29's EXCEPT left branch — set ops use
+            # grouping equality, so the NULL must SURVIVE (no NULL on the
+            # 'O' side) in BOTH engines, while an =-keyed anti join would
+            # drop it. NB: this row makes q11's `NOT IN (... WHERE
+            # o_orderstatus='F')` three-valued-empty — identically in
+            # both engines (ANSI NOT IN with a NULL in the list).
+            {"o_orderkey": -3, "o_custkey": None, "o_orderstatus": "F",
+             "o_totalprice": 1.0, "o_orderdate": __import__("datetime").datetime(1993, 1, 1),
+             "o_orderpriority": "5-LOW"},
         ]
     if name == "lineitem":
         return [
