@@ -207,3 +207,75 @@ def test_cdc_delta_stream_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_delta_stream_replay_drop_at_scale(spark, tmp_path):
+    """Replay-drop at a non-toy key count under RocksDB (VERDICT r9
+    item 5, CI-sized twin of tools/bench_state_scale.py): build 50k-key
+    state, touch 1% of keys, then replay that batch byte-identically —
+    zero deltas — and pin via state metrics that the touch batch updated
+    ONLY the touched keys (numRowsUpdated == touched, numRowsTotal ==
+    full domain): per-batch work is O(batch + touched), not O(keys)."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.streaming.stateful import cdc_delta_stream
+
+    n_keys, n_touch = 50_000, 500
+    stride = n_keys // n_touch
+
+    def batch(n, op, pos_base, step):
+        return spark.range(n).select(
+            (F.col("id") * step).alias("pk"),
+            (F.col("id") % 7).cast("string").alias("g"),
+            (F.col("id") % 100).alias("v"),
+            F.lit(op).alias("_op"),
+            (F.lit(pos_base) + F.col("id") * step).alias("pos"),
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        batch(n_keys, "INSERT", 0, 1).coalesce(4).write.parquet(str(feed / "f1"))
+        stream = spark.readStream.schema(
+            "pk long, g string, v long, _op string, pos long"
+        ).option("maxFilesPerTrigger", "4").parquet(str(feed) + "/*")
+        counts: list[int] = []
+        q = (
+            cdc_delta_stream(stream, "pk", "g", "v", "pos")
+            .writeStream.foreachBatch(lambda df, _b: counts.append(df.count()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert counts[-1] == n_keys  # one insert delta per key
+
+            batch(n_touch, "UPDATE", 10 * n_keys, stride).coalesce(1).write.parquet(
+                str(feed / "f2")
+            )
+            q.processAllAvailable()
+            # retraction + insert per touched key
+            assert counts[-1] == 2 * n_touch
+            so = q.lastProgress["stateOperators"][0]
+            assert so["numRowsTotal"] == n_keys
+            assert so["numRowsUpdated"] == n_touch
+
+            spark.read.parquet(str(feed / "f2")).coalesce(1).write.parquet(
+                str(feed / "f3")
+            )
+            q.processAllAvailable()
+            assert counts[-1] == 0, "replayed batch emitted deltas"
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
