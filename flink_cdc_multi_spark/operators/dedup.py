@@ -497,31 +497,45 @@ def minhash_lsh_pairs_md5(
     )
 
 
-def simhash_pairs_md5(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    blocks: int = 4,
-    bits: int = 60,
-) -> DataFrame:
-    """Engine-portable pigeonhole pair join over the 60-bit md5 SimHash:
-    same block-join + bit_count verify as simhash_pairs, with md5-derived
-    token hashes so a DuckDB oracle reproduces the PAIR OUTPUT exactly.
-    Output: (a_id, b_id, hamming)."""
-    assert blocks > max_hamming, "need more blocks than allowed bit-errors"
-    width = bits // blocks
-    sig = simhash_md5(df, id_col, text_col, bits)
+def _pigeonhole_pairs_fused(sig: DataFrame, blocks: int, width: int) -> DataFrame:
+    """Candidate pairs from a (id, simhash) frame via the pigeonhole block
+    self-join with FUSED pair-dedup (r10, the _banded_pairs_fused recipe
+    applied to SimHash): each pair is emitted exactly once by keeping only
+    the row whose block is the FIRST block where the two simhashes' block
+    values agree — a row-local when-chain over the two carried 8-byte
+    hashes, replacing the compact form's dropDuplicates exchange.
+
+    Unlike the minhash fusion there is NO byte trade-off to weigh: the
+    compact block join already carried both simhashes through the join
+    (the hamming verify needs them), so fusing strictly deletes one
+    pair-stream shuffle. That exchange is also where duplicate-clique
+    skew bit hardest: a clique of d identical docs emits blocks×C(d,2)
+    candidate rows into ONE (a_id,b_id)-keyed dedup — measured at sf10
+    (100-dup cliques, 500k docs) in PERF.md r10. Output:
+    (a_id, b_id, ha, hb)."""
     blk = sig.select(
         "id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
     ).withColumn(
+        # shiftrightunsigned only takes a literal bit count in the Python
+        # API; the SQL form accepts a column expression
         "blk_val",
         F.expr(f"shiftrightunsigned(simhash, blk * {width}) & {(1 << width) - 1}"),
     )
     a, b = blk.alias("a"), blk.alias("b")
-    cand = (
+
+    def _blk_eq(j):
+        mask = (1 << width) - 1
+        return F.expr(
+            f"(shiftrightunsigned(ha, {j * width}) & {mask}) = "
+            f"(shiftrightunsigned(hb, {j * width}) & {mask})"
+        )
+
+    first_eq = F.lit(blocks)  # sentinel; unreachable for joined rows
+    for j in range(blocks - 1, -1, -1):
+        first_eq = F.when(_blk_eq(j), F.lit(j)).otherwise(first_eq)
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -533,9 +547,29 @@ def simhash_pairs_md5(
             F.col("b.id").alias("b_id"),
             F.col("a.simhash").alias("ha"),
             F.col("b.simhash").alias("hb"),
+            F.col("a.blk").alias("blk"),
         )
-        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("blk") == first_eq)
+        .drop("blk")
     )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Engine-portable pigeonhole pair join over the 60-bit md5 SimHash:
+    fused block join (_pigeonhole_pairs_fused) + bit_count verify, with
+    md5-derived token hashes so a DuckDB oracle reproduces the PAIR
+    OUTPUT exactly. Output: (a_id, b_id, hamming)."""
+    assert blocks > max_hamming, "need more blocks than allowed bit-errors"
+    width = bits // blocks
+    sig = simhash_md5(df, id_col, text_col, bits)
+    cand = _pigeonhole_pairs_fused(sig, blocks, width)
     hamming = F.bit_count(F.expr("ha ^ hb")).cast("long")
     return (
         cand.withColumn("hamming", hamming)
@@ -603,37 +637,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via the pigeonhole block
     join: split 64 bits into `blocks` blocks (blocks > max_hamming ⇒ any
-    qualifying pair agrees on ≥1 whole block). Verify with bit_count(xor).
+    qualifying pair agrees on ≥1 whole block). Fused emit-once join
+    (_pigeonhole_pairs_fused), verify with bit_count(xor).
     Output: (a_id, b_id, hamming)."""
     assert blocks > max_hamming, "need more blocks than allowed bit-errors"
     width = 64 // blocks
     sig = simhash(df, id_col, text_col)
-    blk = sig.select(
-        F.col("id"),
-        F.col("simhash"),
-        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
-    ).withColumn(
-        # shiftrightunsigned only takes a literal bit count in the Python
-        # API; the SQL form accepts a column expression
-        "blk_val",
-        F.expr(f"shiftrightunsigned(simhash, blk * {width}) & {(1 << width) - 1}"),
-    )
-    a, b = blk.alias("a"), blk.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = _pigeonhole_pairs_fused(sig, blocks, width)
     hamming = F.bit_count(F.expr("ha ^ hb"))
     return (
         cand.withColumn("hamming", hamming)

@@ -370,6 +370,24 @@ def test_ext_dedup_minhash_fused_pair_dedup(spark):
     assert len(joins) == 1, joins
 
 
+def test_ext_dedup_simhash_fused_pair_dedup(spark):
+    """Both simhash pair paths must stay the FUSED pigeonhole form (r10):
+    one block-keyed self-join with pair-dedup as a row-local
+    first-equal-block filter — no pair dropDuplicates exchange. Unlike
+    minhash there is no byte trade-off (the compact join already carried
+    both simhashes for the hamming verify), and the deleted exchange is
+    where duplicate-clique skew concentrated: sf10 unscoped (100-dup
+    cliques) measurements in PERF.md r10."""
+    import re
+
+    plan = plan_of(spark, "ext_dedup_simhash")
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 1, joins
+    # signature build (1-2 exchanges) + one self-join shuffle pair; the
+    # compact form's (a_id, b_id) dedup exchange must NOT reappear
+    assert "hashpartitioning(a_id" not in plan, "pair dropDuplicates is back"
+
+
 def test_q27_q28_shuffle_hash_not_sortmerge(spark):
     """q27/q28 fact joins must stay shuffled-hash on the smaller/filtered
     side (r9 sf10 A/B: q27 4.63 s SMJ → 2.63 s hinted; q28 11.9 s →

@@ -159,8 +159,11 @@ def main() -> None:
     spark = get_spark("sf10-ext-sweep")
 
     results: dict[str, dict] = {}
+    runs_override = os.environ.get("SWEEP_RUNS")
     for name in only:
         fn, sql, runs = targets[name]
+        if runs_override:
+            runs = int(runs_override)
         rec: dict = {}
         print(f"=== {name} ===", flush=True)
         try:
