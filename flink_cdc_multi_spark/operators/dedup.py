@@ -268,38 +268,6 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
 
 
-def _banded_pairs_compact(sig: DataFrame, bands: int, bucket_of) -> DataFrame:
-    """Candidate pairs from a (id, sig) frame via banded LSH with COMPACT
-    shuffles (r7, the contamination recipe): the band explode and the
-    band-bucket self-join move only (id, band, bucket) = 20-byte rows —
-    never the K-long signature array — and the signatures are re-attached
-    AFTER pair dedup by two equi-joins back to `sig`. Physically the
-    signature build is computed once: all three consumers sit above the
-    same groupBy(id) exchange, which ReuseExchange dedupes (pinned in
-    test_plan_quality). ``bucket_of(band, band_slice)`` supplies the
-    engine-specific band hash. Output: (a_id, b_id, sa, sb)."""
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig.select("id", "sig", band_idx).select(
-        "id",
-        "band",
-        bucket_of(F.col("band"), F.col("sig")).alias("bucket"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    sa = sig.select(F.col("id").alias("a_id"), F.col("sig").alias("sa"))
-    sb = sig.select(F.col("id").alias("b_id"), F.col("sig").alias("sb"))
-    return cand.join(sa, "a_id").join(sb, "b_id")
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -313,16 +281,21 @@ def minhash_lsh_pairs(
     signature-estimated Jaccard (fraction of agreeing minhashes ≥ threshold).
     Output: (a_id, b_id, est_jaccard).
 
-    Scale: compact band join (see _banded_pairs_compact) — the 64-long
-    signature (512 B/doc, ×16 bands through the old join) never rides the
-    wide shuffles."""
+    Scale: FUSED band join (see _banded_pairs_fused), switched from the
+    compact bucket-hash form in r10 on the sf10 dup-heavy measurement
+    (500k docs, 100-copy cliques, identical 27.31M pairs, same session):
+    fused 68.0 s warm / 69.0 s cold vs compact 98.0 s warm / 192.8 s
+    cold. The compact form's pair-key dropDuplicates exchange is the
+    same hot-clique skew wall that cost simhash 73× — a d-copy clique
+    concentrates bands×C(d,2) candidate rows on hot pair keys. Fused
+    pays ~(num_hashes×8×bands) bytes/doc through ONE exchange instead
+    (≈8 KB/doc at 64×16), which loses only a constant factor at LOW dup
+    density (sf1 10-cliques: 7.4 s vs 5.4 s, PERF.md r9) but never hits
+    a wall; dedup at scale is run precisely because dup density is high,
+    so the hot-clique regime is the one the operator must survive."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-
-    def bucket_of(band, sig_col):
-        return F.xxhash64(band, F.slice(sig_col, band * rows_per_band + 1, rows_per_band))
-
-    cand = _banded_pairs_compact(sig, bands, bucket_of)
+    cand = _banded_pairs_fused(sig, bands, rows_per_band)
     agree = F.size(
         F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
     )
@@ -346,15 +319,19 @@ def _banded_pairs_fused(sig: DataFrame, bands: int, rows_per_band: int) -> DataF
     exchanges (pair dropDuplicates + two signature re-attach joins): the
     whole pipeline is sig-groupBy → one slice-keyed self-join → filter.
 
-    Trade-off vs _banded_pairs_compact: the banded shuffle here carries
-    K longs per (doc, band) instead of 20 bytes, i.e. ~(K×8×bands) bytes
-    per doc through one exchange, against the compact form's three extra
-    exchanges of pair- and doc-sized frames. For small signatures
-    (16 hashes × 4 bands = 512 B/doc) the fused form wins on both bytes
-    in flight and stage count; for wide signatures (64×16 = 8 KB/doc) the
-    compact form moves fewer bytes — measured at sf10 in PERF.md, which
-    is why minhash_lsh_pairs (64-hash fast path) keeps compact and
-    minhash_lsh_pairs_md5 (16-hash gated path) uses fused.
+    Trade-off vs the retired compact form (bucket-hash join + pair
+    dropDuplicates + two signature re-attach joins, removed r10): the
+    banded shuffle here carries K longs per (doc, band) instead of
+    20 bytes, i.e. ~(K×8×bands) bytes per doc through one exchange,
+    against the compact form's three extra exchanges of pair- and
+    doc-sized frames. For small signatures (16×4 = 512 B/doc) fused wins
+    on both bytes in flight and stage count; for wide signatures (64×16
+    = 8 KB/doc) compact moves fewer bytes at LOW dup density (sf1: 5.4 s
+    vs fused 7.4 s) but its pair-key dedup exchange is a hot-clique skew
+    wall — sf10 100-copy cliques measured compact 98.0 s warm / 192.8 s
+    cold vs fused 68.0/69.0 s at identical 27.31M pairs (PERF.md r10),
+    the same wall that cost simhash 73×. Every LSH pair path (minhash
+    md5 + xxhash64, simhash md5 + xxhash64) therefore uses this form.
 
     Output: (a_id, b_id, sa, sb)."""
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")

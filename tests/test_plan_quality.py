@@ -357,9 +357,7 @@ def test_ext_dedup_minhash_fused_pair_dedup(spark):
     form (r9): one slice-keyed self-join with pair-dedup as a row-local
     first-equal-band filter — no pair dropDuplicates exchange, no
     signature re-attach joins. Measured at sf1 unscoped: fused 23.2 s vs
-    compact 23.6 s, and ~3 fewer stages at the gated floor scale; the
-    64-hash fast path keeps the compact form (its 8 KB/doc banded
-    shuffle loses: 7.4 s vs 5.4 s — PERF.md r9)."""
+    compact 23.6 s, and ~3 fewer stages at the gated floor scale."""
     import re
 
     plan = plan_of(spark, "ext_dedup_minhash")
@@ -368,6 +366,30 @@ def test_ext_dedup_minhash_fused_pair_dedup(spark):
     # exactly one join in the whole pipeline (the banded self-join)
     joins = re.findall(r"\(\d+\) \w*Join", plan)
     assert len(joins) == 1, joins
+
+
+def test_minhash_fast_path_fused_pair_dedup(spark):
+    """The 64-hash xxhash64 fast path must ALSO stay fused (r10 flip):
+    compact's pair-key dropDuplicates exchange is a hot-clique skew wall
+    (sf10 100-copy cliques: compact 98.0 s warm / 192.8 s cold vs fused
+    68.0/69.0 s at identical 27.31M pairs — PERF.md r10). Pin: one join,
+    no (a_id, b_id) pair-key exchange."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from flink_cdc_multi_spark.operators import dedup as D
+    from flink_cdc_multi_spark.plans.queries import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 50)
+    plan = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # tree-form string (no formatted numbering): count join operators
+    joins = re.findall(r"(?:BroadcastHash|SortMerge|ShuffledHash)Join", plan)
+    assert len(joins) == 1, joins
+    assert "hashpartitioning(a_id" not in plan
 
 
 def test_ext_dedup_simhash_fused_pair_dedup(spark):

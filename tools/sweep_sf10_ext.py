@@ -58,6 +58,47 @@ def _simhash_unscoped(spark, sf_dir):
     return D.simhash_pairs_md5(docs, max_hamming=3)
 
 
+def _minhash_fast_compact(spark, sf_dir):
+    """The xxhash64 64-hash/16-band fast path as shipped (compact bucket
+    join + pair dropDuplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _minhash_fast_fused(spark, sf_dir):
+    """Fused twin of the fast path: same signatures/banding, pair-dedup
+    as the first-equal-band filter (r9 measured this LOSING at sf1
+    10-cliques, 7.4 s vs 5.4 s, on shuffle bytes; the sf10 100-clique
+    question is whether compact's dedup exchange hits the simhash skew
+    wall)."""
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=64)
+    cand = D._banded_pairs_fused(sig, bands=16, rows_per_band=4)
+    agree = FF.size(
+        FF.filter(FF.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    est = FF.round(agree / FF.lit(64), 4)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(FF.col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+def _clusters_unscoped(spark, sf_dir):
+    """Connected components over the FULL 500k-doc near-dup pair graph
+    (fast-path minhash pairs, ~27M edges of 100-cliques): the closure
+    step PERF.md's triangle note leans on ("real pipelines run
+    clustering before graph stats") measured at the scale it defends.
+    neardup_clusters is an eager fixpoint, so the cost lands in
+    plan_build_s, not the noop write."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("a_id", "b_id")
+    return D.neardup_clusters(docs.select("doc_id"), pairs, "doc_id")
+
+
 def _triangles_20rep(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100000)
     e = _ngram_pair_candidates(docs, mult=50).select(
@@ -103,6 +144,9 @@ def build_targets(sf_dir: str):
         "simhash_unscoped": (_simhash_unscoped,
                              _widen(ALL_ORACLE_SQL["ext_dedup_simhash"],
                                     "doc_id < 300"), 2),
+        "minhash_fast_compact": (_minhash_fast_compact, None, 1),
+        "minhash_fast_fused": (_minhash_fast_fused, None, 1),
+        "clusters_unscoped": (_clusters_unscoped, None, 1),
         "triangles_20rep": (_triangles_20rep,
                             _widen(ALL_ORACLE_SQL["ext_graph_triangles"],
                                    "doc_id < 500"), 2),
