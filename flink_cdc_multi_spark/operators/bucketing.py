@@ -23,6 +23,13 @@ per-table dt-partitioned files with no co-location concept).
 Bucket-count sizing: pick N ≈ table_bytes / target_partition_bytes (e.g.
 256 MB) rounded to a power of two, and keep it IDENTICAL across tables
 that join together — mismatched counts fall back to a shuffle on one side.
+
+Join strategy on co-bucketed tables: add a ``shuffle_hash`` hint on the
+smaller side. The default sort-merge join is already exchange-free, but
+still sorts each bucket at read time; the hint upgrades it to an
+exchange-free ZERO-SORT hash join (sf10 q28 measured: SMJ 1.86 s → SHJ
+1.25 s → 1.45× DuckDB, from 3.5-4.3× on the unbucketed fixture; PERF.md
+r10, pinned in test_bucketing.py).
 """
 
 from __future__ import annotations
@@ -58,4 +65,34 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — the bucket layout only reaches the planner through
     ``spark.table``; a direct ``spark.read.parquet`` of the same files
     loses the metadata (and the Exchange elimination)."""
+    return spark.table(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-attach an EXISTING bucketed parquet directory as an external
+    table. The bucket layout lives in catalog metadata, not in the files:
+    under the default in-memory catalog a new session (or another
+    machine) sees only parquet files, and reading them directly silently
+    re-introduces every Exchange the layout was built to eliminate. This
+    re-declares the CLUSTERED BY contract over the same data — the caller
+    asserts the files were produced by ``write_bucketed`` with the SAME
+    cols/count (declaring a wrong layout yields wrong join results, the
+    usual external-table bargain). Schema is read from the parquet
+    footers."""
+    sch = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields)
+    sort = sort_cols or bucket_cols
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+        f"SORTED BY ({', '.join(sort)}) INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
     return spark.table(table)

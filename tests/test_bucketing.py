@@ -85,3 +85,51 @@ def test_direct_parquet_read_loses_bucketing(spark, bucketed_events, tmp_path):
     raw = spark.read.parquet(loc)
     plan = _plan(raw.groupBy("user_id").agg(F.count("*").alias("n")))
     assert "Exchange" in plan
+
+
+def test_register_bucketed_restores_layout(spark, bucketed_events):
+    """register_bucketed re-attaches an existing bucketed dir (the
+    new-session / other-machine path: the in-memory catalog is
+    session-scoped, the FILES are not) and the planner gets the
+    co-location back: no Exchange under a groupBy on the bucket key,
+    and values match the original table."""
+    from flink_cdc_multi_spark.operators.bucketing import register_bucketed
+
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED ev_bucketed")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    want = {r["user_id"]: r["n"] for r in
+            read_bucketed(spark, "ev_bucketed").groupBy("user_id")
+            .agg(F.count("*").alias("n")).collect()}
+    try:
+        re = register_bucketed(spark, "ev_reattached", loc, ["user_id"], 8)
+        agg = re.groupBy("user_id").agg(F.count("*").alias("n"))
+        assert "Exchange" not in _plan(agg)
+        assert {r["user_id"]: r["n"] for r in agg.collect()} == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_reattached")
+
+
+def test_cobucketed_shuffle_hash_join_no_exchange_no_sort(spark, bucketed_events):
+    """The sf10 q28 recipe (PERF.md r10): on co-bucketed tables a
+    shuffle_hash hint on the smaller side upgrades the zero-exchange
+    sort-merge join to a zero-exchange ZERO-SORT hash join — bucketed
+    scans satisfy the hash-partitioning requirement directly, and the
+    hash build replaces both per-bucket sorts (sf10: SMJ 1.86 s → SHJ
+    1.25 s, 1.45x DuckDB, under the 2x bar)."""
+    a = read_bucketed(spark, "ev_bucketed")
+    b = read_bucketed(spark, "ev_counts_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b.hint("shuffle_hash"), "user_id").select(
+            "user_id", "event_id", "n"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan
+        assert "Sort" not in plan
+        assert "ShuffledHashJoin" in plan
+        assert joined.count() == a.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

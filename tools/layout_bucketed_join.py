@@ -34,6 +34,7 @@ sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from flink_cdc_multi_spark.operators.bucketing import register_bucketed  # noqa: E402
 from flink_cdc_multi_spark.plans import ALL_ORACLE_SQL  # noqa: E402
 from flink_cdc_multi_spark.plans.queries import load_table  # noqa: E402
 from flink_cdc_multi_spark.session import get_spark  # noqa: E402
@@ -47,9 +48,12 @@ def build_layout(spark, src: str) -> None:
     """Materialize lineitem + orders bucketed by orderkey, one sorted
     file per bucket (repartition to bucket count first — multiple files
     per bucket would force a merge sort back into the read path)."""
-    existing = {t.name for t in spark.catalog.listTables()}
-    if {"lineitem_b", "orders_b"} <= existing:
-        print("bucketed tables exist, reusing", flush=True)
+    if os.path.exists(f"{WAREHOUSE}/lineitem_b/_SUCCESS"):
+        register_bucketed(spark, "lineitem_b", f"{WAREHOUSE}/lineitem_b",
+                          ["l_orderkey"], BUCKETS)
+        register_bucketed(spark, "orders_b", f"{WAREHOUSE}/orders_b",
+                          ["o_orderkey"], BUCKETS)
+        print("bucketed layout exists, re-registered", flush=True)
         return
     li = load_table(spark, src, "lineitem")
     (
@@ -135,6 +139,48 @@ def q27_on(spark, src: str, lineitem, orders, hinted: bool):
     )
 
 
+def q27_on_bucketed_reordered(spark, src: str, lineitem, orders):
+    """q27 with the orderkey join FIRST: the shipped join order (suppkey
+    join, then orderkey join) shuffles lineitem on l_suppkey immediately,
+    destroying the bucket partitioning before it can pay off. Joining
+    lineitem_b ⋈ ord_n first keeps lineitem exchange-free (ord_n alone
+    shuffles into the 32 matching partitions; shuffle_hash build avoids
+    sorts entirely), and only the ~8%-selectivity survivor shuffles on
+    l_suppkey for the sup_n join."""
+    customer = load_table(spark, src, "customer")
+    supplier = load_table(spark, src, "supplier")
+    nation = load_table(spark, src, "nation")
+    pick = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sup_n = supplier.join(
+        F.broadcast(pick.select(F.col("n_nationkey").alias("snk"),
+                                F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation").hint("shuffle_hash")
+    cust_n = customer.join(
+        F.broadcast(pick.select(F.col("n_nationkey").alias("cnk"),
+                                F.col("n_name").alias("cust_nation"))),
+        customer.c_nationkey == F.col("cnk"),
+    ).select("c_custkey", "cust_nation").hint("shuffle_hash")
+    ord_n = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
+        "o_orderkey", "cust_nation", F.year("o_orderdate").alias("o_year")
+    ).hint("shuffle_hash")
+    ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dh = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    return (
+        lineitem.join(ord_n, lineitem.l_orderkey == ord_n.o_orderkey)
+        .join(sup_n, F.col("l_suppkey") == sup_n.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.col("o_year").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(ext_c * (100 - dh)).alias("volume_u"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def _time(df, runs=3):
     times = []
     for _ in range(runs):
@@ -163,13 +209,19 @@ def main() -> None:
 
     variants = {
         "q28_fixture": q28_on(li_f, or_f, hinted=True),
-        "q28_bucketed": q28_on(li_b, or_b, hinted=False),
+        "q28_bucketed_smj": q28_on(li_b, or_b, hinted=False),
+        "q28_bucketed_shj": q28_on(li_b, or_b, hinted=True),
         "q27_fixture": q27_on(spark, src, li_f, or_f, hinted=True),
-        "q27_bucketed": q27_on(spark, src, li_b, or_b, hinted=True),
+        "q27_bucketed_shipped_order": q27_on(spark, src, li_b, or_f, hinted=True),
+        "q27_bucketed_reordered": q27_on_bucketed_reordered(spark, src, li_b, or_f),
     }
     # correctness across layouts before timing
-    assert _rows(variants["q28_fixture"]) == _rows(variants["q28_bucketed"])
-    assert _rows(variants["q27_fixture"]) == _rows(variants["q27_bucketed"])
+    ref28 = _rows(variants["q28_fixture"])
+    assert ref28 == _rows(variants["q28_bucketed_smj"])
+    assert ref28 == _rows(variants["q28_bucketed_shj"])
+    ref27 = _rows(variants["q27_fixture"])
+    assert ref27 == _rows(variants["q27_bucketed_shipped_order"])
+    assert ref27 == _rows(variants["q27_bucketed_reordered"])
     print("layouts agree on results", flush=True)
 
     results: dict[str, dict] = {"_layout_build_s": build_s}
@@ -180,18 +232,24 @@ def main() -> None:
         print(f"wave {wave}: " + json.dumps(
             {k: v["times"][-1] for k, v in results.items() if k[0] != "_"}),
             flush=True)
-    for q in ("q27", "q28"):
-        results[f"{q}_duckdb"] = duck_run(src, ALL_ORACLE_SQL[q], 3)
-        for layout in ("fixture", "bucketed"):
-            rec = results[f"{q}_{layout}"]
-            rec["min"] = min(rec["times"])
-            dmin = results[f"{q}_duckdb"].get("min")
-            if dmin:
-                rec["ratio_vs_duckdb"] = round(rec["min"] / dmin, 2)
+    duck = {q: duck_run(src, ALL_ORACLE_SQL[q], 3) for q in ("q27", "q28")}
+    for name in variants:
+        rec = results[name]
+        rec["min"] = min(rec["times"])
+        dmin = duck[name[:3]].get("min")
+        if dmin:
+            rec["ratio_vs_duckdb"] = round(rec["min"] / dmin, 2)
+    results["q27_duckdb"], results["q28_duckdb"] = duck["q27"], duck["q28"]
 
-    # plan audit: the bucketed q28 join must have NO exchange under it
-    plan = variants["q28_bucketed"]._jdf.queryExecution().executedPlan().toString()
-    results["_q28_bucketed_exchanges"] = plan.count("Exchange")
+    # plan audit: the bucketed q28 SHJ join must have NO exchange below
+    # the aggregate (bucket co-partitioning satisfies the join on both
+    # sides) and no sorts (hash build, not merge)
+    plan = (
+        variants["q28_bucketed_shj"]._jdf.queryExecution().executedPlan().toString()
+    )
+    results["_q28_shj_exchanges"] = plan.count("Exchange hashpartitioning(l_orderkey") \
+        + plan.count("Exchange hashpartitioning(o_orderkey")
+    results["_q28_shj_sorts"] = plan.count("Sort [")
     print("==== SUMMARY ====")
     print(json.dumps(results, indent=1))
 
