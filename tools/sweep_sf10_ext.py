@@ -205,6 +205,11 @@ def main() -> None:
     results: dict[str, dict] = {}
     runs_override = os.environ.get("SWEEP_RUNS")
     for name in only:
+        if name not in targets and name in ALL_QUERIES:
+            # any registered query sweeps as-is with its oracle (scoped
+            # predicates stay — meaningful only for queries whose scope
+            # is the full table, e.g. the events family)
+            targets[name] = (ALL_QUERIES[name], ALL_ORACLE_SQL.get(name), 2)
         fn, sql, runs = targets[name]
         if runs_override:
             runs = int(runs_override)
