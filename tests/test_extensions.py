@@ -101,6 +101,52 @@ def test_simhash_md5_pairs_fixture(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_fused_pairs_exact_vs_python_reference(spark):
+    """The fused banded pair path (r10, all LSH paths) must emit exactly
+    the candidate set {(a,b) : ∃ band with equal signature slice, est ≥
+    threshold}, each pair EXACTLY ONCE (the emit-once first-equal-band
+    filter replaces a dropDuplicates — a bug there shows up as duplicate
+    or missing pair rows). Reference: plain Python over the collected
+    signatures of a random corpus with planted dup clusters."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    doc_id = 0
+    for cluster in range(8):
+        base = " ".join(rng.choices(vocab, k=12))
+        for rep in range(rng.randint(1, 4)):  # planted near-dup cliques
+            text = base if rep == 0 else base + " " + rng.choice(vocab)
+            rows.append((doc_id, text))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    num_hashes, bands, thr = 16, 4, 0.5
+    rpb = num_hashes // bands
+    sigs = {
+        r["id"]: list(r["sig"])
+        for r in D.minhash_signatures(docs, num_hashes=num_hashes).collect()
+    }
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sigs[a], sigs[b]
+            if any(sa[k * rpb:(k + 1) * rpb] == sb[k * rpb:(k + 1) * rpb]
+                   for k in range(bands)):
+                est = round(sum(x == y for x, y in zip(sa, sb)) / num_hashes, 4)
+                if est >= thr:
+                    expected[(a, b)] = est
+
+    got_rows = D.minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, bands=bands, threshold=thr
+    ).collect()
+    got = {(r["a_id"], r["b_id"]): r["est_jaccard"] for r in got_rows}
+    assert len(got_rows) == len(got), "pair emitted more than once"
+    assert got == expected
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
