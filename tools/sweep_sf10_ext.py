@@ -166,6 +166,7 @@ import duckdb
 sf_dir, sql, runs = sys.argv[1], sys.stdin.read(), int(sys.argv[2])
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
+con.execute("SET enable_progress_bar=false")  # bar shares stdout with the JSON line
 for t in {tables!r}:
     con.execute(f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{sf_dir}}/{{t}}.parquet')")
 times = []
@@ -191,7 +192,11 @@ def duck_run(sf_dir: str, sql: str, runs: int):
         return {"error": f"timeout >{DUCK_TIMEOUT}s"}
     if p.returncode != 0:
         return {"error": p.stderr.strip()[-200:]}
-    out = json.loads(p.stdout.strip().splitlines()[-1])
+    try:
+        tail = p.stdout.strip().splitlines()[-1]
+        out = json.loads(tail[tail.index("{"):])
+    except (ValueError, IndexError):
+        return {"error": f"unparseable duckdb stdout: {p.stdout[-150:]!r}"}
     out["min"] = min(out["times"][1:]) if len(out["times"]) > 1 else out["times"][0]
     return out
 
