@@ -100,15 +100,29 @@ def _shingle_array(n: int):
     """Positional n-gram shingle array (duplicates kept, document order)
     over a materialized ``toks`` column. Short docs (< n tokens)
     contribute one whole-text shingle; empty text the empty-string
-    shingle, matching DuckDB's regexp_split_to_array('') = ['']."""
+    shingle, matching DuckDB's regexp_split_to_array('') = [''].
+
+    Built as (n-1) nested zip_withs over n shifted slices of ``toks``
+    (r10), not transform(sequence, i -> concat_ws(slice(toks, i, n))):
+    higher-order lambdas are INTERPRETED per element, so the per-element
+    body must be minimal — the old form allocated an n-element slice and
+    ran concat_ws for every shingle (sf10: 50M interpreted slice+concat_ws
+    = the dominant cost of every shingle consumer); this form pays n
+    array slices per DOCUMENT and a single two-arg concat per element
+    (repetition 7.5 s → 3.4 s at sf10, same shingle strings
+    byte-for-byte)."""
+    n_sh = F.size("toks") - (n - 1)
+
+    def shifted(k):  # tokens k..k+n_sh-1 (1-based slice)
+        return F.slice(F.col("toks"), k + 1, n_sh)
+
+    acc = shifted(n - 1)
+    for k in range(n - 2, -1, -1):
+        acc = F.zip_with(shifted(k), acc,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(
         F.size("toks") < n, F.array(F.concat_ws(" ", F.col("toks")))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
-        )
-    )
+    ).otherwise(acc)
 
 
 def shingle_rows(
@@ -164,22 +178,28 @@ def repetition_stats(
     barrier, counts from size/array_distinct per row. No explode, no
     groupBy, no shuffle at all: the operator is a projection over the
     pruned scan. (History: the exploded groupBy + count_distinct form
-    cost 8.9 s at sf10; this form, 0.67 s — the same per-row shape as
-    DuckDB's 1.9 s list_distinct oracle.) The distinct count runs over
-    the 8-byte md5-hash60 of each shingle, mirrored exactly in the
-    oracle, so a 60-bit collision cannot diverge the engines."""
+    cost 8.9 s at sf10.) The distinct count is over the RAW shingle
+    strings (r10): a doc-local distinct has no shuffle to compact, so a
+    hash buys nothing — and the previous md5-hash60 lived inside a
+    transform() lambda, which Spark interprets PER ELEMENT (no codegen,
+    no CSE): 50M interpreted md5+hex+conv at sf10 measured 25.7 s vs
+    1.6 s for this form. String equality is byte-identical in both
+    engines, so the DuckDB oracle moved to list_distinct(sh) in the
+    same commit (the move-together rule; contamination KEEPS md5-hash60
+    — there the hash is the 8-byte join key, i.e. load-bearing).
 
-    def h60(x):
-        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
-
+    The shingle array goes through its own Generate barrier: size(sh)
+    and array_distinct(sh) are two consumers, and CollapseProject would
+    otherwise re-inline the transform-lambda shingle build into BOTH
+    (no CSE across lambda boundaries) — building every shingle twice."""
     tok = _token_barrier(df, id_col, text_col)
-    sh = _shingle_array(n)
-    return tok.select(
+    shb = tok.select(
+        "id", F.explode(F.array(_shingle_array(n))).alias("sh")
+    )
+    return shb.select(
         F.col("id").alias(id_col),
-        F.size(sh).cast("bigint").alias("n_shingles"),
-        F.size(F.array_distinct(F.transform(sh, h60)))
-        .cast("bigint")
-        .alias("n_distinct"),
+        F.size("sh").cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).cast("bigint").alias("n_distinct"),
     )
 
 

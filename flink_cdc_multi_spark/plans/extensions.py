@@ -1509,11 +1509,10 @@ EXT_ORACLE_SQL = {
         )
         SELECT doc_id,
                CAST(len(sh) AS BIGINT) AS n_shingles,
-               -- distinct md5-hash60 counts, mirroring the engine's
-               -- compact-shuffle form (engine-identical under collision)
-               CAST(len(list_distinct(list_transform(sh,
-                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)))
-                    AS BIGINT) AS n_distinct
+               -- raw-string distinct (r10, moved together with the
+               -- engine: doc-local distinct needs no hash; byte-equality
+               -- of strings is engine-identical)
+               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
         FROM s ORDER BY doc_id
     """,
     "ext_text_vocab": r"""
