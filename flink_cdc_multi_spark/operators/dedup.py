@@ -70,18 +70,12 @@ def exact_dedup(
 
 def _shingles_of(toks, n: int):
     """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
-    array column. Do not inline ``tokens(text)`` here: the expression
-    would be duplicated into the transform lambda and re-split the text
-    once per shingle (O(tokens²) regex work — measured 6 s vs 0.3 s on
-    300 sf0.1 docs)."""
-    return F.array_distinct(
-        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        )
-    )
+    array column (same zip_with recipe as _shingle_array). Do not inline
+    ``tokens(text)`` here: the expression is referenced n+2 times by the
+    shifted slices, so an inlined split would re-run per reference
+    (historically O(tokens²) when it sat inside the transform lambda —
+    measured 6 s vs 0.3 s on 300 sf0.1 docs)."""
+    return F.array_distinct(_shingle_array(n, toks))
 
 
 def shingles(text_col, n: int = 3):
@@ -96,9 +90,11 @@ def shingles(text_col, n: int = 3):
 _token_barrier = token_barrier
 
 
-def _shingle_array(n: int):
+def _shingle_array(n: int, toks=None):
     """Positional n-gram shingle array (duplicates kept, document order)
-    over a materialized ``toks`` column. Short docs (< n tokens)
+    over a materialized ``toks`` column (or an explicit token-array
+    expression via ``toks`` — expression-API callers only; the
+    pipelines below always pass a materialized column). Short docs (< n tokens)
     contribute one whole-text shingle; empty text the empty-string
     shingle, matching DuckDB's regexp_split_to_array('') = [''].
 
@@ -111,17 +107,18 @@ def _shingle_array(n: int):
     array slices per DOCUMENT and a single two-arg concat per element
     (repetition 7.5 s → 3.4 s at sf10, same shingle strings
     byte-for-byte)."""
-    n_sh = F.size("toks") - (n - 1)
+    t = F.col("toks") if toks is None else toks
+    n_sh = F.size(t) - (n - 1)
 
     def shifted(k):  # tokens k..k+n_sh-1 (1-based slice)
-        return F.slice(F.col("toks"), k + 1, n_sh)
+        return F.slice(t, k + 1, n_sh)
 
     acc = shifted(n - 1)
     for k in range(n - 2, -1, -1):
         acc = F.zip_with(shifted(k), acc,
                          lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(
-        F.size("toks") < n, F.array(F.concat_ws(" ", F.col("toks")))
+        F.size(t) < n, F.array(F.concat_ws(" ", t))
     ).otherwise(acc)
 
 
