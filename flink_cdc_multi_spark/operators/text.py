@@ -38,6 +38,27 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition to cluster parallelism IFF the input plan is narrower.
+
+    The heavy per-row work of the text/dedup family (tokenize, shingle
+    build, K md5 signatures, per-token hashes) executes BELOW the first
+    exchange, so its parallelism is capped by the SCAN's partition count
+    — a small or single-file parquet input (1-2 row groups) silently
+    serializes the dominant cost on 1-2 of N cores (measured: the sf1
+    md5 signature build ran 29.9 s on a 2-partition scan vs 3.6 s
+    repartitioned to 32 — the multimodal decoders hit and documented the
+    same trap). At real scale the scan is already wider than
+    defaultParallelism and this is a no-op; when it does fire it moves
+    only the pre-explode (id, text) rows once."""
+    sc = df.sparkSession.sparkContext
+    try:
+        narrow = df.rdd.getNumPartitions() < sc.defaultParallelism
+    except Exception:  # streaming plans have no .rdd — never narrow them
+        narrow = False
+    return df.repartition(sc.defaultParallelism) if narrow else df
+
+
 def token_barrier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, toks) with the tokenizer MATERIALIZED behind a Generate
     barrier: ``explode(array(split(...)))`` forces the split to evaluate
@@ -48,8 +69,11 @@ def token_barrier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     text: the O(tokens²) trap PERF.md documents. Generate is a barrier
     CollapseProject cannot cross, so downstream array lambdas see a
     materialized array column. This is the sanctioned way to feed array
-    lambdas from a computed expression."""
-    return df.select(
+    lambdas from a computed expression. Narrow scans are widened first
+    (see widen_narrow_scan) — every heavy shingle/signature consumer
+    sits below this barrier, so this is the one place that guarantees
+    the per-row work gets the cluster's parallelism."""
+    return widen_narrow_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("toks"),
     )

@@ -532,10 +532,14 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan+explode is cheaper than holding the token stream resident — the
     OPPOSITE trade from pack_offsets, whose shared frame is 16 bytes/doc
     (see PERF.md)."""
+    from flink_cdc_multi_spark.operators.text import widen_narrow_scan
+
     docs = load_table(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     tok = (
-        docs.filter(F.trim(F.col("text")) != "")
+        # the per-token md5 runs below the first exchange: widen narrow
+        # scans so it gets full parallelism (see widen_narrow_scan)
+        widen_narrow_scan(docs.filter(F.trim(F.col("text")) != ""))
         .select(
             "doc_id",
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),

@@ -361,8 +361,12 @@ def test_ext_dedup_minhash_fused_pair_dedup(spark):
     import re
 
     plan = plan_of(spark, "ext_dedup_minhash")
-    shuffles = re.findall(r"\(\d+\) Exchange", plan)
-    assert 1 <= len(shuffles) <= 3, shuffles
+    # count KEYED exchanges only: the widen_narrow_scan RoundRobin
+    # repartition (r10, parallelism guard for narrow scans) is not part
+    # of the pair-path topology this test pins
+    shuffles = re.findall(r"hashpartitioning\(", plan)
+    assert 1 <= len(shuffles) <= 6, shuffles  # ≤3 keyed exchanges (detail lines)
+    assert "hashpartitioning(a_id" not in plan  # no pair-key dedup exchange
     # exactly one join in the whole pipeline (the banded self-join)
     joins = re.findall(r"\(\d+\) \w*Join", plan)
     assert len(joins) == 1, joins
