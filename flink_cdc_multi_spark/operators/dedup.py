@@ -867,8 +867,15 @@ def neardup_clusters(
     convergence probes — an iterative result is inherently a materialized
     artifact, like a fitted model); callers that are done with it should
     unpersist()."""
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
-        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        # every round joins against edges: without this persist each
+        # iteration RE-EXECUTES the caller's whole pair-generation plan
+        # (at sf10 that's a ~60 s minhash pipeline × rounds — measured
+        # 277 s total; persisted, the loop pays it once)
+        .persist()
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -918,12 +925,14 @@ def neardup_clusters(
         # the reference drops — unpersist() is a no-op there by design
         labels = new
         if changed == 0:
+            edges.unpersist()
             break
     else:
         # never exit with silently-wrong labels: a component whose
         # log-diameter exceeds max_iter would still be mid-propagation
         # here while the caller (and the recursive-CTE oracle) expects
         # the true closure
+        edges.unpersist()
         labels.unpersist()
         raise RuntimeError(
             f"neardup_clusters did not converge in max_iter={max_iter} "
