@@ -878,6 +878,29 @@ def neardup_clusters(
         .persist()
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    try:
+        labels = _cc_fixpoint(edges, labels, max_iter)
+    finally:
+        # unpersist is idempotent — this also covers Spark errors thrown
+        # mid-loop (join/count failure), which previously leaked the
+        # cached edges block for the session
+        edges.unpersist()
+    # persist + materialize the RETURNED plan (not just the loop-internal
+    # labels): Spark uncaches by exact plan, so handing back a projection
+    # of the cached frame would make the documented caller-side
+    # unpersist() a silent no-op and leak the block
+    result = labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    ).persist()
+    result.count()
+    labels.unpersist()
+    return result
+
+
+def _cc_fixpoint(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label-propagation + pointer-doubling fixpoint loop; returns the
+    converged labels. Split out so the caller can guarantee
+    edges.unpersist() in a finally block."""
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
@@ -925,14 +948,12 @@ def neardup_clusters(
         # the reference drops — unpersist() is a no-op there by design
         labels = new
         if changed == 0:
-            edges.unpersist()
             break
     else:
         # never exit with silently-wrong labels: a component whose
         # log-diameter exceeds max_iter would still be mid-propagation
         # here while the caller (and the recursive-CTE oracle) expects
         # the true closure
-        edges.unpersist()
         labels.unpersist()
         raise RuntimeError(
             f"neardup_clusters did not converge in max_iter={max_iter} "
@@ -940,13 +961,4 @@ def neardup_clusters(
             "max_iter (pointer doubling makes rounds ~ log2(diameter), "
             "so this indicates an extreme graph or a bug)"
         )
-    # persist + materialize the RETURNED plan (not just the loop-internal
-    # labels): Spark uncaches by exact plan, so handing back a projection
-    # of the cached frame would make the documented caller-side
-    # unpersist() a silent no-op and leak the block
-    result = labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
-    ).persist()
-    result.count()
-    labels.unpersist()
-    return result
+    return labels

@@ -52,10 +52,11 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     defaultParallelism and this is a no-op; when it does fire it moves
     only the pre-explode (id, text) rows once."""
     sc = df.sparkSession.sparkContext
-    try:
-        narrow = df.rdd.getNumPartitions() < sc.defaultParallelism
-    except Exception:  # streaming plans have no .rdd — never narrow them
-        narrow = False
+    if df.isStreaming:
+        # streaming plans have no .rdd — never widen them (and don't pay
+        # the plan→RDD conversion just to find that out)
+        return df
+    narrow = df.rdd.getNumPartitions() < sc.defaultParallelism
     return df.repartition(sc.defaultParallelism) if narrow else df
 
 

@@ -1,7 +1,8 @@
 """Query registry with a round-aware driver-gate rotation.
 
 The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-in iteration order; 80 queries are registered, so ordering decides which
+in iteration order; more than 50 queries are registered (len(ALL_QUERIES)
+is the authoritative count), so ordering decides which
 get a fresh driver-green CORRECTNESS row each round. A static hand-ordered
 list goes stale (VERDICT r7 item 1: the r7 window re-checked the same 50
 and let the other 30 age). Instead we order by *least recently

@@ -70,7 +70,9 @@ ORACLE_SQL: dict[str, str] = {
     "q11": """
         SELECT c_custkey FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
-          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F'
+                                  AND o_custkey IS NOT NULL)
         ORDER BY c_custkey
     """,
     "q12": """

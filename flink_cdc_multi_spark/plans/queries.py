@@ -261,6 +261,13 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join (IN / NOT IN with non-null keys).
 
+    NULL contract (adversarial fixture has a NULL-custkey 'F' order): a
+    NULL-key order belongs to no customer, so it must not block anyone.
+    The fold's semi join drops the NULL group by equality; the oracle's
+    NOT IN subquery filters `o_custkey IS NOT NULL` to match (otherwise
+    ANSI three-valued NOT IN empties the whole result). Pinned on both
+    sides; q11 is in ADVERSARIAL_QUERIES.
+
     Scale: customers with ≥1 order and no finished order. Instead of two
     shuffle joins of the full orders table (semi then anti), fold both
     existence tests into ONE partial-aggregated pass over orders —

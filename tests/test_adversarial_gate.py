@@ -62,6 +62,9 @@ ADVERSARIAL_QUERIES = [
     # TPC-H side: NULL fact columns, negative keys, boundary decimals
     "q01",
     "q06",
+    # NULL-custkey 'F' order: NOT IN three-valued trap (oracle pins
+    # o_custkey IS NOT NULL to match the Spark fold's NULL-key drop)
+    "q11",
     "q14",
     "q21",
     "q22",

@@ -97,7 +97,7 @@ def test_driver_gate_window_is_least_recently_checked(  # VERDICT r9 item 6
     window, outside = names[:50], names[50:]
     if not outside:
         pytest.skip("registry fits inside one driver window")
-    newest_in = max(checked.get(q, -1) for q in window if q not in _REGATE)
+    newest_in = max((checked.get(q, -1) for q in window if q not in _REGATE), default=-1)
     oldest_out = min(checked.get(q, -1) for q in outside)
     assert newest_in <= oldest_out, (
         f"window holds a fresher query (r{newest_in}) than one it "

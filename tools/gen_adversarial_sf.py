@@ -130,9 +130,12 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
             # NULL KEY into q29's EXCEPT left branch — set ops use
             # grouping equality, so the NULL must SURVIVE (no NULL on the
             # 'O' side) in BOTH engines, while an =-keyed anti join would
-            # drop it. NB: this row makes q11's `NOT IN (... WHERE
-            # o_orderstatus='F')` three-valued-empty — identically in
-            # both engines (ANSI NOT IN with a NULL in the list).
+            # drop it. NB: for q11 this row is a pinned cross-engine
+            # contract: the Spark fold's semi join drops the NULL key by
+            # equality, so the oracle's NOT IN subquery must filter
+            # `o_custkey IS NOT NULL` (a bare ANSI NOT IN with a NULL in
+            # the list would three-valued-empty the result). q11 is in
+            # ADVERSARIAL_QUERIES to keep both sides honest.
             {"o_orderkey": -3, "o_custkey": None, "o_orderstatus": "F",
              "o_totalprice": 1.0, "o_orderdate": __import__("datetime").datetime(1993, 1, 1),
              "o_orderpriority": "5-LOW"},
