@@ -37,6 +37,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def bucket_layout(df: DataFrame) -> tuple[list[str], int] | None:
+    """(bucket_cols, num_buckets) if every leaf relation of ``df``'s plan
+    is a bucketed file scan with the same spec, else None.
+
+    This is how operators make join ORDER partitioning-aware: the r10
+    layout experiment (PERF.md, tools/layout_bucketed_join.py) measured
+    that q27's shipped join order on orderkey-bucketed lineitem is WORSE
+    than the unbucketed fixture (4.96 s vs 3.66 s at sf10 — the suppkey
+    join shuffles lineitem first and destroys the partitioning before it
+    can pay off), while putting the bucket-key join first wins (2.66 s).
+    Catalyst reorders joins by size estimates, not by which order
+    PRESERVES an input partitioning, so the operator has to ask.
+
+    Walks the analyzed logical plan (py4j), descending ONLY through
+    partitioning-preserving single-child nodes (Project/Filter/alias):
+    bucket metadata lives on HadoopFsRelation.bucketSpec and survives
+    projections and filters above the scan, but a join or aggregate ends
+    the claim — the frame is no longer "a scan of the bucketed table",
+    and e.g. a groupBy on a DIFFERENT key re-partitions while the leaf
+    below it still says bucketed (collectLeaves would false-positive
+    there)."""
+    node = df._jdf.queryExecution().analyzed()
+    passthrough = {"Project", "Filter", "SubqueryAlias"}
+    while node.getClass().getSimpleName() in passthrough:
+        if node.children().size() != 1:
+            return None
+        node = node.children().apply(0)
+    if node.getClass().getSimpleName() != "LogicalRelation":
+        return None
+    rel = node.relation()
+    if rel.getClass().getSimpleName() != "HadoopFsRelation":
+        return None
+    bs = rel.bucketSpec()
+    if not bs.isDefined():
+        return None
+    spec = bs.get()
+    names = spec.bucketColumnNames()
+    return ([names.apply(j) for j in range(names.size())], spec.numBuckets())
+
+
+def is_bucketed_on(df: DataFrame, *cols: str) -> bool:
+    """True iff ``df`` is a (projected/filtered) scan of a table bucketed
+    exactly on ``cols`` — the precondition for putting the ``cols``-keyed
+    join first so the scan side stays exchange-free."""
+    layout = bucket_layout(df)
+    return layout is not None and layout[0] == list(cols)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

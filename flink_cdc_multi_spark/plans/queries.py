@@ -38,6 +38,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_cdc_multi_spark.operators.bucketing import is_bucketed_on
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
@@ -715,11 +717,37 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     SMALLER, filtered side; skips the fact-side sort-merge sorts).
     Interleaved sf10 A/B, min-of-3 (r9): unhinted 4.63 s, ord_n-only
     2.90 s, all three hinted 2.63 s."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
+    return q27_plan(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q27_plan(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """q27 shape over caller-supplied frames, with PARTITIONING-AWARE join
+    order (VERDICT r10 item 1): when lineitem is a scan of a table
+    bucketed on l_orderkey (register_bucketed / write_bucketed lake
+    layout), the orderkey join goes FIRST — lineitem never shuffles
+    (ord_n alone shuffles into the matching bucket partitions) and only
+    the ~8%-selectivity survivor shuffles on l_suppkey. The shipped
+    suppkey-first order on bucketed data shuffles lineitem on l_suppkey
+    immediately, DESTROYING the bucket partitioning before it pays off —
+    measured at sf10 WORSE than unbucketed (4.96 s vs 3.66 s fixture),
+    vs 2.66 s reordered (PERF.md r10 layout experiment). Catalyst orders
+    joins by size estimates, not by partitioning preservation, so the
+    operator asks `is_bucketed_on` explicitly. On unbucketed inputs
+    suppkey-first ships unchanged (it filters lineitem to ~8% before the
+    wider orderkey join — the right greedy order with no layout to
+    preserve)."""
     pick = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
     sup_n = supplier.join(
         F.broadcast(pick.select(F.col("n_nationkey").alias("snk"),
@@ -736,10 +764,16 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hint("shuffle_hash")
     ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     dh = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    if is_bucketed_on(lineitem, "l_orderkey"):
+        joined = lineitem.join(
+            ord_n, lineitem.l_orderkey == ord_n.o_orderkey
+        ).join(sup_n, F.col("l_suppkey") == sup_n.s_suppkey)
+    else:
+        joined = lineitem.join(sup_n, lineitem.l_suppkey == sup_n.s_suppkey).join(
+            ord_n, lineitem.l_orderkey == ord_n.o_orderkey
+        )
     return (
-        lineitem.join(sup_n, lineitem.l_suppkey == sup_n.s_suppkey)
-        .join(ord_n, lineitem.l_orderkey == ord_n.o_orderkey)
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        joined.filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation",
             F.col("o_year").cast("bigint").alias("o_year"),

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from flink_cdc_multi_spark.operators.bucketing import register_bucketed  # noqa: E402
 from flink_cdc_multi_spark.plans import ALL_ORACLE_SQL  # noqa: E402
-from flink_cdc_multi_spark.plans.queries import load_table  # noqa: E402
+from flink_cdc_multi_spark.plans.queries import load_table, q27_plan  # noqa: E402
 from flink_cdc_multi_spark.session import get_spark  # noqa: E402
 from sweep_sf10_ext import duck_run  # noqa: E402
 
@@ -214,6 +214,14 @@ def main() -> None:
         "q27_fixture": q27_on(spark, src, li_f, or_f, hinted=True),
         "q27_bucketed_shipped_order": q27_on(spark, src, li_b, or_f, hinted=True),
         "q27_bucketed_reordered": q27_on_bucketed_reordered(spark, src, li_b, or_f),
+        # the SHIPPED operator after r11 adoption: q27_plan detects the
+        # bucketed lineitem via is_bucketed_on and reorders itself
+        "q27_adopted_shipped": q27_plan(
+            li_b, or_f,
+            load_table(spark, src, "customer"),
+            load_table(spark, src, "supplier"),
+            load_table(spark, src, "nation"),
+        ),
     }
     # correctness across layouts before timing
     ref28 = _rows(variants["q28_fixture"])
@@ -222,6 +230,7 @@ def main() -> None:
     ref27 = _rows(variants["q27_fixture"])
     assert ref27 == _rows(variants["q27_bucketed_shipped_order"])
     assert ref27 == _rows(variants["q27_bucketed_reordered"])
+    assert ref27 == _rows(variants["q27_adopted_shipped"])
     print("layouts agree on results", flush=True)
 
     results: dict[str, dict] = {"_layout_build_s": build_s}
