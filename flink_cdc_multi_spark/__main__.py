@@ -162,18 +162,35 @@ def main(argv: list[str] | None = None) -> int:
     # Transport selection (README "Deployment topology"): a Kafka topic fed
     # by Debezium Server / Kafka Connect (kafka.bootstrap.servers +
     # kafka.topics), the file-backed Kafka stand-in (kafka.standin.path —
-    # same consumer code path, no broker socket), or the plain
-    # Debezium-JSON file feed (feed.path).
+    # same consumer code path, no broker socket), the plain Debezium-JSON
+    # file feed (feed.path), or high-watermark delta POLLING straight off
+    # the source tables (incremental.mode=polling — the no-Debezium path;
+    # sources/polling.py documents the c/u-only contract).
     feed = cfg.raw.get("feed.path")
     kafka_servers = cfg.raw.get("kafka.bootstrap.servers")
     kafka_standin = cfg.raw.get("kafka.standin.path")
-    transports = [t for t in (feed, kafka_servers, kafka_standin) if t]
+    polling = cfg.raw.get("incremental.mode") == "polling"
+    transports = [t for t in (feed, kafka_servers, kafka_standin, polling) if t]
     if len(transports) != 1:
         raise ConfigError(
             "exactly ONE transport required: feed.path (Debezium-JSON lines "
-            "dir), kafka.bootstrap.servers + kafka.topics (live topic), or "
-            "kafka.standin.path (file-backed Kafka stand-in)"
+            "dir), kafka.bootstrap.servers + kafka.topics (live topic), "
+            "kafka.standin.path (file-backed Kafka stand-in), or "
+            "incremental.mode=polling (watermark deltas off the live tables)"
         )
+    if polling:
+        from flink_cdc_multi_spark.sources.polling import run_polling
+
+        pipe = CDCPipeline(cfg, registry, schema_provider=provider)
+        timeout_polls = None
+        if args.timeout is not None:
+            # bounded run (tests/demos): translate the deadline into a
+            # poll budget at the configured cadence, minimum one poll
+            interval = float(cfg.raw.get("polling.interval.s", 10))
+            timeout_polls = max(1, int(args.timeout / max(interval, 0.001)))
+        polls = run_polling(spark, cfg, pipe, max_polls=timeout_polls)
+        print(f"stopped: {pipe.controller.stop_reason or f'{polls} polls done'}")
+        return 0
     input_path, input_stream = feed, None
     if kafka_servers:
         from flink_cdc_multi_spark.sources.kafka import read_kafka_stream
