@@ -389,31 +389,93 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def make_jpeg_gray_dc(width: int, height: int, dc_values) -> bytes:
-    """Spec-valid baseline JPEG, grayscale, every 8×8 block flat (DC-only,
-    AC = immediate EOB), q0 = 8 so the decoded pixel is exactly dc + 128.
-    width/height must be multiples of 8; dc_values has one entry per
-    block in raster order, each in [-128, 127]."""
+# natural (row-major, F[v][u] at v*8+u) index of each zigzag position —
+# the T.81 scan/DQT coefficient order
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Fixed-point IDCT basis (r11, lifts the DC-only restriction): B[u][x] =
+# round(2^13 · c(u)/2 · cos((2x+1)uπ/16)), c(0)=1/√2 else 1. The decoder's
+# AC-block pixel is DEFINED as
+#   clamp(floor((Σ_u Σ_v Fq[v][u]·B[u][x]·B[v][y] + 2^25) / 2^26) + 128)
+# — deterministic integer arithmetic, the same contract style as every
+# fixed-point IDCT (libjpeg islow keeps scaled integer cosines too; T.81
+# does not mandate a bit-exact IDCT, so the engine pins ONE and the
+# DuckDB oracle recomputes it closed-form). Flat (AC-free) blocks keep
+# the EXACT closed form dc·q0/8 + 128 — the original DC-only contract.
+_IDCT_SCALE_BITS = 13
+_IDCT_BASIS = None
+
+
+def _idct_basis():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math
+
+        import numpy as np
+
+        b = np.empty((8, 8), dtype=np.int64)
+        for u in range(8):
+            cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+            for x in range(8):
+                b[u, x] = round(
+                    (1 << _IDCT_SCALE_BITS)
+                    * 0.5
+                    * cu
+                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                )
+        _IDCT_BASIS = b
+    return _IDCT_BASIS
+
+
+def make_jpeg_gray(width: int, height: int, blocks) -> bytes:
+    """Spec-valid baseline JPEG, grayscale, q0 = 8 flat quantization.
+    ``blocks`` has one length-64 list of QUANTIZED coefficients per 8×8
+    block in raster order, NATURAL (row-major F[v][u]) indexing; the
+    encoder emits the standard zigzag run-length AC coding (ZRL for 16+
+    zero runs, EOB unless coefficient 63 is nonzero) over the canonical
+    Annex-K Huffman tables. width/height must be multiples of 8."""
     assert width % 8 == 0 and height % 8 == 0
-    nblocks = (width // 8) * (height // 8)
-    dc_values = list(dc_values)
-    assert len(dc_values) == nblocks
+    blocks = [list(b) for b in blocks]
+    assert len(blocks) == (width // 8) * (height // 8)
     dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _BitWriter()
     pred = 0
-    for dc in dc_values:
-        diff = dc - pred
-        pred = dc
-        mag = abs(diff)
-        size = mag.bit_length()
+    for blk in blocks:
+        assert len(blk) == 64
+        diff = blk[0] - pred
+        pred = blk[0]
+        size = abs(diff).bit_length()
         code, length = dc_tab[size]
         w.put(code, length)
         if size:
             amp = diff if diff >= 0 else diff + (1 << size) - 1
             w.put(amp, size)
-        eob_code, eob_len = ac_tab[0x00]
-        w.put(eob_code, eob_len)
+        zz = [blk[_ZIGZAG[k]] for k in range(1, 64)]
+        last = max((i for i, v in enumerate(zz) if v), default=-1)
+        run = 0
+        for v in zz[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zrl_code, zrl_len = ac_tab[0xF0]
+                w.put(zrl_code, zrl_len)
+                run -= 16
+            size = abs(v).bit_length()
+            code, length = ac_tab[(run << 4) | size]
+            w.put(code, length)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            w.put(amp, size)
+            run = 0
+        if last < 62:
+            eob_code, eob_len = ac_tab[0x00]
+            w.put(eob_code, eob_len)
     scan = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -434,6 +496,15 @@ def make_jpeg_gray_dc(width: int, height: int, dc_values) -> bytes:
         + seg(0xDA, sos)
         + scan
         + b"\xff\xd9"
+    )
+
+
+def make_jpeg_gray_dc(width: int, height: int, dc_values) -> bytes:
+    """DC-only profile (every 8×8 block flat, AC = immediate EOB, decoded
+    pixel exactly dc + 128 at q0 = 8) — the original r6 fixture shape,
+    now a special case of make_jpeg_gray."""
+    return make_jpeg_gray(
+        width, height, [[dc] + [0] * 63 for dc in dc_values]
     )
 
 
@@ -499,10 +570,14 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 
 def jpeg_gray_luma_sum(blob: bytes):
-    """(luma_sum, n_px) from a REAL baseline-JPEG entropy decode of the
-    DC-only grayscale profile; None for anything outside it (nonzero AC
-    coefficients, multi-component scans, geometry not a multiple of 8,
-    progressive/extended frames, malformed streams)."""
+    """(luma_sum, n_px) from a REAL baseline-JPEG decode, grayscale
+    profile: full zigzag AC run-length entropy decode + dequantization;
+    flat (AC-free) blocks keep the EXACT closed form dc·q0/8 + 128, AC
+    blocks go through the pinned fixed-point integer IDCT (see
+    _idct_basis — r11, lifting the r6 DC-only restriction). None for
+    anything outside the profile (multi-component scans, geometry not a
+    multiple of 8, progressive/extended frames, 16-bit quant tables,
+    malformed streams)."""
     try:
         if blob[:2] != b"\xff\xd8":
             return None
@@ -561,34 +636,66 @@ def jpeg_gray_luma_sum(blob: bytes):
             or comp_q not in qtables
         ):
             return None
-        q0 = qtables[comp_q][0]
+        import numpy as np
+
+        # DQT stores the table in zigzag order: un-zigzag to natural
+        q_zz = qtables[comp_q]
+        q_nat = [0] * 64
+        for zz_i, nat_i in enumerate(_ZIGZAG):
+            q_nat[nat_i] = q_zz[zz_i]
+        q0 = q_nat[0]
         end = blob.rfind(b"\xff\xd9")
         if end < 0:
             return None
         r = _BitReader(blob[scan_start:end])
         nblocks = (width // 8) * (height // 8)
+        basis = _idct_basis()
+        shift = 2 * _IDCT_SCALE_BITS
+        half = 1 << (shift - 1)
         pred = 0
         total = 0
         for _ in range(nblocks):
             size = r.decode(dc_table)
             diff = _jpeg_extend(r.bits(size), size)
             pred += diff
-            k = 0
-            while k < 63:
+            coeff = [0] * 64  # natural order
+            coeff[0] = pred
+            k = 1
+            has_ac = False
+            while k < 64:
                 rs = r.decode(ac_table)
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL: sixteen zero coefficients
                     k += 16
                     continue
-                return None  # nonzero AC: flat-block profile violated
-            # DC-only IDCT: every pixel is F00/8 + 128 = dc*q0/8 + 128
-            num = pred * q0
-            if num % 8:
-                return None  # not exactly representable: out of profile
-            px = num // 8 + 128
-            px = 0 if px < 0 else 255 if px > 255 else px
-            total += 64 * px
+                run, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    return None  # only 0x00/0xF0 carry size 0
+                k += run
+                if k > 63:
+                    return None
+                coeff[_ZIGZAG[k]] = _jpeg_extend(r.bits(sz), sz)
+                has_ac = True
+                k += 1
+            if not has_ac:
+                # flat block: EXACT closed form, every pixel dc*q0/8 + 128
+                num = pred * q0
+                if num % 8:
+                    return None  # not exactly representable: out of profile
+                px = num // 8 + 128
+                px = 0 if px < 0 else 255 if px > 255 else px
+                total += 64 * px
+            else:
+                # pinned fixed-point integer IDCT (see _idct_basis):
+                # acc[y,x] = Σ_v Σ_u Fq[v,u]·B[v,y]·B[u,x] = (Bᵀ·Fq·B)[y,x]
+                fq = (
+                    np.array(coeff, dtype=np.int64).reshape(8, 8)
+                    * np.array(q_nat, dtype=np.int64).reshape(8, 8)
+                )
+                acc = basis.T @ fq @ basis
+                px = ((acc + half) >> shift) + 128  # arithmetic shift = floor
+                total += int(np.clip(px, 0, 255).sum())
         return total, width * height
     except (ValueError, IndexError, struct.error):
         return None

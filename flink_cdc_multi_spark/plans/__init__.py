@@ -33,7 +33,10 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # Queries rewritten this round — force into the driver window for re-gating.
 # (q29 is NEW this round and sorts to the front automatically: never-checked
 # queries rank before any checked one.)
-_REGATE: list[str] = []
+_REGATE: list[str] = [
+    # r11: AC-profile JPEG decode (integer IDCT) changed query + oracle
+    "ext_multimodal_jpeg",
+]
 
 
 def _row_passed(row) -> bool:

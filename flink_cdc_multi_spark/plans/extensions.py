@@ -799,16 +799,21 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL JPEG entropy decode end to end (round 6): synthesize a
-    spec-valid baseline grayscale JPEG per document — canonical Huffman
-    tables from DHT, stuffed-byte bitstream, DC prediction, EOB-coded
-    flat blocks (the DC-only profile where pixels are exactly dc+128) —
-    and decode it BACK through operators/multimodal.jpeg_gray_luma_sum.
-    Dimensions come from the real header parse, integer luma sums from
-    the real entropy decode; the DuckDB oracle recomputes both closed-
-    form, so a regression anywhere in the marker walk, Huffman decode,
-    sign EXTEND, or DC chain breaks the hash. (Nonzero-AC/IDCT decode
-    remains out of profile — documented, not faked.)"""
+    """REAL JPEG entropy decode end to end (round 6; AC profile r11):
+    synthesize a spec-valid baseline grayscale JPEG per document —
+    canonical Huffman tables from DHT, stuffed-byte bitstream, DC
+    prediction, zigzag AC run-length coding — and decode it BACK through
+    operators/multimodal.jpeg_gray_luma_sum. Docs with bh == 2 carry
+    nonzero AC coefficients (horizontal u=1 and vertical v=1 per block),
+    exercising the full AC entropy decode + the pinned fixed-point
+    integer IDCT (multimodal._idct_basis); the rest stay flat blocks on
+    the exact dc+128 closed form. Dimensions come from the real header
+    parse, integer luma sums from the real decode; the DuckDB oracle
+    recomputes BOTH profiles closed-form (the AC twin replays the
+    integer IDCT contract per pixel with the basis constants inlined),
+    so a regression anywhere in the marker walk, Huffman decode, sign
+    EXTEND, DC chain, zigzag placement, dequant, or IDCT rounding breaks
+    the hash."""
     import pandas as pd
 
     from flink_cdc_multi_spark.operators import multimodal as M
@@ -826,8 +831,15 @@ def ext_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in ids:
                 d = int(d)
                 bw, bh = d % 3 + 1, d % 2 + 1
-                dcs = [((d * 7 + b * 13) % 201) - 100 for b in range(bw * bh)]
-                blob = M.make_jpeg_gray_dc(bw * 8, bh * 8, dcs)
+                blocks = []
+                for b in range(bw * bh):
+                    c = [0] * 64
+                    c[0] = ((d * 7 + b * 13) % 201) - 100
+                    if d % 2 == 1:  # AC profile: u=1 (natural 1), v=1 (natural 8)
+                        c[1] = ((d * 11 + b * 17) % 81) - 40
+                        c[8] = ((d * 5 + b * 23) % 61) - 30
+                    blocks.append(c)
+                blob = M.make_jpeg_gray(bw * 8, bh * 8, blocks)
                 fmt, w, h = M.parse_image_header(blob)
                 assert fmt == "jpeg"
                 s, n = M.jpeg_gray_luma_sum(blob)
@@ -2350,22 +2362,55 @@ EXT_ORACLE_SQL = {
     """,
     # closed-form recompute of the DC-only JPEG pixel pattern the engine
     # encodes AND decodes through real baseline-JPEG entropy bytes
+    # closed-form twin of BOTH decode profiles: flat blocks are exactly
+    # dc+128; AC blocks replay the pinned fixed-point integer IDCT
+    # (multimodal._idct_basis: B0 = 2896 everywhere, B1 inlined below;
+    # pixel = clamp(floor((Σ Fq·B·B + 2^25)/2^26) + 128)). The double
+    # division is by a power of two on |acc| < 2^53 — exact, so floor()
+    # matches the decoder's arithmetic shift bit for bit (DuckDB's //
+    # truncates toward zero on negatives, hence floor()).
     "ext_multimodal_jpeg": """
         WITH d AS (
           SELECT doc_id,
-                 (((doc_id % 3) + 3) % 3 + 1) * (((doc_id % 2) + 2) % 2 + 1) AS nb,
-                 CAST((((doc_id % 3) + 3) % 3 + 1) * 8 AS BIGINT) AS width,
-                 CAST((((doc_id % 2) + 2) % 2 + 1) * 8 AS BIGINT) AS height
+                 ((doc_id % 3) + 3) % 3 + 1 AS bw,
+                 ((doc_id % 2) + 2) % 2 + 1 AS bh
           FROM documents
-        ), b AS (
+        ), blk AS (
+          SELECT doc_id,
+                 CAST(bw * 8 AS BIGINT) AS width,
+                 CAST(bh * 8 AS BIGINT) AS height,
+                 (((doc_id * 7 + bb.b * 13) % 201) + 201) % 201 - 100 AS dc,
+                 CASE WHEN ((doc_id % 2) + 2) % 2 = 1
+                      THEN (((doc_id * 11 + bb.b * 17) % 81) + 81) % 81 - 40
+                      ELSE 0 END AS a01,
+                 CASE WHEN ((doc_id % 2) + 2) % 2 = 1
+                      THEN (((doc_id * 5 + bb.b * 23) % 61) + 61) % 61 - 30
+                      ELSE 0 END AS a10
+          FROM d, LATERAL (SELECT unnest(range(d.bw * d.bh)) AS b) bb
+        ), flat AS (
+          SELECT doc_id, width, height, CAST(64 * (dc + 128) AS BIGINT) AS s
+          FROM blk WHERE a01 = 0 AND a10 = 0
+        ), acpx AS (
           SELECT doc_id, width, height,
-                 (((doc_id * 7 + bb.b * 13) % 201) + 201) % 201 - 100 + 128 AS px
-          FROM d, LATERAL (SELECT unnest(range(d.nb)) AS b) bb
+                 LEAST(255, GREATEST(0,
+                   CAST(floor((
+                     8 * dc * 2896 * 2896
+                     + 8 * a01 * 2896 * list_value(4017,3406,2276,799,
+                                                   -799,-2276,-3406,-4017)[i.i % 8 + 1]
+                     + 8 * a10 * 2896 * list_value(4017,3406,2276,799,
+                                                   -799,-2276,-3406,-4017)[i.i // 8 + 1]
+                     + 33554432) / 67108864.0) AS BIGINT) + 128)) AS s
+          FROM blk, LATERAL (SELECT unnest(range(64)) AS i) i
+          WHERE a01 != 0 OR a10 != 0
+        ), per AS (
+          SELECT doc_id, width, height, SUM(s) AS s FROM flat GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT doc_id, width, height, SUM(s) FROM acpx GROUP BY 1, 2, 3
         )
         SELECT doc_id, width, height,
-               CAST(SUM(64 * px) AS BIGINT) AS luma_sum,
+               CAST(SUM(s) AS BIGINT) AS luma_sum,
                CAST(width * height AS BIGINT) AS n_px
-        FROM b GROUP BY doc_id, width, height
+        FROM per GROUP BY doc_id, width, height
     """,
     # closed-form recompute of the waveform the engine encodes AND
     # decodes through real RIFF/PCM bytes

@@ -1158,6 +1158,52 @@ def test_jpeg_dc_profile_roundtrip_fuzz():
         assert M.parse_image_header(blob) == ("jpeg", bw * 8, bh * 8)
 
 
+def test_jpeg_ac_profile_roundtrip_fuzz():
+    """Full baseline AC decode (r11): random sparse coefficients across
+    all 63 zigzag positions (exercising run lengths, ZRL, EOB-vs-last-
+    coefficient, sign EXTEND) must reproduce the pinned fixed-point
+    integer IDCT exactly — the reference pixels are recomputed here
+    straight from the contract definition, independently of the
+    decoder's loop."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(4242)
+    B = M._idct_basis()
+    q_nat = [8] * 64
+
+    def ref_block(coeff_nat):
+        fq = (
+            np.array(coeff_nat, dtype=np.int64).reshape(8, 8)
+            * np.array(q_nat, dtype=np.int64).reshape(8, 8)
+        )
+        acc = B.T @ fq @ B
+        px = ((acc + (1 << 25)) >> 26) + 128
+        return int(np.clip(px, 0, 255).sum())
+
+    for _ in range(100):
+        bw, bh = rng.randint(1, 3), rng.randint(1, 3)
+        blocks, exp = [], 0
+        for _b in range(bw * bh):
+            c = [0] * 64
+            c[0] = rng.randint(-100, 100)
+            for _k in range(rng.randint(0, 8)):
+                c[M._ZIGZAG[rng.randint(1, 63)]] = rng.randint(-40, 40)
+            blocks.append(c)
+            exp += ref_block(c)
+        blob = M.make_jpeg_gray(bw * 8, bh * 8, blocks)
+        assert M.jpeg_gray_luma_sum(blob) == (exp, bw * 8 * bh * 8)
+        # flat blocks (all AC zero) still take the EXACT dc+128 path —
+        # the two profiles coexist per block within one image
+        flat = [[c[0]] + [0] * 63 for c in blocks]
+        fexp = (
+            sum(64 * max(0, min(255, c[0] + 128)) for c in blocks),
+            bw * 8 * bh * 8,
+        )
+        assert M.jpeg_gray_luma_sum(M.make_jpeg_gray(bw * 8, bh * 8, flat)) == fexp
+
+
 def test_jpeg_decoder_rejects_out_of_profile():
     blob = M.make_jpeg_gray_dc(16, 8, [5, -5])
     assert M.jpeg_gray_luma_sum(blob) is not None
