@@ -320,6 +320,16 @@ def main() -> None:
     # regressions are visible round over round. Failures here must never
     # sink the bench line itself.
     try:
+        import duckdb as _duckdb
+
+        # Attribution fields (VERDICT r10 item 8): cross-round DuckDB
+        # baseline swings (r9 0.467 s -> r10 0.294 s at sf0.1) were not
+        # attributable to engine version vs ambient load. Record the
+        # version, and re-measure the same gate total a second time in
+        # the SAME process at the end of the bench — the rerun spread is
+        # the session's own noise floor, so a ratio swing larger than it
+        # points at the engine, not the machine.
+        out["duckdb_version"] = _duckdb.__version__
         out["duckdb_sec"] = duckdb_gate_total(sf_dir)
         if best_concurrent is not None:
             out["ratio_vs_duckdb"] = round(best_concurrent / out["duckdb_sec"], 4)
@@ -330,6 +340,14 @@ def main() -> None:
             out["sf1"] = sf1_crossover(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             out["sf1"] = {"error": str(e)[:200]}
+    if "duckdb_sec" in out:
+        try:
+            out["duckdb_sec_rerun"] = duckdb_gate_total(sf_dir)
+            out["duckdb_rerun_spread"] = round(
+                abs(out["duckdb_sec_rerun"] - out["duckdb_sec"]), 4
+            )
+        except Exception as e:  # noqa: BLE001
+            out["duckdb_rerun_error"] = str(e)[:200]
 
     # Full per-query detail goes to a file; stdout gets a COMPACT summary
     # as the LAST line. The driver records only a 2000-char tail of stdout
@@ -347,6 +365,8 @@ def main() -> None:
         "sf": sf,
         "sequential_total": out.get("sequential_total"),
         "duckdb_sec": out.get("duckdb_sec"),
+        "duckdb_version": out.get("duckdb_version"),
+        "duckdb_rerun_spread": out.get("duckdb_rerun_spread"),
         "ratio_vs_duckdb": out.get("ratio_vs_duckdb"),
         "ext_concurrent": out.get("ext_concurrent"),
         "ext_cached": out.get("ext_cached"),
@@ -365,7 +385,8 @@ def main() -> None:
     # failure this compact line exists to prevent). Drop optional fields
     # until the line fits the driver's 2000-char stdout tail.
     line = json.dumps(compact)
-    for droppable in ("queries", "ext_duckdb_total", "ext_concurrent",
+    for droppable in ("queries", "duckdb_version", "duckdb_rerun_spread",
+                      "ext_duckdb_total", "ext_concurrent",
                       "ext_cached", "n_gate_waves", "n_ext_waves",
                       "sequential_total", "detail"):
         if len(line) < 1900:

@@ -36,6 +36,8 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 _REGATE: list[str] = [
     # r11: AC-profile JPEG decode (integer IDCT) changed query + oracle
     "ext_multimodal_jpeg",
+    # r11: broadcast-when-small freq side (plan changed; semantics didn't)
+    "ext_text_commonness",
 ]
 
 

@@ -21,6 +21,8 @@ Oracle-parity design rules:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +31,36 @@ from flink_cdc_multi_spark.operators import dedup as D
 from flink_cdc_multi_spark.operators import similarity as S
 from flink_cdc_multi_spark.operators import text as X
 from flink_cdc_multi_spark.plans.queries import load_table
+
+# Broadcast guard for ext_text_commonness (VERDICT r10 item 6): source
+# bytes bound the frequency-table size (distinct hashes <= total tokens
+# <= text bytes, 16 bytes/freq row), so a local input under this many
+# bytes proves the freq side is executor-memory-safe to broadcast.
+_COMMONNESS_BCAST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_COMMONNESS_BCAST_BYTES", 64 << 20)
+)
+
+
+def _local_input_bytes(sf_dir: str, table: str) -> int:
+    """On-disk byte size of a LOCAL parquet input, or a sentinel larger
+    than any broadcast threshold when the path is remote (s3a/hdfs), a
+    directory tree we can't cheaply stat, or missing — the broadcast
+    guard must fail CLOSED to the shuffle plan. Driver-side metadata
+    only: no Spark job, the query plan stays lazy."""
+    big = 1 << 62
+    if "://" in sf_dir:  # s3a://, hdfs://, ... — size unknown, fail closed
+        return big
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):  # multi-file parquet dir (one level deep)
+            return sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+    except OSError:
+        pass
+    return big
 
 
 # -- dedup ------------------------------------------------------------------
@@ -531,7 +563,18 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe): token rows are corpus-sized, so re-running the pruned
     scan+explode is cheaper than holding the token stream resident — the
     OPPOSITE trade from pack_offsets, whose shared frame is 16 bytes/doc
-    (see PERF.md)."""
+    (see PERF.md).
+
+    Broadcast-when-small (VERDICT r10 item 6): when the documents input
+    is a LOCAL file small enough that the frequency table is provably
+    broadcastable (distinct hashes <= total tokens <= source bytes, so
+    input size bounds the freq side), hint ``broadcast(freq)`` — the
+    corpus-sized token stream then never shuffles on ``h``; only the
+    freq build pays an exchange. The guard is driver-side file metadata
+    (no Spark job, the plan stays lazy) and fails CLOSED: remote/unknown
+    inputs or anything over ``SPARK_GRAFT_COMMONNESS_BCAST_BYTES``
+    (default 64 MiB) keep the shuffle plan, so a 100 TB corpus can never
+    inherit a broadcast that OOMs the executors."""
     from flink_cdc_multi_spark.operators.text import widen_narrow_scan
 
     docs = load_table(spark, sf_dir, "documents")
@@ -547,6 +590,8 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", h.alias("h"))
     )
     freq = tok.groupBy("h").agg(F.count("*").alias("tf"))
+    if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
+        freq = F.broadcast(freq)
     return (
         tok.join(freq, "h")
         .groupBy("doc_id")

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 RUNNING_STATUS_SCHEMA = T.StructType(
     [
@@ -110,12 +111,19 @@ _DELTA_STATE_SCHEMA = T.StructType(
 _NEG_INF_POS = -(1 << 62)
 
 
-def _delta_update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    g_old, v_old, has, last_pos = (
-        state.get if state.exists else (None, 0, 0, _NEG_INF_POS)
-    )
+def _delta_core(prev: tuple, pdfs: Iterator[pd.DataFrame]):
+    """Shared per-key delta reduction for BOTH state APIs
+    (applyInPandasWithState and transformWithStateInPandas): reduce the
+    batch to the key's final image (max pos), retract/add against the
+    previous state, and return (output column lists, new state tuple or
+    None when nothing was applied). One body → the two implementations
+    cannot drift semantically.
+
+    Replay protection: a batch whose newest change for this key is at or
+    below the applied offset is a duplicate delivery — emitting its
+    deltas again would double-count, so it is dropped entirely (the
+    at-least-once analogue of sources.offsets.offset_greater)."""
+    g_old, v_old, has, last_pos = prev
     best = None
     for pdf in pdfs:
         if not len(pdf):
@@ -124,10 +132,7 @@ def _delta_update(
         if best is None or int(row["pos"]) > int(best["pos"]):
             best = row
     out_g, out_c, out_t = [], [], []
-    # replay protection: a batch whose newest change for this key is at or
-    # below the applied offset is a duplicate delivery — emitting its
-    # deltas again would double-count, so it is dropped entirely (the
-    # at-least-once analogue of sources.offsets.offset_greater)
+    new_state = None
     if best is not None and int(best["pos"]) > int(last_pos):
         if has:
             out_g.append(g_old)
@@ -139,10 +144,50 @@ def _delta_update(
             out_g.append(g_new)
             out_c.append(1)
             out_t.append(v_new)
-            state.update((g_new, v_new, 1, int(best["pos"])))
+            new_state = (g_new, v_new, 1, int(best["pos"]))
         else:
-            state.update((None, 0, 0, int(best["pos"])))
+            new_state = (None, 0, 0, int(best["pos"]))
+    return (out_g, out_c, out_t), new_state
+
+
+def _delta_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prev = state.get if state.exists else (None, 0, 0, _NEG_INF_POS)
+    (out_g, out_c, out_t), new_state = _delta_core(prev, pdfs)
+    if new_state is not None:
+        state.update(new_state)
     yield pd.DataFrame({"g": out_g, "d_cnt": out_c, "d_total": out_t})
+
+
+class _DeltaProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of ``_delta_update`` (Spark 4's
+    successor API to applyInPandasWithState — VERDICT r10 item 7). Same
+    per-key tuple in a named ValueState, same ``_delta_core`` reduction,
+    so the two paths are semantically one implementation. Requires the
+    RocksDB state-store provider (engine restriction for the
+    transformWithState operator family)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("delta", _DELTA_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._state.get() if self._state.exists() else None
+        if prev is None:
+            prev = (None, 0, 0, _NEG_INF_POS)
+        (out_g, out_c, out_t), new_state = _delta_core(prev, rows)
+        if new_state is not None:
+            self._state.update(new_state)
+        yield pd.DataFrame({"g": out_g, "d_cnt": out_c, "d_total": out_t})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
 
 
 def cdc_delta_stream(
@@ -152,6 +197,7 @@ def cdc_delta_stream(
     value_col: str,
     order_col: str,
     op_col: str = "_op",
+    impl: str = "apply",
 ) -> DataFrame:
     """Streaming IVM delta emission: per-pk state holds the current
     (group, value, applied offset); each micro-batch reduces its changes
@@ -173,7 +219,19 @@ def cdc_delta_stream(
     Scale: state is partitioned by pk across executors and checkpointed
     incrementally (RocksDB state store on a real cluster); per-batch work
     is O(batch), per-key state O(1) — the streaming-native shape of the
-    batch operator, with no materialized-state probe join at all."""
+    batch operator, with no materialized-state probe join at all.
+
+    ``impl`` selects the state API: ``"apply"`` (default) =
+    applyInPandasWithState, ``"tws"`` = transformWithStateInPandas
+    (Spark 4's successor; REQUIRES the RocksDB state-store provider AND
+    the protobuf runtime — its Python state protocol is
+    protobuf-serialized — and its richer surface: timers, initial state,
+    state TTL, multiple state variables). Both run the same
+    ``_delta_core`` reduction; ``test_delta_stream_tws_matches_apply``
+    pins row-level equivalence where protobuf is available. ``"apply"``
+    stays the default until the 1M-key state A/B
+    (tools/bench_state_scale.py ... tws) can run — blocked in this
+    build environment by the missing protobuf dependency."""
     from pyspark.sql import functions as F
 
     keyed = changes.select(
@@ -183,6 +241,25 @@ def cdc_delta_stream(
         F.col(op_col).cast("string").alias("op"),
         F.col(order_col).cast("long").alias("pos"),
     )
+    if impl == "tws":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "cdc_delta_stream(impl='tws') needs the protobuf runtime: "
+                "transformWithState's Python state-server protocol is "
+                "protobuf-serialized (pyspark.sql.streaming.proto). "
+                "Install 'protobuf' on driver and executors, or use "
+                "impl='apply'."
+            ) from e
+        return keyed.groupBy("pk").transformWithStateInPandas(
+            statefulProcessor=_DeltaProcessor(),
+            outputStructType=DELTA_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    if impl != "apply":
+        raise ValueError(f"unknown cdc_delta_stream impl: {impl!r}")
     return keyed.groupBy("pk").applyInPandasWithState(
         _delta_update,
         outputStructType=DELTA_SCHEMA,

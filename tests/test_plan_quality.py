@@ -422,3 +422,29 @@ def test_q27_q28_shuffle_hash_not_sortmerge(spark):
         plan = plan_of(spark, q)
         assert "ShuffledHashJoin" in plan, q
         assert "SortMergeJoin" not in plan, q
+
+
+def test_ext_text_commonness_broadcast_guard(spark):
+    """Broadcast-when-small guard (VERDICT r10 item 6): a small LOCAL
+    documents input proves the freq side broadcastable -> BroadcastHashJoin
+    and the corpus token stream never exchanges on h; over the threshold
+    (or remote input) the guard fails closed to the shuffled join, the
+    100 TB-safe shape. sf10 A/B: shuffle 5.22 s vs broadcast 4.67 s min-of-3
+    interleaved, identical 500k-row results (PERF.md r11)."""
+    from flink_cdc_multi_spark.plans import extensions as E
+
+    saved = E._COMMONNESS_BCAST_BYTES
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill Catalyst's own size-estimate broadcast so the plan reflects
+        # ONLY the guard's hint (at test SF everything auto-broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        E._COMMONNESS_BCAST_BYTES = 1 << 62
+        small = plan_of(spark, "ext_text_commonness")
+        assert "BroadcastHashJoin" in small
+        E._COMMONNESS_BCAST_BYTES = 0
+        big = plan_of(spark, "ext_text_commonness")
+        assert "BroadcastHashJoin" not in big
+    finally:
+        E._COMMONNESS_BCAST_BYTES = saved
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
