@@ -7,14 +7,17 @@ JPEG SOF, GIF logical-screen, and BMP InfoHeader dimensions straight from
 the container bytes (public format knowledge, no media library needed).
 PIXEL decode is REAL for all four formats (round 6): ``png_luma_sum``
 (stdlib zlib + all-five-filter unfiltering), ``jpeg_gray_luma_sum``
-(baseline entropy decode, DC-only profile), ``gif_luma_sum`` (full LZW
+(baseline entropy decode; round 11 added the full AC profile via a
+pinned integer IDCT), ``gif_luma_sum`` (full LZW
 codec), and ``bmp_luma_sum`` (padded BGR rows) — so ``mean_luma`` is a
 genuine pixel statistic everywhere the profile allows. Out-of-profile
-variants (JPEG with AC coefficients — a float IDCT needs a media
-library — interlaced GIF, palettized BMP) return None, never a fake;
-``fake_luma=True`` remains only as an explicit opt-in stand-in. The
-resize RESAMPLE kernel still requires PIL/opencv (absent here) and
-stays a plan-only stub.
+variants (interlaced GIF, palettized BMP, progressive JPEG) return
+None, never a fake; ``fake_luma=True`` remains only as an explicit
+opt-in stand-in. Round 11 made the resize RESAMPLE kernel real too:
+``resize_image_features`` runs nearest + fixed-point bilinear numpy
+resampling over the full PNG pixel decode (``png_decode_pixels``) —
+no PIL/opencv needed; only video frame EXTRACTION remains plan-only
+(``frame_sample_plan``; no container parser for video formats).
 
 Scale notes: media blobs ride in parquet binary columns; mapInPandas streams
 Arrow batches so one task never materializes more than
@@ -219,16 +222,15 @@ def make_png_rgb(width: int, height: int, seed: int) -> bytes:
 _LUMA_W = (299, 587, 114)
 
 
-def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
-    """Decode a PNG's pixels with the stdlib only (zlib inflate + spec
-    unfiltering, all five filter types) and return
-    (Σ 299·R + 587·G + 114·B over pixels, n_pixels) as exact integers —
-    mean luma = sum / (1000 · n). Supports the non-interlaced 8-bit
-    grayscale / RGB / RGBA color types (0/2/6), which covers the
-    generated fixtures and the common corpus cases; anything else
-    (palette, 16-bit, interlaced, truncated, bad zlib) → None, never an
-    exception. Pixel decode became REAL in round 6 — only formats other
-    than PNG still need an external media library."""
+def png_decode_pixels(blob: bytes):
+    """Full PNG pixel decode with the stdlib only (zlib inflate + spec
+    unfiltering, all five filter types): returns a uint8 numpy array of
+    shape (height, width, channels), or None for anything out of profile
+    (palette, 16-bit, interlaced, truncated, bad zlib) — never an
+    exception. Profile: non-interlaced 8-bit grayscale / RGB / RGBA
+    (color types 0/2/6). This is the shared pixel source for
+    png_luma_sum AND the resize kernels (resize_luma_sums) — one
+    decoder, two consumers."""
     import zlib
 
     try:
@@ -296,24 +298,37 @@ def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
             else:
                 return None
             prev_off = off
-        # vectorized integer luma over the unfiltered pixel matrix
         import numpy as np
 
-        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(-1, channels)
-        wr, wg, wb = _LUMA_W
-        if channels == 1:
-            s = int(px[:, 0].astype(np.int64).sum()) * (wr + wg + wb)
-        else:  # RGB / RGBA (alpha ignored)
-            s = int(
-                (
-                    px[:, 0].astype(np.int64) * wr
-                    + px[:, 1].astype(np.int64) * wg
-                    + px[:, 2].astype(np.int64) * wb
-                ).sum()
-            )
-        return s, w * h
+        return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
     except (struct.error, IndexError, zlib.error, ValueError):
         return None
+
+
+def _luma_int_matrix(px):
+    """(h, w, channels) uint8 → (h, w) int64 of the exact integer luma
+    299·R + 587·G + 114·B (grayscale: ×1000; alpha ignored) — the value
+    every oracle sums, never a rounded float."""
+    import numpy as np
+
+    wr, wg, wb = _LUMA_W
+    p = px.astype(np.int64)
+    if px.shape[2] == 1:
+        return p[:, :, 0] * (wr + wg + wb)
+    return p[:, :, 0] * wr + p[:, :, 1] * wg + p[:, :, 2] * wb
+
+
+def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
+    """(Σ 299·R + 587·G + 114·B over pixels, n_pixels) as exact integers
+    via the real pixel decode (png_decode_pixels) — mean luma =
+    sum / (1000 · n). None for out-of-profile PNGs. Pixel decode became
+    REAL in round 6; round 11 split the decoder out so the resize
+    kernels share it."""
+    px = png_decode_pixels(blob)
+    if px is None:
+        return None
+    h, w = px.shape[0], px.shape[1]
+    return int(_luma_int_matrix(px).sum()), w * h
 
 
 # -- JPEG: real baseline entropy decode, DC-only profile --------------------
@@ -1109,12 +1124,13 @@ def resize_plan(
     binary_col: str = "media",
 ) -> DataFrame:
     """Image resize *plan*: target dimensions for a bounded-box downscale
-    (longest side → ``max_dim``, aspect preserved, never upscale). The
-    width/height inputs are REAL (container header parse via
-    decode_image_features); the pixel resample itself is the stubbed
-    kernel this container cannot run (no PIL/opencv) — the plumbing a real
-    deployment drops its decoder into. Unrecognized formats pass through
-    with null targets. All integer/ratio math is pure Column expressions:
+    (longest side → ``max_dim``, aspect preserved, never upscale) WITHOUT
+    touching pixels — the metadata fast path (header parse only). For the
+    real pixel resample over the PNG profile see resize_image_features
+    (round 11: nearest + fixed-point bilinear numpy kernels over
+    png_decode_pixels — no media library). Unrecognized formats pass
+    through with null targets. All integer/ratio math is pure Column
+    expressions:
 
       scale = min(1, max_dim / max(w, h));  target = round(dim * scale)
     """
@@ -1133,3 +1149,119 @@ def resize_plan(
         F.round(F.col("width") * scale).cast("int").alias("target_width"),
         F.round(F.col("height") * scale).cast("int").alias("target_height"),
     )
+
+
+# -- real pixel resize (round 11: lifts the resize stub) ---------------------
+#
+# Two resample kernels over the real PNG pixel decode, both in EXACT
+# integer arithmetic so a DuckDB oracle can replay them closed-form on
+# the synthetic fixtures (the png_luma_sum pattern, extended to resampled
+# grids):
+#
+#   nearest:  src index = (t · src) // dst              (floor NN)
+#   bilinear: fixed-point align-centers — for target index t,
+#             num = (2t+1)·src − dst, i0 = num // (2·dst),
+#             frac = num % (2·dst), i1 = min(i0+1, src−1); the pixel's
+#             contribution is the integer-weighted 4-neighbor sum over
+#             the common denominator 4·tw·th (emitted alongside, ratio
+#             rule: the float division never crosses an engine boundary).
+#
+# Downscale-only (bounded box, never upscale) keeps num ≥ 0 and the
+# weights within 2·max_dim, so every accumulator fits int64 with orders
+# of magnitude to spare.
+
+
+def resize_box_targets(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Bounded-box target dims in pure integer math (floor, never
+    upscale, never below 1): the CONTRACT shared by the numpy kernel and
+    the DuckDB oracle — round()-based targets would diverge on halves
+    (Spark HALF_UP vs DuckDB half-even, the ext_embed_quantize lesson)."""
+    m = max(w, h)
+    if m <= max_dim:
+        return w, h
+    return max(1, (w * max_dim) // m), max(1, (h * max_dim) // m)
+
+
+def _axis_grid(src: int, dst: int):
+    """Per-axis fixed-point sample grid: (i0, i1, frac, den) arrays for
+    the align-centers bilinear contract above."""
+    import numpy as np
+
+    t = np.arange(dst, dtype=np.int64)
+    den = 2 * dst
+    num = (2 * t + 1) * src - dst
+    i0 = num // den
+    return i0, np.minimum(i0 + 1, src - 1), num - i0 * den, den
+
+
+def resize_luma_sums(blob: bytes, max_dim: int):
+    """REAL pixel resize of a PNG blob: decode (png_decode_pixels),
+    bounded-box targets, then BOTH resample kernels over the integer
+    luma matrix. Returns (width, height, target_w, target_h,
+    nn_luma_sum, bil_luma_num, bil_den) — all exact integers — or None
+    for out-of-profile input."""
+    import numpy as np
+
+    px = png_decode_pixels(blob)
+    if px is None:
+        return None
+    h, w = px.shape[0], px.shape[1]
+    lum = _luma_int_matrix(px)
+    tw, th = resize_box_targets(w, h, max_dim)
+    nx = (np.arange(tw, dtype=np.int64) * w) // tw
+    ny = (np.arange(th, dtype=np.int64) * h) // th
+    nn = int(lum[np.ix_(ny, nx)].sum())
+    i0x, i1x, fx, denx = _axis_grid(w, tw)
+    i0y, i1y, fy, deny = _axis_grid(h, th)
+    wx0, wy0 = denx - fx, deny - fy
+    bil = (
+        wy0[:, None] * wx0[None, :] * lum[np.ix_(i0y, i0x)]
+        + wy0[:, None] * fx[None, :] * lum[np.ix_(i0y, i1x)]
+        + fy[:, None] * wx0[None, :] * lum[np.ix_(i1y, i0x)]
+        + fy[:, None] * fx[None, :] * lum[np.ix_(i1y, i1x)]
+    )
+    return w, h, tw, th, nn, int(bil.sum()), denx * deny
+
+
+RESIZE_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("target_width", T.LongType()),
+        T.StructField("target_height", T.LongType()),
+        T.StructField("nn_luma_sum", T.LongType()),
+        T.StructField("bil_luma_num", T.LongType()),
+        T.StructField("bil_den", T.LongType()),
+    ]
+)
+
+
+def resize_image_features(
+    df: DataFrame,
+    max_dim: int,
+    id_col: str = "doc_id",
+    binary_col: str = "media",
+) -> DataFrame:
+    """binary PNG column → real resampled-luma features per image via
+    Arrow-batched mapInPandas (the blob never leaves its task; linear in
+    cores like the rest of the codec family). Out-of-profile blobs emit
+    null feature columns — never a fake. Mean resized luma =
+    nn_luma_sum / (1000 · tw · th) or bil_luma_num / (1000 · bil_den ·
+    tw · th); the division stays with the consumer (ratio rule)."""
+    import numpy as np  # noqa: F401  (kernel dependency, fail at plan time)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, cols = pdf[id_col].astype("int64"), []
+            for b in pdf[binary_col]:
+                cols.append(resize_luma_sums(bytes(b), max_dim))
+            names = RESIZE_FEATURES.names[1:]
+            data = {"doc_id": ids}
+            for j, name in enumerate(names):
+                data[name] = pd.array(
+                    [None if r is None else r[j] for r in cols], dtype="Int64"
+                )
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, binary_col).mapInPandas(batches, RESIZE_FEATURES)

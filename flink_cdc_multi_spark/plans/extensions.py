@@ -745,6 +745,50 @@ def ext_multimodal_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel RESIZE end to end (round 11 — lifts the last image-side
+    stub): synthesize the spec-valid RGB PNG per document (the
+    ext_multimodal_luma fixture), then run operators/multimodal.
+    resize_image_features — full pixel decode + bounded-box targets
+    (longest side → 8, floor-integer contract, never upscale) + BOTH
+    resample kernels: floor nearest-neighbor and fixed-point
+    align-centers bilinear. Everything emitted is an exact integer
+    (resized luma sums + the bilinear common denominator — ratio rule),
+    and every step is closed-form in (doc_id, x, y), so the DuckDB
+    oracle replays decode+resample in pure SQL arithmetic: a wrong
+    sample index, a wrong edge clamp, or a wrong weight breaks the hash.
+
+    Scale shape: same as the codec family — repartition 8-byte ids wide,
+    Arrow mapInPandas, the blob never leaves the task that created it;
+    numpy fancy-indexing resample is O(target pixels) per image and
+    linear in cores."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [
+                        M.make_png_rgb(int(i) % 24 + 4, int(i) % 16 + 4, int(i) % 256)
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    return M.resize_image_features(media, max_dim=8)
+
+
 def ext_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by (value, event_id) per event type — the canonical
     top-N-per-group pattern. The (value DESC, event_id ASC) order is
@@ -1486,6 +1530,7 @@ EXT_QUERIES = {
     "ext_multimodal_bytes": ext_multimodal_bytes,
     "ext_multimodal_dims": ext_multimodal_dims,
     "ext_multimodal_luma": ext_multimodal_luma,
+    "ext_multimodal_resize": ext_multimodal_resize,
     "ext_embed_quantize": ext_embed_quantize,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_rollup_agg": ext_rollup_agg,
@@ -2034,6 +2079,65 @@ EXT_ORACLE_SQL = {
                CAST(((doc_id % 480) + 480) % 480 + 16 AS BIGINT) AS height,
                CAST(45 AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id
+    """,
+    # Closed-form replay of decode + BOTH resample kernels (the
+    # ext_multimodal_luma idiom extended to resampled grids): the pixel
+    # pattern L(x,y) = 299((s+x)%256)+587((s+y)%256)+114((s+x+y)%256) is
+    # evaluated at the EXACT integer sample indices the numpy kernel
+    # uses — floor NN (t·src)//dst and fixed-point bilinear
+    # num=(2t+1)·src−dst over den=2·dst with edge clamp — so a wrong
+    # index, clamp, or weight on either side breaks the hash.
+    "ext_multimodal_resize": """
+        WITH d AS (
+          SELECT doc_id,
+                 ((doc_id % 24) + 24) % 24 + 4 AS w,
+                 ((doc_id % 16) + 16) % 16 + 4 AS h,
+                 ((doc_id % 256) + 256) % 256 AS s
+          FROM documents
+        ), t AS (
+          SELECT doc_id, w, h, s,
+                 CASE WHEN GREATEST(w, h) <= 8 THEN w
+                      ELSE GREATEST(1, (w * 8) // GREATEST(w, h)) END AS tw,
+                 CASE WHEN GREATEST(w, h) <= 8 THEN h
+                      ELSE GREATEST(1, (h * 8) // GREATEST(w, h)) END AS th
+          FROM d
+        ), gx AS (
+          SELECT *, unnest(range(tw)) AS tx FROM t
+        ), g AS (
+          SELECT *, unnest(range(th)) AS ty FROM gx
+        ), idx AS (
+          SELECT doc_id, w, h, s, tw, th,
+                 (tx * w) // tw AS nxx,
+                 (ty * h) // th AS nyy,
+                 ((2 * tx + 1) * w - tw) // (2 * tw) AS sx0,
+                 ((2 * tx + 1) * w - tw) % (2 * tw) AS fx,
+                 ((2 * ty + 1) * h - th) // (2 * th) AS sy0,
+                 ((2 * ty + 1) * h - th) % (2 * th) AS fy
+          FROM g
+        ), c AS (
+          SELECT *, LEAST(sx0 + 1, w - 1) AS sx1, LEAST(sy0 + 1, h - 1) AS sy1
+          FROM idx
+        )
+        SELECT doc_id,
+               CAST(MAX(w) AS BIGINT) AS width,
+               CAST(MAX(h) AS BIGINT) AS height,
+               CAST(MAX(tw) AS BIGINT) AS target_width,
+               CAST(MAX(th) AS BIGINT) AS target_height,
+               CAST(SUM(299 * ((s + nxx) % 256)
+                      + 587 * ((s + nyy) % 256)
+                      + 114 * ((s + nxx + nyy) % 256)) AS BIGINT) AS nn_luma_sum,
+               CAST(SUM(
+                   (2*tw - fx) * (2*th - fy) * (299 * ((s + sx0) % 256)
+                       + 587 * ((s + sy0) % 256) + 114 * ((s + sx0 + sy0) % 256))
+                 + fx * (2*th - fy) * (299 * ((s + sx1) % 256)
+                       + 587 * ((s + sy0) % 256) + 114 * ((s + sx1 + sy0) % 256))
+                 + (2*tw - fx) * fy * (299 * ((s + sx0) % 256)
+                       + 587 * ((s + sy1) % 256) + 114 * ((s + sx0 + sy1) % 256))
+                 + fx * fy * (299 * ((s + sx1) % 256)
+                       + 587 * ((s + sy1) % 256) + 114 * ((s + sx1 + sy1) % 256))
+               ) AS BIGINT) AS bil_luma_num,
+               CAST(MAX(4 * tw * th) AS BIGINT) AS bil_den
+        FROM c GROUP BY doc_id ORDER BY doc_id
     """,
     "ext_rollup_agg": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

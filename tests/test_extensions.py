@@ -1329,3 +1329,95 @@ def test_profile_table_approx_close_to_exact(spark):
         assert approx[c]["n_null"] == exact[c]["n_null"]
         nd_e, nd_a = exact[c]["n_distinct"], approx[c]["n_distinct"]
         assert abs(nd_a - nd_e) <= max(2, 0.1 * nd_e), (c, nd_e, nd_a)
+
+
+def test_resize_kernels_vs_python_reference():
+    """resize_luma_sums (numpy fancy-indexing kernels) vs an INDEPENDENT
+    scalar-loop reference implementing the same integer contracts: floor
+    NN indices (t*src)//dst, fixed-point align-centers bilinear with edge
+    clamp. Sweeps rectangular/square, downscale/identity, and every seed
+    class the fixture uses."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    def luma(s, x, y):
+        return (
+            299 * ((s + x) % 256) + 587 * ((s + y) % 256) + 114 * ((s + x + y) % 256)
+        )
+
+    def ref(w, h, s, max_dim):
+        m = max(w, h)
+        if m <= max_dim:
+            tw, th = w, h
+        else:
+            tw = max(1, (w * max_dim) // m)
+            th = max(1, (h * max_dim) // m)
+        nn = sum(
+            luma(s, (tx * w) // tw, (ty * h) // th)
+            for tx in range(tw)
+            for ty in range(th)
+        )
+        bil = 0
+        for tx in range(tw):
+            numx = (2 * tx + 1) * w - tw
+            sx0, fx = numx // (2 * tw), numx % (2 * tw)
+            sx1 = min(sx0 + 1, w - 1)
+            for ty in range(th):
+                numy = (2 * ty + 1) * h - th
+                sy0, fy = numy // (2 * th), numy % (2 * th)
+                sy1 = min(sy0 + 1, h - 1)
+                bil += (
+                    (2 * tw - fx) * (2 * th - fy) * luma(s, sx0, sy0)
+                    + fx * (2 * th - fy) * luma(s, sx1, sy0)
+                    + (2 * tw - fx) * fy * luma(s, sx0, sy1)
+                    + fx * fy * luma(s, sx1, sy1)
+                )
+        return w, h, tw, th, nn, bil, 4 * tw * th
+
+    for w, h, s, md in [
+        (20, 12, 37, 8), (4, 4, 0, 8), (27, 19, 255, 8), (9, 8, 128, 8),
+        (16, 5, 7, 8), (5, 16, 7, 8), (1, 30, 3, 8), (30, 1, 3, 8),
+        (12, 12, 99, 4), (25, 25, 200, 1), (6, 7, 50, 64),
+    ]:
+        got = M.resize_luma_sums(M.make_png_rgb(w, h, s), md)
+        assert got == ref(w, h, s, md), (w, h, s, md)
+
+
+def test_resize_identity_and_rejections():
+    """No-upscale contract: small images pass through with bil_num =
+    bil_den x full luma sum; out-of-profile blobs -> None (never fake)."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    blob = M.make_png_rgb(5, 4, 250)
+    w, h, tw, th, nn, bnum, bden = M.resize_luma_sums(blob, 8)
+    assert (tw, th) == (5, 4)
+    full, npx = M.png_luma_sum(blob)
+    assert nn == full and bnum == bden * full and bden == 4 * 5 * 4
+    assert M.resize_luma_sums(M.make_tiny_png(5, 5), 8) is None  # no IDAT
+    assert M.resize_luma_sums(b"junk", 8) is None
+    assert M.resize_luma_sums(blob[:40], 8) is None  # truncated
+
+
+def test_resize_image_features_nulls_out_of_profile(spark):
+    """The operator emits null feature columns (not a fake, not a crash)
+    for undecodable blobs, real integers for PNGs."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "media": [M.make_png_rgb(20, 12, 37), b"not an image"],
+        }
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in M.resize_image_features(spark.createDataFrame(pdf), 8).collect()
+    }
+    exp = M.resize_luma_sums(M.make_png_rgb(20, 12, 37), 8)
+    assert (
+        rows[1]["width"], rows[1]["height"], rows[1]["target_width"],
+        rows[1]["target_height"], rows[1]["nn_luma_sum"],
+        rows[1]["bil_luma_num"], rows[1]["bil_den"],
+    ) == exp
+    assert rows[2]["nn_luma_sum"] is None and rows[2]["width"] is None
