@@ -789,6 +789,52 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_image_features(media, max_dim=8)
 
 
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling end to end (round 11 — lifts the video-side
+    stub on the container this sandbox can decode): synthesize a
+    spec-valid ANIMATED GIF89a per document (2-5 frames of
+    doc_id-derived size, 50 ms GCE frame clock, gray pattern closed-form
+    in (frame, x, y)), then run operators/multimodal.
+    frame_sample_features at an 80 ms stride — container walk, frame
+    seek, LZW decode of ONLY the sampled frames, exact integer luma per
+    sampled timestamp. The DuckDB oracle replays the frame clock
+    (ts // 50) and the pixel pattern in pure SQL, so a wrong delay
+    parse, frame index, or LZW decode breaks the hash. The 80 ms stride
+    over 50 ms frames makes consecutive samples land in non-consecutive
+    frames, so the selective-decode path (skipped frames never pay LZW)
+    is exercised on every multi-frame doc."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                s = i % 256
+                blobs.append(
+                    M.make_gif_gray_animated(
+                        i % 10 + 3,
+                        i % 7 + 3,
+                        i % 4 + 2,
+                        5,  # 50 ms per frame
+                        lambda f, x, y, s=s: (s + 11 * f + 3 * x + 5 * y) % 256,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    return M.frame_sample_features(media, every_ms=80)
+
+
 def ext_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by (value, event_id) per event type — the canonical
     top-N-per-group pattern. The (value DESC, event_id ASC) order is
@@ -1531,6 +1577,7 @@ EXT_QUERIES = {
     "ext_multimodal_dims": ext_multimodal_dims,
     "ext_multimodal_luma": ext_multimodal_luma,
     "ext_multimodal_resize": ext_multimodal_resize,
+    "ext_multimodal_frames": ext_multimodal_frames,
     "ext_embed_quantize": ext_embed_quantize,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_rollup_agg": ext_rollup_agg,
@@ -2138,6 +2185,36 @@ EXT_ORACLE_SQL = {
                ) AS BIGINT) AS bil_luma_num,
                CAST(MAX(4 * tw * th) AS BIGINT) AS bil_den
         FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+    # Frame-clock + pixel-pattern replay for the animated-GIF sampler:
+    # frame k covers [50k, 50k+50) ms, samples at 0/80/160/... below
+    # nf*50, gray(f,x,y) = (s + 11f + 3x + 5y) % 256, luma = 1000*gray
+    # (equal Rec.601 weights on a gray palette sum to 1000).
+    "ext_multimodal_frames": """
+        WITH d AS (
+          SELECT doc_id,
+                 ((doc_id % 10) + 10) % 10 + 3 AS w,
+                 ((doc_id % 7) + 7) % 7 + 3 AS h,
+                 ((doc_id % 4) + 4) % 4 + 2 AS nf,
+                 ((doc_id % 256) + 256) % 256 AS s
+          FROM documents
+        ), smp AS (
+          SELECT doc_id, w, h, s, unnest(range(0, nf * 50, 80)) AS ts
+          FROM d
+        ), fr AS (
+          SELECT doc_id, w, h, s, ts, ts // 50 AS fi FROM smp
+        ), gx AS (
+          SELECT * , unnest(range(w)) AS x FROM fr
+        ), g AS (
+          SELECT *, unnest(range(h)) AS y FROM gx
+        )
+        SELECT doc_id,
+               CAST(ts AS BIGINT) AS sample_ts_ms,
+               CAST(MAX(fi) AS BIGINT) AS frame_idx,
+               CAST(SUM(1000 * ((s + 11 * fi + 3 * x + 5 * y) % 256)) AS BIGINT)
+                   AS luma_sum,
+               CAST(MAX(w * h) AS BIGINT) AS n_px
+        FROM g GROUP BY doc_id, ts ORDER BY doc_id, ts
     """,
     "ext_rollup_agg": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -1421,3 +1421,63 @@ def test_resize_image_features_nulls_out_of_profile(spark):
         rows[1]["bil_luma_num"], rows[1]["bil_den"],
     ) == exp
     assert rows[2]["nn_luma_sum"] is None and rows[2]["width"] is None
+
+
+def test_gif_frame_sampling_vs_reference():
+    """sample_gif_frames vs the closed-form frame clock + pixel sum, over
+    frame counts 1-6 and strides landing inside/outside frame bounds."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    for w, h, nf, dcs, s, every in [
+        (6, 4, 3, 5, 37, 80), (3, 3, 1, 10, 0, 30), (10, 7, 6, 4, 255, 25),
+        (5, 5, 2, 5, 128, 100), (4, 6, 5, 2, 9, 7),
+    ]:
+        px = lambda f, x, y: (s + 11 * f + 3 * x + 5 * y) % 256  # noqa: E731
+        blob = M.make_gif_gray_animated(w, h, nf, dcs, px)
+        got = M.sample_gif_frames(blob, every)
+        total = nf * dcs * 10
+        exp = []
+        for ts in range(0, total, every):
+            fi = min(ts // (dcs * 10), nf - 1)
+            luma = 1000 * sum(px(fi, x, y) for x in range(w) for y in range(h))
+            exp.append((ts, fi, luma, w * h))
+        assert got == exp, (w, h, nf, dcs, s, every)
+
+
+def test_gif_frame_sampling_selective_decode(monkeypatch):
+    """Frames no sample lands in must NEVER pay LZW: a 200 ms stride over
+    10 x 50 ms frames decodes 3 frames (0, 4, 8), not 10."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    blob = M.make_gif_gray_animated(4, 4, 10, 5, lambda f, x, y: (f + x + y) % 256)
+    calls = []
+    real = M._gif_decode_span
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(M, "_gif_decode_span", counting)
+    rows = M.sample_gif_frames(blob, 200)
+    assert [r[:2] for r in rows] == [(0, 0), (200, 4), (400, 8)]
+    assert len(calls) == 3
+
+
+def test_gif_frame_sampling_rejections():
+    """Out-of-profile animated GIFs -> None, never fake rows: zero frame
+    clock, transparency, truncation, non-GIF input; and the legacy
+    single-image generator (no GCE at all) has no frame clock."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    px = lambda f, x, y: (x + y) % 256  # noqa: E731
+    assert M.sample_gif_frames(M.make_gif_gray_animated(4, 4, 2, 0, px), 80) is None
+    blob = bytearray(M.make_gif_gray_animated(4, 4, 2, 5, px))
+    # set the GCE transparency flag (packed byte right after 21 f9 04)
+    i = bytes(blob).index(b"\x21\xf9\x04") + 3
+    blob[i] |= 0x01
+    assert M.sample_gif_frames(bytes(blob), 80) is None
+    assert M.sample_gif_frames(b"GIF89a", 80) is None
+    assert M.sample_gif_frames(b"junk", 80) is None
+    assert (
+        M.sample_gif_frames(M.make_gif_gray(4, 4, lambda x, y: 0), 80) is None
+    )
