@@ -1369,15 +1369,20 @@ def gif_frame_index(blob: bytes):
 
 
 def _gif_decode_span(blob: bytes, start: int, end: int, palette, gct_len, n_px):
-    """LZW-decode one frame's sub-block span → integer luma sum."""
-    mcs = blob[start]
-    lzw = bytearray()
-    pos = start + 1
-    while blob[pos] != 0:
-        n = blob[pos]
-        lzw += blob[pos + 1 : pos + 1 + n]
-        pos += 1 + n
-    indices = _lzw_decode_gif(bytes(lzw), mcs)
+    """LZW-decode one frame's sub-block span → integer luma sum, None for
+    a corrupt stream (bad code, exhausted bits, wrong pixel count) — the
+    decoder family's never-raise contract."""
+    try:
+        mcs = blob[start]
+        lzw = bytearray()
+        pos = start + 1
+        while blob[pos] != 0:
+            n = blob[pos]
+            lzw += blob[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        indices = _lzw_decode_gif(bytes(lzw), mcs)
+    except (IndexError, ValueError, struct.error):
+        return None
     if len(indices) != n_px:
         return None
     wr, wg, wb = _LUMA_W
@@ -1385,7 +1390,10 @@ def _gif_decode_span(blob: bytes, start: int, end: int, palette, gct_len, n_px):
         wr * palette[3 * i] + wg * palette[3 * i + 1] + wb * palette[3 * i + 2]
         for i in range(gct_len)
     ]
-    return sum(lut[i] for i in indices)
+    try:
+        return sum(lut[i] for i in indices)
+    except IndexError:  # LZW emitted an index past the palette: corrupt
+        return None
 
 
 def sample_gif_frames(blob: bytes, every_ms: int):

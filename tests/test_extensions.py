@@ -1481,3 +1481,36 @@ def test_gif_frame_sampling_rejections():
     assert (
         M.sample_gif_frames(M.make_gif_gray(4, 4, lambda x, y: 0), 80) is None
     )
+
+
+def test_gif_frame_sampler_fuzz_never_raises():
+    """Corruption hardening for the animated-GIF walker + sampler:
+    bit-flips and truncations of VALID animations must return None or a
+    well-formed row list, never raise (same property the PNG/JPEG/WAV
+    decoders are pinned to)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    base = M.make_gif_gray_animated(
+        7, 5, 4, 5, lambda f, x, y: (3 * f + x + 2 * y) % 256
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=1, max_value=len(base)),
+    )
+    def corrupted(pos, val, cut):
+        mut = bytearray(base)
+        mut[pos] = val
+        for blob in (bytes(mut), base[:cut], bytes(mut)[:cut]):
+            out = M.sample_gif_frames(blob, 80)
+            assert out is None or (
+                isinstance(out, list)
+                and all(len(r) == 4 and r[3] == 35 for r in out)
+            )
+
+    corrupted()
