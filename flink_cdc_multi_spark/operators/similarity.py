@@ -440,3 +440,99 @@ def ivf_topk_fixed(
     cand = c.join(F.broadcast(q), "cell")
     scored = cand.select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
     return _rank_topk(scored, k)
+
+
+def pq_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (round 11): asymmetric-distance top-k over
+    PQ codes — the memory-bound scale path (8 one-byte codes stand in for
+    a 256-byte vector, so a billion-vector index fits where raw floats
+    cannot; IVF prunes WORK, PQ compresses STATE).
+
+    Deterministic, engine-portable variant: the per-subspace codebooks
+    are the sub-vectors of the caller-chosen ``codebook`` frame (the
+    ext_ann_ivf "corpus vectors as model" idiom — kmeans-trained
+    codebooks would be engine-local and uncheckable). All distances are
+    exact integers in LSH_QUANT-floored component space, so encode
+    (argmin d², ties to lowest codeword id), the query ADC lookup
+    tables, and the final (dist asc, nid asc) ranking replay bit-exactly
+    in the DuckDB oracle.
+
+    Plan-time collects (documented eager-plan contract, bench.py note):
+    the codebook (|codewords| rows — the trained model) and the query
+    set (control-plane-sized broadcast side, as in brute_force_topk).
+    Per Arrow batch of the corpus: encode = m small (batch × codewords ×
+    sub) numpy reductions — never one (batch, m, codewords, sub)
+    allocation — then ADC via m LUT gathers; only per-batch top-k
+    candidates leave the task, so the global window sees
+    |batches|·|Q|·k rows, not |corpus|·|Q|."""
+    arr = F.col(vec_col).cast("array<double>")
+    cb_rows = sorted(
+        codebook.select(F.col(id_col).alias("cid"), arr.alias("cv")).collect()
+    )
+    cmat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cb_rows])
+    cq = np.floor(cmat * LSH_QUANT).astype(np.int64)
+    ncb, dim = cq.shape
+    assert dim % m == 0, "m must divide the embedding dimension"
+    sub = dim // m
+    csub = cq.reshape(ncb, m, sub)
+
+    q_rows = sorted(
+        queries.select(F.col(id_col).alias("qid"), arr.alias("qv")).collect()
+    )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qq = np.floor(
+        np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+        * LSH_QUANT
+    ).astype(np.int64)
+    qsub = qq.reshape(len(qids), m, sub)
+    # ADC lookup table: lut[q, j, c] = ||qsub[q,j] - csub[c,j]||² (int64)
+    lut = (
+        ((qsub[:, None, :, :] - csub[None, :, :, :]) ** 2).sum(-1).transpose(0, 2, 1)
+    )
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf[id_col].to_numpy().astype(np.int64)
+            v = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * LSH_QUANT
+            ).astype(np.int64)
+            vsub = v.reshape(len(nids), m, sub)
+            dist = np.zeros((len(qids), len(nids)), dtype=np.int64)
+            for j in range(m):
+                d2 = ((vsub[:, None, j, :] - csub[None, :, j, :]) ** 2).sum(-1)
+                codes_j = d2.argmin(1)  # first min = lowest cid (contract)
+                dist += lut[:, j, codes_j]
+            kk = min(k, len(nids))
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((nids, dist[qi]))[:kk]
+                out_q.append(np.full(order.size, qids[qi]))
+                out_n.append(nids[order])
+                out_d.append(dist[qi][order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "nid": np.concatenate(out_n),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "qid long, nid long, dist long"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "dist")
+    )

@@ -209,6 +209,22 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_fixed(corpus, queries, centroids, k=3, n_probe=4)
 
 
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (round 11): 8 subspaces of 8 dims,
+    codebooks = sub-vectors of corpus vectors 20..35 (the ext_ann_ivf
+    deterministic-model idiom), asymmetric-distance scan over the codes.
+    Fully oracle-checked INCLUDING the integer ADC distance column —
+    encode ties, LUT arithmetic, and ranking replay bit-exactly in
+    DuckDB. PQ is the memory side of the ANN scale story (ivf prunes
+    work, pq compresses state to m bytes/vector); see
+    operators/similarity.pq_topk_fixed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    codebook = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+    return S.pq_topk_fixed(corpus, queries, codebook, m=8, k=3)
+
+
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3, oracle-checked: the portable
     md5-parity signature makes the candidate sets integer-identical across
@@ -1569,6 +1585,7 @@ EXT_QUERIES = {
     "ext_ann_topk": ext_ann_topk,
     "ext_ann_lsh": ext_ann_lsh,
     "ext_ann_ivf": ext_ann_ivf,
+    "ext_ann_pq": ext_ann_pq,
     "ext_text_quality": ext_text_quality,
     "ext_text_langid": ext_text_langid,
     "ext_curation_pipeline": ext_curation_pipeline,
@@ -1942,6 +1959,45 @@ EXT_ORACLE_SQL = {
             AND list_dot_product(cc.emb, cc.emb) > 0
         )
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    # PQ replay: same q6 component space as ivf; codebooks = sub-vectors
+    # of vectors 20..35 split into 8 subspaces (j = i//8); encode =
+    # argmin d2 with ties to the lowest codeword id; ADC = per-(query,
+    # subspace, codeword) LUT joined onto the codes; rank (dist, nid).
+    "ext_ann_pq": """
+        WITH comp AS (
+          SELECT vec_id, t.i,
+                 CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q,
+                 t.i // 8 AS j, t.i % 8 AS w
+          FROM embeddings, range(64) t(i)
+        ), cb AS (
+          SELECT vec_id AS cid, j, w, q FROM comp WHERE vec_id BETWEEN 20 AND 35
+        ), enc_d AS (
+          SELECT c.vec_id, c.j, cb.cid, SUM((c.q - cb.q) * (c.q - cb.q)) AS d2
+          FROM comp c JOIN cb ON cb.j = c.j AND cb.w = c.w
+          WHERE c.vec_id >= 20
+          GROUP BY c.vec_id, c.j, cb.cid
+        ), codes AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+            FROM enc_d) WHERE rn = 1
+        ), qd AS (
+          SELECT c.vec_id AS qid, c.j, cb.cid, SUM((c.q - cb.q) * (c.q - cb.q)) AS d2
+          FROM comp c JOIN cb ON cb.j = c.j AND cb.w = c.w
+          WHERE c.vec_id < 20
+          GROUP BY c.vec_id, c.j, cb.cid
+        ), adc AS (
+          SELECT qd.qid, codes.vec_id AS nid, CAST(SUM(qd.d2) AS BIGINT) AS dist
+          FROM codes JOIN qd ON qd.j = codes.j AND qd.cid = codes.cid
+          GROUP BY qd.qid, codes.vec_id
+        ), ranked AS (
+          SELECT qid, nid, dist,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+          FROM adc
+        )
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist
+        FROM ranked WHERE rank <= 3 ORDER BY qid, rank
     """,
     "ext_ann_lsh": """
         WITH sgn AS (

@@ -1514,3 +1514,55 @@ def test_gif_frame_sampler_fuzz_never_raises():
             )
 
     corrupted()
+
+
+def test_pq_topk_recall_and_exact_contract(spark):
+    """PQ ADC: (a) a query that IS a codebook vector must rank itself
+    first with distance 0 (its codes reconstruct it exactly, every other
+    vector's ADC distance is positive w.h.p.); (b) near-duplicate queries
+    recover their exact top-1 for most queries (approximate-recall
+    tolerance, the ivf/lsh pattern); (c) the emitted dist is the exact
+    integer ADC sum recomputed in numpy."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i + 100, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    codebook = corpus.filter("vec_id < 116")  # first 16 corpus vectors
+    # (a) codebook vectors as queries: self is an exact PQ match
+    self_q = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    got = S.pq_topk_fixed(corpus, self_q, codebook, m=4, k=1).collect()
+    assert {(r["qid"], r["nid"], r["dist"]) for r in got} == {
+        (i, i + 100, 0) for i in range(4)
+    }
+    # (b) perturbed queries: top-1 recall vs brute force
+    qvecs = vecs[:10] + rng.standard_normal((10, 16)) * 0.01
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(qvecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        r["qid"]: r["nid"]
+        for r in S.brute_force_topk(corpus, queries, k=1).collect()
+    }
+    rows = S.pq_topk_fixed(corpus, queries, codebook, m=4, k=1).collect()
+    approx = {r["qid"]: r["nid"] for r in rows}
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= 6  # 16-codeword PQ is coarse; near-dups mostly survive
+    # (c) dist is the exact integer ADC sum
+    q6 = lambda a: np.floor(np.asarray(a) * 1_000_000).astype(np.int64)  # noqa: E731
+    C = q6(vecs[:16]).reshape(16, 4, 4)
+    r0 = rows[0]
+    qv = q6(qvecs[int(r0["qid"])]).reshape(4, 4)
+    nv = q6(vecs[int(r0["nid"]) - 100]).reshape(4, 4)
+    dist = 0
+    for j in range(4):
+        codes = ((C[:, j, :] - nv[j]) ** 2).sum(1).argmin()
+        dist += int(((qv[j] - C[codes, j]) ** 2).sum())
+    assert r0["dist"] == dist

@@ -448,3 +448,12 @@ def test_ext_text_commonness_broadcast_guard(spark):
     finally:
         E._COMMONNESS_BCAST_BYTES = saved
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+
+
+def test_ext_ann_pq_vectorized_kernel_and_group_limit(spark):
+    """PQ ADC scan: encode+LUT-gather run in the Arrow mapInPandas kernel;
+    the global rank is a WindowGroupLimit over per-batch top-k candidates
+    (|batches|*|Q|*k rows, never |corpus|*|Q|)."""
+    plan = plan_of(spark, "ext_ann_pq")
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
