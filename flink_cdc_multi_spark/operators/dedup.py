@@ -718,9 +718,14 @@ def embedding_neardup_pairs_lsh(
     quadratic verify is per-bucket, not global. Buckets are the unit of
     parallelism; at scale, raise n_planes to keep buckets bounded
     (candidate volume ~ sum of bucket²)."""
-    from flink_cdc_multi_spark.operators.similarity import hyperplane_signature
+    from flink_cdc_multi_spark.operators.similarity import (
+        hyperplane_signature,
+        valid_vectors,
+    )
 
-    sig = hyperplane_signature(df, dim, n_planes, id_col, vec_col)
+    sig = hyperplane_signature(
+        valid_vectors(df, dim, vec_col), dim, n_planes, id_col, vec_col
+    )
     return (
         sig.select(
             F.col(id_col).alias("id"),
@@ -764,6 +769,11 @@ def embedding_neardup_pairs(
     _guard_pairs_input(
         df, max_rows, "embedding_neardup_pairs", "embedding_neardup_pairs_lsh"
     )
+    # NULL vectors can't be near-dups and would kill the numpy stack
+    # (r11 hardening; the LSH path enforces the dimension too)
+    df = df.filter(F.col(vec_col).isNotNull())
+    if dim is not None:
+        df = df.filter(F.size(F.col(vec_col)) == dim)
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

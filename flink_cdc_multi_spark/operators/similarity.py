@@ -29,6 +29,19 @@ IVF_SEED = 42  # deterministic kmeans for reproducible IVF partitions
 LSH_QUANT = 1_000_000
 
 
+def valid_vectors(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Drop NULL and mis-dimensioned vectors before a numpy kernel.
+
+    Every vectorized path here `np.stack`s an Arrow batch; ONE null or
+    ragged row in a 100 TB corpus would otherwise kill the whole query
+    (r11 hardening — probed, both brute and pq crashed). Contract,
+    mirrored by `embedding IS NOT NULL AND len(embedding) = dim` in the
+    ANN oracles and pinned by the adversarial gate: such rows can never
+    be neighbors, they are dropped — never imputed."""
+    c = F.col(vec_col)
+    return df.filter(c.isNotNull() & (F.size(c) == dim))
+
+
 def md5_sign_matrix(dim: int, n_planes: int):
     """±1 hyperplane matrix (dim × n_planes) with signs from md5 parity:
     s(p, i) = +1 iff the 60-bit prefix of md5("p:i") is odd. Sign random
@@ -96,12 +109,15 @@ def brute_force_topk(
     arr = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x))
     if vectorized:
-        qrows = queries.select(
+        qrows = queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
         ).collect()
+        dim = max((len(r["qv"]) for r in qrows), default=0)
+        qrows = [r for r in qrows if len(r["qv"]) == dim]  # ragged queries drop
         qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
         qn = np.sqrt((qmat * qmat).sum(axis=1))
+        corpus = valid_vectors(corpus, dim, vec_col)
 
         def score(it):
             for pdf in it:
@@ -253,6 +269,8 @@ def lsh_topk(
     """Approximate top-k: score only corpus vectors whose signature matches
     the query's (or differs by one bit with multiprobe). Recall/cost is
     tuned by n_planes; candidates join on a compact long key."""
+    corpus = valid_vectors(corpus, dim, vec_col)
+    queries = valid_vectors(queries, dim, vec_col)
     c = hyperplane_signature(corpus, dim, n_planes, id_col, vec_col).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -317,6 +335,11 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # NULL vectors break both the kmeans fit and the numpy cell kernel;
+    # dim is unknown pre-fit, so this path drops nulls only (the fixed/
+    # gated paths also enforce the dimension — see valid_vectors)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     arr = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x))
     c = corpus.select(
@@ -401,6 +424,8 @@ def ivf_topk_fixed(
         [np.floor(np.asarray(r["cv"], dtype=np.float64) * LSH_QUANT).astype(np.int64)
          for r in cent_rows]
     )
+    corpus = valid_vectors(corpus, C.shape[1], vec_col)
+    queries = valid_vectors(queries, C.shape[1], vec_col)
 
     def _d2(vs: pd.Series) -> np.ndarray:
         # exact int64 squared-L2 to every centroid: floor(x·1e6) is the
@@ -483,6 +508,8 @@ def pq_topk_fixed(
     assert dim % m == 0, "m must divide the embedding dimension"
     sub = dim // m
     csub = cq.reshape(ncb, m, sub)
+    corpus = valid_vectors(corpus, dim, vec_col)
+    queries = valid_vectors(queries, dim, vec_col)
 
     q_rows = sorted(
         queries.select(F.col(id_col).alias("qid"), arr.alias("qv")).collect()

@@ -38,6 +38,13 @@ _REGATE: list[str] = [
     "ext_multimodal_jpeg",
     # r11: broadcast-when-small freq side (plan changed; semantics didn't)
     "ext_text_commonness",
+    # r11: NULL-embedding hardening added IS NOT NULL guards to these
+    # oracles (no-op on clean data, but the contract moved on both sides)
+    "ext_ann_topk",
+    "ext_ann_lsh",
+    "ext_ann_ivf",
+    "ext_dedup_embedding",
+    "ext_dedup_embedding_lsh",
 ]
 
 

@@ -1889,7 +1889,7 @@ EXT_ORACLE_SQL = {
     "ext_dedup_embedding": """
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
-          WHERE vec_id < 1000
+          WHERE vec_id < 1000 AND embedding IS NOT NULL
         )
         SELECT a.vec_id AS a_id, b.vec_id AS b_id
         FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1904,6 +1904,7 @@ EXT_ORACLE_SQL = {
         ), comp AS (
           SELECT vec_id, t.i, CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
           FROM embeddings, range(64) t(i)
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
         ), dots AS (
           SELECT c.vec_id, s.p, SUM(s.s * c.q) AS d
           FROM comp c JOIN sgn s ON s.i = c.i GROUP BY c.vec_id, s.p
@@ -1923,6 +1924,7 @@ EXT_ORACLE_SQL = {
         WITH comp AS (
           SELECT vec_id, t.i, CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
           FROM embeddings, range(64) t(i)
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
         ), cent AS (
           SELECT vec_id AS cid, i, q FROM comp WHERE vec_id BETWEEN 20 AND 35
         ), d2c AS (
@@ -1945,6 +1947,7 @@ EXT_ORACLE_SQL = {
             FROM d2c_q) WHERE rn <= 4
         ), e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
         ), cand AS (
           SELECT p.qid, ce.vec_id AS nid
           FROM probes p JOIN cells ce ON ce.cid = p.cid
@@ -1970,6 +1973,7 @@ EXT_ORACLE_SQL = {
                  CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q,
                  t.i // 8 AS j, t.i % 8 AS w
           FROM embeddings, range(64) t(i)
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
         ), cb AS (
           SELECT vec_id AS cid, j, w, q FROM comp WHERE vec_id BETWEEN 20 AND 35
         ), enc_d AS (
@@ -2007,6 +2011,7 @@ EXT_ORACLE_SQL = {
         ), comp AS (
           SELECT vec_id, t.i, CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
           FROM embeddings, range(64) t(i)
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
         ), dots AS (
           SELECT c.vec_id, s.p, SUM(s.s * c.q) AS d
           FROM comp c JOIN sgn s ON s.i = c.i GROUP BY c.vec_id, s.p
@@ -2036,7 +2041,8 @@ EXT_ORACLE_SQL = {
         SELECT qid, rank, nid FROM scored WHERE rank <= 3 ORDER BY qid, rank
     """,
     "ext_ann_topk": """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) = 64),
         -- zero-norm drop mirrored as an explicit norm guard: this DuckDB
         -- returns -1.0 (not NaN) for a zero-vector cosine, so an isnan
         -- filter alone would NOT drop the pair the engine drops

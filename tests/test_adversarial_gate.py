@@ -56,9 +56,19 @@ ADVERSARIAL_QUERIES = [
     "ext_budget_sample",
     "ext_sketch_kmv",
     "ext_text_vocab",
-    # embeddings: zero vector (try_divide/zero-norm contract), negative ids
+    # embeddings: zero vector (try_divide/zero-norm contract), negative
+    # ids, NULL embedding (r11: valid_vectors drop, mirrored by
+    # embedding IS NOT NULL in the oracles — a NULL row must never kill
+    # a numpy kernel, and as a negative-id QUERY it exercises the
+    # collect-side skip in the ann family)
     "ext_dedup_embedding",
+    "ext_dedup_embedding_lsh",
     "ext_embed_quantize",
+    "ext_embed_centroid",
+    "ext_ann_topk",
+    "ext_ann_lsh",
+    "ext_ann_ivf",
+    "ext_ann_pq",
     # TPC-H side: NULL fact columns, negative keys, boundary decimals
     "q01",
     "q06",

@@ -118,6 +118,11 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
         return [
             {"vec_id": -1, "embedding": [0.0] * dim, "label": None},
             {"vec_id": -2, "embedding": [-1e-7] * dim, "label": -3},
+            # NULL embedding (r11): a single NULL row must not kill any
+            # numpy kernel (valid_vectors drops it; oracles mirror with
+            # embedding IS NOT NULL) — negative id < 20 also makes it a
+            # QUERY for the ann family, exercising the collect-side skip
+            {"vec_id": -3, "embedding": None, "label": 1},
         ]
     if name == "orders":
         return [
