@@ -1084,7 +1084,9 @@ def decode_image_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = [bytes(b) for b in pdf[binary_col]]
+            # NULL blobs parse as empty: unknown format, zero bytes, null
+            # luma — one NULL row must never kill a 100 TB decode job
+            blobs = [b"" if b is None else bytes(b) for b in pdf[binary_col]]
             headers = [parse_image_header(b) for b in blobs]
             yield pd.DataFrame(
                 {
@@ -1258,7 +1260,11 @@ def resize_image_features(
         for pdf in it:
             ids, cols = pdf[id_col].astype("int64"), []
             for b in pdf[binary_col]:
-                cols.append(resize_luma_sums(bytes(b), max_dim))
+                # NULL blob → all-null feature row (the decode_image_
+                # features NULL contract)
+                cols.append(
+                    None if b is None else resize_luma_sums(bytes(b), max_dim)
+                )
             names = RESIZE_FEATURES.names[1:]
             data = {"doc_id": ids}
             for j, name in enumerate(names):
@@ -1470,7 +1476,10 @@ def frame_sample_features(
         for pdf in it:
             rows = {n: [] for n in FRAME_SAMPLES.names}
             for i, b in zip(pdf[id_col].astype("int64"), pdf[binary_col]):
-                samples = sample_gif_frames(bytes(b), every_ms)
+                # NULL blob = out of profile: contributes no rows
+                samples = (
+                    None if b is None else sample_gif_frames(bytes(b), every_ms)
+                )
                 for ts, k, luma, n_px in samples or ():
                     rows["doc_id"].append(int(i))
                     rows["sample_ts_ms"].append(ts)

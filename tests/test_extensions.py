@@ -1566,3 +1566,27 @@ def test_pq_topk_recall_and_exact_contract(spark):
         codes = ((C[:, j, :] - nv[j]) ** 2).sum(1).argmin()
         dist += int(((qv[j] - C[codes, j]) ** 2).sum())
     assert r0["dist"] == dist
+
+
+def test_media_operators_survive_null_blobs(spark):
+    """One NULL binary row must never kill a decode job (the r11
+    valid_vectors principle applied to the media kernels): header decode
+    treats NULL as empty bytes, resize emits an all-null feature row,
+    frame sampling contributes no rows."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "media": [M.make_png_rgb(6, 5, 9), None]}
+    )
+    df = spark.createDataFrame(pdf)
+    feats = {r["doc_id"]: r for r in M.decode_image_features(df).collect()}
+    assert feats[1]["format"] == "png" and feats[1]["mean_luma"] is not None
+    assert feats[2]["format"] is None and feats[2]["byte_len"] == 0
+    rz = {r["doc_id"]: r for r in M.resize_image_features(df, 4).collect()}
+    assert rz[1]["nn_luma_sum"] is not None and rz[2]["nn_luma_sum"] is None
+    gif = M.make_gif_gray_animated(4, 3, 2, 5, lambda f, x, y: (f + x + y) % 256)
+    pdf2 = pd.DataFrame({"doc_id": [1, 2], "media": [gif, None]})
+    rows = M.frame_sample_features(spark.createDataFrame(pdf2), 60).collect()
+    assert {r["doc_id"] for r in rows} == {1}
