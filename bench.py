@@ -161,8 +161,9 @@ def main() -> None:
     # ext_ann_ivf collects its 16 centroids (model build), ext_ann_topk
     # collects its 20 query vectors (the broadcast side — the numpy
     # scoring kernel needs them driver-side, like FAISS loading the query
-    # batch), ext_ann_pq collects its 16-codeword codebook + the query
-    # set (the trained PQ model + ADC LUT inputs — same contract), and
+    # batch), ext_ann_pq / ext_ann_ivfpq collect their 16-codeword
+    # codebooks (+ centroids) + the query set (the trained models + ADC
+    # LUT inputs — same contract), and
     # ext_dedup_clusters runs its iterative fixpoint (the result of an
     # iterative algorithm is a materialized artifact) — their timed
     # numbers below measure serving the built index, like any prepared

@@ -563,3 +563,128 @@ def pq_topk_fixed(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "dist")
     )
+
+
+def ivf_pq_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (round 11): the canonical billion-scale ANN composition —
+    the coarse quantizer prunes WORK (each query scores only its
+    ``n_probe`` nearest cells, as in ivf_topk_fixed) and PQ compresses
+    STATE (candidates are scored through m-byte codes via integer ADC
+    LUT gathers, as in pq_topk_fixed). Both models are deterministic
+    fixed vector sets, so cells, codes, probe order, ADC distances, and
+    the final (dist asc, nid asc) ranking replay bit-exactly in the
+    DuckDB oracle.
+
+    Spark shape: ONE corpus pass (Arrow kernel) emits (nid, cell,
+    codes); the (qid, cell) probe list — |Q|·n_probe rows, computed
+    driver-side from the collected models — broadcast-joins onto it, so
+    the candidate stream is |corpus|·n_probe/n_cells rows of 8-byte ids
+    + m-byte codes, never raw vectors; a second kernel scores candidates
+    with LUT gathers and pre-reduces to per-batch top-k before the
+    WindowGroupLimit global rank. No corpus shuffle anywhere."""
+    arr = F.col(vec_col).cast("array<double>")
+
+    def _collect_q6(df, alias):
+        rows = sorted(
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("id"), arr.alias("v"))
+            .collect()
+        )
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.floor(
+            np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+            * LSH_QUANT
+        ).astype(np.int64)
+        return ids, mat
+
+    cent_ids, C = _collect_q6(centroids, "cent")
+    cb_ids, B = _collect_q6(codebook, "cb")
+    dim = C.shape[1]
+    assert B.shape[1] == dim and dim % m == 0
+    sub = dim // m
+    bsub = B.reshape(len(cb_ids), m, sub)
+
+    corpus = valid_vectors(corpus, dim, vec_col)
+    queries = valid_vectors(queries, dim, vec_col)
+    q_rows = sorted(
+        queries.select(F.col(id_col).alias("qid"), arr.alias("qv")).collect()
+    )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.floor(
+        np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+        * LSH_QUANT
+    ).astype(np.int64)
+    qsub = Q.reshape(len(qids), m, sub)
+    lut = (
+        ((qsub[:, None, :, :] - bsub[None, :, :, :]) ** 2).sum(-1).transpose(0, 2, 1)
+    )  # (nq, m, ncb)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    # probe list: per query the n_probe nearest cells by (d2, cid)
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # (nq, ncells)
+    probe_rows = []
+    for qi in range(len(qids)):
+        order = np.lexsort((cent_ids, qd2[qi]))[:n_probe]
+        probe_rows += [(int(qids[qi]), int(cent_ids[c])) for c in order]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, cell long")
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf[id_col].to_numpy().astype(np.int64)
+            v = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * LSH_QUANT
+            ).astype(np.int64)
+            cells = cent_ids[((v[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)]
+            vsub = v.reshape(len(nids), m, sub)
+            codes = np.empty((len(nids), m), dtype=np.int64)
+            for j in range(m):
+                d2 = ((vsub[:, None, j, :] - bsub[None, :, j, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)  # first min = lowest codeword id
+            yield pd.DataFrame(
+                {"nid": nids, "cell": cells, "codes": list(codes)}
+            )
+
+    coded = corpus.select(id_col, vec_col).mapInPandas(
+        encode, "nid long, cell long, codes array<long>"
+    )
+    cand = coded.join(F.broadcast(probes), "cell")
+
+    def adc(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["nid"].to_numpy().astype(np.int64)
+            qidx = np.array([qpos[int(q)] for q in pdf["qid"]], dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            dist = np.zeros(len(nids), dtype=np.int64)
+            for j in range(m):
+                dist += lut[qidx, j, codes[:, j]]
+            out = pd.DataFrame(
+                {"qid": pdf["qid"].to_numpy(np.int64), "nid": nids, "dist": dist}
+            )
+            # per-batch pre-reduction under the final (dist, nid) order
+            out = out.sort_values(["qid", "dist", "nid"]).groupby("qid").head(k)
+            yield out
+
+    scored = cand.select("qid", "nid", "codes").mapInPandas(
+        adc, "qid long, nid long, dist long"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "dist")
+    )

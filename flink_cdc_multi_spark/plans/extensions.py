@@ -225,6 +225,25 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk_fixed(corpus, queries, codebook, m=8, k=3)
 
 
+def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3 (round 11): the canonical billion-scale composition —
+    coarse cells (centroids = vectors 20..35) prune each query to 4
+    probed cells; PQ codes (codebooks = sub-vectors of vectors 36..51)
+    score the surviving candidates through integer ADC LUT gathers.
+    Fully oracle-checked including the ADC distance: cells, codes, probe
+    order, and ranking are all deterministic integer arithmetic. See
+    operators/similarity.ivf_pq_topk_fixed for the one-corpus-pass /
+    broadcast-probe / no-corpus-shuffle plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+    codebook = emb.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 52))
+    return S.ivf_pq_topk_fixed(
+        corpus, queries, centroids, codebook, m=8, k=3, n_probe=4
+    )
+
+
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3, oracle-checked: the portable
     md5-parity signature makes the candidate sets integer-identical across
@@ -1586,6 +1605,7 @@ EXT_QUERIES = {
     "ext_ann_lsh": ext_ann_lsh,
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_pq": ext_ann_pq,
+    "ext_ann_ivfpq": ext_ann_ivfpq,
     "ext_text_quality": ext_text_quality,
     "ext_text_langid": ext_text_langid,
     "ext_curation_pipeline": ext_curation_pipeline,
@@ -1995,6 +2015,71 @@ EXT_ORACLE_SQL = {
           SELECT qd.qid, codes.vec_id AS nid, CAST(SUM(qd.d2) AS BIGINT) AS dist
           FROM codes JOIN qd ON qd.j = codes.j AND qd.cid = codes.cid
           GROUP BY qd.qid, codes.vec_id
+        ), ranked AS (
+          SELECT qid, nid, dist,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+          FROM adc
+        )
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist
+        FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    # IVF-PQ replay: the ivf cells/probes CTEs (centroids 20..35) feed
+    # the pq codes/ADC CTEs (codebooks 36..51, bid) restricted to probed
+    # candidates; every step is the same exact integer arithmetic.
+    "ext_ann_ivfpq": """
+        WITH comp AS (
+          SELECT vec_id, t.i,
+                 CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q,
+                 t.i // 8 AS j, t.i % 8 AS w
+          FROM embeddings, range(64) t(i)
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+        ), cent AS (
+          SELECT vec_id AS cid, i, q FROM comp WHERE vec_id BETWEEN 20 AND 35
+        ), cb AS (
+          SELECT vec_id AS bid, j, w, q FROM comp WHERE vec_id BETWEEN 36 AND 51
+        ), d2cell AS (
+          SELECT c.vec_id, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+          FROM comp c JOIN cent ct USING (i)
+          WHERE c.vec_id >= 20 GROUP BY c.vec_id, ct.cid
+        ), cells AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d2cell) WHERE rn = 1
+        ), enc_d AS (
+          SELECT c.vec_id, c.j, cb.bid, SUM((c.q - cb.q) * (c.q - cb.q)) AS d2
+          FROM comp c JOIN cb ON cb.j = c.j AND cb.w = c.w
+          WHERE c.vec_id >= 20
+          GROUP BY c.vec_id, c.j, cb.bid
+        ), codes AS (
+          SELECT vec_id, j, bid FROM (
+            SELECT vec_id, j, bid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, bid) AS rn
+            FROM enc_d) WHERE rn = 1
+        ), qcell AS (
+          SELECT c.vec_id AS qid, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+          FROM comp c JOIN cent ct USING (i)
+          WHERE c.vec_id < 20 GROUP BY c.vec_id, ct.cid
+        ), probes AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+            FROM qcell) WHERE rn <= 4
+        ), qlut AS (
+          SELECT c.vec_id AS qid, c.j, cb.bid, SUM((c.q - cb.q) * (c.q - cb.q)) AS d2
+          FROM comp c JOIN cb ON cb.j = c.j AND cb.w = c.w
+          WHERE c.vec_id < 20
+          GROUP BY c.vec_id, c.j, cb.bid
+        ), cand AS (
+          SELECT p.qid, ce.vec_id AS nid
+          FROM probes p JOIN cells ce USING (cid)
+        ), adc AS (
+          SELECT cand.qid, cand.nid, CAST(SUM(qlut.d2) AS BIGINT) AS dist
+          FROM cand
+          JOIN codes ON codes.vec_id = cand.nid
+          JOIN qlut ON qlut.qid = cand.qid
+                   AND qlut.j = codes.j AND qlut.bid = codes.bid
+          GROUP BY cand.qid, cand.nid
         ), ranked AS (
           SELECT qid, nid, dist,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank

@@ -1590,3 +1590,54 @@ def test_media_operators_survive_null_blobs(spark):
     pdf2 = pd.DataFrame({"doc_id": [1, 2], "media": [gif, None]})
     rows = M.frame_sample_features(spark.createDataFrame(pdf2), 60).collect()
     assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_ivf_pq_topk_vs_python_reference(spark):
+    """ivf_pq_topk_fixed vs an independent numpy reference of the whole
+    pipeline (cell assign, probe choice, PQ encode, ADC, rank) on random
+    data — exact (qid, rank, nid, dist) row-set equality, integer
+    arithmetic end to end."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((120, 16))
+    corpus = spark.createDataFrame(
+        [(i + 100, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries_np = vecs[:6] + rng.standard_normal((6, 16)) * 0.02
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(queries_np)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = corpus.filter("vec_id < 108")   # 8 cells
+    codebook = corpus.filter("vec_id >= 108 and vec_id < 116")  # 8 codewords
+    got = {
+        (r["qid"], r["rank"], r["nid"], r["dist"])
+        for r in S.ivf_pq_topk_fixed(
+            corpus, queries, centroids, codebook, m=4, k=2, n_probe=3
+        ).collect()
+    }
+
+    q6 = lambda a: np.floor(np.asarray(a, float) * 1_000_000).astype(np.int64)  # noqa: E731
+    V, Q = q6(vecs), q6(queries_np)
+    C, B = V[:8], V[8:16]
+    cent_ids = np.arange(100, 108)
+    cells = cent_ids[((V[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)]
+    Bs, Vs, Qs = B.reshape(8, 4, 4), V.reshape(120, 4, 4), Q.reshape(6, 4, 4)
+    codes = np.stack(
+        [((Vs[:, None, j, :] - Bs[None, :, j, :]) ** 2).sum(-1).argmin(1)
+         for j in range(4)], axis=1)
+    exp = set()
+    for qi in range(6):
+        d2c = ((Q[qi] - C) ** 2).reshape(8, -1).sum(-1)
+        probed = set(cent_ids[np.lexsort((cent_ids, d2c))[:3]])
+        cand = [n for n in range(120) if cells[n] in probed]
+        dists = sorted(
+            (sum(int(((Qs[qi, j] - Bs[codes[n, j], j]) ** 2).sum())
+                 for j in range(4)), n + 100)
+            for n in cand
+        )
+        for rank, (d, nid) in enumerate(dists[:2], 1):
+            exp.add((qi, rank, nid, d))
+    assert got == exp

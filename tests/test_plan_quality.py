@@ -457,3 +457,14 @@ def test_ext_ann_pq_vectorized_kernel_and_group_limit(spark):
     plan = plan_of(spark, "ext_ann_pq")
     assert "MapInPandas" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_ext_ann_ivfpq_broadcast_probe_no_corpus_shuffle(spark):
+    """IVF-PQ: one corpus pass (encode kernel), probes broadcast onto it
+    (no corpus exchange for the candidate join), ADC kernel, then a
+    WindowGroupLimit over the pre-reduced candidates."""
+    plan = plan_of(spark, "ext_ann_ivfpq")
+    assert plan.count("MapInPandas") >= 2  # encode + adc kernels
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
