@@ -828,53 +828,59 @@ def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
     """GIF-variant LZW decode, including the cScSc (code == next_code)
-    special case and mid-stream CLEAR handling."""
+    special case and mid-stream CLEAR handling. Returns the index stream
+    as BYTES (palette indices are ≤ 255 by construction) — r11 hot-loop
+    form: inlined bit reader (the closure/nonlocal version paid a call
+    per code), bytes table entries (C-level concat/append vs per-symbol
+    tuple building), bytearray output. Same stream-level behavior,
+    ~2× the decode rate; the callers' luma reduction moved to a
+    vectorized numpy LUT over the returned buffer."""
     clear = 1 << min_code_size
     end = clear + 1
     pos = acc = nbits = 0
-
-    def get(width: int) -> int:
-        nonlocal pos, acc, nbits
+    n = len(data)
+    out = bytearray()
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    maxw = 1 << width
+    prev: bytes | None = None
+    while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 raise ValueError("LZW stream exhausted")
             acc |= data[pos] << nbits
             pos += 1
             nbits += 8
-        v = acc & ((1 << width) - 1)
+        code = acc & (maxw - 1)
         acc >>= width
         nbits -= width
-        return v
-
-    out: list[int] = []
-    table: list[tuple] = []
-    width = min_code_size + 1
-    prev: tuple | None = None
-    while True:
-        code = get(width)
         if code == clear:
-            table = [(i,) for i in range(clear)] + [(), ()]
+            table = list(base)
             width = min_code_size + 1
+            maxw = 1 << width
             prev = None
             continue
         if code == end:
-            return out
+            return bytes(out)
+        ln = len(table)
         if prev is None:
             entry = table[code]
-        elif code < len(table):
+        elif code < ln:
             entry = table[code]
-            if len(table) < 4096:
-                table.append(prev + (entry[0],))
-        elif code == len(table) and len(table) < 4096:
-            entry = prev + (prev[0],)  # cScSc
+            if ln < 4096:
+                table.append(prev + entry[:1])
+        elif code == ln and ln < 4096:
+            entry = prev + prev[:1]  # cScSc
             table.append(entry)
         else:
             raise ValueError("LZW code out of range")
-        out.extend(entry)
-        if len(table) >= (1 << width) and width < 12:
+        out += entry
+        if len(table) >= maxw and width < 12:
             width += 1
+            maxw = 1 << width
         prev = entry
 
 
@@ -938,14 +944,24 @@ def gif_luma_sum(blob: bytes):
         indices = _lzw_decode_gif(bytes(lzw), mcs)
         if w == 0 or h == 0 or len(indices) != w * h:
             return None
-        wr, wg, wb = _LUMA_W
-        lut = [
-            wr * palette[3 * i] + wg * palette[3 * i + 1] + wb * palette[3 * i + 2]
-            for i in range(gct_len)
-        ]
-        return sum(lut[i] for i in indices), w * h
+        return _gif_lut_sum(indices, palette, gct_len), w * h
     except (struct.error, IndexError, ValueError):
         return None
+
+
+def _gif_lut_sum(indices: bytes, palette: bytes, gct_len: int) -> int:
+    """Vectorized integer luma over a decoded index stream: LUT = the
+    Rec.601 weights over the palette, one numpy take+sum (the Python
+    generator form paid per-pixel interpreter cost). Indices past the
+    palette raise IndexError for the callers' corrupt-stream handling."""
+    import numpy as np
+
+    idx = np.frombuffer(indices, dtype=np.uint8)
+    if idx.size and int(idx.max()) >= gct_len:
+        raise IndexError("palette index out of range")
+    pal = np.frombuffer(palette[: 3 * gct_len], dtype=np.uint8)
+    lut = pal.reshape(-1, 3).astype(np.int64) @ np.array(_LUMA_W, dtype=np.int64)
+    return int(lut[idx].sum())
 
 
 # -- audio: real RIFF/WAVE container + PCM16 decode (stdlib + numpy) --------
@@ -1391,13 +1407,8 @@ def _gif_decode_span(blob: bytes, start: int, end: int, palette, gct_len, n_px):
         return None
     if len(indices) != n_px:
         return None
-    wr, wg, wb = _LUMA_W
-    lut = [
-        wr * palette[3 * i] + wg * palette[3 * i + 1] + wb * palette[3 * i + 2]
-        for i in range(gct_len)
-    ]
     try:
-        return sum(lut[i] for i in indices)
+        return _gif_lut_sum(indices, palette, gct_len)
     except IndexError:  # LZW emitted an index past the palette: corrupt
         return None
 

@@ -1235,7 +1235,8 @@ def test_lzw_roundtrip_fuzz():
         else:
             pat = [rng.randint(0, 3) for _ in range(rng.randint(1, 5))]
             data = (pat * (n // len(pat) + 1))[:n]
-        assert M._lzw_decode_gif(M._lzw_encode_gif(data, 8), 8) == data, trial
+        # decode returns bytes since r11 (hot-loop form); compare as ints
+        assert list(M._lzw_decode_gif(M._lzw_encode_gif(data, 8), 8)) == data, trial
 
 
 def test_gif_bmp_pixel_decode_roundtrip():
