@@ -561,54 +561,6 @@ def _huff_decode_table(bits, vals):
     return out
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("bitstream exhausted")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                # stuffed byte: the following 0x00 was inserted by the
-                # encoder and must be skipped
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("unexpected marker in entropy data")
-                self.pos += 1
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def decode(self, table) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code")
-
-
-def _jpeg_extend(v: int, size: int) -> int:
-    """T.81 EXTEND: map the `size` raw amplitude bits back to a signed
-    coefficient (values with a 0 high bit are negative)."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
 def jpeg_gray_luma_sum(blob: bytes):
     """(luma_sum, n_px) from a REAL baseline-JPEG decode, grayscale
     profile: full zigzag AC run-length entropy decode + dequantization;
@@ -687,7 +639,21 @@ def jpeg_gray_luma_sum(blob: bytes):
         end = blob.rfind(b"\xff\xd9")
         if end < 0:
             return None
-        r = _BitReader(blob[scan_start:end])
+        # r11 hot-loop form: validate+strip byte stuffing ONCE (T.81: every
+        # 0xFF in entropy data must be followed by a stuffed 0x00; anything
+        # else is a marker = error, exactly what the old per-byte check
+        # byte), then the decode loop runs on locals with a 2-op refill —
+        # no per-bit method call, no stuff check in the loop.
+        import re as _re
+
+        data = blob[scan_start:end]
+        if _re.search(rb"\xff(?!\x00)", data, _re.DOTALL):
+            return None  # unexpected marker in entropy data
+        data = data.replace(b"\xff\x00", b"\xff")
+        nd = len(data)
+        dpos = acc = nbits = 0
+        dget, aget = dc_table.get, ac_table.get
+        zig = _ZIGZAG
         nblocks = (width // 8) * (height // 8)
         basis = _idct_basis()
         shift = 2 * _IDCT_SCALE_BITS
@@ -695,15 +661,56 @@ def jpeg_gray_luma_sum(blob: bytes):
         pred = 0
         total = 0
         for _ in range(nblocks):
-            size = r.decode(dc_table)
-            diff = _jpeg_extend(r.bits(size), size)
+            # DC: inline Huffman walk (bit-serial by construction)
+            code = length = 0
+            while True:
+                if nbits == 0:
+                    acc = data[dpos]  # IndexError past end = exhausted
+                    dpos += 1
+                    nbits = 8
+                nbits -= 1
+                code = (code << 1) | ((acc >> nbits) & 1)
+                length += 1
+                sym = dget((length, code))
+                if sym is not None:
+                    break
+                if length >= 16:
+                    raise ValueError("invalid Huffman code")
+            size = sym
+            v = 0
+            if size:
+                while nbits < size:  # refill then take `size` bits at once
+                    if dpos >= nd:
+                        raise ValueError("bitstream exhausted")
+                    acc = (acc << 8) | data[dpos]
+                    dpos += 1
+                    nbits += 8
+                nbits -= size
+                v = (acc >> nbits) & ((1 << size) - 1)
+                acc &= (1 << nbits) - 1  # drop consumed bits (bounded int)
+            diff = 0 if size == 0 else (
+                v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            )
             pred += diff
             coeff = [0] * 64  # natural order
             coeff[0] = pred
             k = 1
             has_ac = False
             while k < 64:
-                rs = r.decode(ac_table)
+                code = length = 0
+                while True:
+                    if nbits == 0:
+                        acc = data[dpos]
+                        dpos += 1
+                        nbits = 8
+                    nbits -= 1
+                    code = (code << 1) | ((acc >> nbits) & 1)
+                    length += 1
+                    rs = aget((length, code))
+                    if rs is not None:
+                        break
+                    if length >= 16:
+                        raise ValueError("invalid Huffman code")
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL: sixteen zero coefficients
@@ -715,7 +722,16 @@ def jpeg_gray_luma_sum(blob: bytes):
                 k += run
                 if k > 63:
                     return None
-                coeff[_ZIGZAG[k]] = _jpeg_extend(r.bits(sz), sz)
+                while nbits < sz:
+                    if dpos >= nd:
+                        raise ValueError("bitstream exhausted")
+                    acc = (acc << 8) | data[dpos]
+                    dpos += 1
+                    nbits += 8
+                nbits -= sz
+                v = (acc >> nbits) & ((1 << sz) - 1)
+                acc &= (1 << nbits) - 1  # drop consumed bits (bounded int)
+                coeff[zig[k]] = v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
                 has_ac = True
                 k += 1
             if not has_ac:
@@ -733,8 +749,9 @@ def jpeg_gray_luma_sum(blob: bytes):
                     np.array(coeff, dtype=np.int64).reshape(8, 8)
                     * np.array(q_nat, dtype=np.int64).reshape(8, 8)
                 )
-                acc = basis.T @ fq @ basis
-                px = ((acc + half) >> shift) + 128  # arithmetic shift = floor
+                idct = basis.T @ fq @ basis  # NB: don't reuse `acc` — it
+                # is the live bit-reader accumulator (r11 inline form)
+                px = ((idct + half) >> shift) + 128  # arithmetic shift = floor
                 total += int(np.clip(px, 0, 255).sum())
         return total, width * height
     except (ValueError, IndexError, struct.error):
