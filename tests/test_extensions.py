@@ -1642,3 +1642,22 @@ def test_ivf_pq_topk_vs_python_reference(spark):
         for rank, (d, nid) in enumerate(dists[:2], 1):
             exp.add((qi, rank, nid, d))
     assert got == exp
+
+
+def test_png_unfilter_paths_agree_across_cutoff():
+    """The size-branched unfilter (byte loop < stride 80, numpy rows
+    >= 80) must be pixel-identical across the cutoff and against the
+    closed form, for widths straddling it (RGB stride = 3w: 78/81) and a
+    large image — all five filter types in play (h >= 5)."""
+    import numpy as np
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    for w, h, s in [(26, 9, 3), (27, 9, 3), (40, 11, 200), (120, 40, 99)]:
+        px = M.png_decode_pixels(M.make_png_rgb(w, h, s))
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        ref = np.concatenate(
+            [(s + x + 0 * y), (s + y + 0 * x), (s + x + y)], axis=2
+        ) % 256
+        assert (px == ref.astype(np.uint8)).all(), (w, h, s)
