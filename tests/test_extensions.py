@@ -1661,3 +1661,88 @@ def test_png_unfilter_paths_agree_across_cutoff():
             [(s + x + 0 * y), (s + y + 0 * x), (s + x + y)], axis=2
         ) % 256
         assert (px == ref.astype(np.uint8)).all(), (w, h, s)
+
+
+def test_png_decode_gray_and_rgba_channels():
+    """The unfilter's left-neighbor lag is CHANNEL-COUNT dependent (Sub/
+    Average/Paeth look back one whole pixel): decode grayscale (ctype 0)
+    and RGBA (ctype 6) spec-valid PNGs built with all five filter types,
+    at sizes on BOTH sides of the stride-80 path cutoff, and check every
+    pixel against the generating pattern (alpha ignored by luma)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    def make_png(width, height, ctype, channels, px_fn):
+        bpp = channels
+        raw = bytearray()
+        prev = bytes(width * bpp)
+        for y in range(height):
+            line = bytearray()
+            for x in range(width):
+                line += bytes(px_fn(x, y))
+            f = y % 5
+            raw.append(f)
+            if f == 0:
+                raw += line
+            elif f == 1:
+                raw += bytes(
+                    (line[i] - (line[i - bpp] if i >= bpp else 0)) % 256
+                    for i in range(len(line))
+                )
+            elif f == 2:
+                raw += bytes((line[i] - prev[i]) % 256 for i in range(len(line)))
+            elif f == 3:
+                raw += bytes(
+                    (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                    % 256
+                    for i in range(len(line))
+                )
+            else:
+                raw += bytes(
+                    (line[i] - M._paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )) % 256
+                    for i in range(len(line))
+                )
+            prev = bytes(line)
+        ihdr = struct.pack(">II5B", width, height, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(b"IHDR", ihdr)
+            + M._png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + M._png_chunk(b"IEND", b"")
+        )
+
+    # grayscale: stride = w -> 30 (byte loop) and 96 (numpy rows)
+    for w in (30, 96):
+        g = lambda x, y: ((7 * x + 13 * y + 5) % 256,)  # noqa: E731
+        px = M.png_decode_pixels(make_png(w, 10, 0, 1, g))
+        ref = np.fromfunction(
+            lambda y, x: (7 * x + 13 * y + 5) % 256, (10, w)
+        ).astype(np.uint8)
+        assert px.shape == (10, w, 1) and (px[:, :, 0] == ref).all(), w
+        s, n = M.png_luma_sum(make_png(w, 10, 0, 1, g))
+        assert n == 10 * w and s == int(ref.astype(np.int64).sum()) * 1000, w
+    # RGBA: stride = 4w -> 76 (byte loop) and 96 (numpy rows); alpha varies
+    for w in (19, 24):
+        rgba = lambda x, y: (  # noqa: E731
+            (3 * x + y) % 256, (x + 5 * y) % 256, (x * y + 9) % 256,
+            (11 * x + 2 * y) % 256,
+        )
+        px = M.png_decode_pixels(make_png(w, 9, 6, 4, rgba))
+        assert px.shape == (9, w, 4)
+        for y in (0, 4, 8):
+            for x in (0, w // 2, w - 1):
+                assert tuple(int(v) for v in px[y, x]) == rgba(x, y), (w, x, y)
+        s, n = M.png_luma_sum(make_png(w, 9, 6, 4, rgba))
+        exp = sum(
+            299 * rgba(x, y)[0] + 587 * rgba(x, y)[1] + 114 * rgba(x, y)[2]
+            for x in range(w) for y in range(9)
+        )
+        assert (s, n) == (exp, 9 * w), w
