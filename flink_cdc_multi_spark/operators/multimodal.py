@@ -1508,6 +1508,10 @@ def sample_gif_frames(blob: bytes, every_ms: int):
     (sample_ts_ms, frame_idx, luma_sum, n_px) rows, or None when the
     blob is out of profile. Exact integers throughout (luma is the
     Rec.601 integer LUT over the palette — mean = sum / (1000·n_px))."""
+    if every_ms <= 0:
+        # a non-positive stride would spin the sampling loop forever on
+        # an executor — reject at the call, never inside a task
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     idx = gif_frame_index(blob)
     if idx is None:
         return None
@@ -1569,6 +1573,8 @@ def frame_sample_features(
     that matters when the sampling stride is long relative to the frame
     rate. Out-of-profile blobs contribute no rows (profile is explicit
     in gif_frame_index — never a fake)."""
+    if every_ms <= 0:  # fail at PLAN time, not inside a task
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1746,3 +1746,22 @@ def test_png_decode_gray_and_rgba_channels():
             for x in range(w) for y in range(9)
         )
         assert (s, n) == (exp, 9 * w), w
+
+
+def test_frame_sampling_rejects_nonpositive_stride(spark):
+    """every_ms <= 0 would spin the sampling loop forever on an executor:
+    both the kernel and the operator must reject it eagerly."""
+    import pandas as pd
+    import pytest
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    blob = M.make_gif_gray_animated(4, 3, 2, 5, lambda f, x, y: 0)
+    for bad in (0, -80):
+        with pytest.raises(ValueError, match="every_ms"):
+            M.sample_gif_frames(blob, bad)
+        with pytest.raises(ValueError, match="every_ms"):
+            M.frame_sample_features(
+                spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [blob]})),
+                bad,
+            )
