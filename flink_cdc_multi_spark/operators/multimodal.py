@@ -1359,6 +1359,9 @@ def resize_image_features(
     tw · th); the division stays with the consumer (ratio rule)."""
     import numpy as np  # noqa: F401  (kernel dependency, fail at plan time)
 
+    if max_dim <= 0:  # would silently emit 1x1 targets for every image
+        raise ValueError(f"max_dim must be positive, got {max_dim}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, cols = pdf[id_col].astype("int64"), []
