@@ -594,7 +594,7 @@ def ivf_pq_topk_fixed(
     WindowGroupLimit global rank. No corpus shuffle anywhere."""
     arr = F.col(vec_col).cast("array<double>")
 
-    def _collect_q6(df, alias):
+    def _collect_q6(df):
         rows = sorted(
             df.filter(F.col(vec_col).isNotNull())
             .select(F.col(id_col).alias("id"), arr.alias("v"))
@@ -607,8 +607,8 @@ def ivf_pq_topk_fixed(
         ).astype(np.int64)
         return ids, mat
 
-    cent_ids, C = _collect_q6(centroids, "cent")
-    cb_ids, B = _collect_q6(codebook, "cb")
+    cent_ids, C = _collect_q6(centroids)
+    cb_ids, B = _collect_q6(codebook)
     dim = C.shape[1]
     assert B.shape[1] == dim and dim % m == 0
     sub = dim // m
