@@ -1910,6 +1910,7 @@ EXT_ORACLE_SQL = {
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
           WHERE vec_id < 1000 AND embedding IS NOT NULL
+            AND len(embedding) = 64
         )
         SELECT a.vec_id AS a_id, b.vec_id AS b_id
         FROM e a JOIN e b ON a.vec_id < b.vec_id

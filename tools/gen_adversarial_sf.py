@@ -123,6 +123,11 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
             # embedding IS NOT NULL) — negative id < 20 also makes it a
             # QUERY for the ann family, exercising the collect-side skip
             {"vec_id": -3, "embedding": None, "label": 1},
+            # RAGGED embedding (r11): wrong dimension must be dropped by
+            # the size guard (and len(embedding) = 64 in the oracles),
+            # never reach an np.stack; quantize/centroid process it
+            # per-element identically in both engines
+            {"vec_id": -4, "embedding": [0.5, -0.25, 0.125], "label": 2},
         ]
     if name == "orders":
         return [
