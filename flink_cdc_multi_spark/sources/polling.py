@@ -22,9 +22,16 @@ Kafka-Connect-JDBC-source incremental contract, re-expressed on
 - ``timestamp`` (watermark column only): ``wm_ts > last_ts``, emitted as
   upserts (``u``); a downstream materialization treats c/u identically.
 
-DELETES ARE INVISIBLE to any polling source — that is the inherent gap
-between polling and log tailing, stated here rather than papered over. Use
-the Debezium feed/Kafka legs when delete capture matters.
+Deletes never appear in a watermark delta — the inherent gap between
+polling and log tailing. ``polling.delete.detection = snapshot-diff``
+(r11) closes it at POLL granularity: each poll re-reads the key column
+(pruned at the source), anti-joins it against the previous poll's
+persisted key set, and emits key-only DELETE envelopes for rows that
+vanished; the current keys become the next epoch, committed with the
+same at-least-once ordering as the watermark file. Stated limits: a row
+inserted and deleted between two polls is invisible, deletes carry no
+final row image, and each poll pays a key-column scan — log tailing
+(the Debezium feed/Kafka legs) remains the answer when those matter.
 
 Scale shape: the watermark predicate is a plain ``col > literal``
 comparison, so Spark's JDBC relation pushes it INTO the source query
@@ -67,14 +74,26 @@ class TableWatermark:
     ts: str | None = None
     ts_type: str | None = None
     pk: int | None = None
+    keys_epoch: int | None = None  # committed key-set epoch (delete diff)
 
     def to_dict(self) -> dict:
-        return {"ts": self.ts, "ts_type": self.ts_type, "pk": self.pk}
+        return {
+            "ts": self.ts,
+            "ts_type": self.ts_type,
+            "pk": self.pk,
+            "keys_epoch": self.keys_epoch,
+        }
 
     @classmethod
     def from_dict(cls, d: dict) -> "TableWatermark":
         pk = d.get("pk")
-        return cls(d.get("ts"), d.get("ts_type"), int(pk) if pk is not None else None)
+        ep = d.get("keys_epoch")
+        return cls(
+            d.get("ts"),
+            d.get("ts_type"),
+            int(pk) if pk is not None else None,
+            int(ep) if ep is not None else None,
+        )
 
 
 def _ts_literal(wm: TableWatermark) -> Column:
@@ -117,7 +136,7 @@ def observe_watermark(
     if pk_col:
         aggs.append(F.max(pk_col).alias("mx_pk"))
     row = df.agg(*aggs).first()
-    new = TableWatermark(prev.ts, prev.ts_type, prev.pk)
+    new = TableWatermark(prev.ts, prev.ts_type, prev.pk, prev.keys_epoch)
     if ts_col and row["mx_ts"] is not None:
         new.ts_type = dict(df.dtypes)[ts_col]
         mx = row["mx_ts"]
@@ -196,6 +215,20 @@ def delta_to_envelope(
     return delta.select(*cols)
 
 
+def deletes_to_envelope(
+    keys: DataFrame, db: str, table: str, ts_ms: int, source_type: str = "mysql"
+) -> DataFrame:
+    """Deleted-key rows → DELETE envelope rows. The payload carries ONLY
+    the key (a poller has no final row image to report — the same shape
+    as a Debezium tombstone whose `before` was trimmed); downstream
+    materialization only needs the key to retract (operators/cdc
+    latest_image with drop_deletes)."""
+    from flink_cdc_multi_spark.envelope import OP_DELETE
+
+    env = delta_to_envelope(keys, db, table, None, None, ts_ms, source_type)
+    return env.withColumn("_op", F.lit(OP_DELETE))
+
+
 @dataclass
 class PollingSource:
     """Watermark state + readers for every polled table.
@@ -211,6 +244,16 @@ class PollingSource:
     pk_col: str | None
     offset_path: str | None = None
     source_type: str = "mysql"
+    # "none" | "snapshot-diff": diff each poll's key set against the
+    # previous poll's persisted keys (pruned key-only scan → anti-join)
+    # and emit DELETE envelopes for keys that vanished. The one CDC event
+    # class a watermark poller cannot see otherwise. Requires pk_col and
+    # keyset_path. Inherent limits, stated: a row inserted AND deleted
+    # between two polls is invisible, and a delete is only observed at
+    # poll granularity — log tailing (the Debezium legs) remains the
+    # answer when that matters.
+    delete_detection: str = "none"
+    keyset_path: str | None = None
     state: dict[str, TableWatermark] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -218,8 +261,61 @@ class PollingSource:
             raise ValueError(
                 "polling needs polling.key.column and/or polling.watermark.column"
             )
+        if self.delete_detection not in ("none", "snapshot-diff"):
+            raise ValueError(
+                f"unknown polling.delete.detection: {self.delete_detection!r}"
+            )
+        if self.delete_detection == "snapshot-diff" and (
+            not self.pk_col or not self.keyset_path
+        ):
+            raise ValueError(
+                "snapshot-diff delete detection needs polling.key.column "
+                "and a keyset path"
+            )
         for db, tbl in self.tables:
             self.state.setdefault(f"{db}.{tbl}", TableWatermark())
+
+    def _epoch_dir(self, key: str, epoch: int) -> str:
+        return fsio.join(fsio.join(self.keyset_path, key), f"epoch={epoch}")
+
+    def _write_keyset(self, spark_df: DataFrame, key: str, epoch: int) -> None:
+        """Persist the CURRENT key set for the next poll's diff. Parquet
+        overwrite is idempotent: a crash between this write and the
+        offset commit leaves the state pointing at the previous epoch,
+        and the next poll simply rewrites this one (at-least-once, same
+        order as the watermark file). Keys only — 8 bytes/row, column-
+        pruned at the source."""
+        spark_df.write.mode("overwrite").parquet(self._epoch_dir(key, epoch))
+
+    def _diff_deletes(self, spark, cur_keys: DataFrame, key: str):
+        """prev-epoch keys ANTI JOIN current keys = deleted since the
+        last poll. Declarative equi-anti-join: AQE broadcasts whichever
+        side is small; at scale both sides are key-only columns."""
+        wm = self.state[key]
+        if wm.keys_epoch is None:
+            return None
+        prev = spark.read.parquet(self._epoch_dir(key, wm.keys_epoch))
+        return prev.join(cur_keys, self.pk_col, "left_anti")
+
+    def _cleanup_keysets(self, key: str, keep_from: int) -> None:
+        """Drop epoch dirs older than keep_from - 1 (the previous epoch
+        stays until the NEXT commit in case the current poll's offset
+        write never lands). Local filesystem only; remote stores age out
+        via lifecycle rules."""
+        import os
+        import shutil
+
+        base = fsio.join(self.keyset_path, key)
+        if "://" in base or not os.path.isdir(base):
+            return
+        for name in os.listdir(base):
+            if name.startswith("epoch="):
+                try:
+                    ep = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if ep < keep_from - 1:
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
 
     # -- offset persistence (W2 single-file atomic, JSON of per-table marks)
     def load_offsets(self, offset_value: str | None = None) -> bool:
@@ -286,6 +382,28 @@ class PollingSource:
                 )
             else:
                 delta.unpersist()
+            if self.delete_detection == "snapshot-diff":
+                # key-only re-read (column-pruned at the source; NB the
+                # delta scan and the key scan are two reads of a LIVE
+                # table — poll-granularity consistency, the standard
+                # polling contract)
+                cur_keys = reader(db, tbl).select(self.pk_col).persist()
+                deleted = self._diff_deletes(cur_keys.sparkSession, cur_keys, key)
+                n_del = deleted.count() if deleted is not None else 0
+                if n_del:
+                    parts.append(
+                        deletes_to_envelope(deleted, db, tbl, ts_ms,
+                                            self.source_type)
+                    )
+                if moved or n_del or wm.keys_epoch is None:
+                    epoch = (wm.keys_epoch if wm.keys_epoch is not None else -1) + 1
+                    self._write_keyset(cur_keys, key, epoch)
+                    new_wm.keys_epoch = epoch
+                    self._cleanup_keysets(key, epoch)
+                if n_del:
+                    cached.append(cur_keys)  # the delete diff reads it
+                else:
+                    cur_keys.unpersist()
             new_state[key] = new_wm
         if not parts:
             return None, new_state, []
@@ -324,12 +442,20 @@ def run_polling(
         if cfg.offset_store_path
         else None
     )
+    delete_detection = raw.get("polling.delete.detection", "none")
+    keyset_path = raw.get("polling.keyset.path")
+    if delete_detection != "none" and not keyset_path and cfg.offset_store_path:
+        keyset_path = fsio.join(
+            cfg.offset_store_path, f"{cfg.source_id}_keysets"
+        )
     source = PollingSource(
         tables,
         ts_col,
         pk_col,
         offset_path=wm_path,
         source_type=cfg.source_type,
+        delete_detection=delete_detection,
+        keyset_path=keyset_path,
     )
     resumed = source.load_offsets(cfg.offset_value)
     batch_id = 0
@@ -344,6 +470,11 @@ def run_polling(
                 source.state[key] = observe_watermark(
                     full, ts_col, pk_col, source.state[key]
                 )
+                if source.delete_detection == "snapshot-diff":
+                    # seed epoch 0 from the snapshot itself so a delete
+                    # between snapshot and first poll is still observed
+                    source._write_keyset(full.select(pk_col), key, 0)
+                    source.state[key].keys_epoch = 0
                 full.unpersist()
             source.save_offsets()
         elif cfg.startup_mode == "latest":

@@ -274,3 +274,67 @@ def test_polling_cli_transport(spark, tmp_path):
         json.dump(cfg, f)
     with pytest.raises(ConfigError, match="exactly ONE transport"):
         main(["--config", cfg_path])
+
+
+def test_polling_snapshot_diff_delete_detection(spark, tmp_path):
+    """polling.delete.detection=snapshot-diff (r11): a row that vanishes
+    from the live table between polls emits a key-only DELETE envelope;
+    the key-set epoch advances with the same at-least-once ordering as
+    the watermark file, and a fresh process resumes the diff from the
+    persisted epoch."""
+    live = str(tmp_path / "live" / "shop.users")
+    _write_standin(spark, live, BASE)
+    cfg = _cfg(tmp_path, **{"polling.delete.detection": "snapshot-diff"})
+
+    # snapshot seeds epoch 0 from the snapshot itself
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    state = json.loads(open(str(tmp_path / "offsets" / "poll1_polling.json")).read())
+    assert state["shop.users"]["keys_epoch"] == 0
+
+    # row 2 deleted AND row 4 inserted; a FRESH process diffs vs epoch 0
+    _write_standin(
+        spark,
+        live,
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (3, _ts("2024-01-01 12:00:00"), "c"),
+            (4, _ts("2024-01-02 10:00:00"), "d"),
+        ],
+    )
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    out = spark.read.parquet(str(tmp_path / "sink" / "poll1_shop__users"))
+    ops = {(r["id"], r["_op"]) for r in out.filter("_op != 'READ'").collect()}
+    assert (4, "INSERT") in ops
+    assert (2, "DELETE") in ops
+    state = json.loads(open(str(tmp_path / "offsets" / "poll1_polling.json")).read())
+    assert state["shop.users"]["keys_epoch"] == 1
+
+    # delete-only change (watermark does NOT move): row 3 vanishes
+    _write_standin(
+        spark,
+        live,
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (4, _ts("2024-01-02 10:00:00"), "d"),
+        ],
+    )
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    out = spark.read.parquet(str(tmp_path / "sink" / "poll1_shop__users"))
+    dels = sorted(r["id"] for r in out.filter("_op = 'DELETE'").collect())
+    assert dels == [2, 3]
+    # quiet poll: no new rows, epoch unchanged
+    n = out.count()
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    out = spark.read.parquet(str(tmp_path / "sink" / "poll1_shop__users"))
+    assert out.count() == n
+    state = json.loads(open(str(tmp_path / "offsets" / "poll1_polling.json")).read())
+    assert state["shop.users"]["keys_epoch"] == 2
+
+
+def test_polling_delete_detection_config_validation():
+    with pytest.raises(ValueError, match="unknown polling.delete.detection"):
+        PollingSource([("d", "t")], "ts", "id", delete_detection="bogus")
+    with pytest.raises(ValueError, match="snapshot-diff"):
+        PollingSource([("d", "t")], "ts", None, delete_detection="snapshot-diff")
+    with pytest.raises(ValueError, match="snapshot-diff"):
+        PollingSource([("d", "t")], "ts", "id", delete_detection="snapshot-diff")
