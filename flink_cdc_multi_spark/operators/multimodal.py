@@ -226,7 +226,7 @@ _LUMA_W = (299, 587, 114)
 
 
 def _png_unfilter_small(raw: bytes, w: int, h: int, stride: int, channels: int):
-    """Compact per-byte unfilter for TINY rows (stride < 64), where the
+    """Compact per-byte unfilter for TINY rows (stride < 80), where the
     numpy row form's per-row overhead loses (see png_decode_pixels).
     Identical spec semantics; both paths are swept by the roundtrip
     fuzz."""

@@ -88,6 +88,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query. Output: (qid, rank, nid).
 
@@ -105,14 +106,30 @@ def brute_force_topk(
 
     ``vectorized=False`` keeps the pure-Column fold form: fully lazy, no
     plan-time work — the right call when the plan itself must stay free
-    of execution (or Arrow is unavailable)."""
+    of execution (or Arrow is unavailable).
+
+    ``dim``: the vector dimension contract. Pass it when the caller knows
+    it (the gated queries do — len=64 is in their oracles). When None it
+    is inferred as the MODAL (most common) collected query length — never
+    the max: one hostile over-length query would otherwise redefine the
+    dimension, drop every valid query, and return an empty result
+    (ADVICE r11)."""
     arr = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda s, x: s + x * x))
     if vectorized:
         qrows = queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
         ).collect()
-        dim = max((len(r["qv"]) for r in qrows), default=0)
+        if dim is None:
+            from collections import Counter
+
+            counts = Counter(len(r["qv"]) for r in qrows)
+            # modal length; ties break to the SMALLER length (deterministic,
+            # and a tie with a hostile padded row resolves to the real dim)
+            dim = min(
+                (length for length, n in counts.items() if n == max(counts.values())),
+                default=0,
+            )
         qrows = [r for r in qrows if len(r["qv"]) == dim]  # ragged queries drop
         qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
@@ -160,6 +177,16 @@ def brute_force_topk(
             score, "qid long, nid long, cos double"
         )
         return _rank_topk(scored, k)
+    # same NULL/ragged contract as the vectorized branch (ADVICE r11: a
+    # NULL embedding folds to a NULL cos that can surface in the top-k
+    # when a query has < k non-null candidates, diverging from the
+    # oracles' IS NOT NULL contract)
+    if dim is not None:
+        corpus = valid_vectors(corpus, dim, vec_col)
+        queries = valid_vectors(queries, dim, vec_col)
+    else:
+        corpus = corpus.filter(F.col(vec_col).isNotNull())
+        queries = queries.filter(F.col(vec_col).isNotNull())
     c = corpus.select(arr.alias("cv"), F.col(id_col).alias("nid"), norm.alias("cn"))
     q = queries.select(arr.alias("qv"), F.col(id_col).alias("qid"), norm.alias("qn"))
     dot = F.aggregate(

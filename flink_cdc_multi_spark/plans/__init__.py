@@ -10,8 +10,13 @@ driver-checked*, computed from the committed ``CORRECTNESS_r*.json`` files
 at import time:
 
   1. ``_REGATE`` — queries rewritten THIS round, pinned to the front so the
-     driver re-gates the changed code (edit this list when you rewrite a
-     query's plan or oracle).
+     driver re-gates the changed code. Edit this list when you rewrite a
+     query's plan or oracle AS THE DRIVER SEES IT (the sf0.01 unbucketed
+     fixture): a change that only fires on other layouts/sizes — a
+     bucketed-input join reorder, a size-guard branch the gate SF doesn't
+     take — does not move the driver-visible plan and may be left to the
+     normal rotation (VERDICT r11 adjudicated q27 exactly so), but say
+     which case you're in when you make that call.
   2. everything else ascending by the last round a driver row exists for
      (never-checked first), ties broken by stable registry order.
 
@@ -31,20 +36,17 @@ from flink_cdc_multi_spark.plans.oracle import ORACLE_SQL
 from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 
 # Queries rewritten this round — force into the driver window for re-gating.
-# (q29 is NEW this round and sorts to the front automatically: never-checked
-# queries rank before any checked one.)
+# (New queries sort to the front automatically: never-checked queries rank
+# before any checked one.)
 _REGATE: list[str] = [
-    # r11: AC-profile JPEG decode (integer IDCT) changed query + oracle
-    "ext_multimodal_jpeg",
-    # r11: broadcast-when-small freq side (plan changed; semantics didn't)
-    "ext_text_commonness",
-    # r11: NULL-embedding hardening added IS NOT NULL guards to these
-    # oracles (no-op on clean data, but the contract moved on both sides)
+    # r12: explicit dim contract + modal-length inference in
+    # brute_force_topk; driver-visible plan gains the dim-checked
+    # valid_vectors filter (ADVICE r11)
     "ext_ann_topk",
-    "ext_ann_lsh",
-    "ext_ann_ivf",
-    "ext_dedup_embedding",
-    "ext_dedup_embedding_lsh",
+    # r12: broadcast guard moved from on-disk to uncompressed footer
+    # bytes — same branch taken at the gate SF, but the guard is part of
+    # the shipped plan decision, so re-gate rather than claim exemption
+    "ext_text_commonness",
 ]
 
 

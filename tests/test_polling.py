@@ -331,6 +331,98 @@ def test_polling_snapshot_diff_delete_detection(spark, tmp_path):
     assert state["shop.users"]["keys_epoch"] == 2
 
 
+def test_polling_delete_envelope_carries_last_seen_watermark(spark, tmp_path):
+    """r12: epoch keysets persist (key, last-seen watermark), so a DELETE
+    payload reports when the row was last observed — context for
+    downstream tombstones, not just a bare key."""
+    live = str(tmp_path / "live" / "shop.users")
+    _write_standin(spark, live, BASE)
+    cfg = _cfg(tmp_path, **{"polling.delete.detection": "snapshot-diff"})
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    _write_standin(spark, live, [BASE[0], BASE[2]])  # row 2 vanishes
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    out = spark.read.parquet(str(tmp_path / "sink" / "poll1_shop__users"))
+    del_rows = out.filter("_op = 'DELETE'").collect()
+    assert [r["id"] for r in del_rows] == [2]
+    assert del_rows[0]["updated_at"] is not None  # last-seen wm, not NULL
+    assert str(del_rows[0]["updated_at"]).startswith("2024-01-01 11:00:00")
+
+
+def test_polling_ghost_row_delete_not_lost(spark, tmp_path):
+    """ADVICE r11 ghost-row fix: a row that appears in the DELTA scan but
+    is deleted before the same poll's KEY scan must still get a DELETE
+    one poll later — the epoch keyset is cur_keys UNION the delta's keys,
+    so every emitted row is diffable."""
+    ks = str(tmp_path / "keysets")
+    src = PollingSource(
+        [("shop", "users")], "updated_at", "id",
+        delete_detection="snapshot-diff", keyset_path=ks,
+    )
+    src._write_keyset(_rows(spark, BASE).select("id", "updated_at"), "shop.users", 0)
+    src.state["shop.users"] = TableWatermark(
+        ts="2024-01-01 12:00:00", ts_type="timestamp", pk=3, keys_epoch=0
+    )
+    ghost = (5, _ts("2024-01-02 09:00:00"), "ghost")
+    calls = {"n": 0}
+
+    def reader(db, tbl):
+        calls["n"] += 1
+        # the poll's FIRST read (delta scan) sees the ghost; the key scan
+        # and every later read run after its deletion
+        return _rows(spark, BASE + [ghost] if calls["n"] == 1 else BASE)
+
+    env, new_state, cached = src.poll(reader, 1_700_000_000_000)
+    ops = {(json.loads(r["payload"])["id"], r["_op"]) for r in env.collect()}
+    assert (5, "INSERT") in ops  # the ghost WAS emitted downstream
+    assert not any(op == "DELETE" for _, op in ops)
+    src.state = new_state
+    for c in cached:
+        c.unpersist()
+
+    env2, new_state2, cached2 = src.poll(reader, 1_700_000_001_000)
+    assert env2 is not None, "ghost delete lost: second poll emitted nothing"
+    payloads = [(json.loads(r["payload"]), r["_op"]) for r in env2.collect()]
+    dels = [p for p, op in payloads if op == "DELETE"]
+    assert [p["id"] for p in dels] == [5]
+    # the DELETE carries the ghost's last-seen watermark (from the delta)
+    assert dels[0].get("updated_at", "").startswith("2024-01-02")
+    for c in cached2:
+        c.unpersist()
+
+
+def test_polling_crash_between_keyset_and_offset_reemits_deletes(spark, tmp_path):
+    """At-least-once: the keyset epoch is written BEFORE the offset file
+    commits, so a crash between the two RE-EMITS the interrupted poll's
+    DELETEs on resume (duplicate-DELETE, the documented contract matching
+    the reference's duplicate-replay on restart) — never loses them."""
+    ks = str(tmp_path / "keysets")
+    src = PollingSource(
+        [("shop", "users")], "updated_at", "id",
+        delete_detection="snapshot-diff", keyset_path=ks,
+    )
+    src._write_keyset(_rows(spark, BASE).select("id", "updated_at"), "shop.users", 0)
+    src.state["shop.users"] = TableWatermark(
+        ts="2024-01-01 12:00:00", ts_type="timestamp", pk=3, keys_epoch=0
+    )
+    reader = lambda db, tbl: _rows(spark, [BASE[0], BASE[2]])  # row 2 gone
+
+    env, new_state, cached = src.poll(reader, 1)
+    assert {
+        (json.loads(r["payload"])["id"], r["_op"]) for r in env.collect()
+    } == {(2, "DELETE")}
+    for c in cached:
+        c.unpersist()
+    # CRASH: epoch 1 is on disk but new_state was never adopted/persisted.
+    # The resumed poll diffs against epoch 0 again → duplicate DELETE.
+    env2, _, cached2 = src.poll(reader, 2)
+    assert env2 is not None, "delete LOST after crash (must be re-emitted)"
+    assert {
+        (json.loads(r["payload"])["id"], r["_op"]) for r in env2.collect()
+    } == {(2, "DELETE")}
+    for c in cached2:
+        c.unpersist()
+
+
 def test_polling_delete_detection_config_validation():
     with pytest.raises(ValueError, match="unknown polling.delete.detection"):
         PollingSource([("d", "t")], "ts", "id", delete_detection="bogus")

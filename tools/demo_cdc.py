@@ -143,6 +143,71 @@ def main() -> None:
         print("status:", f.read())
     print("stop requested:", pipe.controller.stop_requested)
 
+    demo_polling_delete(spark, work)
+
+
+def demo_polling_delete(spark, work: str) -> None:
+    """Polling leg (r12): snapshot-diff delete detection feeding
+    latest_image — a row deleted from the live table between polls emits
+    a DELETE envelope carrying its last-seen watermark, and the
+    materialized state retracts it."""
+    from datetime import datetime, timezone
+
+    from flink_cdc_multi_spark.operators.cdc import latest_image
+    from flink_cdc_multi_spark.sources.polling import run_polling
+
+    print("\n== polling leg (snapshot-diff deletes → latest_image) ==")
+    pwork = os.path.join(work, "polling")
+    live = os.path.join(pwork, "live", "inv.stock")
+
+    def ts(s):
+        return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("updated_at", T.TimestampType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    cfg = JobConfig.from_dict(
+        {
+            "source.id": "pollsrc",
+            "source.type": "mysql",
+            "sink.path": os.path.join(pwork, "ods"),
+            "offset.store.path": os.path.join(pwork, "offsets"),
+            "source.table.list": "inv.stock",
+            "incremental.mode": "polling",
+            "polling.watermark.column": "updated_at",
+            "polling.key.column": "id",
+            "polling.standin.path": os.path.join(pwork, "live"),
+            "polling.interval.s": 0,
+            "polling.delete.detection": "snapshot-diff",
+        }
+    )
+    registry = TableRegistry.build("mysql", {("inv", "stock"): schema})
+    base = [
+        (1, ts("2024-01-01 10:00:00"), 5),
+        (2, ts("2024-01-01 11:00:00"), 7),
+        (3, ts("2024-01-01 12:00:00"), 9),
+    ]
+    first = not os.path.exists(live)
+    if first:
+        spark.createDataFrame(base, schema).write.mode("overwrite").parquet(live)
+    run_polling(spark, cfg, CDCPipeline(cfg, registry), max_polls=1, interval_s=0)
+    # row 2 deleted + row 4 inserted between polls
+    if first:
+        spark.createDataFrame(
+            [base[0], base[2], (4, ts("2024-01-02 09:00:00"), 2)], schema
+        ).write.mode("overwrite").parquet(live)
+    run_polling(spark, cfg, CDCPipeline(cfg, registry), max_polls=1, interval_s=0)
+
+    changes = spark.read.parquet(os.path.join(pwork, "ods", "pollsrc_inv__stock"))
+    print("-- change log (note the DELETE's last-seen updated_at):")
+    changes.orderBy("_ts", "id").show(truncate=False)
+    print("-- latest_image (id 2 retracted, id 4 present):")
+    latest_image(changes, ["id"], ["_ts"]).orderBy("id").show(truncate=False)
+
 
 if __name__ == "__main__":
     main()

@@ -128,6 +128,12 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
             # never reach an np.stack; quantize/centroid process it
             # per-element identically in both engines
             {"vec_id": -4, "embedding": [0.5, -0.25, 0.125], "label": 2},
+            # OVER-LENGTH ragged embedding (r12, ADVICE r11): a query-side
+            # row LONGER than the true dimension must not redefine the
+            # inferred dim (brute_force_topk infers the MODAL length, and
+            # the gated queries pass dim=64 explicitly) — a max-based
+            # inference would drop every valid query and return empty
+            {"vec_id": -5, "embedding": [0.25] * (dim + 1), "label": 3},
         ]
     if name == "orders":
         return [
