@@ -163,7 +163,11 @@ def main() -> None:
     # scoring kernel needs them driver-side, like FAISS loading the query
     # batch), ext_ann_pq / ext_ann_ivfpq collect their 16-codeword
     # codebooks (+ centroids) + the query set (the trained models + ADC
-    # LUT inputs — same contract), and
+    # LUT inputs — same contract),
+    # ext_ann_ivfpq_indexed (r12) builds and PERSISTS its IVF-PQ index
+    # once per session (write_ann_index — the build-once/serve-many
+    # amortization of the same contract; its timed number is pure serving,
+    # zero corpus scans), and
     # ext_dedup_clusters runs its iterative fixpoint (the result of an
     # iterative algorithm is a materialized artifact) — their timed
     # numbers below measure serving the built index, like any prepared

@@ -592,56 +592,85 @@ def pq_topk_fixed(
     )
 
 
-def ivf_pq_topk_fixed(
-    corpus: DataFrame,
-    queries: DataFrame,
-    centroids: DataFrame,
-    codebook: DataFrame,
-    m: int = 8,
-    k: int = 3,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ (round 11): the canonical billion-scale ANN composition —
-    the coarse quantizer prunes WORK (each query scores only its
-    ``n_probe`` nearest cells, as in ivf_topk_fixed) and PQ compresses
-    STATE (candidates are scored through m-byte codes via integer ADC
-    LUT gathers, as in pq_topk_fixed). Both models are deterministic
-    fixed vector sets, so cells, codes, probe order, ADC distances, and
-    the final (dist asc, nid asc) ranking replay bit-exactly in the
-    DuckDB oracle.
-
-    Spark shape: ONE corpus pass (Arrow kernel) emits (nid, cell,
-    codes); the (qid, cell) probe list — |Q|·n_probe rows, computed
-    driver-side from the collected models — broadcast-joins onto it, so
-    the candidate stream is |corpus|·n_probe/n_cells rows of 8-byte ids
-    + m-byte codes, never raw vectors; a second kernel scores candidates
-    with LUT gathers and pre-reduces to per-batch top-k before the
-    WindowGroupLimit global rank. No corpus shuffle anywhere."""
+def _collect_q6_vectors(df: DataFrame, id_col: str, vec_col: str):
+    """(ids asc, LSH_QUANT-floored int64 matrix) from a small model frame
+    — centroids/codebooks are control-plane-sized collects by contract
+    (the documented eager-plan pattern, bench.py note)."""
     arr = F.col(vec_col).cast("array<double>")
+    rows = sorted(
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), arr.alias("v"))
+        .collect()
+    )
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.floor(
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        * LSH_QUANT
+    ).astype(np.int64)
+    return ids, mat
 
-    def _collect_q6(df):
-        rows = sorted(
-            df.filter(F.col(vec_col).isNotNull())
-            .select(F.col(id_col).alias("id"), arr.alias("v"))
-            .collect()
-        )
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        mat = np.floor(
-            np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-            * LSH_QUANT
-        ).astype(np.int64)
-        return ids, mat
 
-    cent_ids, C = _collect_q6(centroids)
-    cb_ids, B = _collect_q6(codebook)
+def _ivfpq_encode(
+    corpus: DataFrame,
+    cent_ids,
+    C,
+    bsub,
+    m: int,
+    sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ONE corpus pass (Arrow kernel) → (nid, cell, codes): coarse cell =
+    argmin int64 d² to the centroids (ties to lowest cid), PQ code per
+    subspace = argmin d² to the sub-codebook (ties to lowest codeword
+    id). Row-local — the corpus never shuffles for indexing."""
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nids = pdf[id_col].to_numpy().astype(np.int64)
+            v = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * LSH_QUANT
+            ).astype(np.int64)
+            cells = cent_ids[((v[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)]
+            vsub = v.reshape(len(nids), m, sub)
+            codes = np.empty((len(nids), m), dtype=np.int64)
+            for j in range(m):
+                d2 = ((vsub[:, None, j, :] - bsub[None, :, j, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)  # first min = lowest codeword id
+            yield pd.DataFrame(
+                {"nid": nids, "cell": cells, "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "nid long, cell long, codes array<long>"
+    )
+
+
+def _ivfpq_serve(
+    coded: DataFrame,
+    queries: DataFrame,
+    cent_ids,
+    C,
+    bsub,
+    m: int,
+    sub: int,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe + ADC over an ALREADY-ENCODED corpus (``coded`` = (nid,
+    cell, codes) — a live encode or a persisted index scan). The (qid,
+    cell) probe list — |Q|·n_probe rows, computed driver-side from the
+    collected models — broadcast-joins onto it, so the candidate stream
+    is |corpus|·n_probe/n_cells rows of 8-byte ids + m-byte codes, never
+    raw vectors; the ADC kernel scores candidates with LUT gathers and
+    pre-reduces to per-batch top-k before the WindowGroupLimit global
+    rank. No corpus shuffle anywhere."""
+    arr = F.col(vec_col).cast("array<double>")
     dim = C.shape[1]
-    assert B.shape[1] == dim and dim % m == 0
-    sub = dim // m
-    bsub = B.reshape(len(cb_ids), m, sub)
-
-    corpus = valid_vectors(corpus, dim, vec_col)
     queries = valid_vectors(queries, dim, vec_col)
     q_rows = sorted(
         queries.select(F.col(id_col).alias("qid"), arr.alias("qv")).collect()
@@ -663,30 +692,8 @@ def ivf_pq_topk_fixed(
     for qi in range(len(qids)):
         order = np.lexsort((cent_ids, qd2[qi]))[:n_probe]
         probe_rows += [(int(qids[qi]), int(cent_ids[c])) for c in order]
-    spark = corpus.sparkSession
+    spark = coded.sparkSession
     probes = spark.createDataFrame(probe_rows, "qid long, cell long")
-
-    def encode(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            nids = pdf[id_col].to_numpy().astype(np.int64)
-            v = np.floor(
-                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * LSH_QUANT
-            ).astype(np.int64)
-            cells = cent_ids[((v[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)]
-            vsub = v.reshape(len(nids), m, sub)
-            codes = np.empty((len(nids), m), dtype=np.int64)
-            for j in range(m):
-                d2 = ((vsub[:, None, j, :] - bsub[None, :, j, :]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1)  # first min = lowest codeword id
-            yield pd.DataFrame(
-                {"nid": nids, "cell": cells, "codes": list(codes)}
-            )
-
-    coded = corpus.select(id_col, vec_col).mapInPandas(
-        encode, "nid long, cell long, codes array<long>"
-    )
     cand = coded.join(F.broadcast(probes), "cell")
 
     def adc(it):
@@ -714,4 +721,155 @@ def ivf_pq_topk_fixed(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "dist")
+    )
+
+
+def ivf_pq_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (round 11): the canonical billion-scale ANN composition —
+    the coarse quantizer prunes WORK (each query scores only its
+    ``n_probe`` nearest cells, as in ivf_topk_fixed) and PQ compresses
+    STATE (candidates are scored through m-byte codes via integer ADC
+    LUT gathers, as in pq_topk_fixed). Both models are deterministic
+    fixed vector sets, so cells, codes, probe order, ADC distances, and
+    the final (dist asc, nid asc) ranking replay bit-exactly in the
+    DuckDB oracle.
+
+    This form encodes the corpus IN the query (one pass, see
+    _ivfpq_encode) — right for one-shot scoring. At 100 TB an index is
+    built ONCE and served many times: use write_ann_index /
+    ivf_pq_topk_indexed to persist the (nid, cell, codes) pass and skip
+    the corpus scan on every later query."""
+    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    cb_ids, B = _collect_q6_vectors(codebook, id_col, vec_col)
+    dim = C.shape[1]
+    assert B.shape[1] == dim and dim % m == 0
+    sub = dim // m
+    bsub = B.reshape(len(cb_ids), m, sub)
+    corpus = valid_vectors(corpus, dim, vec_col)
+    coded = _ivfpq_encode(corpus, cent_ids, C, bsub, m, sub, id_col, vec_col)
+    return _ivfpq_serve(
+        coded, queries, cent_ids, C, bsub, m, sub, k, n_probe, id_col, vec_col
+    )
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Build-once half of the IVF-PQ amortization (VERDICT r11 item 1):
+    run the encode pass ONCE and persist everything a later query needs —
+
+    - ``path/codes``      (nid, cell, codes) parquet, partitioned by
+                          nothing but CLUSTERED at write time by cell via
+                          repartition, so a probed cell touches few files;
+    - ``path/centroids``  the coarse-quantizer vectors (tiny);
+    - ``path/codebook``   the PQ sub-codebook vectors (tiny);
+    - ``path/meta.json``  {m, dim, quant, id_col, vec_col} — the integer
+                          contract the codes were built under.
+
+    Mirrors operators/bucketing.py's write/register pattern: the artifact
+    is plain parquet + a manifest, so any session (or engine) can
+    re-attach it. At 100 TB this converts the dominant repeated cost
+    (re-encoding the corpus per query batch) into a one-time write —
+    the FAISS train-once/add-once/search-many shape."""
+    import json as _json
+    import os as _os
+
+    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    cb_ids, B = _collect_q6_vectors(codebook, id_col, vec_col)
+    dim = C.shape[1]
+    assert B.shape[1] == dim and dim % m == 0
+    sub = dim // m
+    bsub = B.reshape(len(cb_ids), m, sub)
+    coded = _ivfpq_encode(
+        valid_vectors(corpus, dim, vec_col), cent_ids, C, bsub, m, sub,
+        id_col, vec_col,
+    )
+    # cluster by cell at write time: a probe reads its cells' row groups,
+    # not the whole index (min/max stats on a cell-sorted file prune at
+    # the parquet level). sortWithinPartitions avoids a global sort.
+    (
+        coded.repartition("cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    arr = F.col(vec_col).cast("array<double>")
+    for name, df in (("centroids", centroids), ("codebook", codebook)):
+        (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("id"), arr.alias("v"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/{name}")
+        )
+    meta = {"m": m, "dim": dim, "quant": LSH_QUANT, "id_col": id_col,
+            "vec_col": vec_col, "format": "ivfpq-v1"}
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return path
+
+
+def read_ann_index(spark, path: str):
+    """Re-attach a persisted IVF-PQ index: (meta dict, coded DataFrame —
+    a lazy parquet scan of path/codes, no corpus anywhere — and the
+    collected centroid/codebook models). Local-file meta read mirrors
+    register_bucketed's external-table bargain: the caller asserts the
+    artifact was produced by write_ann_index."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("format") != "ivfpq-v1":
+        raise ValueError(f"not an ivfpq-v1 index: {path}")
+    if meta.get("quant") != LSH_QUANT:
+        raise ValueError(
+            f"index quantization {meta.get('quant')} != engine {LSH_QUANT}"
+        )
+    coded = spark.read.parquet(f"{path}/codes")
+    cent = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    cent_ids, C = _collect_q6_vectors(cent, "id", "v")
+    cb_ids, B = _collect_q6_vectors(cb, "id", "v")
+    return meta, coded, (cent_ids, C), (cb_ids, B)
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve-many half: IVF-PQ top-k against a PERSISTED index — zero
+    corpus-scan jobs (plan-pinned in tests/test_extensions.py); the only
+    large input is the (nid, cell, codes) parquet, m·8+16 bytes/vector,
+    and the probe broadcast prunes it to n_probe/n_cells before the ADC
+    kernel. Result-identical to ivf_pq_topk_fixed over the same models
+    by construction (same integer arithmetic end to end)."""
+    meta, coded, (cent_ids, C), (cb_ids, B) = read_ann_index(spark, path)
+    m = meta["m"]
+    sub = meta["dim"] // m
+    bsub = B.reshape(len(cb_ids), m, sub)
+    return _ivfpq_serve(
+        coded, queries, cent_ids, C, bsub, m, sub, k, n_probe, id_col, vec_col
     )

@@ -260,6 +260,43 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/serve-many IVF-PQ (r12, VERDICT r11 item 1): same
+    models, same integer arithmetic, same results as ext_ann_ivfpq — but
+    the corpus encode pass runs ONCE into a persisted index
+    (operators/similarity.write_ann_index; memoized per (session,
+    sf_dir) like ext_dedup_clusters) and the query serves from the
+    (nid, cell, codes) parquet: ZERO corpus scans at query time
+    (plan-pinned in tests/test_extensions.py). This is the 100 TB shape:
+    a billion-vector index is built once and amortized over every later
+    query batch, exactly like FAISS add-once/search-many. The index
+    build is eager plan-time work by documented contract (bench.py
+    eager-plans note). Oracle: identical to ext_ann_ivfpq — the
+    persisted codes are bit-identical to the inline encode."""
+    cache = getattr(spark, "_fcm_result_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fcm_result_cache = cache
+    key = ("ann_index_ivfpq", sf_dir)
+    if key not in cache:
+        import hashlib
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 20)
+        centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+        codebook = emb.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 52))
+        # machine-tmp path keyed by sf_dir; rebuilt once per session so a
+        # driver-regenerated testdata vintage can never serve stale codes
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"fcm_annidx_{tag}")
+        S.write_ann_index(corpus, centroids, codebook, path, m=8)
+        cache[key] = path
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_pq_topk_indexed(spark, cache[key], queries, k=3, n_probe=4)
+
+
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3, oracle-checked: the portable
     md5-parity signature makes the candidate sets integer-identical across
@@ -1624,6 +1661,7 @@ EXT_QUERIES = {
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_pq": ext_ann_pq,
     "ext_ann_ivfpq": ext_ann_ivfpq,
+    "ext_ann_ivfpq_indexed": ext_ann_ivfpq_indexed,
     "ext_text_quality": ext_text_quality,
     "ext_text_langid": ext_text_langid,
     "ext_curation_pipeline": ext_curation_pipeline,
@@ -2880,3 +2918,9 @@ EXT_ORACLE_SQL = {
         FROM r3
     """,
 }
+
+# The indexed IVF-PQ serves the SAME models through a persisted codes
+# parquet — bit-identical integer arithmetic, so the oracle replay is the
+# inline query's verbatim (what differs is the Spark plan, pinned in
+# tests/test_extensions.py: zero corpus scans at query time).
+EXT_ORACLE_SQL["ext_ann_ivfpq_indexed"] = EXT_ORACLE_SQL["ext_ann_ivfpq"]
