@@ -1227,6 +1227,35 @@ def ext_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real greedy BPE encoding (r12, VERDICT r11 item 2): per document,
+    the fixed-merges BPE symbol sequence and its token count — the
+    canonical training-data tokenization operator the suite previously
+    only estimated (chars/4). Pure Column expressions (one regexp char
+    split + |merges| chained replace() calls, see operators/text.py
+    bpe_encode for the two-space symbol-rendering trick that makes plain
+    string replace() exactly the BPE merge pass in BOTH engines); the
+    DuckDB oracle runs the literally identical chain. NULL texts excluded
+    on both sides (the ext_dedup_priority contract).
+
+    Scale: scan-side map, zero exchanges, zero Python — the count goes
+    through a Generate barrier so the encode chain evaluates once per
+    document (CollapseProject would otherwise re-inline it into both
+    output columns, PERF.md lesson)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    enc = docs.select(
+        "doc_id", F.explode(F.array(X.bpe_encode(F.col("text")))).alias("bpe")
+    )
+    return enc.select(
+        "doc_id",
+        F.when(F.col("bpe") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("bpe"), " ")))
+        .cast("bigint")
+        .alias("n_bpe"),
+        "bpe",
+    )
+
+
 def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition signal: total vs distinct 3-gram shingles per
     document (integer pair; heavy repeaters are pre-training drops)."""
@@ -1685,6 +1714,7 @@ EXT_QUERIES = {
     "ext_text_vocab": ext_text_vocab,
     "ext_contamination": ext_contamination,
     "ext_text_repetition": ext_text_repetition,
+    "ext_text_bpe": ext_text_bpe,
     "ext_dedup_clusters": ext_dedup_clusters,
     "ext_text_chunks": ext_text_chunks,
     "ext_events_funnel": ext_events_funnel,
@@ -2924,3 +2954,33 @@ EXT_ORACLE_SQL = {
 # inline query's verbatim (what differs is the Spark plan, pinned in
 # tests/test_extensions.py: zero corpus scans at query time).
 EXT_ORACLE_SQL["ext_ann_ivfpq_indexed"] = EXT_ORACLE_SQL["ext_ann_ivfpq"]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of bpe_encode: the IDENTICAL replace chain, built
+    from the same BPE_MERGES table so the two sides can never drift
+    (change the merges → both engines move together)."""
+    expr = r"regexp_replace(n, '(.)', ' \1 ', 'g')"
+    for a, b in X.BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS n
+          FROM documents WHERE text IS NOT NULL
+        ), enc AS (
+          SELECT doc_id, n,
+                 CASE WHEN n = '' THEN ''
+                      ELSE regexp_replace(trim({expr}), ' +', ' ', 'g')
+                 END AS bpe
+          FROM norm
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN bpe = '' THEN 0
+                         ELSE len(string_split(bpe, ' ')) END AS BIGINT) AS n_bpe,
+               bpe
+        FROM enc
+    """
+
+
+EXT_ORACLE_SQL["ext_text_bpe"] = _bpe_oracle_sql()
