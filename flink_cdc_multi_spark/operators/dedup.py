@@ -784,6 +784,75 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (VERDICT r11 item 3; Abbas
+    et al. 2023, arXiv:2303.09540): cluster the corpus with a coarse
+    quantizer, find embedding near-dups ONLY within each cluster, keep
+    one representative per duplicate neighborhood. Composition of the
+    suite's existing primitives:
+
+    - cells: the deterministic integer-quantized coarse assign of
+      ivf_topk_fixed (argmin int64 d² to the collected centroids, ties
+      to lowest cid — engine-portable, so the oracle replays it);
+    - in-cell near-dup: the per-bucket numpy Gram kernel the embedding
+      near-dup paths share (one BLAS matmul per cell block);
+    - keep-one: a vector is DROPPED iff some SAME-CELL neighbor with a
+      LOWER id has cosine >= threshold (the ext_dedup_priority "prefer
+      the earlier copy" rule in id space) — greedy per pair, not a
+      transitive closure, exactly SemDeDup's keep-one-per-neighborhood.
+
+    Output: (vec_id, cell, kept). Zero-norm vectors are never dropped
+    (NaN/NULL cosine fails >= threshold in every engine — the pinned
+    zero-norm contract); NULL/ragged vectors are excluded entirely
+    (valid_vectors).
+
+    Scale shape: cell assign is row-local (Arrow kernel over broadcast-
+    size centroids — the corpus never shuffles for it); the ONLY
+    exchange is the hash partition on cell for the grouped Gram kernel,
+    and the quadratic is bounded per cell, never global (plan-pinned:
+    no join, no cartesian). At 100 TB you raise n_centroids to keep
+    cells bounded — same knob as embedding_neardup_pairs_lsh's
+    n_planes."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators.similarity import assign_cells
+
+    with_cell = assign_cells(df, centroids, dim, id_col, vec_col)
+
+    def keep_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        cell = pdf["cell"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        kept = np.ones(len(ids), dtype=bool)
+        # row-block the Gram matrix (the _gram_verify_fn discipline: a
+        # hot cell never materializes n² floats at once)
+        for lo in range(0, len(ids), 4096):
+            hi = min(lo + 4096, len(ids))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+            bi, bj = np.nonzero(cos >= threshold)  # NaN compares False
+            bi += lo
+            hit = bi != bj
+            # ids are sorted asc, so the larger INDEX is the larger id —
+            # the dropped side of each near-dup pair
+            kept[np.maximum(bi[hit], bj[hit])] = False
+        return pd.DataFrame({"vec_id": ids, "cell": cell, "kept": kept})
+
+    return with_cell.groupBy("cell").applyInPandas(
+        keep_one, "vec_id bigint, cell bigint, kept boolean"
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     probes: DataFrame,

@@ -610,6 +610,37 @@ def _collect_q6_vectors(df: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): deterministic coarse-quantizer assignment — argmin
+    int64 d² over the LSH_QUANT-floored components to the collected
+    centroids, ties to the lowest cid (C is cid-ascending and argmin
+    takes the first min — the oracle's (d2, cid) sort order). Row-local
+    Arrow kernel over a broadcast-size model: the corpus never shuffles
+    for indexing. Shared by ivf_topk_fixed-style probes and
+    semantic_dedup's clustering step."""
+    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    assert C.shape[1] == dim
+    df = valid_vectors(df, dim, vec_col)
+
+    @F.pandas_udf(T.LongType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())
+        q = np.floor(mat * LSH_QUANT).astype(np.int64)
+        d = q[:, None, :] - C[None, :, :]
+        return pd.Series(cent_ids[np.argmin((d * d).sum(axis=2), axis=1)])
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cell", cell_of(F.col("v")))
+
+
 def _ivfpq_encode(
     corpus: DataFrame,
     cent_ids,

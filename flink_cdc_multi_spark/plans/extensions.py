@@ -180,6 +180,25 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs_lsh(emb, dim=64, threshold=0.35, n_planes=6)
 
 
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (r12, VERDICT r11 item 3): IVF cells as
+    clusters (deterministic centroids = vectors 20..35, the ext_ann_ivf
+    model idiom) → in-cell cosine near-dup (>= 0.35, the numpy Gram
+    kernel) → keep the lowest-id representative per duplicate
+    neighborhood. Output (vec_id, cell, kept) for the vec_id < 5000
+    scope (bounds the oracle's in-cell quadratic at every SF; the
+    operator itself is unbounded — cells bound the quadratic, and at
+    scale you raise n_centroids). Membership-only kept flag: fp
+    summation order (BLAS Gram vs the oracle's sequential list fold)
+    cannot flip the result unless a pair lands exactly on the
+    threshold — the ext_dedup_embedding contract. Plan-pinned: ONE
+    exchange (hash on cell), no join, no cartesian
+    (test_plan_quality)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5000)
+    centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+    return D.semantic_dedup(emb, centroids, dim=64, threshold=0.35)
+
+
 def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-verifiable MinHash signatures (portable md5-hash60): one row
     per (doc, hash index) for the doc_id < 100 scope."""
@@ -1681,6 +1700,7 @@ EXT_QUERIES = {
     "ext_dedup_ngram": ext_dedup_ngram,
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_dedup_embedding_lsh": ext_dedup_embedding_lsh,
+    "ext_dedup_semantic": ext_dedup_semantic,
     "ext_dedup_minhash": ext_dedup_minhash,
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_dedup_minhash_md5": ext_dedup_minhash_md5,
@@ -2984,3 +3004,38 @@ def _bpe_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["ext_text_bpe"] = _bpe_oracle_sql()
+
+# SemDeDup replay: the ivf cells CTE (integer-quantized argmin, the
+# ext_ann_ivf idiom) + an in-cell near-dup pair set (list_cosine_similarity,
+# the ext_dedup_embedding idiom) + the greedy lowest-id keep rule.
+EXT_ORACLE_SQL["ext_dedup_semantic"] = """
+    WITH comp AS (
+      SELECT vec_id, t.i,
+             CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
+      FROM embeddings, range(64) t(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND vec_id < 5000
+    ), cent AS (
+      SELECT vec_id AS cid, i, q FROM comp WHERE vec_id BETWEEN 20 AND 35
+    ), d2c AS (
+      SELECT c.vec_id, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+      FROM comp c JOIN cent ct USING (i)
+      GROUP BY c.vec_id, ct.cid
+    ), cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2c) WHERE rn = 1
+    ), vc AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid
+      FROM embeddings e JOIN cells c USING (vec_id)
+      WHERE e.vec_id < 5000 AND e.embedding IS NOT NULL
+        AND len(e.embedding) = 64
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM vc a JOIN vc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    )
+    SELECT v.vec_id, v.cid AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM vc v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+"""

@@ -64,6 +64,7 @@ ADVERSARIAL_QUERIES = [
     # collect-side skip in the ann family)
     "ext_dedup_embedding",
     "ext_dedup_embedding_lsh",
+    "ext_dedup_semantic",
     "ext_embed_quantize",
     "ext_embed_centroid",
     "ext_ann_topk",

@@ -1679,6 +1679,40 @@ def test_ivf_pq_topk_vs_python_reference(spark):
     assert got == exp
 
 
+def test_semantic_dedup_keep_one_per_cell(spark):
+    """semantic_dedup semantics on a constructed fixture: near-dups in
+    the SAME cell keep only the lowest id; the same direction split
+    across DIFFERENT cells keeps both (cells bound the comparison — the
+    SemDeDup trade); orthogonal vectors are kept; a zero-norm vector is
+    never dropped (NaN cosine fails the threshold by contract)."""
+    # centroids at +x and +y: cell assignment by integer-quantized L2
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = [
+        (10, [2.0, 0.1]),    # cell 0
+        (11, [1.9, 0.12]),   # cell 0, ~same direction as 10 → dropped
+        (12, [0.1, 2.0]),    # cell 1 — near-parallel to 13
+        (13, [0.12, 1.9]),   # cell 1, dropped (12 keeps)
+        (14, [0.9, 1.0]),    # cell 1 boundary-ish; direction far from 12
+        (15, [0.0, 0.0]),    # zero-norm: kept, never a neighbor
+        (16, None),          # NULL: excluded entirely
+        (17, [1.0]),         # ragged: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in D.semantic_dedup(df, cents, dim=2, threshold=0.95).collect()
+    }
+    assert set(got) == {10, 11, 12, 13, 14, 15}
+    assert got[10] == (0, True)
+    assert got[11] == (0, False)
+    assert got[12] == (1, True)
+    assert got[13] == (1, False)
+    assert got[14][1] is True
+    assert got[15][1] is True
+
+
 def test_bpe_encode_matches_symbol_space_reference(spark):
     """bpe_encode's string-replace construction vs an independent
     SYMBOL-SPACE implementation of canonical greedy BPE (per merge rank,

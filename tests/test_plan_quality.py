@@ -206,6 +206,19 @@ def test_ext_ann_topk_vectorized_kernel_and_group_limit(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ext_dedup_semantic_no_all_pairs(spark):
+    """SemDeDup (r12): the quadratic lives INSIDE the per-cell Gram
+    kernel — the Spark plan must carry no join of any kind (the oracle's
+    pair self-join is DuckDB's replay, not the plan) and exactly one
+    exchange: the hash partition on cell feeding FlatMapGroupsInPandas."""
+    plan = plan_of(spark, "ext_dedup_semantic")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # formatted plans render each node twice (tree line + detail block)
+    assert plan.count("Exchange") == 2  # ONE Exchange node
+    assert "hashpartitioning(cell" in plan
+
+
 def test_q21_aggregate_form_no_self_joins(spark):
     """The r7 rewrite evaluates the EXISTS/NOT-EXISTS correlation as
     per-orderkey aggregates (n_late == 1, n_supp > 1): the plan must be
