@@ -118,6 +118,32 @@ def spark_gate_concurrent(spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def interleaved_gate_ratio(sf_dir: str, run, gate_ok, waves: int = 2) -> dict:
+    """Same-session ABAB interleave (VERDICT r11 item 6; PERF.md A/B
+    methodology lesson): alternate one Spark concurrent gate wave with
+    one full DuckDB gate pass, back to back in this process, and ratio
+    the mins. The headline `ratio_vs_duckdb` compares numbers measured
+    minutes apart (the ext suite and sf1 run in between), so ambient
+    machine drift lands in the ratio — r11's 1.11→0.54 'improvement' was
+    mostly the DuckDB base doubling between rounds. This field is the
+    drift-resistant twin: any cross-round trend should be read off it
+    first."""
+    sp, dk = [], []
+    for _ in range(waves):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(len(gate_ok)) as ex:
+            list(ex.map(run, gate_ok))
+        sp.append(round(time.perf_counter() - t0, 4))
+        dk.append(duckdb_gate_total(sf_dir, runs=1))
+    return {
+        "spark_sec": min(sp),
+        "duckdb_sec": min(dk),
+        "spark_waves": sp,
+        "duckdb_passes": dk,
+        "ratio": round(min(sp) / min(dk), 4),
+    }
+
+
 def sf1_crossover(spark, base_dir: str) -> dict:
     """The scale-trend artifact (VERDICT r02 task 2): generate /tmp/sf1 as
     10x the bench SF via disjoint replication (tools/gen_scaled_sf.py) if
@@ -339,6 +365,8 @@ def main() -> None:
         out["duckdb_sec"] = duckdb_gate_total(sf_dir)
         if best_concurrent is not None:
             out["ratio_vs_duckdb"] = round(best_concurrent / out["duckdb_sec"], 4)
+        if gate_ok:
+            out["gate_interleaved"] = interleaved_gate_ratio(sf_dir, run, gate_ok)
     except Exception as e:  # noqa: BLE001
         out["duckdb_error"] = str(e)[:200]
     if sf == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
@@ -374,6 +402,7 @@ def main() -> None:
         "duckdb_version": out.get("duckdb_version"),
         "duckdb_rerun_spread": out.get("duckdb_rerun_spread"),
         "ratio_vs_duckdb": out.get("ratio_vs_duckdb"),
+        "interleaved_ratio": out.get("gate_interleaved", {}).get("ratio"),
         "ext_concurrent": out.get("ext_concurrent"),
         "ext_cached": out.get("ext_cached"),
         "ext_duckdb_total": out.get("ext_duckdb_total"),

@@ -1246,6 +1246,18 @@ def ext_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring (r12, VERDICT r11 item 8): per document
+    the exact-integer fasttext-shaped linear score (hashed token buckets
+    x fixed md5-derived integer weights) + token count. Completes the
+    curation surface: score -> threshold -> ext_budget_sample is the
+    full classifier-filtered mixture pipeline (composition pinned in
+    tests/test_extensions.py). See operators/text.quality_score for the
+    one-exchange plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_score(docs)
+
+
 def ext_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real greedy BPE encoding (r12, VERDICT r11 item 2): per document,
     the fixed-merges BPE symbol sequence and its token count — the
@@ -1735,6 +1747,7 @@ EXT_QUERIES = {
     "ext_contamination": ext_contamination,
     "ext_text_repetition": ext_text_repetition,
     "ext_text_bpe": ext_text_bpe,
+    "ext_text_quality_score": ext_text_quality_score,
     "ext_dedup_clusters": ext_dedup_clusters,
     "ext_text_chunks": ext_text_chunks,
     "ext_events_funnel": ext_events_funnel,
@@ -3004,6 +3017,30 @@ def _bpe_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["ext_text_bpe"] = _bpe_oracle_sql()
+
+
+def _quality_score_oracle_sql() -> str:
+    """Replay of quality_score: the weight VALUES list is generated from
+    the same QUALITY_WEIGHTS table, so the two sides can never drift."""
+    values = ", ".join(f"({b}, {w})" for b, w in enumerate(X.QUALITY_WEIGHTS))
+    return f"""
+        WITH w(b, wt) AS (VALUES {values}),
+        tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT % {X.QUALITY_BUCKETS} AS b
+          FROM tok
+        )
+        SELECT doc_id, CAST(SUM(w.wt) AS BIGINT) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM h JOIN w USING (b) GROUP BY doc_id
+    """
+
+
+EXT_ORACLE_SQL["ext_text_quality_score"] = _quality_score_oracle_sql()
 
 # SemDeDup replay: the ivf cells CTE (integer-quantized argmin, the
 # ext_ann_ivf idiom) + an in-cell near-dup pair set (list_cosine_similarity,

@@ -49,6 +49,7 @@ ADVERSARIAL_QUERIES = [
     "ext_dedup_ngram",
     "ext_dedup_fingerprint",
     "ext_text_quality",
+    "ext_text_quality_score",
     "ext_text_langid",
     "ext_text_tokens_by_lang",
     "ext_text_chunks",

@@ -1679,6 +1679,84 @@ def test_ivf_pq_topk_vs_python_reference(spark):
     assert got == exp
 
 
+def test_quality_score_threshold_budget_composition(spark):
+    """The full classifier-filtered curation pipeline (VERDICT r11 item
+    8): quality_score → threshold → per-source token-budget sample. Pins
+    (a) the integer score against a pure-Python reference of the hashed
+    linear model, and (b) that the budget stage sees only
+    threshold-surviving docs and cuts at the exact integer boundary."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from flink_cdc_multi_spark.operators.text import (
+        QUALITY_BUCKETS,
+        QUALITY_WEIGHTS,
+    )
+
+    rows = [
+        (1, "the quick brown fox", "src0"),
+        (2, "lorem ipsum dolor sit amet and then some more", "src0"),
+        (3, "spam spam spam", "src1"),
+        (4, "a decent looking document with many plain words", "src1"),
+        (5, "", "src1"),          # no tokens: no score row
+        (6, None, "src0"),        # NULL text: excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    scores = {
+        r["doc_id"]: (r["score"], r["n_tokens"])
+        for r in X.quality_score(docs).collect()
+    }
+
+    def py_score(text):
+        toks = text.strip().split()
+        s = sum(
+            QUALITY_WEIGHTS[
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % QUALITY_BUCKETS
+            ]
+            for t in toks
+        )
+        return s, len(toks)
+
+    for doc_id, text, _ in rows:
+        if text and text.strip():
+            assert scores[doc_id] == py_score(text), doc_id
+        else:
+            assert doc_id not in scores
+
+    # threshold → budget: survivors (score >= 0) sampled per source until
+    # an 8-token budget is exhausted (exclusive running total < budget)
+    surv = X.quality_score(docs).filter(F.col("score") >= 0)
+    kept = docs.join(surv, "doc_id")
+    n_tok = X.token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sampled = (
+        kept.select("doc_id", "source", n_tok.alias("n"))
+        .withColumn("before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .filter(F.col("before") < 8)
+        .collect()
+    )
+    got = {r["doc_id"] for r in sampled}
+    # python reference of the whole pipeline
+    by_source: dict = {}
+    expect = set()
+    for doc_id, text, source in rows:
+        if not text or not text.strip():
+            continue
+        s, n = py_score(text)
+        if s < 0:
+            continue
+        before = by_source.get(source, 0)
+        if before < 8:
+            expect.add(doc_id)
+        by_source[source] = before + n
+    assert got == expect and got  # equal and non-vacuous
+
+
 def test_semantic_dedup_keep_one_per_cell(spark):
     """semantic_dedup semantics on a constructed fixture: near-dups in
     the SAME cell keep only the lowest id; the same direction split
