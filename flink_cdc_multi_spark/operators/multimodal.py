@@ -391,6 +391,55 @@ def _luma_int_matrix(px):
     return p[:, :, 0] * wr + p[:, :, 1] * wg + p[:, :, 2] * wb
 
 
+# dHash comparison grid: 9 sample columns (8 horizontal comparisons) x 7
+# sample rows = 56 bits, deliberately BELOW the sign bit so the packed
+# hash is the same signed BIGINT in numpy, Spark, and DuckDB (the
+# hash60/simhash-md5 convention; a 64-bit dHash would put bit 63 into
+# engine-specific shift-overflow territory).
+DHASH_COLS, DHASH_ROWS = 9, 7
+
+
+def dhash56(blob: bytes) -> int | None:
+    """Perceptual difference hash over REAL decoded pixels — the
+    image-near-dup primitive (identical and near-identical images
+    collide; brightness shifts and small noise mostly cancel because
+    only the SIGN of neighbor gradients is kept):
+
+    1. full pixel decode (png_decode_pixels — shared with luma/resize);
+    2. integer gray per pixel: 299·R + 587·G + 114·B (1000·v for
+       grayscale) — the pinned _LUMA_W integer contract, no division;
+    3. floor nearest-neighbor sample onto the 9x7 grid
+       (src = (t · dim) // grid, upscale allowed — every index is exact
+       integer arithmetic, replayable in SQL);
+    4. bit(y, x) = 1 iff gray[y][x+1] > gray[y][x], packed little-endian
+       as Σ bit << (y·8 + x) — 56 bits, sign-safe in every engine.
+
+    None for out-of-profile blobs (the decode_image_features NULL
+    contract). Compose with exact_dedup on the hash for duplicate-image
+    groups, or a pigeonhole block join (simhash_pairs' shape) for
+    hamming-tolerant near-dup pairs."""
+    import numpy as np
+
+    px = png_decode_pixels(blob)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    a = px.astype(np.int64)
+    if c == 1:
+        g = 1000 * a[:, :, 0]
+    else:
+        g = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+    xs = (np.arange(DHASH_COLS, dtype=np.int64) * w) // DHASH_COLS
+    ys = (np.arange(DHASH_ROWS, dtype=np.int64) * h) // DHASH_ROWS
+    s = g[np.ix_(ys, xs)]  # (7, 9) sampled gray
+    bits = (s[:, 1:] > s[:, :-1]).astype(np.int64)  # (7, 8)
+    weights = np.int64(1) << (
+        np.arange(DHASH_ROWS, dtype=np.int64)[:, None] * 8
+        + np.arange(DHASH_COLS - 1, dtype=np.int64)[None, :]
+    )
+    return int((bits * weights).sum())
+
+
 def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
     """(Σ 299·R + 587·G + 114·B over pixels, n_pixels) as exact integers
     via the real pixel decode (png_decode_pixels) — mean luma =

@@ -627,13 +627,21 @@ def assign_cells(
     cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
     assert C.shape[1] == dim
     df = valid_vectors(df, dim, vec_col)
+    # |q-c|² via the matmul expansion |q|² + |c|² - 2 q·c, in float64:
+    # EXACT integer arithmetic here (components ≤ LSH_QUANT=1e6 →
+    # products ≤ 1e12, dim-term sums ≤ ~1e14 ≪ 2^53), and BLAS-shaped —
+    # the naive (batch, cells, dim) difference tensor is 5 GB per 10k
+    # Arrow batch at 1024 centroids, exactly the SemDeDup scale knob
+    # setting (raise n_centroids to bound the in-cell quadratic).
+    Cf = C.astype(np.float64)
+    c2 = (Cf * Cf).sum(axis=1)
 
     @F.pandas_udf(T.LongType())
     def cell_of(vs: pd.Series) -> pd.Series:
         mat = np.stack(vs.to_numpy())
-        q = np.floor(mat * LSH_QUANT).astype(np.int64)
-        d = q[:, None, :] - C[None, :, :]
-        return pd.Series(cent_ids[np.argmin((d * d).sum(axis=2), axis=1)])
+        q = np.floor(mat * LSH_QUANT)  # float64 — exact, see above
+        d2 = (q * q).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (q @ Cf.T)
+        return pd.Series(cent_ids[np.argmin(d2, axis=1)])
 
     return df.select(
         F.col(id_col).alias("id"),

@@ -290,6 +290,65 @@ def redact(text: Column, patterns=None) -> tuple[Column, Column]:
     return out, n
 
 
+def line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the C4/RefinedWeb/Dolma pass: a line
+    appearing in multiple documents survives only at its FIRST occurrence
+    — min (doc_id, position) — and is removed everywhere else, including
+    repeats inside the same document). Returns per document:
+    (doc_id, n_kept, n_dropped, clean_text) with clean_text the kept
+    lines rejoined by newline in original order — for a corpus with no
+    duplicate lines this is the exact split→reassemble identity, which
+    the driver gate checks; the dedup semantics are exercised by the
+    adversarial fixture's duplicate-line rows.
+
+    Contracts: line identity is md5-keyed (both engines group/join on
+    md5(line) — the contamination hash-contract pattern, collisions move
+    both sides together); whitespace-only lines NEVER dedup (removing
+    every blank separator but one would mangle formatting corpus-wide).
+
+    Scale shape: the winner per distinct line is a min-REDUCTION on the
+    md5 key (partial agg collapses a hot duplicated line map-side — the
+    boilerplate line appearing in 10M docs ships |partitions| candidates,
+    not 10M); the probe join hash-partitions both sides on the 32-char
+    digest (large-large, the commonness shape; the line stream is
+    deliberately not cached — re-running the pruned scan+split is cheaper
+    than holding corpus-sized lines resident). Reassembly is one
+    partial-agg groupBy per doc; the in-doc sort is array_sort over that
+    doc's lines only, never a global sort."""
+    lines = widen_narrow_scan(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    content = lines.filter(F.trim(F.col("line")) != "")
+    winners = (
+        content.select(F.md5("line").alias("h"), F.struct("doc_id", "pos").alias("w"))
+        .groupBy("h")
+        .agg(F.min("w").alias("w"))
+    )
+    tagged = lines.join(
+        winners, F.md5(lines["line"]) == winners["h"], "left"
+    ).withColumn(
+        "kept",
+        F.col("w").isNull()
+        | ((F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
 def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
 

@@ -898,6 +898,46 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_image_features(media, max_dim=8)
 
 
+def ext_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (r12): dHash56 over REAL decoded pixels of
+    the deterministic RGB PNG fixture (the ext_multimodal_luma blobs) —
+    the image-near-dup primitive the dedup family was missing (embedding
+    near-dup needs a model; dHash needs only pixels). Full decode + NN
+    grid sample + neighbor-gradient sign bits, every step exact integer,
+    so the DuckDB oracle replays the entire hash from (doc_id)-closed-
+    form arithmetic — a wrong unfilter, sample index, or bit order
+    breaks the value hash. Positive-mod id→dims mapping on BOTH sides so
+    negative (adversarial) doc_ids agree across Python and SQL
+    semantics. Scale: same as the codec family — repartition 8-byte ids,
+    Arrow mapInPandas, blob never leaves its task; compose with
+    exact_dedup(dhash) or a pigeonhole block join for hamming-tolerant
+    pairs."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen_and_hash(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            hashes = [
+                M.dhash56(
+                    M.make_png_rgb(int(i) % 24 + 4, int(i) % 16 + 4, int(i) % 256)
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return docs.mapInPandas(gen_and_hash, "doc_id long, dhash long")
+
+
 def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling end to end (round 11 — lifts the video-side
     stub on the container this sandbox can decode): synthesize a
@@ -1244,6 +1284,21 @@ def ext_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (r12; the C4/RefinedWeb/Dolma pass):
+    keep each distinct non-blank line only at its first (doc_id, pos)
+    occurrence and rebuild every document. On the driver fixture (no
+    duplicate lines) this gates the exact split→reassemble identity;
+    the dedup semantics themselves are pinned by the adversarial
+    fixture's cross-doc/in-doc duplicate-line rows (the q08 hostile-row
+    pattern). See operators/text.line_dedup for contracts (md5-keyed
+    line identity, whitespace-only lines never dedup) and the 100 TB
+    shape (min-reduction winners, large-large hash join on the
+    digest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.line_dedup(docs)
 
 
 def ext_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1713,6 +1768,7 @@ EXT_QUERIES = {
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_dedup_embedding_lsh": ext_dedup_embedding_lsh,
     "ext_dedup_semantic": ext_dedup_semantic,
+    "ext_dedup_lines": ext_dedup_lines,
     "ext_dedup_minhash": ext_dedup_minhash,
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_dedup_minhash_md5": ext_dedup_minhash_md5,
@@ -1732,6 +1788,7 @@ EXT_QUERIES = {
     "ext_multimodal_luma": ext_multimodal_luma,
     "ext_multimodal_resize": ext_multimodal_resize,
     "ext_multimodal_frames": ext_multimodal_frames,
+    "ext_multimodal_dhash": ext_multimodal_dhash,
     "ext_embed_quantize": ext_embed_quantize,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_rollup_agg": ext_rollup_agg,
@@ -3041,6 +3098,71 @@ def _quality_score_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["ext_text_quality_score"] = _quality_score_oracle_sql()
+
+# dHash replay: the fixture pixels are closed-form in (doc_id, x, y), so
+# the whole perceptual hash — NN grid sample, integer gray, gradient-sign
+# bits, little-endian 56-bit pack — is pure SQL arithmetic. Positive-mod
+# wrappers keep negative doc_ids on Python's floored-mod semantics.
+EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
+    WITH d AS (
+      SELECT doc_id,
+             ((doc_id % 24) + 24) % 24 + 4 AS w,
+             ((doc_id % 16) + 16) % 16 + 4 AS h,
+             ((doc_id % 256) + 256) % 256 AS s
+      FROM documents
+    ), grid AS (
+      SELECT d.doc_id, d.w, d.h, d.s,
+             CAST(ty.y AS BIGINT) AS ty, CAST(tx.x AS BIGINT) AS tx
+      FROM d, range(7) ty(y), range(9) tx(x)
+    ), g AS (
+      SELECT doc_id, ty, tx,
+             299 * ((s + (tx * w) // 9) % 256)
+           + 587 * ((s + (ty * h) // 7) % 256)
+           + 114 * ((s + (tx * w) // 9 + (ty * h) // 7) % 256) AS gray
+      FROM grid
+    ), bits AS (
+      SELECT a.doc_id,
+             CASE WHEN b.gray > a.gray
+                  THEN 1::BIGINT << CAST(a.ty * 8 + a.tx AS INTEGER)
+                  ELSE 0 END AS v
+      FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.ty = a.ty
+                        AND b.tx = a.tx + 1
+      WHERE a.tx < 8
+    )
+    SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash FROM bits GROUP BY doc_id
+"""
+
+# Line-dedup replay: same md5-keyed winner rule (ROW_NUMBER over
+# (doc_id, pos) mirrors Spark's min(struct) reduction), same
+# whitespace-only exemption, string_agg ORDER BY pos mirrors the
+# array_sort reassembly.
+EXT_ORACLE_SQL["ext_dedup_lines"] = """
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr
+      FROM documents WHERE text IS NOT NULL
+    ), lp AS (
+      SELECT doc_id, arr, CAST(unnest(range(len(arr))) AS BIGINT) AS pos
+      FROM ls
+    ), l AS (
+      SELECT doc_id, pos, arr[pos + 1] AS line FROM lp
+    ), w AS (
+      SELECT h, doc_id AS wdoc, pos AS wpos FROM (
+        SELECT md5(line) AS h, doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM l WHERE trim(line) <> '') WHERE rn = 1
+    ), k AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (w.h IS NULL OR (l.doc_id = w.wdoc AND l.pos = w.wpos)) AS kept
+      FROM l LEFT JOIN w ON md5(l.line) = w.h
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN kept THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text
+    FROM k GROUP BY doc_id
+"""
 
 # SemDeDup replay: the ivf cells CTE (integer-quantized argmin, the
 # ext_ann_ivf idiom) + an in-cell near-dup pair set (list_cosine_similarity,

@@ -46,6 +46,7 @@ ADVERSARIAL_QUERIES = [
     "q08",
     "ext_dedup_priority",
     "ext_dedup_exact",
+    "ext_dedup_lines",
     "ext_dedup_ngram",
     "ext_dedup_fingerprint",
     "ext_text_quality",
@@ -66,6 +67,9 @@ ADVERSARIAL_QUERIES = [
     "ext_dedup_embedding",
     "ext_dedup_embedding_lsh",
     "ext_dedup_semantic",
+    # negative doc_ids pin the positive-mod id→dims mapping (Python
+    # floored mod vs DuckDB C mod) across the closed-form pixel replay
+    "ext_multimodal_dhash",
     "ext_embed_quantize",
     "ext_embed_centroid",
     "ext_ann_topk",

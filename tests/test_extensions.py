@@ -1679,6 +1679,71 @@ def test_ivf_pq_topk_vs_python_reference(spark):
     assert got == exp
 
 
+def test_dhash56_against_python_reference():
+    """dhash56's numpy kernel vs an independent per-pixel Python
+    reference (decode via the shared decoder, then naive loops): same
+    grid indices, same integer gray, same bit order. Identical images
+    hash identically; the all-zero (flat) image hashes to 0; invalid
+    blobs return None; the hash stays below 2^56 (sign-safe)."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    def py_ref(blob):
+        px = M.png_decode_pixels(blob)
+        if px is None:
+            return None
+        h, w = px.shape[0], px.shape[1]
+        def gray(x, y):
+            p = px[y][x]
+            if px.shape[2] == 1:
+                return 1000 * int(p[0])
+            return 299 * int(p[0]) + 587 * int(p[1]) + 114 * int(p[2])
+        out = 0
+        for ty in range(7):
+            for tx in range(8):
+                x0 = (tx * w) // 9
+                x1 = ((tx + 1) * w) // 9
+                y = (ty * h) // 7
+                if gray(x1, y) > gray(x0, y):
+                    out |= 1 << (ty * 8 + tx)
+        return out
+
+    for w, h, s in [(4, 4, 0), (27, 19, 77), (9, 7, 255), (16, 5, 128)]:
+        blob = M.make_png_rgb(w, h, s)
+        got = M.dhash56(blob)
+        assert got == py_ref(blob), (w, h, s)
+        assert 0 <= got < (1 << 56)
+        assert M.dhash56(blob) == got  # deterministic
+    assert M.dhash56(b"not a png") is None
+    flat = M.make_png_rgb(1, 1, 10)  # single pixel: every sample equal
+    assert M.dhash56(flat) == 0
+
+
+def test_line_dedup_semantics(spark):
+    """line_dedup (r12, C4-style): cross-doc duplicate lines survive only
+    at min (doc_id, pos); in-doc repeats drop; whitespace-only lines
+    never dedup; reconstruction preserves original order; a doc whose
+    every line is dropped reassembles to ''."""
+    rows = [
+        (1, "dup line\ndup line"),          # winner (1,0); (1,1) drops
+        (2, "first\ndup line\nlast"),       # middle copy drops
+        (3, "   \ndup line\n   "),          # blanks kept, dup drops
+        (4, "dup line"),                    # single line, all dropped
+        (5, ""),                            # one empty line, kept
+        (6, None),                          # NULL text: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_dropped"], r["clean_text"])
+        for r in X.line_dedup(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == (1, 1, "dup line")
+    assert got[2] == (2, 1, "first\nlast")
+    assert got[3] == (2, 1, "   \n   ")
+    assert got[4] == (0, 1, "")
+    assert got[5] == (1, 0, "")
+
+
 def test_quality_score_threshold_budget_composition(spark):
     """The full classifier-filtered curation pipeline (VERDICT r11 item
     8): quality_score → threshold → per-source token-budget sample. Pins

@@ -109,6 +109,20 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
              "lang": "en", "source": "src1", "n_chars": 28},
             {"doc_id": -12, "text": "nothing left to alter",
              "lang": "fr", "source": "src2", "n_chars": 21},
+            # duplicate-LINE rows (r12, ext_dedup_lines — the q08 pattern:
+            # the clean fixture has no newlines, so the line-dedup
+            # semantics are only exercised here). Winner of the shared
+            # line is min (doc_id, pos) = (-15, 0): -15 keeps its first
+            # copy and drops its in-doc repeat; -13/-14 drop their copies.
+            # -16 pins that whitespace-only lines NEVER dedup.
+            {"doc_id": -13, "text": "shared line alpha\nunique to thirteen",
+             "lang": "en", "source": "src1", "n_chars": 36},
+            {"doc_id": -14, "text": "intro text\nshared line alpha\nmore after",
+             "lang": "en", "source": "src2", "n_chars": 39},
+            {"doc_id": -15, "text": "shared line alpha\nshared line alpha",
+             "lang": "en", "source": "src3", "n_chars": 35},
+            {"doc_id": -16, "text": "   \nbelow a blank-ish line\n   ",
+             "lang": "en", "source": "src1", "n_chars": 30},
         ]
     if name == "embeddings":
         dim = 0
