@@ -1718,6 +1718,48 @@ def test_dhash56_against_python_reference():
     assert M.dhash56(flat) == 0
 
 
+def test_dhash_exact_dedup_composition(spark):
+    """Duplicate-image groups = dhash56 → exact_dedup on the hash (the
+    documented composition): identical images (same generator params)
+    collide and keep one representative; a distinct image survives.
+    Invalid blobs hash to NULL and are excluded before grouping (NULL
+    keys would otherwise form a fake 'group')."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    rows = [
+        (1, M.make_png_rgb(12, 9, 7)),
+        (2, M.make_png_rgb(12, 9, 7)),    # exact duplicate of 1
+        (3, M.make_png_rgb(12, 9, 7)),    # exact duplicate of 1
+        # distinct hash (hamming 36 from the group above — small dims
+        # make the mod-256 wraps land inside the sampled grid; a big
+        # smooth gradient would dHash-collide with other big gradients,
+        # which is the point of a perceptual hash)
+        (4, M.make_png_rgb(4, 4, 250)),
+        (5, b"corrupt"),                  # invalid: excluded
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "media": [r[1] for r in rows]})
+    )
+
+    def hash_batch(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash": pd.array(
+                    [M.dhash56(bytes(b)) for b in pdf["media"]], dtype="Int64"
+                ),
+            })
+
+    hashed = df.mapInPandas(hash_batch, "doc_id long, dhash long").filter(
+        F.col("dhash").isNotNull()
+    )
+    reps = {r["doc_id"] for r in D.exact_dedup(hashed, ["dhash"], "doc_id").collect()}
+    assert reps == {1, 4}
+
+
 def test_line_dedup_semantics(spark):
     """line_dedup (r12, C4-style): cross-doc duplicate lines survive only
     at min (doc_id, pos); in-doc repeats drop; whitespace-only lines
@@ -1854,6 +1896,41 @@ def test_semantic_dedup_keep_one_per_cell(spark):
     assert got[13] == (1, False)
     assert got[14][1] is True
     assert got[15][1] is True
+
+
+def test_semantic_dedup_drops_subset_of_exact_and_planted_recall(spark):
+    """PERF.md r12 quality contract: (a) same-threshold semantic drops
+    are a strict subset of the exact all-pairs keep-one drops (in-cell
+    pairs ⊆ all pairs — zero false drops, the theorem made a regression
+    net); (b) planted true near-dups (2% noise, cos≈0.999) are caught
+    in-cell at high recall — the regime SemDeDup targets."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((300, 64))
+    planted = [
+        (2000 + i, (base[i] + rng.standard_normal(64) * 0.02).tolist())
+        for i in range(30)
+    ]
+    rows = [(i, base[i].tolist()) for i in range(300)] + planted
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id >= 100 and vec_id < 132")  # 32 cells
+
+    sem = D.semantic_dedup(df, cents, dim=64, threshold=0.98).collect()
+    sem_dropped = {r["vec_id"] for r in sem if not r["kept"]}
+
+    # exact keep-one replay from the all-pairs operator
+    import collections
+
+    pairs = D.embedding_neardup_pairs(df, threshold=0.98, max_rows=None).collect()
+    lows = collections.defaultdict(set)
+    for r in pairs:
+        lows[r["b_id"]].add(r["a_id"])
+    exact_dropped = set(lows)
+
+    assert sem_dropped <= exact_dropped  # never a false drop
+    caught = sum(1 for i in range(30) if (2000 + i) in sem_dropped)
+    assert caught >= 27, f"planted near-dup recall too low: {caught}/30"
 
 
 def test_bpe_encode_matches_symbol_space_reference(spark):
