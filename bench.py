@@ -187,7 +187,7 @@ def main() -> None:
     # ext_ann_ivf collects its 16 centroids (model build), ext_ann_topk
     # collects its 20 query vectors (the broadcast side — the numpy
     # scoring kernel needs them driver-side, like FAISS loading the query
-    # batch), ext_ann_pq / ext_ann_ivfpq collect their 16-codeword
+    # batch), ext_ann_pq / ext_ann_ivfpq / ext_ann_ivfpq_res collect their 16-codeword
     # codebooks (+ centroids) + the query set (the trained models + ADC
     # LUT inputs — same contract),
     # ext_ann_ivfpq_indexed (r12) builds and PERSISTS its IVF-PQ index

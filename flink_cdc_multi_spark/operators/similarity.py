@@ -649,6 +649,17 @@ def assign_cells(
     ).withColumn("cell", cell_of(F.col("v")))
 
 
+def _residualize_codebook(B, C):
+    """Move a raw-vector codebook onto the RESIDUAL scale: each codeword
+    becomes b − centroid[cell(b)] (its own residual). Residuals are much
+    smaller than vectors, so raw-scale codewords would quantize them
+    catastrophically (measured recall 0.12 vs 0.23, PERF.md r12) — this
+    is the deterministic-model stand-in for FAISS training the codebook
+    on residuals."""
+    bidx = ((B[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    return B - C[bidx]
+
+
 def _ivfpq_encode(
     corpus: DataFrame,
     cent_ids,
@@ -658,11 +669,18 @@ def _ivfpq_encode(
     sub: int,
     id_col: str,
     vec_col: str,
+    residual: bool = False,
 ) -> DataFrame:
     """ONE corpus pass (Arrow kernel) → (nid, cell, codes): coarse cell =
     argmin int64 d² to the centroids (ties to lowest cid), PQ code per
     subspace = argmin d² to the sub-codebook (ties to lowest codeword
-    id). Row-local — the corpus never shuffles for indexing."""
+    id). With ``residual=True`` (r12 — the textbook FAISS IVF-PQ form)
+    the PQ encodes the RESIDUAL v − centroid[cell] instead of the raw
+    vector: residuals are much smaller than vectors, so the same
+    codebook quantizes them more finely at identical storage/compute —
+    and the arithmetic stays exact int64 (difference of two quantized
+    int64 vectors). Row-local — the corpus never shuffles for
+    indexing."""
 
     def encode(it):
         for pdf in it:
@@ -672,8 +690,10 @@ def _ivfpq_encode(
             v = np.floor(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * LSH_QUANT
             ).astype(np.int64)
-            cells = cent_ids[((v[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)]
-            vsub = v.reshape(len(nids), m, sub)
+            cidx = ((v[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            cells = cent_ids[cidx]
+            enc_in = (v - C[cidx]) if residual else v
+            vsub = enc_in.reshape(len(nids), m, sub)
             codes = np.empty((len(nids), m), dtype=np.int64)
             for j in range(m):
                 d2 = ((vsub[:, None, j, :] - bsub[None, :, j, :]) ** 2).sum(-1)
@@ -699,6 +719,7 @@ def _ivfpq_serve(
     n_probe: int,
     id_col: str,
     vec_col: str,
+    residual: bool = False,
 ) -> DataFrame:
     """Probe + ADC over an ALREADY-ENCODED corpus (``coded`` = (nid,
     cell, codes) — a live encode or a persisted index scan). The (qid,
@@ -719,11 +740,25 @@ def _ivfpq_serve(
         np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
         * LSH_QUANT
     ).astype(np.int64)
-    qsub = Q.reshape(len(qids), m, sub)
-    lut = (
-        ((qsub[:, None, :, :] - bsub[None, :, :, :]) ** 2).sum(-1).transpose(0, 2, 1)
-    )  # (nq, m, ncb)
     qpos = {int(q): i for i, q in enumerate(qids)}
+    if residual:
+        # LUT per (query, cell): ADC approximates
+        # ||q − (c_cell + decode(codes))||² = ||(q − c_cell) − decode||²,
+        # so the table is built from the query's residual AGAINST EACH
+        # probed cell. (nq, ncells, m, ncb) int64 — control-plane-sized
+        # by the fixed-model contract.
+        rsub = (Q[:, None, :] - C[None, :, :]).reshape(
+            len(qids), len(cent_ids), m, sub
+        )
+        lut = ((rsub[:, :, :, None, :] - bsub.transpose(1, 0, 2)[None, None, :, :, :])
+               ** 2).sum(-1)  # (nq, ncells, m, ncb)
+        cpos = {int(c): i for i, c in enumerate(cent_ids)}
+    else:
+        qsub = Q.reshape(len(qids), m, sub)
+        lut = (
+            ((qsub[:, None, :, :] - bsub[None, :, :, :]) ** 2).sum(-1)
+            .transpose(0, 2, 1)
+        )  # (nq, m, ncb)
 
     # probe list: per query the n_probe nearest cells by (d2, cid)
     qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # (nq, ncells)
@@ -743,8 +778,15 @@ def _ivfpq_serve(
             qidx = np.array([qpos[int(q)] for q in pdf["qid"]], dtype=np.int64)
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             dist = np.zeros(len(nids), dtype=np.int64)
-            for j in range(m):
-                dist += lut[qidx, j, codes[:, j]]
+            if residual:
+                cells_ix = np.array(
+                    [cpos[int(c)] for c in pdf["cell"]], dtype=np.int64
+                )
+                for j in range(m):
+                    dist += lut[qidx, cells_ix, j, codes[:, j]]
+            else:
+                for j in range(m):
+                    dist += lut[qidx, j, codes[:, j]]
             out = pd.DataFrame(
                 {"qid": pdf["qid"].to_numpy(np.int64), "nid": nids, "dist": dist}
             )
@@ -752,7 +794,8 @@ def _ivfpq_serve(
             out = out.sort_values(["qid", "dist", "nid"]).groupby("qid").head(k)
             yield out
 
-    scored = cand.select("qid", "nid", "codes").mapInPandas(
+    adc_cols = ["qid", "nid", "codes"] + (["cell"] if residual else [])
+    scored = cand.select(*adc_cols).mapInPandas(
         adc, "qid long, nid long, dist long"
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
@@ -773,6 +816,7 @@ def ivf_pq_topk_fixed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ (round 11): the canonical billion-scale ANN composition —
     the coarse quantizer prunes WORK (each query scores only its
@@ -782,6 +826,13 @@ def ivf_pq_topk_fixed(
     fixed vector sets, so cells, codes, probe order, ADC distances, and
     the final (dist asc, nid asc) ranking replay bit-exactly in the
     DuckDB oracle.
+
+    ``residual=True`` (r12) is the textbook FAISS form: PQ encodes
+    v − centroid[cell] and the per-(query, cell) residual LUTs score
+    against it — finer quantization from the same codebook at identical
+    storage and candidate-stream cost (recall characterized in PERF.md).
+    Still exact int64 end to end, so the residual variant carries its
+    own full DuckDB oracle.
 
     This form encodes the corpus IN the query (one pass, see
     _ivfpq_encode) — right for one-shot scoring. At 100 TB an index is
@@ -793,11 +844,16 @@ def ivf_pq_topk_fixed(
     dim = C.shape[1]
     assert B.shape[1] == dim and dim % m == 0
     sub = dim // m
+    if residual:
+        B = _residualize_codebook(B, C)
     bsub = B.reshape(len(cb_ids), m, sub)
     corpus = valid_vectors(corpus, dim, vec_col)
-    coded = _ivfpq_encode(corpus, cent_ids, C, bsub, m, sub, id_col, vec_col)
+    coded = _ivfpq_encode(
+        corpus, cent_ids, C, bsub, m, sub, id_col, vec_col, residual=residual
+    )
     return _ivfpq_serve(
-        coded, queries, cent_ids, C, bsub, m, sub, k, n_probe, id_col, vec_col
+        coded, queries, cent_ids, C, bsub, m, sub, k, n_probe, id_col, vec_col,
+        residual=residual,
     )
 
 
@@ -809,6 +865,7 @@ def write_ann_index(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> str:
     """Build-once half of the IVF-PQ amortization (VERDICT r11 item 1):
     run the encode pass ONCE and persist everything a later query needs —
@@ -834,10 +891,12 @@ def write_ann_index(
     dim = C.shape[1]
     assert B.shape[1] == dim and dim % m == 0
     sub = dim // m
+    if residual:
+        B = _residualize_codebook(B, C)
     bsub = B.reshape(len(cb_ids), m, sub)
     coded = _ivfpq_encode(
         valid_vectors(corpus, dim, vec_col), cent_ids, C, bsub, m, sub,
-        id_col, vec_col,
+        id_col, vec_col, residual=residual,
     )
     # cluster by cell at write time: a probe reads its cells' row groups,
     # not the whole index (min/max stats on a cell-sorted file prune at
@@ -858,7 +917,7 @@ def write_ann_index(
             .parquet(f"{path}/{name}")
         )
     meta = {"m": m, "dim": dim, "quant": LSH_QUANT, "id_col": id_col,
-            "vec_col": vec_col, "format": "ivfpq-v1"}
+            "vec_col": vec_col, "residual": residual, "format": "ivfpq-v1"}
     _os.makedirs(path, exist_ok=True)
     with open(_os.path.join(path, "meta.json"), "w") as f:
         _json.dump(meta, f)
@@ -908,7 +967,14 @@ def ivf_pq_topk_indexed(
     meta, coded, (cent_ids, C), (cb_ids, B) = read_ann_index(spark, path)
     m = meta["m"]
     sub = meta["dim"] // m
+    residual = bool(meta.get("residual", False))
+    if residual:
+        # the artifact stores the caller's RAW codebook vectors; the
+        # residualization is deterministic, so recompute rather than
+        # persist a second derived copy
+        B = _residualize_codebook(B, C)
     bsub = B.reshape(len(cb_ids), m, sub)
     return _ivfpq_serve(
-        coded, queries, cent_ids, C, bsub, m, sub, k, n_probe, id_col, vec_col
+        coded, queries, cent_ids, C, bsub, m, sub, k, n_probe, id_col, vec_col,
+        residual=residual,
     )

@@ -279,6 +279,24 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-3 (r12): the textbook FAISS composition — PQ
+    encodes v − centroid[cell] and ADC scores through per-(query, cell)
+    residual LUTs. Same models, storage, and candidate stream as
+    ext_ann_ivfpq; finer effective quantization (residuals are small).
+    Still exact int64 arithmetic end to end, so the full encode → LUT →
+    rank pipeline replays bit-exactly in the DuckDB oracle. Recall
+    characterization in PERF.md r12."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+    codebook = emb.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 52))
+    return S.ivf_pq_topk_fixed(
+        corpus, queries, centroids, codebook, m=8, k=3, n_probe=4, residual=True
+    )
+
+
 def ext_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once/serve-many IVF-PQ (r12, VERDICT r11 item 1): same
     models, same integer arithmetic, same results as ext_ann_ivfpq — but
@@ -1778,6 +1796,7 @@ EXT_QUERIES = {
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_pq": ext_ann_pq,
     "ext_ann_ivfpq": ext_ann_ivfpq,
+    "ext_ann_ivfpq_res": ext_ann_ivfpq_res,
     "ext_ann_ivfpq_indexed": ext_ann_ivfpq_indexed,
     "ext_text_quality": ext_text_quality,
     "ext_text_langid": ext_text_langid,
@@ -3098,6 +3117,85 @@ def _quality_score_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["ext_text_quality_score"] = _quality_score_oracle_sql()
+
+# Residual IVF-PQ replay (r12): the ext_ann_ivfpq CTE chain with the PQ
+# side moved to residual space — rescomp/qres subtract the assigned/probed
+# cell's centroid component before the codebook distances, the CODEBOOK
+# itself is the codeword vectors' own residuals (raw-scale codewords
+# would mis-quantize near-zero residuals — PERF.md r12), and the ADC
+# join additionally keys the LUT on the candidate's cell.
+EXT_ORACLE_SQL["ext_ann_ivfpq_res"] = """
+    WITH comp AS (
+      SELECT vec_id, t.i,
+             CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q,
+             t.i // 8 AS j, t.i % 8 AS w
+      FROM embeddings, range(64) t(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ), cent AS (
+      SELECT vec_id AS cid, i, q FROM comp WHERE vec_id BETWEEN 20 AND 35
+    ), d2cell AS (
+      SELECT c.vec_id, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+      FROM comp c JOIN cent ct USING (i)
+      WHERE c.vec_id >= 20 GROUP BY c.vec_id, ct.cid
+    ), cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2cell) WHERE rn = 1
+    ), rescomp AS (
+      SELECT c.vec_id, c.j, c.w, c.q - ct.q AS q
+      FROM comp c JOIN cells ce ON ce.vec_id = c.vec_id
+           JOIN cent ct ON ct.cid = ce.cid AND ct.i = c.i
+      WHERE c.vec_id >= 20
+    ), cb AS (
+      SELECT vec_id AS bid, j, w, q FROM rescomp
+      WHERE vec_id BETWEEN 36 AND 51
+    ), enc_d AS (
+      SELECT r.vec_id, cb.j, cb.bid, SUM((r.q - cb.q) * (r.q - cb.q)) AS d2
+      FROM rescomp r JOIN cb ON cb.j = r.j AND cb.w = r.w
+      GROUP BY r.vec_id, cb.j, cb.bid
+    ), codes AS (
+      SELECT vec_id, j, bid FROM (
+        SELECT vec_id, j, bid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, bid) AS rn
+        FROM enc_d) WHERE rn = 1
+    ), qcell AS (
+      SELECT c.vec_id AS qid, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+      FROM comp c JOIN cent ct USING (i)
+      WHERE c.vec_id < 20 GROUP BY c.vec_id, ct.cid
+    ), probes AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+        FROM qcell) WHERE rn <= 4
+    ), qres AS (
+      SELECT c.vec_id AS qid, p.cid, c.j, c.w, c.q - ct.q AS q
+      FROM comp c JOIN probes p ON p.qid = c.vec_id
+           JOIN cent ct ON ct.cid = p.cid AND ct.i = c.i
+      WHERE c.vec_id < 20
+    ), qlut AS (
+      SELECT qr.qid, qr.cid, cb.j, cb.bid,
+             SUM((qr.q - cb.q) * (qr.q - cb.q)) AS d2
+      FROM qres qr JOIN cb ON cb.j = qr.j AND cb.w = qr.w
+      GROUP BY qr.qid, qr.cid, cb.j, cb.bid
+    ), cand AS (
+      SELECT p.qid, p.cid, ce.vec_id AS nid
+      FROM probes p JOIN cells ce USING (cid)
+    ), adc AS (
+      SELECT cand.qid, cand.nid, CAST(SUM(qlut.d2) AS BIGINT) AS dist
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.nid
+      JOIN qlut ON qlut.qid = cand.qid AND qlut.cid = cand.cid
+               AND qlut.j = codes.j AND qlut.bid = codes.bid
+      GROUP BY cand.qid, cand.nid
+    ), ranked AS (
+      SELECT qid, nid, dist,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+      FROM adc
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+"""
 
 # dHash replay: the fixture pixels are closed-form in (doc_id, x, y), so
 # the whole perceptual hash — NN grid sample, integer gray, gradient-sign

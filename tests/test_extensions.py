@@ -2028,6 +2028,25 @@ def test_ivfpq_index_persist_and_serve(spark, tmp_path):
     assert "corpus_vectors" not in plan, "indexed serve re-scanned the corpus"
     assert "codes" in plan
 
+    # residual variant (r12): the persisted index records residual=True
+    # and the serve reproduces the inline residual form exactly (the
+    # artifact stores the RAW codebook; residualization is deterministic
+    # and recomputed on read)
+    idx_r = str(tmp_path / "idx_res")
+    S.write_ann_index(corpus, centroids, codebook, idx_r, m=4, residual=True)
+    inline_r = sorted(
+        map(tuple, S.ivf_pq_topk_fixed(
+            corpus, queries, centroids, codebook, m=4, k=2, n_probe=3,
+            residual=True,
+        ).collect())
+    )
+    served_r = sorted(
+        map(tuple,
+            S.ivf_pq_topk_indexed(spark, idx_r, queries, k=2, n_probe=3).collect())
+    )
+    assert served_r == inline_r
+    assert inline_r != inline  # residual codes genuinely differ
+
     # manifest validation: a non-index dir is refused
     import json as _json
     import os as _os
