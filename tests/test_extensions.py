@@ -1786,6 +1786,99 @@ def test_line_dedup_semantics(spark):
     assert got[5] == (1, 0, "")
 
 
+def test_line_dedup_fuzz_vs_python_reference(spark):
+    """Randomized corpus (deterministic seed): heavy cross-doc and
+    in-doc line duplication, blank and whitespace-only lines, empty
+    docs. Full-output equality against an independent Python
+    implementation of the winner rule + reconstruction."""
+    import random
+
+    rng = random.Random(42)
+    lines_pool = [f"line {i}" for i in range(12)] + ["   ", "", "\t x"]
+    docs = []
+    for doc_id in range(40):
+        n = rng.randint(0, 6)
+        docs.append((doc_id, "\n".join(rng.choice(lines_pool) for _ in range(n))
+                     if n else ""))
+
+    # python reference
+    # NB strip(" ") not strip(): Spark/DuckDB trim() strips SPACES only
+    # (the pinned cross-engine contract) — a tab-only line is CONTENT
+    winners = {}
+    for doc_id, text in docs:
+        for pos, line in enumerate(text.split("\n")):
+            if line.strip(" ") == "":
+                continue
+            winners.setdefault(line, (doc_id, pos))
+    expect = {}
+    for doc_id, text in docs:
+        kept_lines, n_kept, n_drop = [], 0, 0
+        for pos, line in enumerate(text.split("\n")):
+            is_content = line.strip(" ") != ""
+            if not is_content or winners.get(line) == (doc_id, pos):
+                kept_lines.append(line)
+                n_kept += 1
+            else:
+                n_drop += 1
+        expect[doc_id] = (n_kept, n_drop, "\n".join(kept_lines))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_dropped"], r["clean_text"])
+        for r in X.line_dedup(df).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_encode_fuzz_vs_python_reference(spark):
+    """Randomized texts (deterministic seed) over a run-heavy alphabet —
+    long repeated-symbol runs are exactly where a consumed-boundary
+    replace() bug would diverge from symbol-space BPE."""
+    import random
+    import re
+
+    from flink_cdc_multi_spark.operators.text import BPE_MERGES
+
+    def py_bpe_doc(text):
+        norm = re.sub(r"[^a-z]+", " ", text.lower()).strip()
+        if not norm:
+            return ""
+        out = []
+        for w in norm.split(" "):
+            syms = list(w)
+            for a, b in BPE_MERGES:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        nxt.append(a + b)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            out.extend(syms)
+        return " ".join(out)
+
+    rng = random.Random(7)
+    alphabet = "theandingoustr"  # merge-table letters: maximal merge density
+    texts = []
+    for _ in range(60):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(0, 8))
+        ]
+        texts.append(" ".join(words))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: r["bpe"]
+        for r in spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", X.bpe_encode(F.col("text")).alias("bpe"))
+        .collect()
+    }
+    for i, t in rows:
+        assert got[i] == py_bpe_doc(t), (t, got[i])
+
+
 def test_quality_score_threshold_budget_composition(spark):
     """The full classifier-filtered curation pipeline (VERDICT r11 item
     8): quality_score → threshold → per-source token-budget sample. Pins
