@@ -423,6 +423,34 @@ def test_polling_crash_between_keyset_and_offset_reemits_deletes(spark, tmp_path
         c.unpersist()
 
 
+def test_polling_snapshot_diff_reads_legacy_keyonly_epochs(spark, tmp_path):
+    """Backward compat: epochs written by the pre-r12 format carry ONLY
+    the key column. The diff joins on the key alone, so a resumed job
+    must still emit the DELETE (with no watermark context — the payload
+    simply lacks the column), and the NEXT epoch it writes upgrades to
+    the (key, wm) schema."""
+    ks = str(tmp_path / "keysets")
+    src = PollingSource(
+        [("shop", "users")], "updated_at", "id",
+        delete_detection="snapshot-diff", keyset_path=ks,
+    )
+    # legacy epoch: key only
+    src._write_keyset(_rows(spark, BASE).select("id"), "shop.users", 0)
+    src.state["shop.users"] = TableWatermark(
+        ts="2024-01-01 12:00:00", ts_type="timestamp", pk=3, keys_epoch=0
+    )
+    reader = lambda db, tbl: _rows(spark, [BASE[0], BASE[2]])  # row 2 gone
+    env, new_state, cached = src.poll(reader, 1)
+    payloads = [(json.loads(r["payload"]), r["_op"]) for r in env.collect()]
+    assert [(p["id"], op) for p, op in payloads] == [(2, "DELETE")]
+    assert "updated_at" not in payloads[0][0]  # legacy epoch had no wm
+    for c in cached:
+        c.unpersist()
+    # the NEW epoch (1) was written in the upgraded (key, wm) schema
+    ep1 = spark.read.parquet(f"{ks}/shop.users/epoch=1")
+    assert set(ep1.columns) == {"id", "updated_at"}
+
+
 def test_polling_delete_detection_config_validation():
     with pytest.raises(ValueError, match="unknown polling.delete.detection"):
         PollingSource([("d", "t")], "ts", "id", delete_detection="bogus")
