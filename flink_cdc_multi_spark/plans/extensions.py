@@ -323,10 +323,14 @@ def ext_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = emb.filter(F.col("vec_id") >= 20)
         centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
         codebook = emb.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 52))
-        # machine-tmp path keyed by sf_dir; rebuilt once per session so a
-        # driver-regenerated testdata vintage can never serve stale codes
+        # machine-tmp path keyed by (pid, sf_dir): rebuilt once per
+        # session so a driver-regenerated testdata vintage can never
+        # serve stale codes, and per-PROCESS so two concurrent gate/bench
+        # runs can't race each other's overwrite mid-read
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"fcm_annidx_{tag}")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fcm_annidx_{os.getpid()}_{tag}"
+        )
         S.write_ann_index(corpus, centroids, codebook, path, m=8)
         cache[key] = path
     emb = load_table(spark, sf_dir, "embeddings")
