@@ -145,6 +145,19 @@ def bpe_encode(text: Column) -> Column:
     )
 
 
+def bpe_token_count(text: Column) -> Column:
+    """REAL BPE token count (symbols after the full merge chain) — the
+    unit actual pretraining batches are budgeted in, vs token_count's
+    whitespace words and bpe_token_estimate's chars/4. Single use of the
+    encode chain per document (one projection — no Generate barrier
+    needed when nothing else derives from the same expression)."""
+    enc = bpe_encode(text)
+    return (
+        F.when(enc == "", F.lit(0)).otherwise(F.size(F.split(enc, " ")))
+        .cast("bigint")
+    )
+
+
 # fasttext-shaped hashed linear classifier (VERDICT r11 item 8): B hash
 # buckets over tokens, one fixed integer weight per bucket. The weights
 # are derived deterministically from md5 so they are reproducible
@@ -431,6 +444,7 @@ def pack_offsets(
     order_col: str | None = None,
     n_buckets: int = 64,
     cache: bool = True,
+    count_expr: Column | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing by global token offset: concatenate the
     corpus in a deterministic document order (``order_col``, default the
@@ -475,7 +489,13 @@ def pack_offsets(
     from pyspark.sql import Window
 
     order = F.col(order_col) if order_col else F.col(id_col)
-    n_tok = token_count(F.col(text_col)).cast("bigint")
+    # count_expr swaps the packing unit (default: whitespace tokens; pass
+    # bpe_token_count(col) for BPE-exact packing — ext_pack_bpe). The
+    # expression evaluates once per document into the persisted counted
+    # frame, so even the 17-step BPE chain is tokenize-once here.
+    n_tok = (
+        count_expr if count_expr is not None else token_count(F.col(text_col))
+    ).cast("bigint")
     base_rows = df.select(
         F.col(id_col), order.alias("_ord"), n_tok.alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)

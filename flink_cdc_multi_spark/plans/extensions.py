@@ -1241,6 +1241,22 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pack_offsets(docs, "doc_id", "text", block_tokens=256)
 
 
+def ext_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-EXACT sequence packing (r12): the ext_pack_sequences layout
+    with n_tokens = the real greedy-BPE symbol count (bpe_token_count) —
+    the unit actual pretraining batches are budgeted in, composing the
+    two operators end to end. Same distributed-prefix-sum shape; the
+    17-step encode chain evaluates once per document into the persisted
+    counted frame (the tokenize-once contract). Oracle: the packing
+    running sum over the generated BPE chain SQL — both sides move with
+    BPE_MERGES."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pack_offsets(
+        docs, "doc_id", "text", block_tokens=256,
+        count_expr=X.bpe_token_count(F.col("text")),
+    )
+
+
 def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 vocabulary by document frequency over non-empty docs (vocab /
     BPE-prep first pass). TakeOrderedAndProject top-k — no global sort; the
@@ -1814,6 +1830,7 @@ EXT_QUERIES = {
     "ext_multimodal_dhash": ext_multimodal_dhash,
     "ext_embed_quantize": ext_embed_quantize,
     "ext_pack_sequences": ext_pack_sequences,
+    "ext_pack_bpe": ext_pack_bpe,
     "ext_rollup_agg": ext_rollup_agg,
     "ext_window_running": ext_window_running,
     "ext_sessionize": ext_sessionize,
@@ -3069,13 +3086,20 @@ EXT_ORACLE_SQL = {
 EXT_ORACLE_SQL["ext_ann_ivfpq_indexed"] = EXT_ORACLE_SQL["ext_ann_ivfpq"]
 
 
+def _bpe_chain_sql(col: str = "n") -> str:
+    """The DuckDB twin of bpe_encode's replace chain, generated from the
+    same BPE_MERGES table so the two sides can never drift."""
+    expr = rf"regexp_replace({col}, '(.)', ' \1 ', 'g')"
+    for a, b in X.BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return expr
+
+
 def _bpe_oracle_sql() -> str:
     """DuckDB replay of bpe_encode: the IDENTICAL replace chain, built
     from the same BPE_MERGES table so the two sides can never drift
     (change the merges → both engines move together)."""
-    expr = r"regexp_replace(n, '(.)', ' \1 ', 'g')"
-    for a, b in X.BPE_MERGES:
-        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    expr = _bpe_chain_sql("n")
     return f"""
         WITH norm AS (
           SELECT doc_id,
@@ -3121,6 +3145,37 @@ def _quality_score_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["ext_text_quality_score"] = _quality_score_oracle_sql()
+
+# BPE-exact packing replay: the ext_pack_sequences running sum with
+# n_tokens = the generated BPE chain's symbol count.
+EXT_ORACLE_SQL["ext_pack_bpe"] = f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN n = '' THEN 0
+                  ELSE len(string_split(
+                    regexp_replace(trim({_bpe_chain_sql("n")}), ' +', ' ', 'g'),
+                    ' ')) END AS BIGINT) AS n_tokens
+      FROM norm
+    ), t2 AS (
+      SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM t2
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS start_seq,
+           CAST(FLOOR((start_offset + n_tokens - 1) / 256.0) AS BIGINT)
+             AS end_seq
+    FROM s ORDER BY doc_id
+"""
 
 # Residual IVF-PQ replay (r12): the ext_ann_ivfpq CTE chain with the PQ
 # side moved to residual space — rescomp/qres subtract the assigned/probed

@@ -55,6 +55,7 @@ ADVERSARIAL_QUERIES = [
     "ext_text_tokens_by_lang",
     "ext_text_chunks",
     "ext_text_bpe",
+    "ext_pack_bpe",
     "ext_text_redact",
     "ext_budget_sample",
     "ext_sketch_kmv",
