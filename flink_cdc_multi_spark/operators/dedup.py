@@ -664,34 +664,43 @@ def cosine_sim(a, b):
     return F.try_divide(dot, na * nb)
 
 
+def _gram_hits(mat, threshold: float):
+    """The ONE blocked-Gram cosine kernel behind every embedding near-dup
+    consumer (pair emit AND SemDeDup's kept-flag reduce): yields
+    (bi, bj) global row-index pairs with cos >= threshold, row-blocked
+    so a hot bucket never materializes n² floats at once. Zero-norm
+    semantics, pinned across all paths: a pair involving a zero vector
+    has cosine 0/0 → NaN here, NULL in DuckDB (x/0 → NULL) and in the
+    Spark fold form (try_divide) — numpy's IEEE NaN-compare (False)
+    drops it identically. Self-pairs (bi == bj) ARE yielded; consumers
+    filter by their own rule."""
+    import numpy as np
+
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    for lo in range(0, mat.shape[0], 4096):
+        hi = min(lo + 4096, mat.shape[0])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+        bi, bj = np.nonzero(cos >= threshold)
+        yield bi + lo, bj
+
+
 def _gram_verify_fn(threshold: float):
     """Per-bucket vectorized cosine verify: one float64 matmul scores
-    every pair in the bucket (the shared kernel behind BOTH embedding
-    near-dup paths). The earlier self-join + per-pair zip_with/aggregate
-    fold ran the 64-term dot INTERPRETED per candidate (PERF.md HOF
-    lesson) — 26.5 s at sf1; this kernel is 1 BLAS call per row block.
-
-    Expects columns (id, v); emits (a_id, b_id). Zero-norm semantics,
-    pinned across all paths: a pair involving a zero vector has cosine
-    0/0 → NaN here, NULL in DuckDB (x/0 → NULL) and in the Spark fold
-    form (try_divide) — dropped by `>= threshold` in every engine;
-    numpy's IEEE NaN-compare (False) matches that for free."""
+    every pair in the bucket (via _gram_hits — the shared kernel behind
+    BOTH embedding near-dup paths and semantic_dedup). The earlier
+    self-join + per-pair zip_with/aggregate fold ran the 64-term dot
+    INTERPRETED per candidate (PERF.md HOF lesson) — 26.5 s at sf1; this
+    kernel is 1 BLAS call per row block. Expects columns (id, v); emits
+    (a_id, b_id)."""
     import numpy as np
     import pandas as pd
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
         out_a, out_b = [], []
-        # row-block the Gram matrix so a hot bucket never materializes n²
-        # floats at once
-        for lo in range(0, len(ids), 4096):
-            hi = min(lo + 4096, len(ids))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
-            bi, bj = np.nonzero(cos >= threshold)
-            bi += lo
+        for bi, bj in _gram_hits(mat, threshold):
             keep = bi < bj  # each unordered pair once, no self-pairs
             out_a.append(ids[bi[keep]])
             out_b.append(ids[bj[keep]])
@@ -832,16 +841,10 @@ def semantic_dedup(
         ids = pdf["id"].to_numpy()
         cell = pdf["cell"].to_numpy()
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
         kept = np.ones(len(ids), dtype=bool)
-        # row-block the Gram matrix (the _gram_verify_fn discipline: a
-        # hot cell never materializes n² floats at once)
-        for lo in range(0, len(ids), 4096):
-            hi = min(lo + 4096, len(ids))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
-            bi, bj = np.nonzero(cos >= threshold)  # NaN compares False
-            bi += lo
+        # the shared blocked-Gram kernel (_gram_hits) — same zero-norm
+        # NaN-drop and blocking as the pair paths, one implementation
+        for bi, bj in _gram_hits(mat, threshold):
             hit = bi != bj
             # ids are sorted asc, so the larger INDEX is the larger id —
             # the dropped side of each near-dup pair

@@ -124,12 +124,22 @@ def brute_force_topk(
             from collections import Counter
 
             counts = Counter(len(r["qv"]) for r in qrows)
-            # modal length; ties break to the SMALLER length (deterministic,
-            # and a tie with a hostile padded row resolves to the real dim)
-            dim = min(
-                (length for length, n in counts.items() if n == max(counts.values())),
-                default=0,
-            )
+            # modal length — never max (one hostile over-length row must
+            # not redefine the dimension, ADVICE r11). A TIE is genuinely
+            # ambiguous (either tied length could be the hostile one):
+            # guessing in either direction hands the dimension to an
+            # attacker, so fail at PLAN time with the fix in hand — the
+            # gated queries all pass dim explicitly.
+            modal = [
+                length for length, n in counts.items()
+                if n == max(counts.values())
+            ] if counts else [0]
+            if len(modal) > 1:
+                raise ValueError(
+                    "ambiguous query vector dimension "
+                    f"(tied lengths {sorted(modal)}); pass dim= explicitly"
+                )
+            dim = modal[0]
         qrows = [r for r in qrows if len(r["qv"]) == dim]  # ragged queries drop
         qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
@@ -627,21 +637,46 @@ def assign_cells(
     cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
     assert C.shape[1] == dim
     df = valid_vectors(df, dim, vec_col)
-    # |q-c|² via the matmul expansion |q|² + |c|² - 2 q·c, in float64:
-    # EXACT integer arithmetic here (components ≤ LSH_QUANT=1e6 →
-    # products ≤ 1e12, dim-term sums ≤ ~1e14 ≪ 2^53), and BLAS-shaped —
-    # the naive (batch, cells, dim) difference tensor is 5 GB per 10k
-    # Arrow batch at 1024 centroids, exactly the SemDeDup scale knob
-    # setting (raise n_centroids to bound the in-cell quadratic).
+    # |q-c|² via the matmul expansion |q|² + |c|² - 2 q·c in float64 —
+    # BLAS-shaped (the naive (batch, cells, dim) difference tensor is
+    # 5 GB per 10k Arrow batch at 1024 centroids, exactly the SemDeDup
+    # scale-knob setting) and EXACT integer arithmetic whenever every
+    # intermediate sum stays below 2^53: 4·dim·max|component|² < 2^53,
+    # i.e. |x| < ~37 at LSH_QUANT=1e6 for dim 64. Unit-scale embeddings
+    # are far inside that; a batch that ISN'T falls back to a blocked
+    # exact-int64 path, so the (d2, cid) tie-break contract the DuckDB
+    # oracle replays can never be flipped by float rounding.
     Cf = C.astype(np.float64)
     c2 = (Cf * Cf).sum(axis=1)
+    c_absmax = float(np.abs(C).max(initial=0))
 
     @F.pandas_udf(T.LongType())
     def cell_of(vs: pd.Series) -> pd.Series:
         mat = np.stack(vs.to_numpy())
-        q = np.floor(mat * LSH_QUANT)  # float64 — exact, see above
-        d2 = (q * q).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (q @ Cf.T)
-        return pd.Series(cent_ids[np.argmin(d2, axis=1)])
+        q = np.floor(mat * LSH_QUANT)  # float64
+        mx = max(float(np.abs(q).max(initial=0.0)), c_absmax)
+        if 4.0 * dim * mx * mx < 2.0**53:
+            d2 = (q * q).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (q @ Cf.T)
+            return pd.Series(cent_ids[np.argmin(d2, axis=1)])
+        # exact int64 fallback, blocked over rows AND cells to bound the
+        # difference tensor; strict < across cell chunks keeps the LOWEST
+        # cid on ties (chunks scan cid-ascending), matching argmin's
+        # first-min and the oracle's (d2, cid) order
+        qi = q.astype(np.int64)
+        best_d = np.full(len(qi), np.iinfo(np.int64).max, dtype=np.int64)
+        best_c = np.zeros(len(qi), dtype=np.int64)
+        for clo in range(0, len(C), 256):
+            chi = min(clo + 256, len(C))
+            for rlo in range(0, len(qi), 256):
+                rhi = min(rlo + 256, len(qi))
+                d = qi[rlo:rhi, None, :] - C[None, clo:chi, :]
+                d2 = (d * d).sum(-1)
+                cand = d2.argmin(1)
+                cd = d2[np.arange(rhi - rlo), cand]
+                upd = cd < best_d[rlo:rhi]
+                best_d[rlo:rhi][upd] = cd[upd]
+                best_c[rlo:rhi][upd] = cand[upd] + clo
+        return pd.Series(cent_ids[best_c])
 
     return df.select(
         F.col(id_col).alias("id"),
@@ -741,18 +776,39 @@ def _ivfpq_serve(
         * LSH_QUANT
     ).astype(np.int64)
     qpos = {int(q): i for i, q in enumerate(qids)}
+
+    # probe list FIRST: per query the n_probe nearest cells by (d2, cid).
+    # n_eff keeps probe_idx rectangular when n_probe exceeds the cell
+    # count (every query's order has the same min(n_probe, ncells) length)
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # (nq, ncells)
+    n_eff = min(n_probe, len(cent_ids))
+    probe_rows = []
+    probe_idx = np.empty((len(qids), n_eff), dtype=np.int64)
+    for qi in range(len(qids)):
+        order = np.lexsort((cent_ids, qd2[qi]))[:n_eff]
+        probe_idx[qi] = order
+        probe_rows += [(int(qids[qi]), int(cent_ids[c])) for c in order]
+
     if residual:
-        # LUT per (query, cell): ADC approximates
+        # LUT per PROBED (query, cell) pair only: ADC approximates
         # ||q − (c_cell + decode(codes))||² = ||(q − c_cell) − decode||²,
-        # so the table is built from the query's residual AGAINST EACH
-        # probed cell. (nq, ncells, m, ncb) int64 — control-plane-sized
-        # by the fixed-model contract.
-        rsub = (Q[:, None, :] - C[None, :, :]).reshape(
-            len(qids), len(cent_ids), m, sub
-        )
-        lut = ((rsub[:, :, :, None, :] - bsub.transpose(1, 0, 2)[None, None, :, :, :])
-               ** 2).sum(-1)  # (nq, ncells, m, ncb)
-        cpos = {int(c): i for i, c in enumerate(cent_ids)}
+        # so the table is the query's residual against each of its
+        # n_probe cells — (nq, n_probe, m, ncb), never (nq, ncells, ...):
+        # at the documented 1024-centroid scale knob a full per-cell LUT
+        # would be gigabytes in the driver AND in every task closure,
+        # while only n_probe/ncells of it is ever gathered.
+        R = Q[:, None, :] - C[probe_idx]  # (nq, n_eff, dim)
+        rsub = R.reshape(len(qids), n_eff, m, sub)
+        lut = (
+            (rsub[:, :, :, None, :] - bsub.transpose(1, 0, 2)[None, None, :, :, :])
+            ** 2
+        ).sum(-1)  # (nq, n_eff, m, ncb)
+        # candidate rows arrive keyed by (qid, cell): map to the probe SLOT
+        slot = {
+            (int(qids[qi]), int(cent_ids[probe_idx[qi, s]])): s
+            for qi in range(len(qids))
+            for s in range(n_eff)
+        }
     else:
         qsub = Q.reshape(len(qids), m, sub)
         lut = (
@@ -760,12 +816,6 @@ def _ivfpq_serve(
             .transpose(0, 2, 1)
         )  # (nq, m, ncb)
 
-    # probe list: per query the n_probe nearest cells by (d2, cid)
-    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # (nq, ncells)
-    probe_rows = []
-    for qi in range(len(qids)):
-        order = np.lexsort((cent_ids, qd2[qi]))[:n_probe]
-        probe_rows += [(int(qids[qi]), int(cent_ids[c])) for c in order]
     spark = coded.sparkSession
     probes = spark.createDataFrame(probe_rows, "qid long, cell long")
     cand = coded.join(F.broadcast(probes), "cell")
@@ -779,11 +829,13 @@ def _ivfpq_serve(
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             dist = np.zeros(len(nids), dtype=np.int64)
             if residual:
-                cells_ix = np.array(
-                    [cpos[int(c)] for c in pdf["cell"]], dtype=np.int64
+                slots = np.array(
+                    [slot[(int(q), int(c))]
+                     for q, c in zip(pdf["qid"], pdf["cell"])],
+                    dtype=np.int64,
                 )
                 for j in range(m):
-                    dist += lut[qidx, cells_ix, j, codes[:, j]]
+                    dist += lut[qidx, slots, j, codes[:, j]]
             else:
                 for j in range(m):
                     dist += lut[qidx, j, codes[:, j]]

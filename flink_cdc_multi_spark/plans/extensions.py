@@ -67,11 +67,17 @@ def _local_input_bytes(sf_dir: str, table: str) -> int:
         if os.path.isfile(path):
             return footer_bytes(path)
         if os.path.isdir(path):  # multi-file parquet dir (one level deep)
-            return sum(
+            sizes = [
                 footer_bytes(e.path)
                 for e in os.scandir(path)
                 if e.is_file() and e.name.endswith(".parquet")
-            )
+            ]
+            # an empty sum proves NOTHING: a dir whose data files lack the
+            # .parquet suffix (Hive part files) or live in partition
+            # subdirs would otherwise pass the guard at size 0 and
+            # broadcast an arbitrarily large corpus — fail CLOSED instead
+            if sizes:
+                return sum(sizes)
     except Exception:  # corrupt footer / non-parquet file — fail closed
         pass
     return big

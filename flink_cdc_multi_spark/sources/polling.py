@@ -301,8 +301,13 @@ class PollingSource:
         """Columns persisted per epoch: the key, plus the watermark column
         when configured (r12) — 8-16 bytes/row, column-pruned at the
         source. The watermark rides along so a later DELETE can report
-        the row's last-seen watermark."""
-        return [self.pk_col] + ([self.ts_col] if self.ts_col else [])
+        the row's last-seen watermark. When the watermark column IS the
+        key column (a legal way to express pk-incrementing polling) the
+        key alone carries both roles — selecting it twice would fail the
+        parquet write with a duplicate-column error."""
+        if self.ts_col and self.ts_col != self.pk_col:
+            return [self.pk_col, self.ts_col]
+        return [self.pk_col]
 
     def _write_keyset(self, spark_df: DataFrame, key: str, epoch: int) -> None:
         """Persist the epoch key set for the next poll's diff. Parquet
@@ -438,7 +443,7 @@ class PollingSource:
                         # DELETE would be silently lost. Union the delta's
                         # keys in; a key in both keeps its max watermark.
                         epoch_keys = cur_keys.unionByName(delta.select(*kcols))
-                        if self.ts_col:
+                        if len(kcols) == 2:  # (key, wm): key keeps max wm
                             epoch_keys = epoch_keys.groupBy(self.pk_col).agg(
                                 F.max(self.ts_col).alias(self.ts_col)
                             )

@@ -1957,6 +1957,39 @@ def test_quality_score_threshold_budget_composition(spark):
     assert got == expect and got  # equal and non-vacuous
 
 
+def test_assign_cells_int64_fallback_for_large_magnitudes(spark):
+    """Out-of-unit-scale embeddings (|x| ~ 100 → quantized ~1e8) exceed
+    the float64 2^53 exactness bound, so assign_cells must take the
+    blocked exact-int64 path and still match a per-row exact Python
+    reference — including the lowest-cid tie-break."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vecs = rng.uniform(-120, 120, size=(50, 8))
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    # centroid 3 duplicates centroid 1: every vector TIES between cid 101
+    # and 103 and must land in 101
+    cents = [(100, vecs[0].tolist()), (101, vecs[1].tolist()),
+             (102, vecs[2].tolist()), (103, vecs[1].tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: r["cell"]
+        for r in S.assign_cells(df, cdf, dim=8).collect()
+    }
+
+    q6 = lambda a: np.floor(np.asarray(a, float) * 1_000_000).astype(object)
+    for i, v in rows:
+        qv = q6(v)
+        best = None
+        for cid, cv in cents:
+            d2 = int(sum((a - b) ** 2 for a, b in zip(qv, q6(cv))))
+            if best is None or (d2, cid) < best:
+                best = (d2, cid)
+        assert got[i] == best[1], i
+    assert 103 not in set(got.values())  # ties broke to the lower cid
+
+
 def test_semantic_dedup_keep_one_per_cell(spark):
     """semantic_dedup semantics on a constructed fixture: near-dups in
     the SAME cell keep only the lowest id; the same direction split

@@ -451,6 +451,35 @@ def test_polling_snapshot_diff_reads_legacy_keyonly_epochs(spark, tmp_path):
     assert set(ep1.columns) == {"id", "updated_at"}
 
 
+def test_polling_snapshot_diff_with_ts_equal_pk(spark, tmp_path):
+    """watermark.column == key.column (a legal pk-incrementing spelling):
+    the keyset must not select the column twice (duplicate-column parquet
+    write error) and deletes still flow."""
+    ks = str(tmp_path / "keysets")
+    src = PollingSource(
+        [("shop", "users")], "id", "id",
+        delete_detection="snapshot-diff", keyset_path=ks,
+    )
+    assert src._keyset_cols() == ["id"]
+    src._write_keyset(_rows(spark, BASE).select("id"), "shop.users", 0)
+    src.state["shop.users"] = TableWatermark(
+        ts="3", ts_type="bigint", pk=3, keys_epoch=0
+    )
+    calls = {"n": 0}
+
+    def reader(db, tbl):
+        calls["n"] += 1
+        # first poll: row 2 deleted AND row 4 inserted
+        return _rows(spark, [BASE[0], BASE[2],
+                             (4, _ts("2024-01-02 10:00:00"), "d")])
+
+    env, new_state, cached = src.poll(reader, 1)
+    ops = {(json.loads(r["payload"])["id"], r["_op"]) for r in env.collect()}
+    assert (4, "INSERT") in ops and (2, "DELETE") in ops
+    for c in cached:
+        c.unpersist()
+
+
 def test_polling_delete_detection_config_validation():
     with pytest.raises(ValueError, match="unknown polling.delete.detection"):
         PollingSource([("d", "t")], "ts", "id", delete_detection="bogus")
