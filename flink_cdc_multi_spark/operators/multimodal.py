@@ -440,6 +440,37 @@ def dhash56(blob: bytes) -> int | None:
     return int((bits * weights).sum())
 
 
+def dhash_pairs(
+    hashed: "DataFrame",
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> "DataFrame":
+    """Image near-dup PAIRS from a (id, dhash56) frame: the FUSED
+    pigeonhole block join (operators/dedup._pigeonhole_pairs_fused — the
+    same emit-once plan SimHash text dedup ships, 4 blocks × 14 bits
+    over the 56-bit hash) + bit_count hamming verify. hamming ≤ 3 < 4
+    blocks guarantees at least one equal block, so detection is exact,
+    never probabilistic. NULL hashes (undecodable blobs) are excluded —
+    they can never be near-dups. Output: (a_id, b_id, hamming)."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.operators.dedup import _pigeonhole_pairs_fused
+
+    blocks, width = 4, 14  # 4 × 14 = 56 bits; blocks > max_hamming
+    assert max_hamming < blocks
+    sig = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
+    )
+    cand = _pigeonhole_pairs_fused(sig, blocks, width)
+    hamming = F.bit_count(F.expr("ha ^ hb")).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 def png_luma_sum(blob: bytes) -> tuple[int, int] | None:
     """(Σ 299·R + 587·G + 114·B over pixels, n_pixels) as exact integers
     via the real pixel decode (png_decode_pixels) — mean luma =

@@ -1760,6 +1760,31 @@ def test_dhash_exact_dedup_composition(spark):
     assert reps == {1, 4}
 
 
+def test_dhash_pairs_pigeonhole(spark):
+    """dhash_pairs: identical images pair at hamming 0 via the fused
+    pigeonhole join (exact for hamming <= 3: 4 blocks guarantee an equal
+    block); far-apart hashes (hamming 36 here) never pair; NULL hashes
+    (undecodable blobs) are excluded."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    blobs = {
+        1: M.make_png_rgb(12, 9, 7),
+        2: M.make_png_rgb(12, 9, 7),   # identical to 1
+        3: M.make_png_rgb(4, 4, 250),  # hamming 36 from the pair
+        4: None,
+    }
+    rows = [(i, None if b is None else M.dhash56(b)) for i, b in blobs.items()]
+    hashed = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "dhash": pd.array([r[1] for r in rows], dtype="Int64")})
+    )
+    got = {(r["a_id"], r["b_id"], r["hamming"])
+           for r in M.dhash_pairs(hashed).collect()}
+    assert got == {(1, 2, 0)}
+
+
 def test_line_dedup_semantics(spark):
     """line_dedup (r12, C4-style): cross-doc duplicate lines survive only
     at min (doc_id, pos); in-doc repeats drop; whitespace-only lines
