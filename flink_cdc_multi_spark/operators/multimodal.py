@@ -448,17 +448,30 @@ def dhash_pairs(
 ) -> "DataFrame":
     """Image near-dup PAIRS from a (id, dhash56) frame: the FUSED
     pigeonhole block join (operators/dedup._pigeonhole_pairs_fused — the
-    same emit-once plan SimHash text dedup ships, 4 blocks × 14 bits
-    over the 56-bit hash) + bit_count hamming verify. hamming ≤ 3 < 4
-    blocks guarantees at least one equal block, so detection is exact,
-    never probabilistic. NULL hashes (undecodable blobs) are excluded —
-    they can never be near-dups. Output: (a_id, b_id, hamming)."""
+    same emit-once plan SimHash text dedup ships, block count derived
+    from max_hamming over the 56-bit hash) + bit_count hamming verify.
+    blocks > max_hamming guarantees at least one equal block for every
+    true pair, so detection is exact, never probabilistic — the block
+    count is DERIVED (smallest divisor of 56 above max_hamming, e.g.
+    4 × 14 bits for the default ≤ 3), not asserted, so a larger
+    max_hamming widens the blocking instead of silently going
+    probabilistic under ``python -O`` (ADVICE r12). NULL hashes
+    (undecodable blobs) are excluded — they can never be near-dups.
+    Output: (a_id, b_id, hamming)."""
     from pyspark.sql import functions as F
 
     from flink_cdc_multi_spark.operators.dedup import _pigeonhole_pairs_fused
 
-    blocks, width = 4, 14  # 4 × 14 = 56 bits; blocks > max_hamming
-    assert max_hamming < blocks
+    bits = DHASH_ROWS * (DHASH_COLS - 1)  # 56
+    blocks = next(
+        (b for b in (1, 2, 4, 7, 8, 14, 28, 56) if b > max_hamming), None
+    )
+    if blocks is None:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= {bits} hash bits — every pair "
+            "would match; use a smaller threshold"
+        )
+    width = bits // blocks
     sig = hashed.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
     )

@@ -141,6 +141,12 @@ def brute_force_topk(
                 )
             dim = modal[0]
         qrows = [r for r in qrows if len(r["qv"]) == dim]  # ragged queries drop
+        if not qrows:
+            # every query dropped (NULL/ragged): the contract implies an
+            # empty RESULT, not a plan-time np.stack([]) ValueError
+            # (ADVICE r12). Same (qid, rank, nid) shape as _rank_topk.
+            spark = corpus.sparkSession
+            return spark.createDataFrame([], "qid long, rank long, nid long")
         qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
         qn = np.sqrt((qmat * qmat).sum(axis=1))
@@ -970,23 +976,35 @@ def write_ann_index(
         )
     meta = {"m": m, "dim": dim, "quant": LSH_QUANT, "id_col": id_col,
             "vec_col": vec_col, "residual": residual, "format": "ivfpq-v1"}
-    _os.makedirs(path, exist_ok=True)
-    with open(_os.path.join(path, "meta.json"), "w") as f:
-        _json.dump(meta, f)
+    # meta travels through the same fs abstraction as the parquet legs
+    # (ADVICE r12): a remote path (s3a://, hdfs://) previously produced a
+    # parquet-only artifact whose meta landed on the DRIVER's local disk,
+    # breaking the 'any session can re-attach it' contract. fsio routes
+    # scheme-less paths to atomic local IO and scheme'd ones to Hadoop FS
+    # — the offset store's exact pattern.
+    from flink_cdc_multi_spark.sources import fsio
+
+    if not fsio.has_scheme(path):
+        _os.makedirs(path, exist_ok=True)
+    fsio.write_text_atomic(fsio.join(path, "meta.json"), _json.dumps(meta))
     return path
 
 
 def read_ann_index(spark, path: str):
     """Re-attach a persisted IVF-PQ index: (meta dict, coded DataFrame —
     a lazy parquet scan of path/codes, no corpus anywhere — and the
-    collected centroid/codebook models). Local-file meta read mirrors
-    register_bucketed's external-table bargain: the caller asserts the
-    artifact was produced by write_ann_index."""
+    collected centroid/codebook models). Meta reads through fsio (ADVICE
+    r12) so a remote (s3a://, hdfs://) artifact re-attaches from any
+    host; the caller asserts the artifact was produced by
+    write_ann_index."""
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, "meta.json")) as f:
-        meta = _json.load(f)
+    from flink_cdc_multi_spark.sources import fsio
+
+    meta_text = fsio.read_text(fsio.join(path, "meta.json"))
+    if meta_text is None:
+        raise FileNotFoundError(f"no meta.json under {path}")
+    meta = _json.loads(meta_text)
     if meta.get("format") != "ivfpq-v1":
         raise ValueError(f"not an ivfpq-v1 index: {path}")
     if meta.get("quant") != LSH_QUANT:

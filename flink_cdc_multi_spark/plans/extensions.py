@@ -22,6 +22,7 @@ Oracle-parity design rules:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,6 +32,9 @@ from flink_cdc_multi_spark.operators import dedup as D
 from flink_cdc_multi_spark.operators import similarity as S
 from flink_cdc_multi_spark.operators import text as X
 from flink_cdc_multi_spark.plans.queries import load_table
+
+# serializes the memoized plan-time ANN index build (ADVICE r12)
+_ANN_INDEX_BUILD_LOCK = threading.Lock()
 
 # Broadcast guard for ext_text_commonness (VERDICT r10 item 6): source
 # bytes bound the frequency-table size (distinct hashes <= total tokens
@@ -321,24 +325,30 @@ def ext_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache = {}
         spark._fcm_result_cache = cache
     key = ("ann_index_ivfpq", sf_dir)
-    if key not in cache:
-        import hashlib
-        import tempfile
+    # build under a process-wide lock (ADVICE r12): the pid-keyed path
+    # fixes cross-process races, the lock fixes two threads of ONE
+    # process both entering write_ann_index and overwriting the same
+    # dir mid-write/mid-read; second entrant sees the cache hit and
+    # returns without touching the filesystem
+    with _ANN_INDEX_BUILD_LOCK:
+        if key not in cache:
+            import hashlib
+            import tempfile
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        corpus = emb.filter(F.col("vec_id") >= 20)
-        centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
-        codebook = emb.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 52))
-        # machine-tmp path keyed by (pid, sf_dir): rebuilt once per
-        # session so a driver-regenerated testdata vintage can never
-        # serve stale codes, and per-PROCESS so two concurrent gate/bench
-        # runs can't race each other's overwrite mid-read
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(
-            tempfile.gettempdir(), f"fcm_annidx_{os.getpid()}_{tag}"
-        )
-        S.write_ann_index(corpus, centroids, codebook, path, m=8)
-        cache[key] = path
+            emb = load_table(spark, sf_dir, "embeddings")
+            corpus = emb.filter(F.col("vec_id") >= 20)
+            centroids = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+            codebook = emb.filter((F.col("vec_id") >= 36) & (F.col("vec_id") < 52))
+            # machine-tmp path keyed by (pid, sf_dir): rebuilt once per
+            # session so a driver-regenerated testdata vintage can never
+            # serve stale codes, and per-PROCESS so two concurrent gate/bench
+            # runs can't race each other's overwrite mid-read
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            path = os.path.join(
+                tempfile.gettempdir(), f"fcm_annidx_{os.getpid()}_{tag}"
+            )
+            S.write_ann_index(corpus, centroids, codebook, path, m=8)
+            cache[key] = path
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_pq_topk_indexed(spark, cache[key], queries, k=3, n_probe=4)

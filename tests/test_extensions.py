@@ -1785,6 +1785,54 @@ def test_dhash_pairs_pigeonhole(spark):
     assert got == {(1, 2, 0)}
 
 
+def test_dhash_pairs_blocks_scale_with_max_hamming(spark):
+    """The pigeonhole block count is DERIVED from max_hamming (ADVICE
+    r12): max_hamming >= 4 widens to 7 blocks instead of silently going
+    probabilistic; >= 56 is rejected outright. Exactness check: a pair at
+    hamming 5 is found under max_hamming=5 (needs >= 6 blocks — with the
+    old fixed 4x14 blocking, 5 flipped bits could straddle all 4
+    blocks)."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    base = 0
+    # flip 5 bits spread so every 14-bit block of the 4x14 layout is hit,
+    # but the 7x8 layout still has an untouched block
+    flipped = base ^ (1 << 0) ^ (1 << 14) ^ (1 << 28) ^ (1 << 42) ^ (1 << 43)
+    hashed = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "dhash": pd.array([base, flipped], dtype="Int64")})
+    )
+    got = {(r["a_id"], r["b_id"], r["hamming"])
+           for r in M.dhash_pairs(hashed, max_hamming=5).collect()}
+    assert got == {(1, 2, 5)}
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        M.dhash_pairs(hashed, max_hamming=56)
+
+
+def test_brute_force_topk_all_queries_ragged_returns_empty(spark):
+    """If every query drops at the NULL/ragged gate, the vectorized
+    branch returns an EMPTY (qid, rank, nid) frame — not a plan-time
+    np.stack([]) ValueError (ADVICE r12)."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [100, 101],
+                      "embedding": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0], [0.5]]})
+    )
+    out = S.brute_force_topk(corpus, queries, k=2, dim=3)
+    assert out.columns == ["qid", "rank", "nid"]
+    assert out.count() == 0
+
+
 def test_line_dedup_semantics(spark):
     """line_dedup (r12, C4-style): cross-doc duplicate lines survive only
     at min (doc_id, pos); in-doc repeats drop; whitespace-only lines
@@ -2208,6 +2256,19 @@ def test_ivfpq_index_persist_and_serve(spark, tmp_path):
         _json.dump({"format": "something-else"}, f)
     with pytest.raises(ValueError, match="ivfpq-v1"):
         S.read_ann_index(spark, bad)
+
+    # fsio meta routing (ADVICE r12): a SCHEME'd path round-trips —
+    # meta.json goes through Hadoop FS like the parquet legs, so a
+    # remote artifact re-attaches from any host (file:/ is the
+    # sandbox-testable scheme'd filesystem)
+    idx_s = f"file:{tmp_path}/idx_scheme"
+    S.write_ann_index(corpus, centroids, codebook, idx_s, m=4)
+    assert _os.path.exists(_os.path.join(str(tmp_path), "idx_scheme", "meta.json"))
+    served_s = sorted(
+        map(tuple,
+            S.ivf_pq_topk_indexed(spark, idx_s, queries, k=2, n_probe=3).collect())
+    )
+    assert served_s == inline
 
 
 def test_png_unfilter_paths_agree_across_cutoff():
