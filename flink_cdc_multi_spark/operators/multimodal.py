@@ -405,7 +405,10 @@ def dhash56(blob: bytes) -> int | None:
     collide; brightness shifts and small noise mostly cancel because
     only the SIGN of neighbor gradients is kept):
 
-    1. full pixel decode (png_decode_pixels — shared with luma/resize);
+    1. full pixel decode — decode_pixels, the format-general dispatcher
+       (r13: PNG / baseline-gray JPEG / GIF / 24-bit BMP; r12 shipped
+       PNG-only, which silently excluded the majority formats of a real
+       corpus from image near-dup);
     2. integer gray per pixel: 299·R + 587·G + 114·B (1000·v for
        grayscale) — the pinned _LUMA_W integer contract, no division;
     3. floor nearest-neighbor sample onto the 9x7 grid
@@ -420,7 +423,7 @@ def dhash56(blob: bytes) -> int | None:
     hamming-tolerant near-dup pairs."""
     import numpy as np
 
-    px = png_decode_pixels(blob)
+    px = decode_pixels(blob)
     if px is None:
         return None
     h, w, c = px.shape
@@ -704,10 +707,35 @@ def _huff_decode_table(bits, vals):
 
 def jpeg_gray_luma_sum(blob: bytes):
     """(luma_sum, n_px) from a REAL baseline-JPEG decode, grayscale
-    profile: full zigzag AC run-length entropy decode + dequantization;
+    profile — see _jpeg_gray_decode for the decoder (r13: factored so
+    dhash/decode_pixels share the entropy core; the sum-only path keeps
+    its closed-form flat-block shortcut and never materializes pixels)."""
+    out = _jpeg_gray_decode(blob, want_pixels=False)
+    if out is None:
+        return None
+    total, width, height, _ = out
+    return total, width * height
+
+
+def jpeg_gray_decode_pixels(blob: bytes):
+    """(h, w, 1) uint8 pixel matrix from the same real baseline-JPEG
+    grayscale decode jpeg_gray_luma_sum runs — the JPEG leg of
+    decode_pixels (r13, VERDICT r12 item 1). None out of profile."""
+    out = _jpeg_gray_decode(blob, want_pixels=True)
+    if out is None:
+        return None
+    _, _, _, mat = out
+    return mat[:, :, None]
+
+
+def _jpeg_gray_decode(blob: bytes, want_pixels: bool):
+    """Shared baseline-JPEG grayscale decode core: full zigzag AC
+    run-length entropy decode + dequantization;
     flat (AC-free) blocks keep the EXACT closed form dc·q0/8 + 128, AC
     blocks go through the pinned fixed-point integer IDCT (see
-    _idct_basis — r11, lifting the r6 DC-only restriction). None for
+    _idct_basis — r11, lifting the r6 DC-only restriction). Returns
+    (luma_sum, width, height, pixels) where pixels is an (h, w) uint8
+    matrix when ``want_pixels`` else None. None for
     anything outside the profile (multi-component scans, geometry not a
     multiple of 8, progressive/extended frames, 16-bit quant tables,
     malformed streams)."""
@@ -796,12 +824,14 @@ def jpeg_gray_luma_sum(blob: bytes):
         dget, aget = dc_table.get, ac_table.get
         zig = _ZIGZAG
         nblocks = (width // 8) * (height // 8)
+        bw = width // 8  # blocks per row (raster order)
+        mat = np.zeros((height, width), dtype=np.uint8) if want_pixels else None
         basis = _idct_basis()
         shift = 2 * _IDCT_SCALE_BITS
         half = 1 << (shift - 1)
         pred = 0
         total = 0
-        for _ in range(nblocks):
+        for bi in range(nblocks):
             # DC: inline Huffman walk (bit-serial by construction)
             code = length = 0
             while True:
@@ -883,6 +913,9 @@ def jpeg_gray_luma_sum(blob: bytes):
                 px = num // 8 + 128
                 px = 0 if px < 0 else 255 if px > 255 else px
                 total += 64 * px
+                if mat is not None:
+                    by, bx = divmod(bi, bw)
+                    mat[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
             else:
                 # pinned fixed-point integer IDCT (see _idct_basis):
                 # acc[y,x] = Σ_v Σ_u Fq[v,u]·B[v,y]·B[u,x] = (Bᵀ·Fq·B)[y,x]
@@ -893,8 +926,12 @@ def jpeg_gray_luma_sum(blob: bytes):
                 idct = basis.T @ fq @ basis  # NB: don't reuse `acc` — it
                 # is the live bit-reader accumulator (r11 inline form)
                 px = ((idct + half) >> shift) + 128  # arithmetic shift = floor
-                total += int(np.clip(px, 0, 255).sum())
-        return total, width * height
+                px = np.clip(px, 0, 255)
+                total += int(px.sum())
+                if mat is not None:
+                    by, bx = divmod(bi, bw)
+                    mat[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        return total, width, height, mat
     except (ValueError, IndexError, struct.error):
         return None
 
@@ -955,6 +992,63 @@ def bmp_luma_sum(blob: bytes):
         return total, width * nrows
     except (struct.error, IndexError):
         return None
+
+
+def bmp_decode_pixels(blob: bytes):
+    """(h, w, 3) uint8 RGB pixel matrix from a real decode of an
+    uncompressed 24-bit BMP (bottom-up or top-down, normalized to
+    top-down y order) — the BMP leg of decode_pixels (r13, VERDICT r12
+    item 1). Same profile and None contract as bmp_luma_sum."""
+    import numpy as np
+
+    try:
+        if blob[:2] != b"BM":
+            return None
+        (offset,) = struct.unpack("<I", blob[10:14])
+        (hsize,) = struct.unpack("<I", blob[14:18])
+        if hsize < 40:
+            return None
+        width, height = struct.unpack("<ii", blob[18:26])
+        planes, bpp = struct.unpack("<HH", blob[26:30])
+        (compression,) = struct.unpack("<I", blob[30:34])
+        if planes != 1 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
+            return None
+        nrows = abs(height)
+        row_len = (width * 3 + 3) & ~3
+        if offset + row_len * nrows > len(blob):
+            return None
+        rows = np.frombuffer(
+            blob[offset : offset + row_len * nrows], dtype=np.uint8
+        ).reshape(nrows, row_len)[:, : width * 3].reshape(nrows, width, 3)
+        if height > 0:
+            rows = rows[::-1]  # bottom-up storage → top-down pixels
+        return np.ascontiguousarray(rows[:, :, ::-1])  # BGR on disk → RGB
+    except (struct.error, IndexError):
+        return None
+
+
+def decode_pixels(blob: bytes):
+    """Format-general pixel decode (r13, VERDICT r12 item 1): sniff the
+    container magic (parse_image_header's dispatch set) and route to the
+    real in-repo decoder — PNG (png_decode_pixels), baseline grayscale
+    JPEG (jpeg_gray_decode_pixels), GIF (gif_decode_pixels), 24-bit BMP
+    (bmp_decode_pixels). Returns (h, w, channels) uint8 — channels 1
+    (gray), 3 (RGB), or 4 (RGBA) — or None for unknown containers and
+    out-of-profile blobs (each leg's documented NULL contract). This is
+    the pixel source dhash56 hashes, so perceptual near-dup covers every
+    format the repo can decode, not just PNG."""
+    if blob is None:
+        return None
+    b = bytes(blob)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        return jpeg_gray_decode_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode_pixels(b)
+    if b[:2] == b"BM":
+        return bmp_decode_pixels(b)
+    return None
 
 
 # -- GIF: real LZW codec (encode + decode) ----------------------------------
@@ -1087,9 +1181,10 @@ def make_gif_gray(width: int, height: int, px_fn) -> bytes:
     )
 
 
-def gif_luma_sum(blob: bytes):
-    """(luma_sum·1000-scale, n_px) from a REAL GIF decode: LZW index
-    stream → global color table → Rec.601 integer weights. None for
+def _gif_first_image(blob: bytes):
+    """(indices bytes, palette bytes, gct_len, w, h) of the FIRST image
+    block of a GIF — the shared header walk + LZW decode behind
+    gif_luma_sum and gif_decode_pixels (r13 factor-out). None for
     interlaced images, local palettes, missing GCT, or malformed input.
     (No transparency/animation handling — first image block only.)"""
     try:
@@ -1124,9 +1219,41 @@ def gif_luma_sum(blob: bytes):
         indices = _lzw_decode_gif(bytes(lzw), mcs)
         if w == 0 or h == 0 or len(indices) != w * h:
             return None
-        return _gif_lut_sum(indices, palette, gct_len), w * h
+        return indices, palette, gct_len, w, h
     except (struct.error, IndexError, ValueError):
         return None
+
+
+def gif_luma_sum(blob: bytes):
+    """(luma_sum·1000-scale, n_px) from a REAL GIF decode: LZW index
+    stream → global color table → Rec.601 integer weights. Profile and
+    None contract per _gif_first_image."""
+    out = _gif_first_image(blob)
+    if out is None:
+        return None
+    indices, palette, gct_len, w, h = out
+    try:
+        return _gif_lut_sum(indices, palette, gct_len), w * h
+    except IndexError:
+        return None
+
+
+def gif_decode_pixels(blob: bytes):
+    """(h, w, 3) uint8 RGB pixel matrix from the real GIF decode (LZW
+    index stream → global color table) — the GIF leg of decode_pixels
+    (r13, VERDICT r12 item 1). None out of profile or on palette-range
+    violations."""
+    import numpy as np
+
+    out = _gif_first_image(blob)
+    if out is None:
+        return None
+    indices, palette, gct_len, w, h = out
+    idx = np.frombuffer(indices, dtype=np.uint8)
+    if idx.size and int(idx.max()) >= gct_len:
+        return None  # index past the palette: corrupt stream
+    pal = np.frombuffer(palette[: 3 * gct_len], dtype=np.uint8).reshape(-1, 3)
+    return pal[idx].reshape(h, w, 3)
 
 
 def _gif_lut_sum(indices: bytes, palette: bytes, gct_len: int) -> int:

@@ -39,14 +39,10 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # (New queries sort to the front automatically: never-checked queries rank
 # before any checked one.)
 _REGATE: list[str] = [
-    # r12: explicit dim contract + modal-length inference in
-    # brute_force_topk; driver-visible plan gains the dim-checked
-    # valid_vectors filter (ADVICE r11)
-    "ext_ann_topk",
-    # r12: broadcast guard moved from on-disk to uncompressed footer
-    # bytes — same branch taken at the gate SF, but the guard is part of
-    # the shipped plan decision, so re-gate rather than claim exemption
-    "ext_text_commonness",
+    # r13: mixed-format fixture (PNG/JPEG/GIF/BMP by doc_id mod 4) +
+    # format-dispatched decode_pixels — both the hashes and the oracle
+    # changed, so the driver must re-gate the new contract
+    "ext_multimodal_dhash",
 ]
 
 

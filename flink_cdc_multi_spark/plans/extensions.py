@@ -936,20 +936,57 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_image_features(media, max_dim=8)
 
 
+def _dhash_fixture_blob(i: int) -> bytes:
+    """Deterministic MIXED-FORMAT image blob for doc_id ``i`` (r13,
+    VERDICT r12 item 1): doc_id mod 4 picks the container — 0 PNG RGB,
+    1 baseline grayscale JPEG (DC-only profile, exact pixels), 2 GIF
+    (gray global palette, real LZW), 3 uncompressed 24-bit BMP — each
+    with a closed-form pixel pattern the DuckDB oracle replays in pure
+    SQL. Python's floored ``%`` keeps negative (adversarial) doc_ids on
+    the same positive-mod arithmetic the SQL side wraps explicitly."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    f = i % 4
+    s = i % 256
+    if f == 1:
+        w = (i % 3 + 1) * 8  # JPEG geometry: multiples of 8
+        h = (i % 2 + 1) * 8
+        nb = (w // 8) * (h // 8)
+        # dc in [-115, 115] → decoded pixel (dc + 128) in [13, 243]:
+        # clipping never fires, so pixel = (s + 17·block) % 231 + 13
+        return M.make_jpeg_gray_dc(
+            w, h, [(s + 17 * b) % 231 - 115 for b in range(nb)]
+        )
+    w = i % 24 + 4
+    h = i % 16 + 4
+    if f == 0:
+        return M.make_png_rgb(w, h, s)
+    if f == 2:
+        return M.make_gif_gray(w, h, lambda x, y: (s + 7 * x + 13 * y) % 256)
+    return M.make_bmp_rgb(
+        w, h,
+        lambda x, y: ((s + 3 * x) % 256, (s + 5 * y) % 256, (s + x * y) % 256),
+    )
+
+
 def ext_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image hash (r12): dHash56 over REAL decoded pixels of
-    the deterministic RGB PNG fixture (the ext_multimodal_luma blobs) —
-    the image-near-dup primitive the dedup family was missing (embedding
-    near-dup needs a model; dHash needs only pixels). Full decode + NN
-    grid sample + neighbor-gradient sign bits, every step exact integer,
-    so the DuckDB oracle replays the entire hash from (doc_id)-closed-
-    form arithmetic — a wrong unfilter, sample index, or bit order
-    breaks the value hash. Positive-mod id→dims mapping on BOTH sides so
-    negative (adversarial) doc_ids agree across Python and SQL
-    semantics. Scale: same as the codec family — repartition 8-byte ids,
-    Arrow mapInPandas, blob never leaves its task; compose with
-    exact_dedup(dhash) or a pigeonhole block join for hamming-tolerant
-    pairs."""
+    """Perceptual image hash (r12; r13 format-general): dHash56 over
+    REAL decoded pixels of a MIXED-FORMAT fixture — PNG, baseline
+    grayscale JPEG, GIF, and BMP blobs by doc_id mod 4
+    (_dhash_fixture_blob), decoded through the format dispatcher
+    operators/multimodal.decode_pixels, so the image-near-dup primitive
+    covers every container the repo can decode (r12 shipped PNG-only —
+    a real corpus is mostly JPEG). Full decode + NN grid sample +
+    neighbor-gradient sign bits, every step exact integer, so the
+    DuckDB oracle replays the entire hash per format from
+    (doc_id)-closed-form arithmetic — a wrong unfilter, Huffman walk,
+    LZW step, BMP row order, sample index, or bit order breaks the
+    value hash. Positive-mod id→dims mapping on BOTH sides so negative
+    (adversarial) doc_ids agree across Python and SQL semantics. Scale:
+    same as the codec family — repartition 8-byte ids, Arrow
+    mapInPandas, blob never leaves its task; compose with
+    exact_dedup(dhash) or dhash_pairs (gated as ext_dedup_images) for
+    hamming-tolerant pairs."""
     import pandas as pd
 
     from flink_cdc_multi_spark.operators import multimodal as M
@@ -963,17 +1000,90 @@ def ext_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_hash(it):
         for pdf in it:
             ids = pdf["doc_id"].astype("int64")
-            hashes = [
-                M.dhash56(
-                    M.make_png_rgb(int(i) % 24 + 4, int(i) % 16 + 4, int(i) % 256)
-                )
-                for i in ids
-            ]
+            hashes = [M.dhash56(_dhash_fixture_blob(int(i))) for i in ids]
             yield pd.DataFrame(
                 {"doc_id": ids, "dhash": pd.array(hashes, dtype="Int64")}
             )
 
     return docs.mapInPandas(gen_and_hash, "doc_id long, dhash long")
+
+
+def _image_pair_fixture_blob(i: int) -> bytes:
+    """Deterministic 9×7 image blob with PLANTED near-copies for the
+    gated image near-dup pair query (r13, VERDICT r12 item 2). 9×7 is
+    exactly the dHash sample grid, so every pixel is a sample point and
+    the gradient-sign bits are fully controlled. Docs come in groups of
+    3 (gid = floor(doc_id / 3), member m = doc_id mod 3):
+
+    - m=0: base gray pattern (hg + 29x + 31y) % 180 + 20 as a GIF;
+    - m=1: the SAME pattern as a BMP (gray triplets — identical integer
+      gray, so even-gid groups pair CROSS-FORMAT at hamming 0), with a
+      +40 perturbation at pixels (4,3) and (1,5) on odd gids (base is in
+      [20, 199] so +40 never leaves byte range) — flips at most 2
+      gradient signs, a planted near-copy at hamming ∈ {0, 1, 2};
+    - m=2: an unrelated pattern — far in hamming, never a planted pair.
+
+    Same-hg groups (hg has period 157) collide by construction; both
+    engines replay the identical closed form, so cross-group cliques are
+    part of the contract, bounded at the gate/bench SFs."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    m = i % 3
+    gid = (i - m) // 3
+    hg = gid % 157
+    pert = 40 * (gid % 2)
+    if m == 2:
+        return M.make_gif_gray(
+            9, 7, lambda x, y: (hg + 97 * x + 53 * y + 11 * x * y) % 256
+        )
+    base = lambda x, y: (hg + 29 * x + 31 * y) % 180 + 20  # noqa: E731
+    if m == 0:
+        return M.make_gif_gray(9, 7, base)
+
+    def perturbed(x, y):
+        v = base(x, y)
+        if (x, y) in ((4, 3), (1, 5)):
+            v += pert
+        return v
+
+    return M.make_bmp_rgb(9, 7, lambda x, y: (perturbed(x, y),) * 3)
+
+
+def ext_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS, gated end to end (r13, VERDICT r12 item 2):
+    dHash56 over the planted-near-copy mixed-format fixture
+    (_image_pair_fixture_blob — GIF base, BMP copy/perturbed-copy, GIF
+    decoy per group of 3), then multimodal.dhash_pairs — the FUSED
+    pigeonhole block join (4×14-bit blocks, exact for hamming ≤ 3, the
+    emit-once first-equal-block plan; never a pair-key dropDuplicates,
+    the CLAUDE.md hot-clique skew wall) + bit_count verify. Even-gid
+    groups pair cross-format at hamming 0 (same pixels, different
+    container); odd-gid groups pair at hamming 1-2 (planted ±40
+    perturbation); decoys and far-apart groups are excluded by the ≤ 3
+    threshold — both sides of the threshold exercised. The DuckDB
+    oracle replays the hashes closed-form and takes ALL (a<b) pairs
+    with bit_count(xor) ≤ 3, so the fused plan must emit exactly once
+    per pair. Output: (a_id, b_id, hamming)."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen_and_hash(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            hashes = [M.dhash56(_image_pair_fixture_blob(int(i))) for i in ids]
+            yield pd.DataFrame(
+                {"doc_id": ids, "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    hashed = docs.mapInPandas(gen_and_hash, "doc_id long, dhash long")
+    return M.dhash_pairs(hashed, max_hamming=3)
 
 
 def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1844,6 +1954,7 @@ EXT_QUERIES = {
     "ext_multimodal_resize": ext_multimodal_resize,
     "ext_multimodal_frames": ext_multimodal_frames,
     "ext_multimodal_dhash": ext_multimodal_dhash,
+    "ext_dedup_images": ext_dedup_images,
     "ext_embed_quantize": ext_embed_quantize,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_pack_bpe": ext_pack_bpe,
@@ -3272,26 +3383,47 @@ EXT_ORACLE_SQL["ext_ann_ivfpq_res"] = """
     FROM ranked WHERE rank <= 3 ORDER BY qid, rank
 """
 
-# dHash replay: the fixture pixels are closed-form in (doc_id, x, y), so
-# the whole perceptual hash — NN grid sample, integer gray, gradient-sign
-# bits, little-endian 56-bit pack — is pure SQL arithmetic. Positive-mod
-# wrappers keep negative doc_ids on Python's floored-mod semantics.
+# dHash replay (r13 mixed-format): each container's fixture pixels are
+# closed-form in (doc_id, x, y), so the whole perceptual hash — format
+# dispatch, NN grid sample, integer gray, gradient-sign bits,
+# little-endian 56-bit pack — is pure SQL arithmetic. The gray CASE
+# mirrors _dhash_fixture_blob exactly: PNG RGB pattern, JPEG DC-only
+# pixel (s + 17·block) % 231 + 13 (gray ×1000), GIF gray palette
+# (×1000), BMP RGB pattern. Positive-mod wrappers keep negative doc_ids
+# on Python's floored-mod semantics.
 EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
     WITH d AS (
       SELECT doc_id,
-             ((doc_id % 24) + 24) % 24 + 4 AS w,
-             ((doc_id % 16) + 16) % 16 + 4 AS h,
+             ((doc_id % 4) + 4) % 4 AS f,
+             ((doc_id % 24) + 24) % 24 + 4 AS gw,
+             ((doc_id % 16) + 16) % 16 + 4 AS gh,
+             (((doc_id % 3) + 3) % 3 + 1) * 8 AS jw,
+             (((doc_id % 2) + 2) % 2 + 1) * 8 AS jh,
              ((doc_id % 256) + 256) % 256 AS s
       FROM documents
+    ), dim AS (
+      SELECT doc_id, f, s,
+             CASE WHEN f = 1 THEN jw ELSE gw END AS w,
+             CASE WHEN f = 1 THEN jh ELSE gh END AS h
+      FROM d
     ), grid AS (
-      SELECT d.doc_id, d.w, d.h, d.s,
-             CAST(ty.y AS BIGINT) AS ty, CAST(tx.x AS BIGINT) AS tx
-      FROM d, range(7) ty(y), range(9) tx(x)
+      SELECT dim.doc_id, dim.f, dim.s, dim.w, dim.h,
+             CAST(ty.y AS BIGINT) AS ty, CAST(tx.x AS BIGINT) AS tx,
+             (CAST(tx.x AS BIGINT) * dim.w) // 9 AS px,
+             (CAST(ty.y AS BIGINT) * dim.h) // 7 AS py
+      FROM dim, range(7) ty(y), range(9) tx(x)
     ), g AS (
       SELECT doc_id, ty, tx,
-             299 * ((s + (tx * w) // 9) % 256)
-           + 587 * ((s + (ty * h) // 7) % 256)
-           + 114 * ((s + (tx * w) // 9 + (ty * h) // 7) % 256) AS gray
+             CASE f
+               WHEN 0 THEN 299 * ((s + px) % 256)
+                         + 587 * ((s + py) % 256)
+                         + 114 * ((s + px + py) % 256)
+               WHEN 1 THEN 1000 * (((s + 17 * ((py // 8) * (w // 8) + px // 8)) % 231) + 13)
+               WHEN 2 THEN 1000 * ((s + 7 * px + 13 * py) % 256)
+               ELSE 299 * ((s + 3 * px) % 256)
+                  + 587 * ((s + 5 * py) % 256)
+                  + 114 * ((s + px * py) % 256)
+             END AS gray
       FROM grid
     ), bits AS (
       SELECT a.doc_id,
@@ -3303,6 +3435,53 @@ EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
       WHERE a.tx < 8
     )
     SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash FROM bits GROUP BY doc_id
+"""
+
+# Image near-dup pair replay (r13): the 9×7 fixture pixels ARE the dHash
+# sample grid, so the hashes replay closed-form per group member (base /
+# perturbed-copy / decoy — mirrors _image_pair_fixture_blob exactly), and
+# the pair set is the full (a<b) self-join with bit_count(xor) ≤ 3 — the
+# fused pigeonhole plan must therefore emit every qualifying pair exactly
+# once, never twice, never a dropped clique member.
+EXT_ORACLE_SQL["ext_dedup_images"] = """
+    WITH d AS (
+      SELECT doc_id,
+             ((doc_id % 3) + 3) % 3 AS m,
+             (doc_id - ((doc_id % 3) + 3) % 3) // 3 AS gid
+      FROM documents
+    ), dg AS (
+      SELECT doc_id, m,
+             ((gid % 157) + 157) % 157 AS hg,
+             40 * (((gid % 2) + 2) % 2) AS pert
+      FROM d
+    ), grid AS (
+      SELECT dg.doc_id, dg.m, dg.hg, dg.pert,
+             CAST(ty.y AS BIGINT) AS y, CAST(tx.x AS BIGINT) AS x
+      FROM dg, range(7) ty(y), range(9) tx(x)
+    ), g AS (
+      SELECT doc_id, y, x,
+             CASE
+               WHEN m = 2 THEN 1000 * ((hg + 97 * x + 53 * y + 11 * x * y) % 256)
+               WHEN m = 0 THEN 1000 * ((hg + 29 * x + 31 * y) % 180 + 20)
+               ELSE 1000 * ((hg + 29 * x + 31 * y) % 180 + 20
+                            + CASE WHEN (x = 4 AND y = 3) OR (x = 1 AND y = 5)
+                                   THEN pert ELSE 0 END)
+             END AS gray
+      FROM grid
+    ), bits AS (
+      SELECT a.doc_id,
+             CASE WHEN b.gray > a.gray
+                  THEN 1::BIGINT << CAST(a.y * 8 + a.x AS INTEGER)
+                  ELSE 0 END AS v
+      FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ), hs AS (
+      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 # Line-dedup replay: same md5-keyed winner rule (ROW_NUMBER over

@@ -1785,6 +1785,61 @@ def test_dhash_pairs_pigeonhole(spark):
     assert got == {(1, 2, 0)}
 
 
+def test_decode_pixels_dispatch_all_formats():
+    """decode_pixels (r13): the format dispatcher routes each container
+    magic to its real decoder and every leg agrees with an independent
+    per-pixel reference; dhash56 is therefore format-general. Garbage
+    and out-of-profile blobs return None."""
+    import numpy as np
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    # PNG RGB: closed-form pattern
+    px = M.decode_pixels(M.make_png_rgb(11, 7, 42))
+    assert px.shape == (7, 11, 3)
+    for x, y in [(0, 0), (10, 6), (3, 5)]:
+        assert tuple(px[y, x]) == (
+            (42 + x) % 256, (42 + y) % 256, (42 + x + y) % 256
+        )
+
+    # JPEG DC-only grayscale: pixel = dc + 128 exactly, (h, w, 1)
+    px = M.decode_pixels(M.make_jpeg_gray_dc(16, 8, [-5, 30]))
+    assert px.shape == (8, 16, 1)
+    assert px[3, 3, 0] == 123 and px[3, 11, 0] == 158
+
+    # JPEG with AC coefficients: matrix sum must equal the luma_sum path
+    blocks = [[7] + [0] * 63, [12] + [0] * 63]
+    blocks[1][1] = 25
+    blob = M.make_jpeg_gray(16, 8, blocks)
+    px = M.decode_pixels(blob)
+    total, n = M.jpeg_gray_luma_sum(blob)
+    assert int(px.astype(np.int64).sum()) == total and n == 128
+
+    # GIF gray palette → RGB triplets all equal the index value
+    px = M.decode_pixels(M.make_gif_gray(9, 5, lambda x, y: (x * 20 + y) % 256))
+    assert px.shape == (5, 9, 3)
+    assert tuple(px[2, 4]) == (82, 82, 82)
+
+    # BMP bottom-up: normalized to top-down y
+    px = M.decode_pixels(
+        M.make_bmp_rgb(6, 4, lambda x, y: (x * 9 % 256, y * 31 % 256, 77))
+    )
+    assert px.shape == (4, 6, 3)
+    assert tuple(px[3, 5]) == (45, 93, 77)
+
+    # dhash56 now hashes every format; out-of-profile / garbage → None
+    for blob in (
+        M.make_png_rgb(8, 8, 1),
+        M.make_jpeg_gray_dc(8, 8, [3]),
+        M.make_gif_gray(8, 8, lambda x, y: x),
+        M.make_bmp_rgb(8, 8, lambda x, y: (x, y, 0)),
+    ):
+        assert M.dhash56(blob) is not None
+    assert M.decode_pixels(b"garbage") is None
+    assert M.decode_pixels(None) is None
+    assert M.dhash56(M.make_tiny_png(4, 4)) is None  # no IDAT: out of profile
+
+
 def test_dhash_pairs_blocks_scale_with_max_hamming(spark):
     """The pigeonhole block count is DERIVED from max_hamming (ADVICE
     r12): max_hamming >= 4 widens to 7 blocks instead of silently going
@@ -1811,6 +1866,26 @@ def test_dhash_pairs_blocks_scale_with_max_hamming(spark):
 
     with pytest.raises(ValueError, match="max_hamming"):
         M.dhash_pairs(hashed, max_hamming=56)
+
+
+def test_ext_dedup_images_planted_pairs(spark):
+    """ext_dedup_images (r13): the planted near-copy contract holds on
+    real decoded pixels — every group's (m0 GIF, m1 BMP) pair is found
+    (cross-format: even gids at hamming 0, odd gids at hamming <= 2),
+    and no planted decoy (m2) of the same group pairs with its base."""
+    from flink_cdc_multi_spark.plans import extensions as E
+
+    pairs = E.ext_dedup_images(spark, "/root/testdata/sf0.001").collect()
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs}
+    n_docs = 60  # spot-check the first 20 groups (doc_ids 0..59)
+    for gid in range(n_docs // 3):
+        a, b, decoy = 3 * gid, 3 * gid + 1, 3 * gid + 2
+        assert (a, b) in got, f"planted pair of group {gid} missed"
+        if gid % 2 == 0:
+            assert got[(a, b)] == 0  # exact cross-format copy
+        else:
+            assert got[(a, b)] <= 2  # perturbed copy
+        assert (a, decoy) not in got and (b, decoy) not in got
 
 
 def test_brute_force_topk_all_queries_ragged_returns_empty(spark):

@@ -427,6 +427,20 @@ def test_ext_dedup_simhash_fused_pair_dedup(spark):
     assert "hashpartitioning(a_id" not in plan, "pair dropDuplicates is back"
 
 
+def test_ext_dedup_images_fused_pair_dedup(spark):
+    """The image near-dup pair path (r13) must stay the FUSED pigeonhole
+    form like the simhash paths: one block-keyed self-join, pair-dedup as
+    the row-local first-equal-block filter — the pair-key dropDuplicates
+    exchange is the hot-clique skew wall (CLAUDE.md; same-hash image
+    cliques are part of this fixture's contract)."""
+    import re
+
+    plan = plan_of(spark, "ext_dedup_images")
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 1, joins
+    assert "hashpartitioning(a_id" not in plan, "pair dropDuplicates is back"
+
+
 def test_q27_q28_shuffle_hash_not_sortmerge(spark):
     """q27/q28 fact joins must stay shuffled-hash on the smaller/filtered
     side (r9 sf10 A/B: q27 4.63 s SMJ → 2.63 s hinted; q28 11.9 s →
