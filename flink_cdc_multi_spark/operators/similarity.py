@@ -701,6 +701,108 @@ def _residualize_codebook(B, C):
     return B - C[bidx]
 
 
+def _kmeans_lloyd(X, k: int, iters: int, rng) -> "np.ndarray":
+    """Deterministic (seeded) numpy k-means: kmeans++ init + Lloyd
+    iterations; empty clusters reseed to the point farthest from its
+    assigned center. Driver-local over a TRAINING SAMPLE by contract
+    (sample-sized, like the centroid/codebook collects) — training on
+    100 TB of vectors buys no recall the sample doesn't already have."""
+    n = len(X)
+    if n == 0:
+        raise ValueError("empty training sample")
+    # kmeans++ seeding
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(-1)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:  # all points coincide with chosen centers
+            centers[i:] = centers[0]
+            break
+        centers[i] = X[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(-1))
+    for _ in range(iters):
+        d2all = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d2all.argmin(1)
+        dmin = d2all[np.arange(n), assign]
+        moved = False
+        for i in range(k):
+            mask = assign == i
+            if mask.any():
+                nc = X[mask].mean(axis=0)
+            else:
+                nc = X[dmin.argmax()]  # reseed empty cluster
+            if not np.array_equal(nc, centers[i]):
+                centers[i] = nc
+                moved = True
+        if not moved:
+            break
+    return centers
+
+
+def train_pq_codewords(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 25,
+    seed: int = IVF_SEED,
+):
+    """FAISS-style residual-TRAINED PQ codewords (r13, VERDICT r12 item
+    3 — the r12 finding was that residual ENCODING buys nothing while
+    the codewords stay fixed data vectors; FAISS trains k-means per
+    subspace ON the residuals, and this is that trainer):
+
+    1. collect a seeded corpus sample (capped at ``sample_rows`` — the
+       ivf_topk fit-sample argument: codewords converge on a sample);
+    2. coarse-assign each sample vector to its nearest centroid
+       (exact int64 d², ties to lowest cid — the assign_cells contract);
+    3. per PQ subspace j, run seeded kmeans++/Lloyd over the residual
+       sub-vectors (v − centroid[cell])[j·sub:(j+1)·sub];
+    4. round the trained centers back to the int64 LSH_QUANT grid so
+       ADC stays exact integer arithmetic end to end.
+
+    Returns an (n_codewords, dim) int64 matrix ALREADY on the residual
+    scale — feed it to write_ann_index(trained_codewords=...) /
+    ivf_pq_topk_fixed(trained_codewords=...) with residual=True (they
+    must NOT be re-residualized; the meta records the scale). Training
+    is engine-local driver work over a sample by design — the 100 TB
+    corpus is only touched by the one distributed encode pass."""
+    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    arr = F.col(vec_col).cast("array<double>")
+    cdf = valid_vectors(corpus, dim, vec_col).select(arr.alias("v"))
+    n = cdf.count()
+    if n == 0:
+        raise ValueError("empty training corpus")
+    if n > sample_rows:
+        cdf = cdf.sample(fraction=sample_rows / n, seed=seed)
+    V = np.floor(
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in cdf.collect()])
+        * LSH_QUANT
+    ).astype(np.int64)
+    # blocked exact-int64 coarse assign (the difference tensor over the
+    # full sample would be rows×cells×dim — block rows to bound it)
+    cidx = np.empty(len(V), dtype=np.int64)
+    for lo in range(0, len(V), 1024):
+        hi = min(lo + 1024, len(V))
+        d = V[lo:hi, None, :] - C[None, :, :]
+        cidx[lo:hi] = (d * d).sum(-1).argmin(1)
+    R = V - C[cidx]
+    B = np.empty((n_codewords, dim), dtype=np.int64)
+    for j in range(m):
+        X = R[:, j * sub : (j + 1) * sub].astype(np.float64)
+        cw = _kmeans_lloyd(X, n_codewords, iters, np.random.RandomState(seed + j))
+        B[:, j * sub : (j + 1) * sub] = np.rint(cw).astype(np.int64)
+    return B
+
+
 def _ivfpq_encode(
     corpus: DataFrame,
     cent_ids,
@@ -875,6 +977,7 @@ def ivf_pq_topk_fixed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    trained_codewords=None,
 ) -> DataFrame:
     """IVF-PQ (round 11): the canonical billion-scale ANN composition —
     the coarse quantizer prunes WORK (each query scores only its
@@ -896,14 +999,28 @@ def ivf_pq_topk_fixed(
     _ivfpq_encode) — right for one-shot scoring. At 100 TB an index is
     built ONCE and served many times: use write_ann_index /
     ivf_pq_topk_indexed to persist the (nid, cell, codes) pass and skip
-    the corpus scan on every later query."""
+    the corpus scan on every later query.
+
+    ``trained_codewords`` (r13): an (n_codewords, dim) int64 matrix from
+    train_pq_codewords — ALREADY residual-scale, so it is used as-is
+    (requires residual=True; ``codebook`` is ignored and may be None).
+    This is the FAISS-complete form: trained coarse-or-fixed centroids +
+    residual-trained sub-codebooks."""
     cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
-    cb_ids, B = _collect_q6_vectors(codebook, id_col, vec_col)
     dim = C.shape[1]
-    assert B.shape[1] == dim and dim % m == 0
+    if trained_codewords is not None:
+        if not residual:
+            raise ValueError("trained_codewords are residual-scale; "
+                             "pass residual=True")
+        B = np.asarray(trained_codewords, dtype=np.int64)
+        cb_ids = np.arange(len(B), dtype=np.int64)
+        assert B.shape[1] == dim and dim % m == 0
+    else:
+        cb_ids, B = _collect_q6_vectors(codebook, id_col, vec_col)
+        assert B.shape[1] == dim and dim % m == 0
+        if residual:
+            B = _residualize_codebook(B, C)
     sub = dim // m
-    if residual:
-        B = _residualize_codebook(B, C)
     bsub = B.reshape(len(cb_ids), m, sub)
     corpus = valid_vectors(corpus, dim, vec_col)
     coded = _ivfpq_encode(
@@ -924,6 +1041,7 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    trained_codewords=None,
 ) -> str:
     """Build-once half of the IVF-PQ amortization (VERDICT r11 item 1):
     run the encode pass ONCE and persist everything a later query needs —
@@ -940,17 +1058,32 @@ def write_ann_index(
     is plain parquet + a manifest, so any session (or engine) can
     re-attach it. At 100 TB this converts the dominant repeated cost
     (re-encoding the corpus per query batch) into a one-time write —
-    the FAISS train-once/add-once/search-many shape."""
+    the FAISS train-once/add-once/search-many shape.
+
+    ``trained_codewords`` (r13): residual-scale int64 codewords from
+    train_pq_codewords (requires residual=True; ``codebook`` may be
+    None). Persisted VERBATIM as ``path/codebook_q`` (array<long> —
+    already on the quantized grid, no float round trip) with
+    meta.codebook_scale = 'residual-trained' so the read path knows NOT
+    to re-residualize."""
     import json as _json
     import os as _os
 
     cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
-    cb_ids, B = _collect_q6_vectors(codebook, id_col, vec_col)
     dim = C.shape[1]
-    assert B.shape[1] == dim and dim % m == 0
+    if trained_codewords is not None:
+        if not residual:
+            raise ValueError("trained_codewords are residual-scale; "
+                             "pass residual=True")
+        B = np.asarray(trained_codewords, dtype=np.int64)
+        cb_ids = np.arange(len(B), dtype=np.int64)
+        assert B.shape[1] == dim and dim % m == 0
+    else:
+        cb_ids, B = _collect_q6_vectors(codebook, id_col, vec_col)
+        assert B.shape[1] == dim and dim % m == 0
+        if residual:
+            B = _residualize_codebook(B, C)
     sub = dim // m
-    if residual:
-        B = _residualize_codebook(B, C)
     bsub = B.reshape(len(cb_ids), m, sub)
     coded = _ivfpq_encode(
         valid_vectors(corpus, dim, vec_col), cent_ids, C, bsub, m, sub,
@@ -966,7 +1099,10 @@ def write_ann_index(
         .parquet(f"{path}/codes")
     )
     arr = F.col(vec_col).cast("array<double>")
-    for name, df in (("centroids", centroids), ("codebook", codebook)):
+    model_legs = [("centroids", centroids)]
+    if trained_codewords is None:
+        model_legs.append(("codebook", codebook))
+    for name, df in model_legs:
         (
             df.filter(F.col(vec_col).isNotNull())
             .select(F.col(id_col).alias("id"), arr.alias("v"))
@@ -974,8 +1110,23 @@ def write_ann_index(
             .write.mode("overwrite")
             .parquet(f"{path}/{name}")
         )
+    scale = "residual-trained" if trained_codewords is not None else (
+        "residual" if residual else "raw"
+    )
+    if trained_codewords is not None:
+        spark = corpus.sparkSession
+        (
+            spark.createDataFrame(
+                [(int(i), [int(x) for x in B[i]]) for i in range(len(B))],
+                "id long, vq array<long>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/codebook_q")
+        )
     meta = {"m": m, "dim": dim, "quant": LSH_QUANT, "id_col": id_col,
-            "vec_col": vec_col, "residual": residual, "format": "ivfpq-v1"}
+            "vec_col": vec_col, "residual": residual,
+            "codebook_scale": scale, "format": "ivfpq-v1"}
     # meta travels through the same fs abstraction as the parquet legs
     # (ADVICE r12): a remote path (s3a://, hdfs://) previously produced a
     # parquet-only artifact whose meta landed on the DRIVER's local disk,
@@ -1013,9 +1164,16 @@ def read_ann_index(spark, path: str):
         )
     coded = spark.read.parquet(f"{path}/codes")
     cent = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/codebook")
     cent_ids, C = _collect_q6_vectors(cent, "id", "v")
-    cb_ids, B = _collect_q6_vectors(cb, "id", "v")
+    if meta.get("codebook_scale") == "residual-trained":
+        # trained codewords persisted verbatim on the int64 grid (r13):
+        # already residual-scale, never re-residualized
+        rows = sorted(spark.read.parquet(f"{path}/codebook_q").collect())
+        cb_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        B = np.stack([np.asarray(r["vq"], dtype=np.int64) for r in rows])
+    else:
+        cb = spark.read.parquet(f"{path}/codebook")
+        cb_ids, B = _collect_q6_vectors(cb, "id", "v")
     return meta, coded, (cent_ids, C), (cb_ids, B)
 
 
@@ -1038,10 +1196,12 @@ def ivf_pq_topk_indexed(
     m = meta["m"]
     sub = meta["dim"] // m
     residual = bool(meta.get("residual", False))
-    if residual:
+    if residual and meta.get("codebook_scale") != "residual-trained":
         # the artifact stores the caller's RAW codebook vectors; the
         # residualization is deterministic, so recompute rather than
-        # persist a second derived copy
+        # persist a second derived copy. Trained codewords (r13) are
+        # persisted ALREADY residual-scale — re-residualizing would
+        # corrupt them, so the scale flag gates this.
         B = _residualize_codebook(B, C)
     bsub = B.reshape(len(cb_ids), m, sub)
     return _ivfpq_serve(

@@ -2346,6 +2346,83 @@ def test_ivfpq_index_persist_and_serve(spark, tmp_path):
     assert served_s == inline
 
 
+def test_trained_pq_codewords_roundtrip_and_distortion(spark, tmp_path):
+    """train_pq_codewords (r13, VERDICT r12 item 3): per-subspace kmeans
+    on residuals. Pins: (a) deterministic — two fits agree bit-exactly;
+    (b) the trained codebook quantizes residuals with LOWER distortion
+    than the untrained residualized data-vector codebook (the trainer's
+    objective; the recall table lives in PERF.md via tools/recall_pq.py);
+    (c) a trained index round-trips through write_ann_index with
+    codebook_scale='residual-trained' and serves IDENTICAL results to
+    the inline trained path — i.e. the read path must NOT
+    re-residualize the already-residual-scale codewords."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n, dim, m, ncw = 400, 16, 4, 8
+    means = rng.standard_normal((4, dim))
+    vecs = means[rng.randint(4, size=n)] + rng.standard_normal((n, dim)) * 0.3
+    corpus_path = str(tmp_path / "corpus_vectors")
+    spark.createDataFrame(
+        [(i + 100, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    centroids = corpus.filter("vec_id < 104")
+    codebook = corpus.filter("vec_id >= 104 and vec_id < 112")
+    queries = spark.createDataFrame(
+        [(i, (vecs[i + 20] + rng.standard_normal(dim) * 0.05).tolist())
+         for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+
+    tw = S.train_pq_codewords(corpus, centroids, m=m, n_codewords=ncw)
+    tw2 = S.train_pq_codewords(corpus, centroids, m=m, n_codewords=ncw)
+    assert np.array_equal(tw, tw2)  # deterministic
+    assert tw.shape == (ncw, dim) and tw.dtype == np.int64
+
+    # distortion: trained < untrained residualized codebook
+    cent_ids, C = S._collect_q6_vectors(centroids, "vec_id", "embedding")
+    cb_ids, Braw = S._collect_q6_vectors(codebook, "vec_id", "embedding")
+    Bres = S._residualize_codebook(Braw, C)
+    V = np.floor(vecs * S.LSH_QUANT).astype(np.int64)
+    cidx = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    R = V - C[cidx]
+    sub = dim // m
+
+    def distortion(B):
+        bsub = B.reshape(len(B), m, sub)
+        tot = 0
+        for j in range(m):
+            d2 = ((R[:, None, j * sub:(j + 1) * sub]
+                   - bsub[None, :, j, :]) ** 2).sum(-1)
+            tot += d2.min(1).sum()
+        return tot
+
+    assert distortion(tw) < distortion(Bres)
+
+    # inline trained == indexed trained (round-trip, no re-residualize)
+    inline = sorted(map(tuple, S.ivf_pq_topk_fixed(
+        corpus, queries, centroids, None, m=m, k=2, n_probe=2,
+        residual=True, trained_codewords=tw,
+    ).collect()))
+    idx = str(tmp_path / "idx_trained")
+    S.write_ann_index(corpus, centroids, None, idx, m=m,
+                      residual=True, trained_codewords=tw)
+    meta, _, _, (_, B_back) = S.read_ann_index(spark, idx)
+    assert meta["codebook_scale"] == "residual-trained"
+    assert np.array_equal(B_back, tw)  # verbatim int64 round-trip
+    served = sorted(map(tuple, S.ivf_pq_topk_indexed(
+        spark, idx, queries, k=2, n_probe=2,
+    ).collect()))
+    assert served == inline
+
+    # guard: trained codewords without residual=True are refused
+    with pytest.raises(ValueError, match="residual"):
+        S.write_ann_index(corpus, centroids, None, str(tmp_path / "bad2"),
+                          m=m, trained_codewords=tw)
+
+
 def test_png_unfilter_paths_agree_across_cutoff():
     """The size-branched unfilter (byte loop < stride 80, numpy rows
     >= 80) must be pixel-identical across the cutoff and against the
