@@ -149,7 +149,13 @@ def sf1_crossover(spark, base_dir: str) -> dict:
     10x the bench SF via disjoint replication (tools/gen_scaled_sf.py) if
     absent, bench both engines on it, and report the ratio — so the
     'Spark wins once data cost dominates the scheduling floor' claim is a
-    recorded number every round, not a PERF.md assertion."""
+    recorded number every round, not a PERF.md assertion.
+
+    r13 (VERDICT r12 item 4): also record a same-session ABAB interleave
+    at sf1 — `sf1_ratio` moved 0.16→0.23 across rounds with both sides
+    measured in different sessions, and the repo's own A/B methodology
+    says cross-session deltas under ~30% are weather. `interleaved_ratio`
+    here is the drift-resistant sf1 trend number, like the gate's."""
     import subprocess
 
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
@@ -159,13 +165,29 @@ def sf1_crossover(spark, base_dir: str) -> dict:
              base_dir, sf1_dir, "10"],
             check=True, capture_output=True, timeout=1800,
         )
-    spark_sec = spark_gate_concurrent(spark, sf1_dir)
+    plans = {q: QUERIES[q](spark, sf1_dir) for q in GATE}
+
+    def run(name: str) -> None:
+        plans[name].write.format("noop").mode("overwrite").save()
+
+    for q in GATE:  # warmup pass (codegen compile at the new SF)
+        run(q)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(len(GATE)) as ex:
+            list(ex.map(run, GATE))
+        dt = round(time.perf_counter() - t0, 4)
+        best = dt if best is None else min(best, dt)
     duck_sec = duckdb_gate_total(sf1_dir)
-    return {
-        "spark_sec": spark_sec,
+    out = {
+        "spark_sec": best,
         "duckdb_sec": duck_sec,
-        "ratio_vs_duckdb": round(spark_sec / duck_sec, 4),
+        "ratio_vs_duckdb": round(best / duck_sec, 4),
     }
+    out["interleaved"] = interleaved_gate_ratio(sf1_dir, run, GATE)
+    out["interleaved_ratio"] = out["interleaved"]["ratio"]
+    return out
 
 
 def main() -> None:
@@ -415,6 +437,7 @@ def main() -> None:
     sf1 = out.get("sf1")
     if isinstance(sf1, dict) and "ratio_vs_duckdb" in sf1:
         compact["sf1_ratio"] = sf1["ratio_vs_duckdb"]
+        compact["sf1_interleaved"] = sf1.get("interleaved_ratio")
     # Degrade gracefully instead of asserting: a dead assert here would
     # leave the driver with NO stdout JSON at all (the exact perf-blind
     # failure this compact line exists to prevent). Drop optional fields

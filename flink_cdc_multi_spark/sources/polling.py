@@ -32,15 +32,23 @@ the same at-least-once ordering as the watermark file. The persisted
 epochs carry ``(key, last-seen watermark)`` (r12), so a DELETE payload
 includes the row's last-observed watermark — enough context for a
 downstream materialization to tombstone with "deleted after wm=X".
+``polling.keyset.context.columns`` (r13, VERDICT r12 item 5) opts
+selected extra columns into the epoch, so DELETE payloads carry the
+row's LAST-OBSERVED values for those columns (a Debezium-tombstone
+``before`` image trimmed to the configured columns) — config-gated
+because each column grows every epoch by its width × row count.
 Every emitted row is guaranteed diffable: the epoch keyset is the
 CURRENT key scan UNION the delta's keys, so a row that appears in the
 delta but is deleted before the key scan still enters the epoch and its
 DELETE is caught one poll later instead of silently lost (ADVICE r11
-ghost-row fix). Stated limits: a row inserted AND deleted entirely
-between two polls is invisible, deletes carry no final row image (only
-the key + last watermark), and each poll pays a key-column scan — log
-tailing (the Debezium feed/Kafka legs) remains the answer when those
-matter.
+ghost-row fix); for a key on both sides the epoch keeps the row at max
+(watermark, current-scan-preferred) atomically — wm and context always
+come from the SAME observation. Stated limits: a row inserted AND
+deleted entirely between two polls is invisible, deletes carry the
+last OBSERVED values (poll granularity — writes between the last poll
+and the delete are not in them; never a true final image), and each
+poll pays a key-column scan — log tailing (the Debezium feed/Kafka
+legs) remains the answer when those matter.
 
 At-least-once DELETE contract (mirrors the reference's duplicate-replay
 contract on restart — its streamers re-read from the committed offset
@@ -236,12 +244,14 @@ def deletes_to_envelope(
     keys: DataFrame, db: str, table: str, ts_ms: int, source_type: str = "mysql"
 ) -> DataFrame:
     """Deleted-key rows → DELETE envelope rows. The payload carries the
-    key plus, when the epoch keysets persist it (r12), the row's
-    LAST-SEEN watermark — a poller has no final row image to report (the
-    same shape as a Debezium tombstone whose `before` was trimmed), but
-    "this key, last observed at wm=X" lets a downstream materialization
-    tombstone with context. latest_image only needs the key to retract
-    (operators/cdc with drop_deletes)."""
+    key plus, when the epoch keysets persist them, the row's LAST-SEEN
+    watermark (r12) and the configured context columns' last-observed
+    values (r13, polling.keyset.context.columns) — a poller has no final
+    row image to report (the same shape as a Debezium tombstone whose
+    `before` was trimmed to the configured columns), but "this key, last
+    observed at wm=X with these values" lets a downstream
+    materialization tombstone with context. latest_image only needs the
+    key to retract (operators/cdc with drop_deletes)."""
     from flink_cdc_multi_spark.envelope import OP_DELETE
 
     env = delta_to_envelope(keys, db, table, None, None, ts_ms, source_type)
@@ -273,6 +283,10 @@ class PollingSource:
     # answer when that matters.
     delete_detection: str = "none"
     keyset_path: str | None = None
+    # r13: extra columns persisted per epoch so DELETE payloads carry
+    # the row's last-observed values (config: polling.keyset.context.
+    # columns). Opt-in — each column grows every epoch by width × rows.
+    context_cols: list[str] = field(default_factory=list)
     state: dict[str, TableWatermark] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -300,14 +314,17 @@ class PollingSource:
     def _keyset_cols(self) -> list[str]:
         """Columns persisted per epoch: the key, plus the watermark column
         when configured (r12) — 8-16 bytes/row, column-pruned at the
-        source. The watermark rides along so a later DELETE can report
-        the row's last-seen watermark. When the watermark column IS the
-        key column (a legal way to express pk-incrementing polling) the
-        key alone carries both roles — selecting it twice would fail the
-        parquet write with a duplicate-column error."""
+        source — plus the opt-in context columns (r13), deduplicated so
+        a context column that IS the key/watermark is not selected twice
+        (duplicate columns fail the parquet write; same rule as the
+        ts==pk case). The watermark rides along so a later DELETE can
+        report the row's last-seen watermark; context columns ride along
+        so it carries the last-observed values too."""
+        cols = [self.pk_col]
         if self.ts_col and self.ts_col != self.pk_col:
-            return [self.pk_col, self.ts_col]
-        return [self.pk_col]
+            cols.append(self.ts_col)
+        cols += [c for c in self.context_cols if c not in cols]
+        return cols
 
     def _write_keyset(self, spark_df: DataFrame, key: str, epoch: int) -> None:
         """Persist the epoch key set for the next poll's diff. Parquet
@@ -441,14 +458,31 @@ class PollingSource:
                         # deleted between the delta scan and the key scan
                         # would otherwise never enter any epoch and its
                         # DELETE would be silently lost. Union the delta's
-                        # keys in; a key in both keeps its max watermark.
-                        epoch_keys = cur_keys.unionByName(delta.select(*kcols))
-                        if len(kcols) == 2:  # (key, wm): key keeps max wm
-                            epoch_keys = epoch_keys.groupBy(self.pk_col).agg(
-                                F.max(self.ts_col).alias(self.ts_col)
-                            )
+                        # keys in; a key on both sides keeps ONE row
+                        # atomically — max watermark, current-scan
+                        # preferred on ties — so wm and context columns
+                        # (r13) always come from the same observation
+                        # (independent per-column max/first could stitch
+                        # a wm from one row to context from another).
+                        cur_tag = cur_keys.withColumn("_prio", F.lit(1))
+                        delta_tag = delta.select(*kcols).withColumn(
+                            "_prio", F.lit(0)
+                        )
+                        u = cur_tag.unionByName(delta_tag)
+                        valcols = [c for c in kcols if c != self.pk_col]
+                        if not valcols:
+                            epoch_keys = u.select(self.pk_col).distinct()
                         else:
-                            epoch_keys = epoch_keys.distinct()
+                            order = (
+                                F.struct(F.col(self.ts_col), F.col("_prio"))
+                                if self.ts_col and self.ts_col != self.pk_col
+                                else F.col("_prio")
+                            )
+                            # max_by of the whole value struct: a partial
+                            # agg (map-side combine), never a window
+                            epoch_keys = u.groupBy(self.pk_col).agg(
+                                F.max_by(F.struct(*valcols), order).alias("_v")
+                            ).select(self.pk_col, "_v.*")
                     self._write_keyset(epoch_keys, key, epoch)
                     new_wm.keys_epoch = epoch
                     self._cleanup_keysets(key, epoch)
@@ -500,6 +534,11 @@ def run_polling(
         keyset_path = fsio.join(
             cfg.offset_store_path, f"{cfg.source_id}_keysets"
         )
+    context_cols = [
+        c.strip()
+        for c in raw.get("polling.keyset.context.columns", "").split(",")
+        if c.strip()
+    ]
     source = PollingSource(
         tables,
         ts_col,
@@ -508,6 +547,7 @@ def run_polling(
         source_type=cfg.source_type,
         delete_detection=delete_detection,
         keyset_path=keyset_path,
+        context_cols=context_cols,
     )
     resumed = source.load_offsets(cfg.offset_value)
     batch_id = 0

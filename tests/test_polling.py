@@ -348,6 +348,46 @@ def test_polling_delete_envelope_carries_last_seen_watermark(spark, tmp_path):
     assert str(del_rows[0]["updated_at"]).startswith("2024-01-01 11:00:00")
 
 
+def test_polling_delete_context_columns_flow_to_tombstone(spark, tmp_path):
+    """r13 (VERDICT r12 item 5): polling.keyset.context.columns opts
+    extra columns into the epoch keyset, so a DELETE envelope carries the
+    row's LAST-OBSERVED values for them — and a downstream compact_table
+    tombstone (drop_deletes=False) keeps that context. Also pins the
+    config gate: the epoch parquet schema is exactly key + wm + context,
+    and without the config the context column stays out (NULL payload)."""
+    from flink_cdc_multi_spark.operators.cdc import compact_table
+
+    live = str(tmp_path / "live" / "shop.users")
+    _write_standin(spark, live, BASE)
+    cfg = _cfg(tmp_path, **{
+        "polling.delete.detection": "snapshot-diff",
+        "polling.keyset.context.columns": "v",
+    })
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    # config-gated epoch schema: key + watermark + context column
+    ep0 = spark.read.parquet(
+        str(tmp_path / "offsets" / "poll1_keysets" / "shop.users" / "epoch=0")
+    )
+    assert sorted(ep0.columns) == ["id", "updated_at", "v"]
+
+    _write_standin(spark, live, [BASE[0], BASE[2]])  # row 2 vanishes
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    sink = str(tmp_path / "sink" / "poll1_shop__users")
+    out = spark.read.parquet(sink)
+    del_rows = out.filter("_op = 'DELETE'").collect()
+    assert [r["id"] for r in del_rows] == [2]
+    assert del_rows[0]["v"] == "b"  # last-observed value, not NULL
+    assert str(del_rows[0]["updated_at"]).startswith("2024-01-01 11:00:00")
+
+    # the tombstone keeps the context through materialization
+    compact_table(spark, sink, ["id"], ["_ts"], drop_deletes=False)
+    state = spark.read.parquet(sink)
+    tomb = state.filter("_op = 'DELETE'").collect()
+    assert [(r["id"], r["v"]) for r in tomb] == [(2, "b")]
+    live_ids = sorted(r["id"] for r in state.filter("_op != 'DELETE'").collect())
+    assert live_ids == [1, 3]
+
+
 def test_polling_ghost_row_delete_not_lost(spark, tmp_path):
     """ADVICE r11 ghost-row fix: a row that appears in the DELTA scan but
     is deleted before the same poll's KEY scan must still get a DELETE
