@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny per-language marker lexicons for the heuristic n-gram/stopword
 # language ID. Deliberately deterministic + SQL-expressible (the oracle runs
@@ -104,6 +105,59 @@ def bpe_normalize(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), "[^a-z]+", " "))
 
 
+# Measured r13 (tools/probe_bpe_merges.py, sf0.1): the chained-replace
+# encoder stays whole-stage-codegen'd and scales LINEARLY in |merges|
+# through 256 (0.59 s @16 → 4.39 s @256 per wave — each merge is one
+# full-string scan, no codegen knee), but 384+ nested replace() nodes
+# overflow the DRIVER's JVM stack at plan construction
+# (ColumnNode→Expression conversion is recursive). Above this bound
+# bpe_encode_table switches to the Arrow pandas_udf fallback — the same
+# two-space symbol-string algorithm per document (Python str.replace is
+# the same non-overlapping left-to-right scan), so the output is
+# bit-identical; real tokenizers ship tens of thousands of merges and
+# land on the fallback by design.
+MAX_CHAINED_MERGES = 256
+
+
+def bpe_encode_table(text: Column, merges) -> Column:
+    """bpe_encode with an ARBITRARY rank-ordered merge table (r13).
+    ≤ MAX_CHAINED_MERGES: the pure-Column chained-replace form (codegen,
+    JVM-side, the ext_text_bpe plan). Above: an Arrow-batched pandas_udf
+    running the identical symbol-string algorithm per document — the
+    measured driver-stack bound makes the chain impossible there, and a
+    32k-merge production table belongs in a kernel anyway. Both paths
+    share bpe_normalize (the Column form) so normalization can never
+    diverge between them."""
+    norm = bpe_normalize(text)
+    if len(merges) <= MAX_CHAINED_MERGES:
+        seq = F.regexp_replace(norm, "(.)", " $1 ")
+        for a, b in merges:
+            seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        return F.when(norm == "", F.lit("")).otherwise(
+            F.regexp_replace(F.trim(seq), " +", " ")
+        )
+    pats = [(f" {a}  {b} ", f" {a}{b} ") for a, b in merges]
+
+    @F.pandas_udf(T.StringType())
+    def enc(s):
+        import re
+
+        def one(v):
+            if v is None:
+                return None
+            if v == "":
+                return ""
+            seq = " " + "  ".join(v) + " "
+            for pat, rep in pats:
+                if pat in seq:  # skip-scan: most ranks miss most docs
+                    seq = seq.replace(pat, rep)
+            return re.sub(" +", " ", seq.strip())
+
+        return s.map(one)
+
+    return enc(norm)
+
+
 def bpe_encode(text: Column) -> Column:
     """REAL greedy BPE encoding (VERDICT r11 item 2) with the fixed
     BPE_MERGES table, as a pure Column expression — no Python in the hot
@@ -135,14 +189,10 @@ def bpe_encode(text: Column) -> Column:
     Spark, and the DuckDB oracle is the literally identical chain.
     Returns the single-spaced symbol string ('' for empty/no-letter
     text); count tokens with ``size(split(.., ' '))`` behind a Generate
-    barrier (see token_barrier / PERF.md CollapseProject lesson)."""
-    norm = bpe_normalize(text)
-    seq = F.regexp_replace(norm, "(.)", " $1 ")
-    for a, b in BPE_MERGES:
-        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    return F.when(norm == "", F.lit("")).otherwise(
-        F.regexp_replace(F.trim(seq), " +", " ")
-    )
+    barrier (see token_barrier / PERF.md CollapseProject lesson).
+    Merge-table scale bound + fallback: see bpe_encode_table /
+    MAX_CHAINED_MERGES (r13)."""
+    return bpe_encode_table(text, BPE_MERGES)
 
 
 def bpe_token_count(text: Column) -> Column:

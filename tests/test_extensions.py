@@ -1978,6 +1978,61 @@ def test_line_dedup_fuzz_vs_python_reference(spark):
     assert got == expect
 
 
+def test_bpe_encode_table_fallback_matches_chain(spark, monkeypatch):
+    """bpe_encode_table (r13): above MAX_CHAINED_MERGES (measured: 384
+    nested replaces overflow the driver stack at plan construction) the
+    encoder dispatches to an Arrow pandas_udf running the identical
+    symbol-string algorithm. Pins: (a) same table through both paths →
+    bit-identical output (fuzz texts incl. empty/None); (b) a 384-merge
+    table CONSTRUCTS and executes through the fallback — the exact size
+    that stack-overflowed the chain."""
+    import itertools
+    import random
+
+    from flink_cdc_multi_spark.operators import text as X2
+
+    rng = random.Random(11)
+    alphabet = "theandingoustr"
+    texts = [""]
+    for _ in range(40):
+        words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+                 for _ in range(rng.randint(0, 6))]
+        texts.append(" ".join(words))
+    rows = [(i, t) for i, t in enumerate(texts)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(merges):
+        return {
+            r["doc_id"]: r["bpe"]
+            for r in df.select(
+                "doc_id", X2.bpe_encode_table(F.col("text"), merges).alias("bpe")
+            ).collect()
+        }
+
+    chain_out = run(X2.BPE_MERGES)
+    monkeypatch.setattr(X2, "MAX_CHAINED_MERGES", 0)  # force the fallback
+    udf_out = run(X2.BPE_MERGES)
+    assert udf_out == chain_out
+    monkeypatch.undo()
+
+    # 384 merges: the chain's measured stack-overflow size, served by the
+    # fallback (the probe pins that the chain itself dies there)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    big = list(X2.BPE_MERGES) + [
+        p for p in itertools.product(letters, repeat=2)
+        if p not in set(X2.BPE_MERGES)
+    ]
+    big = big[:384]
+    out = run(big)
+    assert out[0] == "" and out[999] is None
+    assert all(v is not None for k, v in out.items() if k != 999)
+    # the big table's extra letter-pair merges actually fire
+    two = df.select(
+        X2.bpe_encode_table(F.lit("ab cd"), big).alias("bpe")
+    ).first()["bpe"]
+    assert two == "ab cd"  # ('a','b') and ('c','d') merged to one symbol each
+
+
 def test_bpe_encode_fuzz_vs_python_reference(spark):
     """Randomized texts (deterministic seed) over a run-heavy alphabet —
     long repeated-symbol runs are exactly where a consumed-boundary
