@@ -209,6 +209,55 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(emb, centroids, dim=64, threshold=0.35)
 
 
+def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window exact substring dedup signal (r13) — the third dedup
+    granularity, between document-level (ext_dedup_exact) and line-level
+    (ext_dedup_lines): per document, how many of its k-token windows
+    (k=5) occur ANYWHERE else in the corpus (including its own repeats) —
+    the Lee et al. 2022 'Deduplicating Training Data' span-dedup signal
+    (arXiv:2107.06499; their 50-token suffix-array spans, here as the
+    rolling k-token window form a shuffle engine expresses naturally).
+    Output: (doc_id, n_windows, n_dup_windows) exact integers — the dup
+    RATIO is left to the consumer (the ratio-metrics invariant).
+
+    Scale shape — the commonness pattern on window keys: windows are
+    positional k-gram shingles (operators/dedup._shingle_array — the
+    zip_with form, duplicates kept; short docs contribute one whole-text
+    window, the contamination convention), hashed to 8-byte md5-hash60
+    AS A COLUMN OP below the first exchange (after the explode — NOT
+    inside the transform lambda: spans keep duplicates so nothing needs
+    the in-lambda array_distinct that forces contamination's placement,
+    and an interpreted per-element md5 is the repetition lesson). Window
+    identity is hash60 BY CONTRACT, mirrored in the oracle (the
+    move-together rule). One corpus-wide count exchange (partial agg
+    collapses hot boilerplate windows map-side), one large-large join on
+    the 8-byte key with the commonness broadcast-when-small fail-closed
+    guard, one per-doc rollup."""
+    from flink_cdc_multi_spark.operators.dedup import _shingle_array, _token_barrier
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = _token_barrier(docs, "doc_id", "text")
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    w = (
+        tok.select(F.col("id").alias("doc_id"),
+                   F.explode(_shingle_array(5)).alias("s"))
+        .select("doc_id", h.alias("h"))
+    )
+    freq = w.groupBy("h").agg(F.count("*").alias("tot"))
+    if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
+        freq = F.broadcast(freq)
+    return (
+        w.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("tot") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_windows"),
+        )
+        .select("doc_id", "n_windows", "n_dup_windows")
+    )
+
+
 # Registry hygiene note (r13, VERDICT r12 item 8): the signature-only
 # gated queries ext_dedup_minhash_md5 / ext_dedup_simhash_md5 were
 # RETIRED — they gated strict sub-stages (minhash_signatures_md5 /
@@ -1924,6 +1973,7 @@ EXT_QUERIES = {
     "ext_dedup_embedding_lsh": ext_dedup_embedding_lsh,
     "ext_dedup_semantic": ext_dedup_semantic,
     "ext_dedup_lines": ext_dedup_lines,
+    "ext_dedup_spans": ext_dedup_spans,
     "ext_dedup_minhash": ext_dedup_minhash,
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_ann_topk": ext_ann_topk,
@@ -3387,6 +3437,38 @@ EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
       WHERE a.tx < 8
     )
     SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash FROM bits GROUP BY doc_id
+"""
+
+# Span-dedup replay (r13): same 5-token positional windows (short docs →
+# one whole-text window, the contamination shingle convention), same
+# md5-hash60 window identity BY CONTRACT on both sides, duplicates kept;
+# n_dup_windows counts window occurrences whose corpus-wide hash count is
+# >= 2 (a doc's own repeats count — span dedup removes all copies).
+EXT_ORACLE_SQL["ext_dedup_spans"] = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks)-4),
+                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                              toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
+             END sh
+      FROM t
+    ), w AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh2.shingle), 1, 15))::BIGINT AS h
+      FROM s, unnest(s.sh) AS sh2(shingle)
+    ), f AS (
+      SELECT h, COUNT(*) AS tot FROM w GROUP BY h
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.tot >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+    FROM w JOIN f USING (h)
+    GROUP BY w.doc_id ORDER BY w.doc_id
 """
 
 # Image near-dup pair replay (r13): the 9×7 fixture pixels ARE the dHash

@@ -1868,6 +1868,46 @@ def test_dhash_pairs_blocks_scale_with_max_hamming(spark):
         M.dhash_pairs(hashed, max_hamming=56)
 
 
+def test_span_dedup_planted_semantics(spark, tmp_path):
+    """ext_dedup_spans (r13): the Lee-et-al span-dedup signal on planted
+    rows — a 5-token window shared across two docs is a dup in BOTH; a
+    doc's own repeated window counts (all copies are dups); unique text
+    has zero dups; a short doc (<5 tokens) is one whole-text window and
+    pairs only with an identical short doc."""
+    import os
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),     # windows: 2
+        (1, "the copied five token span is here"),
+        (2, "prefix the copied five token span trails"),  # shares windows w/ 1
+        (3, "one two three one two three one two three one two three"),
+        (4, "tiny doc"),                                  # whole-text window
+        (5, "tiny doc"),                                  # identical short doc
+        (6, "completely unique text with no repeats anywhere at all"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    from flink_cdc_multi_spark.plans import extensions as E
+
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in E.ext_dedup_spans(spark, sf).collect()}
+    assert got[0] == (2, 0)
+    # doc1: 3 windows ("the copied five token span", "copied five token
+    # span is", "five token span is here"); doc2's middle window "the
+    # copied five token span" matches doc1's first → 1 dup each
+    assert got[1] == (3, 1)
+    assert got[2] == (3, 1)
+    # doc3: 12 tokens → 8 windows of the repeating trigram phrase; every
+    # window string recurs (rolling period 3 → window i == window i+3,
+    # giving each of the 3 distinct strings count >= 2) → all 8 dup
+    assert got[3] == (8, 8)
+    assert got[4] == (1, 1) and got[5] == (1, 1)  # identical short docs
+    assert got[6] == (5, 0)  # 9 tokens -> 5 windows, all unique
+
+
 def test_ext_dedup_images_planted_pairs(spark):
     """ext_dedup_images (r13): the planted near-copy contract holds on
     real decoded pixels — every group's (m0 GIF, m1 BMP) pair is found

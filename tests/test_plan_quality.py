@@ -427,6 +427,19 @@ def test_ext_dedup_simhash_fused_pair_dedup(spark):
     assert "hashpartitioning(a_id" not in plan, "pair dropDuplicates is back"
 
 
+def test_ext_dedup_spans_plan_shape(spark):
+    """ext_dedup_spans (r13): the commonness shape on window keys — the
+    text IS NOT NULL filter reaches the scan, the small-input broadcast
+    guard fires at the test SF (window-frequency side broadcast, the
+    corpus window stream never shuffles on h), and aggregation is
+    partial (map-side combine collapses hot boilerplate windows)."""
+    plan = plan_of(spark, "ext_dedup_spans")
+    assert "IsNotNull(text)" in plan  # pushdown at the scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final on both aggs
+
+
 def test_ext_dedup_images_fused_pair_dedup(spark):
     """The image near-dup pair path (r13) must stay the FUSED pigeonhole
     form like the simhash paths: one block-keyed self-join, pair-dedup as
