@@ -1103,7 +1103,16 @@ def ext_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — both sides of the threshold exercised. The DuckDB
     oracle replays the hashes closed-form and takes ALL (a<b) pairs
     with bit_count(xor) ≤ 3, so the fused plan must emit exactly once
-    per pair. Output: (a_id, b_id, hamming)."""
+    per pair. Output: (a_id, b_id, hamming).
+
+    FIXTURE scale note: the base-pattern family has ~O(180) distinct
+    hashes (bits depend on hg's wrap positions), so same-hash cliques —
+    and the true pair count — grow quadratically with SF (sf0.01: 7.8k
+    pairs; sf0.1: ~80k). That is a property of this closed-form FIXTURE
+    (both engines replay it identically; the gate/bench SFs are bounded),
+    not of dhash_pairs: on a real corpus the pair count is
+    duplication-bounded, and the fused pigeonhole plan is exactly the
+    measured hot-clique-safe shape. Don't run THIS query at sf ≥ 1."""
     import pandas as pd
 
     from flink_cdc_multi_spark.operators import multimodal as M

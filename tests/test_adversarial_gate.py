@@ -47,6 +47,9 @@ ADVERSARIAL_QUERIES = [
     "ext_dedup_priority",
     "ext_dedup_exact",
     "ext_dedup_lines",
+    # r13: hostile text (NULL/empty/whitespace/dup-across-sources) hits
+    # the whole-text-window convention and the dup counting
+    "ext_dedup_spans",
     "ext_dedup_ngram",
     "ext_dedup_fingerprint",
     "ext_text_quality",
@@ -71,6 +74,9 @@ ADVERSARIAL_QUERIES = [
     # negative doc_ids pin the positive-mod id→dims mapping (Python
     # floored mod vs DuckDB C mod) across the closed-form pixel replay
     "ext_multimodal_dhash",
+    # r13: negative ids pin the floored-division group/member mapping
+    # (gid = (i - pmod)/3) and the pair join over hostile id space
+    "ext_dedup_images",
     "ext_embed_quantize",
     "ext_embed_centroid",
     "ext_ann_topk",
