@@ -740,6 +740,47 @@ def _kmeans_lloyd(X, k: int, iters: int, rng) -> "np.ndarray":
     return centers
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 25,
+    seed: int = IVF_SEED,
+):
+    """Trained coarse-quantizer centroids (r13 — the other half of the
+    FAISS training story next to train_pq_codewords): seeded
+    kmeans++/Lloyd over a capped corpus sample in the int64 LSH_QUANT
+    space, centers rounded back to the grid. Returns an (n_cells, dim)
+    int64 matrix for write_ann_index(trained_centroids=...) /
+    ivf_pq_topk_fixed(trained_centroids=...). Unlike the codebook there
+    is no scale subtlety — a centroid is a plain vector — but trained
+    cells balance the inverted lists (fixed data-vector centroids leave
+    cells as lopsided as the data), which bounds both probe cost and the
+    in-cell work of everything built on assign_cells. ``dim`` defaults
+    to the modal vector length contract being enforced upstream — pass
+    it explicitly (the gated queries' oracles pin len = 64)."""
+    if dim is None:
+        raise ValueError("pass dim explicitly (the vector length contract)")
+    arr = F.col(vec_col).cast("array<double>")
+    cdf = valid_vectors(corpus, dim, vec_col).select(arr.alias("v"))
+    n = cdf.count()
+    if n == 0:
+        raise ValueError("empty training corpus")
+    if n > sample_rows:
+        cdf = cdf.sample(fraction=sample_rows / n, seed=seed)
+    V = np.floor(
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in cdf.collect()])
+        * LSH_QUANT
+    ).astype(np.int64)
+    C = _kmeans_lloyd(
+        V.astype(np.float64), n_cells, iters, np.random.RandomState(seed)
+    )
+    return np.rint(C).astype(np.int64)
+
+
 def train_pq_codewords(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -750,6 +791,7 @@ def train_pq_codewords(
     sample_rows: int = 100_000,
     iters: int = 25,
     seed: int = IVF_SEED,
+    trained_centroids=None,
 ):
     """FAISS-style residual-TRAINED PQ codewords (r13, VERDICT r12 item
     3 — the r12 finding was that residual ENCODING buys nothing while
@@ -770,8 +812,16 @@ def train_pq_codewords(
     ivf_pq_topk_fixed(trained_codewords=...) with residual=True (they
     must NOT be re-residualized; the meta records the scale). Training
     is engine-local driver work over a sample by design — the 100 TB
-    corpus is only touched by the one distributed encode pass."""
-    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    corpus is only touched by the one distributed encode pass.
+
+    ``trained_centroids`` (int64 matrix from train_ivf_centroids): use
+    these as the coarse quantizer instead of collecting ``centroids`` —
+    the fully-trained FAISS pipeline trains cells first, then codewords
+    on THEIR residuals."""
+    if trained_centroids is not None:
+        C = np.asarray(trained_centroids, dtype=np.int64)
+    else:
+        _, C = _collect_q6_vectors(centroids, id_col, vec_col)
     dim = C.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -978,6 +1028,7 @@ def ivf_pq_topk_fixed(
     vec_col: str = "embedding",
     residual: bool = False,
     trained_codewords=None,
+    trained_centroids=None,
 ) -> DataFrame:
     """IVF-PQ (round 11): the canonical billion-scale ANN composition —
     the coarse quantizer prunes WORK (each query scores only its
@@ -1004,9 +1055,15 @@ def ivf_pq_topk_fixed(
     ``trained_codewords`` (r13): an (n_codewords, dim) int64 matrix from
     train_pq_codewords — ALREADY residual-scale, so it is used as-is
     (requires residual=True; ``codebook`` is ignored and may be None).
-    This is the FAISS-complete form: trained coarse-or-fixed centroids +
-    residual-trained sub-codebooks."""
-    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    ``trained_centroids`` (r13, from train_ivf_centroids): int64 coarse
+    centroids used verbatim (``centroids`` may then be None; cell ids =
+    0..n_cells-1). Together they are the FAISS-complete form: trained
+    cells + residual-trained sub-codebooks."""
+    if trained_centroids is not None:
+        C = np.asarray(trained_centroids, dtype=np.int64)
+        cent_ids = np.arange(len(C), dtype=np.int64)
+    else:
+        cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
     dim = C.shape[1]
     if trained_codewords is not None:
         if not residual:
@@ -1042,6 +1099,7 @@ def write_ann_index(
     vec_col: str = "embedding",
     residual: bool = False,
     trained_codewords=None,
+    trained_centroids=None,
 ) -> str:
     """Build-once half of the IVF-PQ amortization (VERDICT r11 item 1):
     run the encode pass ONCE and persist everything a later query needs —
@@ -1065,11 +1123,17 @@ def write_ann_index(
     None). Persisted VERBATIM as ``path/codebook_q`` (array<long> —
     already on the quantized grid, no float round trip) with
     meta.codebook_scale = 'residual-trained' so the read path knows NOT
-    to re-residualize."""
+    to re-residualize. ``trained_centroids`` (r13): trained coarse
+    centroids, persisted verbatim as ``path/centroids_q`` with
+    meta.centroids_scale = 'trained' (``centroids`` may then be None)."""
     import json as _json
     import os as _os
 
-    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    if trained_centroids is not None:
+        C = np.asarray(trained_centroids, dtype=np.int64)
+        cent_ids = np.arange(len(C), dtype=np.int64)
+    else:
+        cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
     dim = C.shape[1]
     if trained_codewords is not None:
         if not residual:
@@ -1099,7 +1163,24 @@ def write_ann_index(
         .parquet(f"{path}/codes")
     )
     arr = F.col(vec_col).cast("array<double>")
-    model_legs = [("centroids", centroids)]
+    spark = corpus.sparkSession
+
+    def write_q(name: str, M) -> None:
+        """Persist an int64 trained model matrix verbatim (no float
+        round trip — rint/floor mismatches would corrupt the grid)."""
+        (
+            spark.createDataFrame(
+                [(int(i), [int(x) for x in M[i]]) for i in range(len(M))],
+                "id long, vq array<long>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/{name}")
+        )
+
+    model_legs = []
+    if trained_centroids is None:
+        model_legs.append(("centroids", centroids))
     if trained_codewords is None:
         model_legs.append(("codebook", codebook))
     for name, df in model_legs:
@@ -1114,19 +1195,15 @@ def write_ann_index(
         "residual" if residual else "raw"
     )
     if trained_codewords is not None:
-        spark = corpus.sparkSession
-        (
-            spark.createDataFrame(
-                [(int(i), [int(x) for x in B[i]]) for i in range(len(B))],
-                "id long, vq array<long>",
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{path}/codebook_q")
-        )
+        write_q("codebook_q", B)
+    if trained_centroids is not None:
+        write_q("centroids_q", C)
     meta = {"m": m, "dim": dim, "quant": LSH_QUANT, "id_col": id_col,
             "vec_col": vec_col, "residual": residual,
-            "codebook_scale": scale, "format": "ivfpq-v1"}
+            "codebook_scale": scale,
+            "centroids_scale":
+                "trained" if trained_centroids is not None else "data",
+            "format": "ivfpq-v1"}
     # meta travels through the same fs abstraction as the parquet legs
     # (ADVICE r12): a remote path (s3a://, hdfs://) previously produced a
     # parquet-only artifact whose meta landed on the DRIVER's local disk,
@@ -1163,8 +1240,13 @@ def read_ann_index(spark, path: str):
             f"index quantization {meta.get('quant')} != engine {LSH_QUANT}"
         )
     coded = spark.read.parquet(f"{path}/codes")
-    cent = spark.read.parquet(f"{path}/centroids")
-    cent_ids, C = _collect_q6_vectors(cent, "id", "v")
+    if meta.get("centroids_scale") == "trained":
+        rows = sorted(spark.read.parquet(f"{path}/centroids_q").collect())
+        cent_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        C = np.stack([np.asarray(r["vq"], dtype=np.int64) for r in rows])
+    else:
+        cent = spark.read.parquet(f"{path}/centroids")
+        cent_ids, C = _collect_q6_vectors(cent, "id", "v")
     if meta.get("codebook_scale") == "residual-trained":
         # trained codewords persisted verbatim on the int64 grid (r13):
         # already residual-scale, never re-residualized

@@ -2517,6 +2517,30 @@ def test_trained_pq_codewords_roundtrip_and_distortion(spark, tmp_path):
         S.write_ann_index(corpus, centroids, None, str(tmp_path / "bad2"),
                           m=m, trained_codewords=tw)
 
+    # fully trained (r13): trained coarse centroids + codewords trained
+    # on THEIR residuals — round-trips with centroids_scale='trained'
+    # and serves identical to the inline fully-trained form
+    tc = S.train_ivf_centroids(corpus, n_cells=4, dim=dim)
+    tc2 = S.train_ivf_centroids(corpus, n_cells=4, dim=dim)
+    assert np.array_equal(tc, tc2) and tc.dtype == np.int64
+    tw_full = S.train_pq_codewords(
+        corpus, None, m=m, n_codewords=ncw, trained_centroids=tc
+    )
+    inline_full = sorted(map(tuple, S.ivf_pq_topk_fixed(
+        corpus, queries, None, None, m=m, k=2, n_probe=2,
+        residual=True, trained_codewords=tw_full, trained_centroids=tc,
+    ).collect()))
+    idx_f = str(tmp_path / "idx_full")
+    S.write_ann_index(corpus, None, None, idx_f, m=m, residual=True,
+                      trained_codewords=tw_full, trained_centroids=tc)
+    meta_f, _, (_, C_back), _ = S.read_ann_index(spark, idx_f)
+    assert meta_f["centroids_scale"] == "trained"
+    assert np.array_equal(C_back, tc)
+    served_f = sorted(map(tuple, S.ivf_pq_topk_indexed(
+        spark, idx_f, queries, k=2, n_probe=2,
+    ).collect()))
+    assert served_f == inline_full
+
 
 def test_png_unfilter_paths_agree_across_cutoff():
     """The size-branched unfilter (byte loop < stride 80, numpy rows

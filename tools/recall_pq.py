@@ -104,6 +104,19 @@ def main():
         out[f"recall_raw_pq_{ncw}"] = round(run(ncw, False, False), 3)
         out[f"recall_residual_untrained_{ncw}"] = round(run(ncw, True, False), 3)
         out[f"recall_residual_trained_{ncw}"] = round(run(ncw, True, True), 3)
+    # fully trained (r13): trained coarse cells + codewords trained on
+    # THEIR residuals — the complete FAISS train pipeline
+    tc = S.train_ivf_centroids(corpus, n_cells=n_clusters, dim=dim)
+    tw = S.train_pq_codewords(
+        corpus, None, m=8, n_codewords=64, trained_centroids=tc
+    )
+    df = S.ivf_pq_topk_fixed(
+        corpus, queries, None, None, m=8, k=3, n_probe=4,
+        residual=True, trained_codewords=tw, trained_centroids=tc,
+    )
+    out["recall_fully_trained_64"] = round(
+        recall_at3(df.collect(), exact, qids), 3
+    )
     print(json.dumps(out))
 
 
