@@ -631,35 +631,7 @@ def make_jpeg_gray(width: int, height: int, blocks) -> bytes:
     w = _BitWriter()
     pred = 0
     for blk in blocks:
-        assert len(blk) == 64
-        diff = blk[0] - pred
-        pred = blk[0]
-        size = abs(diff).bit_length()
-        code, length = dc_tab[size]
-        w.put(code, length)
-        if size:
-            amp = diff if diff >= 0 else diff + (1 << size) - 1
-            w.put(amp, size)
-        zz = [blk[_ZIGZAG[k]] for k in range(1, 64)]
-        last = max((i for i, v in enumerate(zz) if v), default=-1)
-        run = 0
-        for v in zz[: last + 1]:
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                zrl_code, zrl_len = ac_tab[0xF0]
-                w.put(zrl_code, zrl_len)
-                run -= 16
-            size = abs(v).bit_length()
-            code, length = ac_tab[(run << 4) | size]
-            w.put(code, length)
-            amp = v if v >= 0 else v + (1 << size) - 1
-            w.put(amp, size)
-            run = 0
-        if last < 62:
-            eob_code, eob_len = ac_tab[0x00]
-            w.put(eob_code, eob_len)
+        pred = _jpeg_encode_block(w, dc_tab, ac_tab, blk, pred)
     scan = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -681,6 +653,101 @@ def make_jpeg_gray(width: int, height: int, blocks) -> bytes:
         + scan
         + b"\xff\xd9"
     )
+
+
+def _jpeg_encode_block(w, dc_tab, ac_tab, blk, pred):
+    """Encode one 8×8 block (natural-order coefficients) into BitWriter
+    ``w`` with DC predictor ``pred``; returns the new predictor. Factored
+    from make_jpeg_gray (r13) so the color encoder interleaves
+    per-component blocks through the same spec-exact routine."""
+    assert len(blk) == 64
+    diff = blk[0] - pred
+    pred = blk[0]
+    size = abs(diff).bit_length()
+    code, length = dc_tab[size]
+    w.put(code, length)
+    if size:
+        amp = diff if diff >= 0 else diff + (1 << size) - 1
+        w.put(amp, size)
+    zz = [blk[_ZIGZAG[k]] for k in range(1, 64)]
+    last = max((i for i, v in enumerate(zz) if v), default=-1)
+    run = 0
+    for v in zz[: last + 1]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zrl_code, zrl_len = ac_tab[0xF0]
+            w.put(zrl_code, zrl_len)
+            run -= 16
+        size = abs(v).bit_length()
+        code, length = ac_tab[(run << 4) | size]
+        w.put(code, length)
+        amp = v if v >= 0 else v + (1 << size) - 1
+        w.put(amp, size)
+        run = 0
+    if last < 62:
+        eob_code, eob_len = ac_tab[0x00]
+        w.put(eob_code, eob_len)
+    return pred
+
+
+def make_jpeg_color(width: int, height: int, blocks_y, blocks_cb, blocks_cr) -> bytes:
+    """Spec-valid baseline COLOR JPEG (r13): three components (YCbCr,
+    JFIF numbering 1/2/3), 1×1 sampling on every component (one 8×8
+    block per component per MCU — no subsampling), one q0=8 flat quant
+    table and the canonical Annex-K Huffman tables shared by all
+    components. Each ``blocks_*`` is one length-64 natural-order
+    QUANTIZED coefficient list per 8×8 block in raster order.
+    width/height must be multiples of 8."""
+    assert width % 8 == 0 and height % 8 == 0
+    nb = (width // 8) * (height // 8)
+    comps = [
+        [list(b) for b in blocks_y],
+        [list(b) for b in blocks_cb],
+        [list(b) for b in blocks_cr],
+    ]
+    assert all(len(c) == nb for c in comps)
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for bi in range(nb):  # interleaved MCU: Y, Cb, Cr per 8x8 position
+        for ci in range(3):
+            preds[ci] = _jpeg_encode_block(
+                w, dc_tab, ac_tab, comps[ci][bi], preds[ci]
+            )
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtable = bytes([0]) + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, qtable)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def make_jpeg_color_dc(width: int, height: int, dc_y, dc_cb, dc_cr) -> bytes:
+    """DC-only color profile: every component block flat, decoded plane
+    value exactly dc + 128 at q0 = 8 — the color twin of
+    make_jpeg_gray_dc."""
+    f = lambda dcs: [[dc] + [0] * 63 for dc in dcs]  # noqa: E731
+    return make_jpeg_color(width, height, f(dc_y), f(dc_cb), f(dc_cr))
 
 
 def make_jpeg_gray_dc(width: int, height: int, dc_values) -> bytes:
@@ -936,6 +1003,248 @@ def _jpeg_gray_decode(blob: bytes, want_pixels: bool):
         return None
 
 
+def _jpeg_entropy_block(data, dpos, acc, nbits, dget, aget, pred):
+    """Decode ONE 8×8 block's entropy data (DC Huffman walk + EXTEND,
+    zigzag AC run-length) from the de-stuffed scan bytes. Returns
+    (coeff natural-order list, dpos, acc, nbits, pred, has_ac) or raises
+    ValueError on malformed streams. The color decoder's per-block unit
+    (r13); the grayscale path keeps its r11 fully-inlined loop — this
+    helper trades a per-block call for three-predictor bookkeeping."""
+    zig = _ZIGZAG
+    code = length = 0
+    while True:
+        if nbits == 0:
+            acc = data[dpos]  # IndexError past end = exhausted
+            dpos += 1
+            nbits = 8
+        nbits -= 1
+        code = (code << 1) | ((acc >> nbits) & 1)
+        length += 1
+        sym = dget((length, code))
+        if sym is not None:
+            break
+        if length >= 16:
+            raise ValueError("invalid Huffman code")
+    size = sym
+    v = 0
+    if size:
+        while nbits < size:
+            if dpos >= len(data):
+                raise ValueError("bitstream exhausted")
+            acc = (acc << 8) | data[dpos]
+            dpos += 1
+            nbits += 8
+        nbits -= size
+        v = (acc >> nbits) & ((1 << size) - 1)
+        acc &= (1 << nbits) - 1
+    diff = 0 if size == 0 else (
+        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+    )
+    pred += diff
+    coeff = [0] * 64
+    coeff[0] = pred
+    k = 1
+    has_ac = False
+    while k < 64:
+        code = length = 0
+        while True:
+            if nbits == 0:
+                acc = data[dpos]
+                dpos += 1
+                nbits = 8
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            length += 1
+            rs = aget((length, code))
+            if rs is not None:
+                break
+            if length >= 16:
+                raise ValueError("invalid Huffman code")
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            raise ValueError("invalid AC symbol")
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        while nbits < sz:
+            if dpos >= len(data):
+                raise ValueError("bitstream exhausted")
+            acc = (acc << 8) | data[dpos]
+            dpos += 1
+            nbits += 8
+        nbits -= sz
+        v = (acc >> nbits) & ((1 << sz) - 1)
+        acc &= (1 << nbits) - 1
+        coeff[zig[k]] = v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+        has_ac = True
+        k += 1
+    return coeff, dpos, acc, nbits, pred, has_ac
+
+
+# libjpeg's exact fixed-point YCbCr→RGB constants (scale 2^16): the
+# integer contract every engine replays. The (1<<25) bias keeps the
+# shifted operand positive (|constant·128| < 2^25), so >> 16 is the same
+# plain logical shift in Python, numpy, and SQL — no floored-division
+# ambiguity on negatives; (1<<25) >> 16 == 512 compensates exactly.
+_JPEG_FIX_R_CR = 91881     # FIX(1.40200)
+_JPEG_FIX_G_CB = 22554     # FIX(0.34414)
+_JPEG_FIX_G_CR = 46802     # FIX(0.71414)
+_JPEG_FIX_B_CB = 116130    # FIX(1.77200)
+_JPEG_FIX_BIAS = (1 << 25) + 32768  # positivity bias + ONE_HALF rounding
+
+
+def jpeg_color_decode_pixels(blob: bytes):
+    """(h, w, 3) uint8 RGB from a REAL baseline COLOR JPEG decode (r13):
+    three-component interleaved scan, 1×1 sampling per component (no
+    subsampling), per-component quant/Huffman table selectors, full AC
+    entropy decode + the pinned integer IDCT per block, then libjpeg's
+    exact fixed-point YCbCr→RGB (constants above — integer arithmetic,
+    SQL-replayable). None for anything outside the profile (subsampled
+    chroma, progressive frames, restart markers, 16-bit quant tables,
+    non-8-multiple geometry, malformed streams)."""
+    import numpy as np
+
+    try:
+        if blob[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qtables: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        width = height = None
+        comp_specs = None  # [(comp_id, tq)] in SOF order
+        scan_sel = None    # {comp_id: (td, ta)}
+        scan_start = None
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            marker = blob[pos + 1]
+            if marker == 0xD9:
+                break
+            (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+            body = blob[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    if body[i] >> 4 != 0:
+                        return None
+                    qtables[body[i] & 0xF] = list(body[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC0:
+                prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp != 3:
+                    return None
+                comp_specs = []
+                for ci in range(3):
+                    cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    if samp != 0x11:
+                        return None  # subsampled chroma: out of profile
+                    comp_specs.append((cid, tq))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    cls, tid = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    huff[(cls, tid)] = _huff_decode_table(
+                        bits, list(body[i + 17 : i + 17 + nv])
+                    )
+                    i += 17 + nv
+            elif marker == 0xDD:
+                return None  # restart interval: out of profile
+            elif marker == 0xDA:
+                if body[0] != 3:
+                    return None
+                scan_sel = {}
+                for ci in range(3):
+                    cid = body[1 + 2 * ci]
+                    sel = body[2 + 2 * ci]
+                    scan_sel[cid] = (sel >> 4, sel & 0xF)
+                scan_start = pos + 2 + ln
+                break
+            pos += 2 + ln
+        if (
+            scan_start is None or comp_specs is None or scan_sel is None
+            or not width or not height or width % 8 or height % 8
+        ):
+            return None
+        import re as _re
+
+        end = blob.rfind(b"\xff\xd9")
+        if end < 0:
+            return None
+        data = blob[scan_start:end]
+        if _re.search(rb"\xff(?!\x00)", data, _re.DOTALL):
+            return None
+        data = data.replace(b"\xff\x00", b"\xff")
+        # per-component decode state
+        q_nats, dgets, agets = [], [], []
+        for cid, tq in comp_specs:
+            if tq not in qtables or cid not in scan_sel:
+                return None
+            td, ta = scan_sel[cid]
+            if (0, td) not in huff or (1, ta) not in huff:
+                return None
+            q_zz = qtables[tq]
+            q_nat = [0] * 64
+            for zz_i, nat_i in enumerate(_ZIGZAG):
+                q_nat[nat_i] = q_zz[zz_i]
+            q_nats.append(q_nat)
+            dgets.append(huff[(0, td)].get)
+            agets.append(huff[(1, ta)].get)
+        bw = width // 8
+        nblocks = bw * (height // 8)
+        basis = _idct_basis()
+        shift = 2 * _IDCT_SCALE_BITS
+        half = 1 << (shift - 1)
+        planes = [np.zeros((height, width), dtype=np.int64) for _ in range(3)]
+        preds = [0, 0, 0]
+        dpos = acc = nbits = 0
+        for bi in range(nblocks):
+            by, bx = divmod(bi, bw)
+            for ci in range(3):
+                coeff, dpos, acc, nbits, preds[ci], has_ac = _jpeg_entropy_block(
+                    data, dpos, acc, nbits, dgets[ci], agets[ci], preds[ci]
+                )
+                q_nat = q_nats[ci]
+                if not has_ac:
+                    num = coeff[0] * q_nat[0]
+                    if num % 8:
+                        return None  # not exactly representable
+                    px = num // 8 + 128
+                    px = 0 if px < 0 else 255 if px > 255 else px
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                else:
+                    fq = (
+                        np.array(coeff, dtype=np.int64).reshape(8, 8)
+                        * np.array(q_nat, dtype=np.int64).reshape(8, 8)
+                    )
+                    idct = basis.T @ fq @ basis
+                    px = ((idct + half) >> shift) + 128
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        np.clip(px, 0, 255)
+                    )
+        y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+        r = y + ((_JPEG_FIX_R_CR * cr + _JPEG_FIX_BIAS) >> 16) - 512
+        g = y - (((_JPEG_FIX_G_CB * cb + _JPEG_FIX_G_CR * cr
+                   + _JPEG_FIX_BIAS) >> 16) - 512)
+        b = y + ((_JPEG_FIX_B_CB * cb + _JPEG_FIX_BIAS) >> 16) - 512
+        out = np.stack(
+            [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)],
+            axis=2,
+        ).astype(np.uint8)
+        return out
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
 # -- BMP: real uncompressed 24-bit decode -----------------------------------
 
 
@@ -1043,7 +1352,10 @@ def decode_pixels(blob: bytes):
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode_pixels(b)
     if b[:2] == b"\xff\xd8":
-        return jpeg_gray_decode_pixels(b)
+        px = jpeg_gray_decode_pixels(b)
+        if px is not None:
+            return px
+        return jpeg_color_decode_pixels(b)  # 3-component baseline (r13)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode_pixels(b)
     if b[:2] == b"BM":

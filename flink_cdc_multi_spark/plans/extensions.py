@@ -978,24 +978,36 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dhash_fixture_blob(i: int) -> bytes:
     """Deterministic MIXED-FORMAT image blob for doc_id ``i`` (r13,
-    VERDICT r12 item 1): doc_id mod 4 picks the container — 0 PNG RGB,
+    VERDICT r12 item 1): doc_id mod 5 picks the container — 0 PNG RGB,
     1 baseline grayscale JPEG (DC-only profile, exact pixels), 2 GIF
-    (gray global palette, real LZW), 3 uncompressed 24-bit BMP — each
-    with a closed-form pixel pattern the DuckDB oracle replays in pure
-    SQL. Python's floored ``%`` keeps negative (adversarial) doc_ids on
-    the same positive-mod arithmetic the SQL side wraps explicitly."""
+    (gray global palette, real LZW), 3 uncompressed 24-bit BMP, 4
+    baseline COLOR JPEG (3-component interleaved, DC-only, libjpeg
+    fixed-point YCbCr→RGB) — each with a closed-form pixel pattern the
+    DuckDB oracle replays in pure SQL. Python's floored ``%`` keeps
+    negative (adversarial) doc_ids on the same positive-mod arithmetic
+    the SQL side wraps explicitly."""
     from flink_cdc_multi_spark.operators import multimodal as M
 
-    f = i % 4
+    f = i % 5
     s = i % 256
-    if f == 1:
+    if f in (1, 4):
         w = (i % 3 + 1) * 8  # JPEG geometry: multiples of 8
         h = (i % 2 + 1) * 8
         nb = (w // 8) * (h // 8)
-        # dc in [-115, 115] → decoded pixel (dc + 128) in [13, 243]:
-        # clipping never fires, so pixel = (s + 17·block) % 231 + 13
-        return M.make_jpeg_gray_dc(
-            w, h, [(s + 17 * b) % 231 - 115 for b in range(nb)]
+        if f == 1:
+            # dc in [-115, 115] → decoded pixel (dc + 128) in [13, 243]:
+            # clipping never fires, so pixel = (s + 17·block) % 231 + 13
+            return M.make_jpeg_gray_dc(
+                w, h, [(s + 17 * b) % 231 - 115 for b in range(nb)]
+            )
+        # color: Y in [20, 235], |cb|,|cr| <= 8 → RGB offsets <= 15, so
+        # the clamp never fires and the oracle replays the fixed-point
+        # conversion without CASE branches
+        return M.make_jpeg_color_dc(
+            w, h,
+            [(s + 17 * b) % 216 - 108 for b in range(nb)],
+            [(s + 7 * b) % 17 - 8 for b in range(nb)],
+            [(s + 11 * b) % 17 - 8 for b in range(nb)],
         )
     w = i % 24 + 4
     h = i % 16 + 4
@@ -3405,7 +3417,7 @@ EXT_ORACLE_SQL["ext_ann_ivfpq_res"] = """
 EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
     WITH d AS (
       SELECT doc_id,
-             ((doc_id % 4) + 4) % 4 AS f,
+             ((doc_id % 5) + 5) % 5 AS f,
              ((doc_id % 24) + 24) % 24 + 4 AS gw,
              ((doc_id % 16) + 16) % 16 + 4 AS gh,
              (((doc_id % 3) + 3) % 3 + 1) * 8 AS jw,
@@ -3414,8 +3426,8 @@ EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
       FROM documents
     ), dim AS (
       SELECT doc_id, f, s,
-             CASE WHEN f = 1 THEN jw ELSE gw END AS w,
-             CASE WHEN f = 1 THEN jh ELSE gh END AS h
+             CASE WHEN f IN (1, 4) THEN jw ELSE gw END AS w,
+             CASE WHEN f IN (1, 4) THEN jh ELSE gh END AS h
       FROM d
     ), grid AS (
       SELECT dim.doc_id, dim.f, dim.s, dim.w, dim.h,
@@ -3423,6 +3435,15 @@ EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
              (CAST(tx.x AS BIGINT) * dim.w) // 9 AS px,
              (CAST(ty.y AS BIGINT) * dim.h) // 7 AS py
       FROM dim, range(7) ty(y), range(9) tx(x)
+    ), jc AS (
+      -- color-JPEG (f=4) per-sample plane values: DC-only flat blocks,
+      -- block index B = (py//8)*(w//8) + px//8; Y = dc_y + 128,
+      -- cb/cr are the centered chroma (dc + 128 - 128 = dc)
+      SELECT doc_id, ty, tx, f, s, px, py, w,
+             ((s + 17 * ((py // 8) * (w // 8) + px // 8)) % 216) + 20 AS jy,
+             ((s + 7 * ((py // 8) * (w // 8) + px // 8)) % 17) - 8 AS jcb,
+             ((s + 11 * ((py // 8) * (w // 8) + px // 8)) % 17) - 8 AS jcr
+      FROM grid
     ), g AS (
       SELECT doc_id, ty, tx,
              CASE f
@@ -3431,11 +3452,19 @@ EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
                          + 114 * ((s + px + py) % 256)
                WHEN 1 THEN 1000 * (((s + 17 * ((py // 8) * (w // 8) + px // 8)) % 231) + 13)
                WHEN 2 THEN 1000 * ((s + 7 * px + 13 * py) % 256)
+               WHEN 4 THEN
+                 -- libjpeg fixed-point YCbCr→RGB (scale 2^16, bias
+                 -- 2^25 + 32768 keeps the shifted operand positive →
+                 -- plain >> in every engine); fixture ranges keep RGB
+                 -- in [5, 250] so no clamp branches
+                   299 * (jy + ((91881 * jcr + 33587200) >> 16) - 512)
+                 + 587 * (jy - (((22554 * jcb + 46802 * jcr + 33587200) >> 16) - 512))
+                 + 114 * (jy + ((116130 * jcb + 33587200) >> 16) - 512)
                ELSE 299 * ((s + 3 * px) % 256)
                   + 587 * ((s + 5 * py) % 256)
                   + 114 * ((s + px * py) % 256)
              END AS gray
-      FROM grid
+      FROM jc
     ), bits AS (
       SELECT a.doc_id,
              CASE WHEN b.gray > a.gray

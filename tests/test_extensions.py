@@ -1815,6 +1815,33 @@ def test_decode_pixels_dispatch_all_formats():
     total, n = M.jpeg_gray_luma_sum(blob)
     assert int(px.astype(np.int64).sum()) == total and n == 128
 
+    # color JPEG (r13): DC-only blocks decode to exact flat planes and
+    # libjpeg fixed-point YCbCr→RGB — checked against an independent
+    # per-pixel reference of the same integer contract
+    blob = M.make_jpeg_color_dc(16, 8, [10, -20], [5, -8], [-3, 7])
+    px = M.decode_pixels(blob)
+    assert px.shape == (8, 16, 3)
+
+    def ref_rgb(y, cb, cr):
+        bias = (1 << 25) + 32768
+        r = y + ((91881 * cr + bias) >> 16) - 512
+        g = y - (((22554 * cb + 46802 * cr + bias) >> 16) - 512)
+        b = y + ((116130 * cb + bias) >> 16) - 512
+        return tuple(max(0, min(255, v)) for v in (r, g, b))
+
+    for bi, (dy, db, dr) in enumerate(zip([10, -20], [5, -8], [-3, 7])):
+        assert tuple(int(v) for v in px[3, bi * 8 + 2]) == ref_rgb(dy + 128, db, dr)
+    # AC color blocks decode deterministically through the integer IDCT
+    by = [[30] + [0] * 63, [0] * 64]
+    by[1][1] = 15
+    blob_ac = M.make_jpeg_color(16, 8, by, [[2] + [0] * 63] * 2, [[0] * 64] * 2)
+    px_ac = M.jpeg_color_decode_pixels(blob_ac)
+    assert px_ac is not None and (M.jpeg_color_decode_pixels(blob_ac) == px_ac).all()
+    # profile outs: gray blob is not the color decoder's job (dispatch
+    # routes it to the gray path); subsampled/malformed → None
+    assert M.jpeg_color_decode_pixels(M.make_jpeg_gray_dc(8, 8, [3])) is None
+    assert M.dhash56(blob) is not None
+
     # GIF gray palette → RGB triplets all equal the index value
     px = M.decode_pixels(M.make_gif_gray(9, 5, lambda x, y: (x * 20 + y) % 256))
     assert px.shape == (5, 9, 3)
