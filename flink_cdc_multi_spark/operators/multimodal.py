@@ -750,6 +750,65 @@ def make_jpeg_color_dc(width: int, height: int, dc_y, dc_cb, dc_cr) -> bytes:
     return make_jpeg_color(width, height, f(dc_y), f(dc_cb), f(dc_cr))
 
 
+def make_jpeg_color_420(width: int, height: int, blocks_y, blocks_cb, blocks_cr) -> bytes:
+    """Spec-valid baseline color JPEG with 4:2:0 CHROMA SUBSAMPLING (r13
+    — the dominant real-corpus form): Y sampled 2×2, Cb/Cr 1×1, so each
+    MCU is 4 Y blocks (2×2, left-to-right top-to-bottom) + 1 Cb + 1 Cr
+    covering 16×16 pixels. ``blocks_y`` is in full-image raster order of
+    8×8 blocks; ``blocks_cb``/``blocks_cr`` in raster order of the
+    half-resolution chroma blocks. width/height must be multiples of
+    16."""
+    assert width % 16 == 0 and height % 16 == 0
+    ybw, mbw, mbh = width // 8, width // 16, height // 16
+    blocks_y = [list(b) for b in blocks_y]
+    blocks_cb = [list(b) for b in blocks_cb]
+    blocks_cr = [list(b) for b in blocks_cr]
+    assert len(blocks_y) == ybw * (height // 8)
+    assert len(blocks_cb) == mbw * mbh and len(blocks_cr) == mbw * mbh
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mbh):
+        for mx in range(mbw):
+            for r in range(2):  # 4 Y blocks, raster within the MCU
+                for c in range(2):
+                    blk = blocks_y[(2 * my + r) * ybw + 2 * mx + c]
+                    preds[0] = _jpeg_encode_block(w, dc_tab, ac_tab, blk, preds[0])
+            ci = my * mbw + mx
+            preds[1] = _jpeg_encode_block(w, dc_tab, ac_tab, blocks_cb[ci], preds[1])
+            preds[2] = _jpeg_encode_block(w, dc_tab, ac_tab, blocks_cr[ci], preds[2])
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtable = bytes([0]) + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, qtable)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def make_jpeg_color_420_dc(width: int, height: int, dc_y, dc_cb, dc_cr) -> bytes:
+    """DC-only 4:2:0 profile — flat blocks, exact decoded planes."""
+    f = lambda dcs: [[dc] + [0] * 63 for dc in dcs]  # noqa: E731
+    return make_jpeg_color_420(width, height, f(dc_y), f(dc_cb), f(dc_cr))
+
+
 def make_jpeg_gray_dc(width: int, height: int, dc_values) -> bytes:
     """DC-only profile (every 8×8 block flat, AC = immediate EOB, decoded
     pixel exactly dc + 128 at q0 = 8) — the original r6 fixture shape,
@@ -1100,13 +1159,18 @@ _JPEG_FIX_BIAS = (1 << 25) + 32768  # positivity bias + ONE_HALF rounding
 
 def jpeg_color_decode_pixels(blob: bytes):
     """(h, w, 3) uint8 RGB from a REAL baseline COLOR JPEG decode (r13):
-    three-component interleaved scan, 1×1 sampling per component (no
-    subsampling), per-component quant/Huffman table selectors, full AC
-    entropy decode + the pinned integer IDCT per block, then libjpeg's
-    exact fixed-point YCbCr→RGB (constants above — integer arithmetic,
-    SQL-replayable). None for anything outside the profile (subsampled
-    chroma, progressive frames, restart markers, 16-bit quant tables,
-    non-8-multiple geometry, malformed streams)."""
+    three-component interleaved scan, per-component quant/Huffman table
+    selectors, full AC entropy decode + the pinned integer IDCT per
+    block, then libjpeg's exact fixed-point YCbCr→RGB (constants above —
+    integer arithmetic, SQL-replayable). Two sampling profiles: 1×1×1
+    (no subsampling, geometry multiple of 8) and 4:2:0 (Y 2×2 + chroma
+    1×1 — the dominant real-corpus form; geometry multiple of 16),
+    chroma upsampled by BOX replication (the spec-allowed nearest form —
+    exact integers; libjpeg's default 'fancy' triangular upsampling is a
+    different, float-shaped contract and is NOT what this decoder
+    promises). None for anything outside the profile (other sampling
+    patterns, progressive frames, restart markers, 16-bit quant tables,
+    off-multiple geometry, malformed streams)."""
     import numpy as np
 
     try:
@@ -1117,6 +1181,7 @@ def jpeg_color_decode_pixels(blob: bytes):
         huff: dict[tuple[int, int], dict] = {}
         width = height = None
         comp_specs = None  # [(comp_id, tq)] in SOF order
+        sub420 = False     # True: Y 2x2 + chroma 1x1 (4:2:0)
         scan_sel = None    # {comp_id: (td, ta)}
         scan_start = None
         while pos + 4 <= len(blob):
@@ -1139,11 +1204,17 @@ def jpeg_color_decode_pixels(blob: bytes):
                 if prec != 8 or ncomp != 3:
                     return None
                 comp_specs = []
+                samps = []
                 for ci in range(3):
                     cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
-                        return None  # subsampled chroma: out of profile
+                    samps.append(samp)
                     comp_specs.append((cid, tq))
+                if samps == [0x11, 0x11, 0x11]:
+                    sub420 = False
+                elif samps == [0x22, 0x11, 0x11]:
+                    sub420 = True
+                else:
+                    return None  # other sampling patterns: out of profile
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None
@@ -1170,9 +1241,10 @@ def jpeg_color_decode_pixels(blob: bytes):
                 scan_start = pos + 2 + ln
                 break
             pos += 2 + ln
+        geom = 16 if sub420 else 8
         if (
             scan_start is None or comp_specs is None or scan_sel is None
-            or not width or not height or width % 8 or height % 8
+            or not width or not height or width % geom or height % geom
         ):
             return None
         import re as _re
@@ -1199,38 +1271,65 @@ def jpeg_color_decode_pixels(blob: bytes):
             q_nats.append(q_nat)
             dgets.append(huff[(0, td)].get)
             agets.append(huff[(1, ta)].get)
-        bw = width // 8
-        nblocks = bw * (height // 8)
         basis = _idct_basis()
         shift = 2 * _IDCT_SCALE_BITS
         half = 1 << (shift - 1)
-        planes = [np.zeros((height, width), dtype=np.int64) for _ in range(3)]
+        # chroma planes are half-resolution under 4:2:0
+        cw, ch = (width // 2, height // 2) if sub420 else (width, height)
+        planes = [
+            np.zeros((height, width), dtype=np.int64),
+            np.zeros((ch, cw), dtype=np.int64),
+            np.zeros((ch, cw), dtype=np.int64),
+        ]
         preds = [0, 0, 0]
-        dpos = acc = nbits = 0
-        for bi in range(nblocks):
-            by, bx = divmod(bi, bw)
-            for ci in range(3):
-                coeff, dpos, acc, nbits, preds[ci], has_ac = _jpeg_entropy_block(
-                    data, dpos, acc, nbits, dgets[ci], agets[ci], preds[ci]
+        state = [0, 0, 0]  # dpos, acc, nbits
+
+        def block(ci, by, bx):
+            coeff, state[0], state[1], state[2], preds[ci], has_ac = (
+                _jpeg_entropy_block(
+                    data, state[0], state[1], state[2],
+                    dgets[ci], agets[ci], preds[ci],
                 )
-                q_nat = q_nats[ci]
-                if not has_ac:
-                    num = coeff[0] * q_nat[0]
-                    if num % 8:
-                        return None  # not exactly representable
-                    px = num // 8 + 128
-                    px = 0 if px < 0 else 255 if px > 255 else px
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-                else:
-                    fq = (
-                        np.array(coeff, dtype=np.int64).reshape(8, 8)
-                        * np.array(q_nat, dtype=np.int64).reshape(8, 8)
-                    )
-                    idct = basis.T @ fq @ basis
-                    px = ((idct + half) >> shift) + 128
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        np.clip(px, 0, 255)
-                    )
+            )
+            q_nat = q_nats[ci]
+            if not has_ac:
+                num = coeff[0] * q_nat[0]
+                if num % 8:
+                    raise ValueError("flat block not exactly representable")
+                px = num // 8 + 128
+                px = 0 if px < 0 else 255 if px > 255 else px
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            else:
+                fq = (
+                    np.array(coeff, dtype=np.int64).reshape(8, 8)
+                    * np.array(q_nat, dtype=np.int64).reshape(8, 8)
+                )
+                idct = basis.T @ fq @ basis
+                px = ((idct + half) >> shift) + 128
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(px, 0, 255)
+                )
+
+        if sub420:
+            mbw, mbh = width // 16, height // 16
+            for my in range(mbh):
+                for mx in range(mbw):
+                    for r in range(2):
+                        for c in range(2):
+                            block(0, 2 * my + r, 2 * mx + c)
+                    block(1, my, mx)
+                    block(2, my, mx)
+        else:
+            bw = width // 8
+            for bi in range(bw * (height // 8)):
+                by, bx = divmod(bi, bw)
+                for ci in range(3):
+                    block(ci, by, bx)
+        if sub420:
+            # box (nearest) chroma upsampling: each half-res sample
+            # covers its 2x2 pixel quad — exact integer replication
+            planes[1] = np.repeat(np.repeat(planes[1], 2, axis=0), 2, axis=1)
+            planes[2] = np.repeat(np.repeat(planes[2], 2, axis=0), 2, axis=1)
         y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
         r = y + ((_JPEG_FIX_R_CR * cr + _JPEG_FIX_BIAS) >> 16) - 512
         g = y - (((_JPEG_FIX_G_CB * cb + _JPEG_FIX_G_CR * cr

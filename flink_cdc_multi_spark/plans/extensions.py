@@ -978,18 +978,30 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dhash_fixture_blob(i: int) -> bytes:
     """Deterministic MIXED-FORMAT image blob for doc_id ``i`` (r13,
-    VERDICT r12 item 1): doc_id mod 5 picks the container — 0 PNG RGB,
+    VERDICT r12 item 1): doc_id mod 6 picks the container — 0 PNG RGB,
     1 baseline grayscale JPEG (DC-only profile, exact pixels), 2 GIF
     (gray global palette, real LZW), 3 uncompressed 24-bit BMP, 4
     baseline COLOR JPEG (3-component interleaved, DC-only, libjpeg
-    fixed-point YCbCr→RGB) — each with a closed-form pixel pattern the
-    DuckDB oracle replays in pure SQL. Python's floored ``%`` keeps
-    negative (adversarial) doc_ids on the same positive-mod arithmetic
-    the SQL side wraps explicitly."""
+    fixed-point YCbCr→RGB), 5 4:2:0-SUBSAMPLED color JPEG (Y 2×2 +
+    chroma 1×1, box upsampling — the dominant real-corpus form) — each
+    with a closed-form pixel pattern the DuckDB oracle replays in pure
+    SQL. Python's floored ``%`` keeps negative (adversarial) doc_ids on
+    the same positive-mod arithmetic the SQL side wraps explicitly."""
     from flink_cdc_multi_spark.operators import multimodal as M
 
-    f = i % 5
+    f = i % 6
     s = i % 256
+    if f == 5:
+        w = (i % 2 + 1) * 16  # 4:2:0 geometry: multiples of 16
+        h = 16
+        nby = (w // 8) * (h // 8)
+        nbc = (w // 16) * (h // 16)
+        return M.make_jpeg_color_420_dc(
+            w, h,
+            [(s + 17 * b) % 216 - 108 for b in range(nby)],
+            [(s + 7 * c) % 17 - 8 for c in range(nbc)],
+            [(s + 11 * c) % 17 - 8 for c in range(nbc)],
+        )
     if f in (1, 4):
         w = (i % 3 + 1) * 8  # JPEG geometry: multiples of 8
         h = (i % 2 + 1) * 8
@@ -3417,17 +3429,20 @@ EXT_ORACLE_SQL["ext_ann_ivfpq_res"] = """
 EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
     WITH d AS (
       SELECT doc_id,
-             ((doc_id % 5) + 5) % 5 AS f,
+             ((doc_id % 6) + 6) % 6 AS f,
              ((doc_id % 24) + 24) % 24 + 4 AS gw,
              ((doc_id % 16) + 16) % 16 + 4 AS gh,
              (((doc_id % 3) + 3) % 3 + 1) * 8 AS jw,
              (((doc_id % 2) + 2) % 2 + 1) * 8 AS jh,
+             (((doc_id % 2) + 2) % 2 + 1) * 16 AS jw5,
              ((doc_id % 256) + 256) % 256 AS s
       FROM documents
     ), dim AS (
       SELECT doc_id, f, s,
-             CASE WHEN f IN (1, 4) THEN jw ELSE gw END AS w,
-             CASE WHEN f IN (1, 4) THEN jh ELSE gh END AS h
+             CASE WHEN f IN (1, 4) THEN jw
+                  WHEN f = 5 THEN jw5 ELSE gw END AS w,
+             CASE WHEN f IN (1, 4) THEN jh
+                  WHEN f = 5 THEN 16 ELSE gh END AS h
       FROM d
     ), grid AS (
       SELECT dim.doc_id, dim.f, dim.s, dim.w, dim.h,
@@ -3436,23 +3451,29 @@ EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
              (CAST(ty.y AS BIGINT) * dim.h) // 7 AS py
       FROM dim, range(7) ty(y), range(9) tx(x)
     ), jc AS (
-      -- color-JPEG (f=4) per-sample plane values: DC-only flat blocks,
-      -- block index B = (py//8)*(w//8) + px//8; Y = dc_y + 128,
+      -- color-JPEG (f=4/5) per-sample plane values: DC-only flat
+      -- blocks; Y block index B = (py//8)*(w//8) + px//8 (full-res);
+      -- chroma index under 4:2:0 box upsampling is the half-res block
+      -- (py//16)*(w//16) + px//16, under 1x1x1 it is B. Y = dc_y + 128,
       -- cb/cr are the centered chroma (dc + 128 - 128 = dc)
       SELECT doc_id, ty, tx, f, s, px, py, w,
              ((s + 17 * ((py // 8) * (w // 8) + px // 8)) % 216) + 20 AS jy,
-             ((s + 7 * ((py // 8) * (w // 8) + px // 8)) % 17) - 8 AS jcb,
-             ((s + 11 * ((py // 8) * (w // 8) + px // 8)) % 17) - 8 AS jcr
+             ((s + 7 * (CASE WHEN f = 5
+                             THEN (py // 16) * (w // 16) + px // 16
+                             ELSE (py // 8) * (w // 8) + px // 8 END)) % 17) - 8 AS jcb,
+             ((s + 11 * (CASE WHEN f = 5
+                              THEN (py // 16) * (w // 16) + px // 16
+                              ELSE (py // 8) * (w // 8) + px // 8 END)) % 17) - 8 AS jcr
       FROM grid
     ), g AS (
       SELECT doc_id, ty, tx,
-             CASE f
-               WHEN 0 THEN 299 * ((s + px) % 256)
+             CASE
+               WHEN f = 0 THEN 299 * ((s + px) % 256)
                          + 587 * ((s + py) % 256)
                          + 114 * ((s + px + py) % 256)
-               WHEN 1 THEN 1000 * (((s + 17 * ((py // 8) * (w // 8) + px // 8)) % 231) + 13)
-               WHEN 2 THEN 1000 * ((s + 7 * px + 13 * py) % 256)
-               WHEN 4 THEN
+               WHEN f = 1 THEN 1000 * (((s + 17 * ((py // 8) * (w // 8) + px // 8)) % 231) + 13)
+               WHEN f = 2 THEN 1000 * ((s + 7 * px + 13 * py) % 256)
+               WHEN f IN (4, 5) THEN
                  -- libjpeg fixed-point YCbCr→RGB (scale 2^16, bias
                  -- 2^25 + 32768 keeps the shifted operand positive →
                  -- plain >> in every engine); fixture ranges keep RGB

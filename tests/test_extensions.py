@@ -1838,9 +1838,23 @@ def test_decode_pixels_dispatch_all_formats():
     px_ac = M.jpeg_color_decode_pixels(blob_ac)
     assert px_ac is not None and (M.jpeg_color_decode_pixels(blob_ac) == px_ac).all()
     # profile outs: gray blob is not the color decoder's job (dispatch
-    # routes it to the gray path); subsampled/malformed → None
+    # routes it to the gray path)
     assert M.jpeg_color_decode_pixels(M.make_jpeg_gray_dc(8, 8, [3])) is None
     assert M.dhash56(blob) is not None
+
+    # 4:2:0 (r13): 32x16, 8 Y blocks + 2 chroma blocks; box upsampling
+    # means pixel chroma = half-res block (y//16, x//16)
+    dc_y = [(7 * b) % 100 - 50 for b in range(8)]
+    blob420 = M.make_jpeg_color_420_dc(32, 16, dc_y, [5, -8], [-3, 7])
+    px = M.decode_pixels(blob420)
+    assert px.shape == (16, 32, 3)
+    for x, yy in [(0, 0), (9, 3), (17, 9), (31, 15)]:
+        yb = (yy // 8) * 4 + x // 8
+        mb = x // 16
+        assert tuple(int(v) for v in px[yy, x]) == ref_rgb(
+            dc_y[yb] + 128, [5, -8][mb], [-3, 7][mb]
+        )
+    assert M.dhash56(blob420) is not None
 
     # GIF gray palette → RGB triplets all equal the index value
     px = M.decode_pixels(M.make_gif_gray(9, 5, lambda x, y: (x * 20 + y) % 256))
