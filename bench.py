@@ -98,16 +98,25 @@ def duckdb_ext_timings(sf_dir: str, names, runs: int = 2) -> dict:
     return out
 
 
-def spark_gate_concurrent(spark, sf_dir: str, runs: int = 2) -> float:
-    """Gate-suite concurrent wall-clock at sf_dir (same methodology as the
-    main bench: prepared plans, warmup pass, min-of-N waves)."""
+def prepare_gate_run(spark, sf_dir: str):
+    """Prepared-plans noop-runner for the gate suite at sf_dir — the one
+    `run` closure both the concurrent waves and the ABAB interleave
+    share (r13 review: sf1_crossover previously inlined a drifting copy
+    of this logic)."""
     plans = {q: QUERIES[q](spark, sf_dir) for q in GATE}
 
     def run(name: str) -> None:
         plans[name].write.format("noop").mode("overwrite").save()
 
-    for q in GATE:
-        run(q)
+    return run
+
+
+def gate_concurrent_best(run, runs: int = 2, warm: bool = True) -> float:
+    """Gate-suite concurrent wall-clock (same methodology as the main
+    bench: warmup pass, min-of-N waves)."""
+    if warm:
+        for q in GATE:
+            run(q)
     best = None
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -165,20 +174,8 @@ def sf1_crossover(spark, base_dir: str) -> dict:
              base_dir, sf1_dir, "10"],
             check=True, capture_output=True, timeout=1800,
         )
-    plans = {q: QUERIES[q](spark, sf1_dir) for q in GATE}
-
-    def run(name: str) -> None:
-        plans[name].write.format("noop").mode("overwrite").save()
-
-    for q in GATE:  # warmup pass (codegen compile at the new SF)
-        run(q)
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(len(GATE)) as ex:
-            list(ex.map(run, GATE))
-        dt = round(time.perf_counter() - t0, 4)
-        best = dt if best is None else min(best, dt)
+    run = prepare_gate_run(spark, sf1_dir)
+    best = gate_concurrent_best(run)  # warmup = codegen compile at new SF
     duck_sec = duckdb_gate_total(sf1_dir)
     out = {
         "spark_sec": best,

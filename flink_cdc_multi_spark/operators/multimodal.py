@@ -406,7 +406,8 @@ def dhash56(blob: bytes) -> int | None:
     only the SIGN of neighbor gradients is kept):
 
     1. full pixel decode — decode_pixels, the format-general dispatcher
-       (r13: PNG / baseline-gray JPEG / GIF / 24-bit BMP; r12 shipped
+       (r13: PNG / baseline JPEG gray + color + 4:2:0 / GIF / 24-bit
+       BMP; r12 shipped
        PNG-only, which silently excluded the majority formats of a real
        corpus from image near-dup);
     2. integer gray per pixel: 299·R + 587·G + 114·B (1000·v for
@@ -632,18 +633,29 @@ def make_jpeg_gray(width: int, height: int, blocks) -> bytes:
     pred = 0
     for blk in blocks:
         pred = _jpeg_encode_block(w, dc_tab, ac_tab, blk, pred)
-    scan = w.flush()
+    return _jpeg_container(width, height, [(1, 0x11)], w.flush())
 
+
+def _jpeg_container(width: int, height: int, comp_specs, scan: bytes) -> bytes:
+    """Assemble the shared fixture-JPEG container (r13 review: three
+    encoders carried drifting copies): SOI + DQT (q0=8 flat, table 0) +
+    SOF0 + DHT (canonical Annex-K luminance tables as DC/AC id 0) + SOS
+    (every component selects tables 0) + entropy scan + EOI.
+    ``comp_specs`` = [(component_id, sampling_byte)] in frame order."""
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
+    n = len(comp_specs)
     qtable = bytes([0]) + bytes([8] * 64)  # Pq=0/Tq=0, all-8 (q0 = 8)
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", 8, height, width, n) + bytes(
+        b for cid, samp in comp_specs for b in (cid, samp, 0)
+    )
     dht = (
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = bytes([n] + [b for cid, _ in comp_specs for b in (cid, 0x00)]
+                + [0, 63, 0])
     return (
         b"\xff\xd8"
         + seg(0xDB, qtable)
@@ -717,28 +729,8 @@ def make_jpeg_color(width: int, height: int, blocks_y, blocks_cb, blocks_cr) -> 
             preds[ci] = _jpeg_encode_block(
                 w, dc_tab, ac_tab, comps[ci][bi], preds[ci]
             )
-    scan = w.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    qtable = bytes([0]) + bytes([8] * 64)
-    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
-        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
-    )
-    dht = (
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
-    )
-    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
-    return (
-        b"\xff\xd8"
-        + seg(0xDB, qtable)
-        + seg(0xC0, sof)
-        + seg(0xC4, dht)
-        + seg(0xDA, sos)
-        + scan
-        + b"\xff\xd9"
+    return _jpeg_container(
+        width, height, [(1, 0x11), (2, 0x11), (3, 0x11)], w.flush()
     )
 
 
@@ -778,28 +770,8 @@ def make_jpeg_color_420(width: int, height: int, blocks_y, blocks_cb, blocks_cr)
             ci = my * mbw + mx
             preds[1] = _jpeg_encode_block(w, dc_tab, ac_tab, blocks_cb[ci], preds[1])
             preds[2] = _jpeg_encode_block(w, dc_tab, ac_tab, blocks_cr[ci], preds[2])
-    scan = w.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    qtable = bytes([0]) + bytes([8] * 64)
-    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
-        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
-    )
-    dht = (
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
-    )
-    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
-    return (
-        b"\xff\xd8"
-        + seg(0xDB, qtable)
-        + seg(0xC0, sof)
-        + seg(0xC4, dht)
-        + seg(0xDA, sos)
-        + scan
-        + b"\xff\xd9"
+    return _jpeg_container(
+        width, height, [(1, 0x22), (2, 0x11), (3, 0x11)], w.flush()
     )
 
 
@@ -1438,9 +1410,10 @@ def bmp_decode_pixels(blob: bytes):
 def decode_pixels(blob: bytes):
     """Format-general pixel decode (r13, VERDICT r12 item 1): sniff the
     container magic (parse_image_header's dispatch set) and route to the
-    real in-repo decoder — PNG (png_decode_pixels), baseline grayscale
-    JPEG (jpeg_gray_decode_pixels), GIF (gif_decode_pixels), 24-bit BMP
-    (bmp_decode_pixels). Returns (h, w, channels) uint8 — channels 1
+    real in-repo decoder — PNG (png_decode_pixels), baseline JPEG
+    (jpeg_gray_decode_pixels, then jpeg_color_decode_pixels for
+    3-component 1×1×1 / 4:2:0 scans), GIF (gif_decode_pixels), 24-bit
+    BMP (bmp_decode_pixels). Returns (h, w, channels) uint8 — channels 1
     (gray), 3 (RGB), or 4 (RGBA) — or None for unknown containers and
     out-of-profile blobs (each leg's documented NULL contract). This is
     the pixel source dhash56 hashes, so perceptual near-dup covers every

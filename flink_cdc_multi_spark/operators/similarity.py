@@ -721,8 +721,16 @@ def _kmeans_lloyd(X, k: int, iters: int, rng) -> "np.ndarray":
             break
         centers[i] = X[rng.choice(n, p=d2 / tot)]
         d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(-1))
+    x2 = (X * X).sum(-1)  # hoisted: X never changes across iterations
     for _ in range(iters):
-        d2all = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        # |x−c|² via the matmul expansion |x|² + |c|² − 2x·c — the naive
+        # (n, k, dim) difference tensor is the assign_cells-banned shape
+        # (~52 GB at the documented 100k-sample/1024-cell/64-dim knob);
+        # this is BLAS-shaped and O(n·k) memory. Training is float64 by
+        # nature, so the expansion's rounding is fine here (the EXACT
+        # int64 contract lives in the encode/serve paths, not the fit).
+        c2 = (centers * centers).sum(-1)
+        d2all = x2[:, None] + c2[None, :] - 2.0 * (X @ centers.T)
         assign = d2all.argmin(1)
         dmin = d2all[np.arange(n), assign]
         moved = False
@@ -837,13 +845,18 @@ def train_pq_codewords(
         np.stack([np.asarray(r["v"], dtype=np.float64) for r in cdf.collect()])
         * LSH_QUANT
     ).astype(np.int64)
-    # blocked exact-int64 coarse assign (the difference tensor over the
-    # full sample would be rows×cells×dim — block rows to bound it)
-    cidx = np.empty(len(V), dtype=np.int64)
-    for lo in range(0, len(V), 1024):
-        hi = min(lo + 1024, len(V))
-        d = V[lo:hi, None, :] - C[None, :, :]
-        cidx[lo:hi] = (d * d).sum(-1).argmin(1)
+    # coarse assign via the |v|²+|c|²−2v·C expansion (the difference
+    # tensor is the assign_cells-banned shape). Exact here even in
+    # float64: every term is an integer below 2^53 at unit-scale
+    # embeddings (|component| ≤ ~LSH_QUANT, dim 64 → |2v·c| ≤ ~1.3e14),
+    # so ties resolve identically to the int64 argmin.
+    Vf = V.astype(np.float64)
+    Cf = C.astype(np.float64)
+    c2 = (Cf * Cf).sum(-1)
+    cidx = (
+        ((Vf * Vf).sum(-1)[:, None] + c2[None, :] - 2.0 * (Vf @ Cf.T))
+        .argmin(1)
+    )
     R = V - C[cidx]
     B = np.empty((n_codewords, dim), dtype=np.int64)
     for j in range(m):

@@ -39,9 +39,10 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # (New queries sort to the front automatically: never-checked queries rank
 # before any checked one.)
 _REGATE: list[str] = [
-    # r13: mixed-format fixture (PNG/JPEG/GIF/BMP by doc_id mod 4) +
-    # format-dispatched decode_pixels — both the hashes and the oracle
-    # changed, so the driver must re-gate the new contract
+    # r13: mixed-format fixture (PNG/gray-JPEG/GIF/BMP/color-JPEG/
+    # 420-JPEG by doc_id mod 6) + format-dispatched decode_pixels —
+    # both the hashes and the oracle changed, so the driver must
+    # re-gate the new contract
     "ext_multimodal_dhash",
 ]
 

@@ -233,15 +233,18 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses hot boilerplate windows map-side), one large-large join on
     the 8-byte key with the commonness broadcast-when-small fail-closed
     guard, one per-doc rollup."""
-    from flink_cdc_multi_spark.operators.dedup import _shingle_array, _token_barrier
+    from flink_cdc_multi_spark.operators.dedup import (
+        _md5_hash60,
+        _shingle_array,
+        _token_barrier,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = _token_barrier(docs, "doc_id", "text")
-    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
     w = (
         tok.select(F.col("id").alias("doc_id"),
                    F.explode(_shingle_array(5)).alias("s"))
-        .select("doc_id", h.alias("h"))
+        .select("doc_id", _md5_hash60(F.col("s")).alias("h"))
     )
     freq = w.groupBy("h").agg(F.count("*").alias("tot"))
     if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
@@ -360,17 +363,20 @@ def ext_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is eager plan-time work by documented contract (bench.py
     eager-plans note). Oracle: identical to ext_ann_ivfpq — the
     persisted codes are bit-identical to the inline encode."""
-    cache = getattr(spark, "_fcm_result_cache", None)
-    if cache is None:
-        cache = {}
-        spark._fcm_result_cache = cache
     key = ("ann_index_ivfpq", sf_dir)
     # build under a process-wide lock (ADVICE r12): the pid-keyed path
     # fixes cross-process races, the lock fixes two threads of ONE
     # process both entering write_ann_index and overwriting the same
     # dir mid-write/mid-read; second entrant sees the cache hit and
-    # returns without touching the filesystem
+    # returns without touching the filesystem. The cache dict itself is
+    # created INSIDE the lock — two first-callers racing the getattr
+    # would otherwise each install their own dict and both build
+    # (r13 review finding).
     with _ANN_INDEX_BUILD_LOCK:
+        cache = getattr(spark, "_fcm_result_cache", None)
+        if cache is None:
+            cache = {}
+            spark._fcm_result_cache = cache
         if key not in cache:
             import hashlib
             import tempfile
@@ -1036,16 +1042,17 @@ def _dhash_fixture_blob(i: int) -> bytes:
 def ext_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hash (r12; r13 format-general): dHash56 over
     REAL decoded pixels of a MIXED-FORMAT fixture — PNG, baseline
-    grayscale JPEG, GIF, and BMP blobs by doc_id mod 4
+    grayscale JPEG, GIF, BMP, color JPEG, and 4:2:0-subsampled color
+    JPEG blobs by doc_id mod 6
     (_dhash_fixture_blob), decoded through the format dispatcher
     operators/multimodal.decode_pixels, so the image-near-dup primitive
     covers every container the repo can decode (r12 shipped PNG-only —
-    a real corpus is mostly JPEG). Full decode + NN grid sample +
-    neighbor-gradient sign bits, every step exact integer, so the
-    DuckDB oracle replays the entire hash per format from
+    a real corpus is mostly 4:2:0 color JPEG). Full decode + NN grid
+    sample + neighbor-gradient sign bits, every step exact integer, so
+    the DuckDB oracle replays the entire hash per format from
     (doc_id)-closed-form arithmetic — a wrong unfilter, Huffman walk,
-    LZW step, BMP row order, sample index, or bit order breaks the
-    value hash. Positive-mod id→dims mapping on BOTH sides so negative
+    LZW step, BMP row order, fixed-point YCbCr→RGB constant, chroma
+    upsample index, sample index, or bit order breaks the value hash. Positive-mod id→dims mapping on BOTH sides so negative
     (adversarial) doc_ids agree across Python and SQL semantics. Scale:
     same as the codec family — repartition 8-byte ids, Arrow
     mapInPandas, blob never leaves its task; compose with
