@@ -158,6 +158,78 @@ def bpe_encode_table(text: Column, merges) -> Column:
     return enc(norm)
 
 
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Distributed BPE merge LEARNING (r13 — the missing third of the
+    tokenizer story next to bpe_encode/bpe_token_count: this is
+    subword-nmt's learn_bpe, Sennrich et al. 2016): ``n_merges`` rounds
+    of corpus-wide adjacent-symbol-pair counting; each round adopts the
+    globally most frequent pair (ties broken by (pair count desc, a asc,
+    b asc) — deterministic on any input) and re-segments under the
+    merges learned so far. Stops early when the best pair's count drops
+    below ``min_count``. Returns the rank-ordered merge table —
+    feed it to bpe_encode_table / generate oracle SQL from it exactly
+    like the shipped BPE_MERGES.
+
+    Scale shape: one pair-count aggregation per round — words explode
+    once into a PERSISTED frame (tokenize-once), each round applies the
+    current merge chain (the bpe_encode_table Column form, codegen'd),
+    materializes the symbol array behind a Generate barrier (the
+    CollapseProject lesson: an un-barriered array feeds the pair
+    zip_with re-computing the encode chain per element), and partial-agg
+    counts (a, b) pairs — hot pairs collapse map-side. The driver
+    collects ONE row per round (the argmax), so this is an iterative
+    algorithm with driver-side control flow by nature, like
+    neardup_clusters' fixpoint — n_merges jobs, never a collect of
+    corpus data. Real tokenizer training runs on a corpus SAMPLE
+    (sentencepiece's input_sentence_size); pass a sampled df for that."""
+    words = (
+        widen_narrow_scan(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("raw")
+        )
+        # normalize each word to the BPE alphabet; non-letter tokens
+        # collapse to empty and drop
+        .select(bpe_normalize(F.col("raw")).alias("w"))
+        .filter(F.col("w") != "")
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            enc = bpe_encode_table(F.col("w"), merges)
+            syms_df = words.select(
+                F.explode(F.array(F.split(enc, " "))).alias("syms")
+            ).filter(F.size("syms") >= 2)  # 1-symbol words carry no pair
+            n = F.size("syms")
+            pairs = syms_df.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p")
+            ).select("p.a", "p.b")
+            top = (
+                pairs.groupBy("a", "b")
+                .agg(F.count("*").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < min_count:
+                break
+            merges.append((top[0]["a"], top[0]["b"]))
+        return merges
+    finally:
+        words.unpersist()
+
+
 def bpe_encode(text: Column) -> Column:
     """REAL greedy BPE encoding (VERDICT r11 item 2) with the fixed
     BPE_MERGES table, as a pure Column expression — no Python in the hot

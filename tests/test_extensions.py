@@ -2059,6 +2059,72 @@ def test_line_dedup_fuzz_vs_python_reference(spark):
     assert got == expect
 
 
+def test_learn_bpe_merges_matches_python_reference(spark):
+    """learn_bpe_merges (r13): the distributed learner reproduces an
+    independent per-word Python reference of the same algorithm —
+    corpus-wide adjacent-pair counts over the CHAIN segmentation (apply
+    learned merges once each in rank order), argmax by (count desc, a
+    asc, b asc), early stop below min_count. Also: learned merges feed
+    bpe_encode_table directly and NULL/non-letter rows are inert."""
+    import re
+
+    def py_segment(word, merges):
+        seq = " " + "  ".join(word) + " "
+        for a, b in merges:
+            seq = seq.replace(f" {a}  {b} ", f" {a}{b} ")
+        return re.sub(" +", " ", seq.strip()).split(" ")
+
+    def py_learn(texts, n_merges, min_count):
+        words = []
+        for t in texts:
+            if t is None:
+                continue
+            for raw in re.split(r"\s+", t.strip()):
+                w = re.sub(r"[^a-z]+", " ", raw.lower()).strip()
+                if w:
+                    words.append(w)
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for w in words:
+                syms = py_segment(w, merges)
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_count:
+                break
+            merges.append(best[0])
+        return merges
+
+    texts = [
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest",
+        "low lower newest widest newest",
+        None,
+        "123 !!!",
+        "banana bandana banana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from flink_cdc_multi_spark.operators import text as X2
+
+    got = X2.learn_bpe_merges(df, n_merges=6, min_count=2)
+    assert got == py_learn(texts, 6, 2)
+    # the learned table plugs straight into the encoder
+    enc = df.filter("doc_id = 0").select(
+        X2.bpe_encode_table(F.col("text"), got).alias("e")
+    ).first()["e"]
+    ref = " ".join(
+        s for w in texts[0].split() for s in py_segment(w, got)
+    )
+    assert enc == ref
+    # min_count high enough: nothing clears the bar, empty table
+    assert X2.learn_bpe_merges(df, n_merges=3, min_count=10**6) == []
+
+
 def test_bpe_encode_table_fallback_matches_chain(spark, monkeypatch):
     """bpe_encode_table (r13): above MAX_CHAINED_MERGES (measured: 384
     nested replaces overflow the driver stack at plan construction) the
