@@ -214,7 +214,9 @@ def main() -> None:
     # amortization of the same contract; its timed number is pure serving,
     # zero corpus scans), and
     # ext_dedup_clusters runs its iterative fixpoint (the result of an
-    # iterative algorithm is a materialized artifact) — their timed
+    # iterative algorithm is a materialized artifact), and
+    # ext_text_bpe_learn (r13) runs its 3 learning rounds (3 one-row
+    # argmax collects — same iterative-algorithm contract) — their timed
     # numbers below measure serving the built index, like any prepared
     # ANN/clustering deployment. Per-query isolation: one broken plan
     # must cost ONE entry, not the whole bench artifact (round-4 lesson —

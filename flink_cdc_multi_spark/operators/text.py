@@ -192,9 +192,13 @@ def learn_bpe_merges(
         .select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("raw")
         )
-        # normalize each word to the BPE alphabet; non-letter tokens
-        # collapse to empty and drop
-        .select(bpe_normalize(F.col("raw")).alias("w"))
+        # normalize to the BPE alphabet, then split AGAIN on the spaces
+        # normalization introduces ('ab12cd' → 'ab cd'): a pair must
+        # never be counted across a boundary the encoder can never
+        # merge (merges don't cross word gaps)
+        .select(
+            F.explode(F.split(bpe_normalize(F.col("raw")), " ")).alias("w")
+        )
         .filter(F.col("w") != "")
         .persist()
     )

@@ -209,6 +209,27 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(emb, centroids, dim=64, threshold=0.35)
 
 
+def ext_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING, gated cross-engine (r13): the
+    first 3 merges subword-nmt's learn_bpe would adopt on the documents
+    corpus — operators/text.learn_bpe_merges (per-round corpus-wide
+    pair counts, argmax by (count desc, a asc, b asc), min_count 2).
+    PLAN-TIME ITERATIVE by documented contract (the ext_dedup_clusters
+    class, noted in bench.py): the result of an iterative algorithm is
+    a materialized artifact — 3 argmax collects of ONE row each, never
+    corpus data. The DuckDB oracle replays all 3 rounds UNROLLED —
+    segmentation as the same two-space symbol rendering, re-segmented by
+    the previous rounds' winners through scalar-subquery replace()s — so
+    a wrong pair count, tie-break, or chain application order breaks the
+    value hash. Output: (rank, a, b)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = X.learn_bpe_merges(docs, n_merges=3, min_count=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )
+
+
 def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window exact substring dedup signal (r13) — the third dedup
     granularity, between document-level (ext_dedup_exact) and line-level
@@ -2014,6 +2035,7 @@ EXT_QUERIES = {
     "ext_dedup_semantic": ext_dedup_semantic,
     "ext_dedup_lines": ext_dedup_lines,
     "ext_dedup_spans": ext_dedup_spans,
+    "ext_text_bpe_learn": ext_text_bpe_learn,
     "ext_dedup_minhash": ext_dedup_minhash,
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_ann_topk": ext_ann_topk,
@@ -3503,6 +3525,74 @@ EXT_ORACLE_SQL["ext_multimodal_dhash"] = """
       WHERE a.tx < 8
     )
     SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash FROM bits GROUP BY doc_id
+"""
+
+# BPE merge-learning replay (r13): all 3 rounds UNROLLED — the two-space
+# symbol rendering (regexp_replace '(.)' → ' \\1 ', identical to the
+# engine's construction), per-round pair counts from the symbol lists,
+# argmax via ORDER BY count DESC, pair ASC (string order on 'a b' equals
+# (a, b) tuple order because ' ' sorts below every letter), then the
+# winning pair re-segments the corpus through a scalar-subquery
+# replace() exactly like the chain encoder. min_count 2 = WHERE c >= 2;
+# a round with no qualifying pair contributes no row, matching the
+# engine's early stop.
+EXT_ORACLE_SQL["ext_text_bpe_learn"] = r"""
+    WITH w0 AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS raw
+      FROM documents WHERE text IS NOT NULL
+    ), w1 AS (
+      SELECT unnest(string_split(
+               trim(regexp_replace(lower(raw), '[^a-z]+', ' ', 'g')), ' '
+             )) AS wd
+      FROM w0
+    ), s0 AS (
+      SELECT regexp_replace(wd, '(.)', ' \1 ', 'g') AS s
+      FROM w1 WHERE wd != ''
+    ), p1 AS (
+      SELECT pr, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(len(sy) - 1),
+                      i -> sy[i+1] || ' ' || sy[i+2])) AS pr
+        FROM (SELECT string_split(trim(s), '  ') AS sy FROM s0)
+      ) GROUP BY pr
+    ), m1 AS (
+      SELECT pr FROM p1 WHERE c >= 2 ORDER BY c DESC, pr LIMIT 1
+    ), s1 AS (
+      SELECT replace(s0.s,
+               ' ' || split_part(m1.pr, ' ', 1) || '  '
+                   || split_part(m1.pr, ' ', 2) || ' ',
+               ' ' || replace(m1.pr, ' ', '') || ' ') AS s
+      FROM s0, m1
+    ), p2 AS (
+      SELECT pr, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(len(sy) - 1),
+                      i -> sy[i+1] || ' ' || sy[i+2])) AS pr
+        FROM (SELECT string_split(trim(s), '  ') AS sy FROM s1)
+      ) GROUP BY pr
+    ), m2 AS (
+      SELECT pr FROM p2 WHERE c >= 2 ORDER BY c DESC, pr LIMIT 1
+    ), s2 AS (
+      SELECT replace(s1.s,
+               ' ' || split_part(m2.pr, ' ', 1) || '  '
+                   || split_part(m2.pr, ' ', 2) || ' ',
+               ' ' || replace(m2.pr, ' ', '') || ' ') AS s
+      FROM s1, m2
+    ), p3 AS (
+      SELECT pr, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(len(sy) - 1),
+                      i -> sy[i+1] || ' ' || sy[i+2])) AS pr
+        FROM (SELECT string_split(trim(s), '  ') AS sy FROM s2)
+      ) GROUP BY pr
+    ), m3 AS (
+      SELECT pr FROM p3 WHERE c >= 2 ORDER BY c DESC, pr LIMIT 1
+    )
+    SELECT * FROM (
+      SELECT 1::BIGINT AS rank, split_part(pr, ' ', 1) AS a,
+             split_part(pr, ' ', 2) AS b FROM m1
+      UNION ALL
+      SELECT 2::BIGINT, split_part(pr, ' ', 1), split_part(pr, ' ', 2) FROM m2
+      UNION ALL
+      SELECT 3::BIGINT, split_part(pr, ' ', 1), split_part(pr, ' ', 2) FROM m3
+    ) ORDER BY rank
 """
 
 # Span-dedup replay (r13): same 5-token positional windows (short docs →

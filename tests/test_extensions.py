@@ -2080,9 +2080,9 @@ def test_learn_bpe_merges_matches_python_reference(spark):
             if t is None:
                 continue
             for raw in re.split(r"\s+", t.strip()):
-                w = re.sub(r"[^a-z]+", " ", raw.lower()).strip()
-                if w:
-                    words.append(w)
+                for w in re.sub(r"[^a-z]+", " ", raw.lower()).strip().split(" "):
+                    if w:
+                        words.append(w)
         merges = []
         for _ in range(n_merges):
             counts = {}
@@ -2105,6 +2105,8 @@ def test_learn_bpe_merges_matches_python_reference(spark):
         None,
         "123 !!!",
         "banana bandana banana",
+        "ab12cd ab12cd ab12cd",  # embedded non-letter: 'ab' and 'cd' are
+        # separate words — (b, c) must never be counted as a pair
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
