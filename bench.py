@@ -111,12 +111,11 @@ def prepare_gate_run(spark, sf_dir: str):
     return run
 
 
-def gate_concurrent_best(run, runs: int = 2, warm: bool = True) -> float:
+def gate_concurrent_best(run, runs: int = 2) -> float:
     """Gate-suite concurrent wall-clock (same methodology as the main
     bench: warmup pass, min-of-N waves)."""
-    if warm:
-        for q in GATE:
-            run(q)
+    for q in GATE:
+        run(q)
     best = None
     for _ in range(runs):
         t0 = time.perf_counter()

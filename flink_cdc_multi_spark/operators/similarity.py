@@ -846,17 +846,28 @@ def train_pq_codewords(
         * LSH_QUANT
     ).astype(np.int64)
     # coarse assign via the |v|²+|c|²−2v·C expansion (the difference
-    # tensor is the assign_cells-banned shape). Exact here even in
-    # float64: every term is an integer below 2^53 at unit-scale
-    # embeddings (|component| ≤ ~LSH_QUANT, dim 64 → |2v·c| ≤ ~1.3e14),
-    # so ties resolve identically to the int64 argmin.
-    Vf = V.astype(np.float64)
-    Cf = C.astype(np.float64)
-    c2 = (Cf * Cf).sum(-1)
-    cidx = (
-        ((Vf * Vf).sum(-1)[:, None] + c2[None, :] - 2.0 * (Vf @ Cf.T))
-        .argmin(1)
-    )
+    # tensor is the assign_cells-banned shape). Exact in float64 while
+    # every intermediate sum stays below 2^53 — the assign_cells guard:
+    # 4·dim·max|component|² < 2^53 (unit-scale embeddings are far
+    # inside). A sample that ISN'T falls back to a blocked exact-int64
+    # path so the tie-to-lowest-cid contract can never be flipped by
+    # float rounding (r13 review: the guardless expansion silently
+    # broke the documented contract for large-magnitude vectors).
+    mx = float(max(np.abs(V).max(initial=0), np.abs(C).max(initial=0)))
+    if 4.0 * dim * mx * mx < 2.0**53:
+        Vf = V.astype(np.float64)
+        Cf = C.astype(np.float64)
+        c2 = (Cf * Cf).sum(-1)
+        cidx = (
+            ((Vf * Vf).sum(-1)[:, None] + c2[None, :] - 2.0 * (Vf @ Cf.T))
+            .argmin(1)
+        )
+    else:
+        cidx = np.empty(len(V), dtype=np.int64)
+        for lo in range(0, len(V), 256):  # block rows AND keep cells whole
+            hi = min(lo + 256, len(V))
+            d = V[lo:hi, None, :] - C[None, :, :]
+            cidx[lo:hi] = (d * d).sum(-1).argmin(1)
     R = V - C[cidx]
     B = np.empty((n_codewords, dim), dtype=np.int64)
     for j in range(m):

@@ -176,18 +176,22 @@ def learn_bpe_merges(
     like the shipped BPE_MERGES.
 
     Scale shape: one pair-count aggregation per round — words explode
-    once into a PERSISTED frame (tokenize-once), each round applies the
-    current merge chain (the bpe_encode_table Column form, codegen'd),
-    materializes the symbol array behind a Generate barrier (the
-    CollapseProject lesson: an un-barriered array feeds the pair
-    zip_with re-computing the encode chain per element), and partial-agg
-    counts (a, b) pairs — hot pairs collapse map-side. The driver
-    collects ONE row per round (the argmax), so this is an iterative
-    algorithm with driver-side control flow by nature, like
-    neardup_clusters' fixpoint — n_merges jobs, never a collect of
-    corpus data. Real tokenizer training runs on a corpus SAMPLE
-    (sentencepiece's input_sentence_size); pass a sampled df for that."""
-    words = (
+    once into a PERSISTED segmentation frame (the two-space symbol
+    rendering), and each round applies ONLY the newly adopted merge to
+    it (one replace() pass, re-persisted; r13 review: re-deriving the
+    full chain from scratch per round is O(n_merges²) replace scans and
+    flips past MAX_CHAINED_MERGES onto the Python fallback — the
+    incremental form is O(n_merges) passes and never leaves codegen,
+    and sequential replaces ARE the chain semantics). The symbol array
+    is materialized behind a Generate barrier (the CollapseProject
+    lesson) before the pair zip_with; pair counts partial-agg — hot
+    pairs collapse map-side. The driver collects ONE row per round (the
+    argmax), so this is an iterative algorithm with driver-side control
+    flow by nature, like neardup_clusters' fixpoint — n_merges jobs,
+    never a collect of corpus data. Real tokenizer training runs on a
+    corpus SAMPLE (sentencepiece's input_sentence_size); pass a sampled
+    df for that."""
+    seg = (
         widen_narrow_scan(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("raw")
@@ -200,14 +204,18 @@ def learn_bpe_merges(
             F.explode(F.split(bpe_normalize(F.col("raw")), " ")).alias("w")
         )
         .filter(F.col("w") != "")
+        # two-space symbol rendering, one word per row: ' a  b  c '
+        .select(F.regexp_replace(F.col("w"), "(.)", " $1 ").alias("s"))
         .persist()
     )
+    seg.count()  # materialize so each round reads the cache, not lineage
     try:
         merges: list[tuple[str, str]] = []
         for _ in range(n_merges):
-            enc = bpe_encode_table(F.col("w"), merges)
-            syms_df = words.select(
-                F.explode(F.array(F.split(enc, " "))).alias("syms")
+            syms_df = seg.select(
+                F.explode(
+                    F.array(F.split(F.trim(F.col("s")), "  "))
+                ).alias("syms")
             ).filter(F.size("syms") >= 2)  # 1-symbol words carry no pair
             n = F.size("syms")
             pairs = syms_df.select(
@@ -228,10 +236,19 @@ def learn_bpe_merges(
             )
             if not top or top[0]["c"] < min_count:
                 break
-            merges.append((top[0]["a"], top[0]["b"]))
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = seg.select(
+                F.replace(
+                    F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+                ).alias("s")
+            ).persist()
+            nxt.count()
+            seg.unpersist()
+            seg = nxt
         return merges
     finally:
-        words.unpersist()
+        seg.unpersist()
 
 
 def bpe_encode(text: Column) -> Column:

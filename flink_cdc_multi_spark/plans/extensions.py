@@ -33,8 +33,21 @@ from flink_cdc_multi_spark.operators import similarity as S
 from flink_cdc_multi_spark.operators import text as X
 from flink_cdc_multi_spark.plans.queries import load_table
 
-# serializes the memoized plan-time ANN index build (ADVICE r12)
+# serializes the memoized plan-time builds (ADVICE r12) AND the session
+# cache dict installation itself — every _fcm_result_cache consumer must
+# fetch the dict through _session_cache or a racing first-caller can
+# install a fresh dict over one that already holds a built entry
+# (r13 review finding: ext_dedup_clusters was the second installer)
 _ANN_INDEX_BUILD_LOCK = threading.Lock()
+
+
+def _session_cache(spark) -> dict:
+    with _ANN_INDEX_BUILD_LOCK:
+        cache = getattr(spark, "_fcm_result_cache", None)
+        if cache is None:
+            cache = {}
+            spark._fcm_result_cache = cache
+        return cache
 
 # Broadcast guard for ext_text_commonness (VERDICT r10 item 6): source
 # bytes bound the frequency-table size (distinct hashes <= total tokens
@@ -390,14 +403,12 @@ def ext_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process both entering write_ann_index and overwriting the same
     # dir mid-write/mid-read; second entrant sees the cache hit and
     # returns without touching the filesystem. The cache dict itself is
-    # created INSIDE the lock — two first-callers racing the getattr
-    # would otherwise each install their own dict and both build
-    # (r13 review finding).
+    # installed under the same lock (_session_cache, taken and released
+    # BEFORE this block — the lock is not reentrant) — two first-callers
+    # racing the getattr would otherwise each install their own dict and
+    # both build (r13 review finding).
+    cache = _session_cache(spark)
     with _ANN_INDEX_BUILD_LOCK:
-        cache = getattr(spark, "_fcm_result_cache", None)
-        if cache is None:
-            cache = {}
-            spark._fcm_result_cache = cache
         if key not in cache:
             import hashlib
             import tempfile
@@ -1527,15 +1538,22 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bench prepare, parametrized smoke tests, plan_report) would leak one
     cached block and re-pay the fixpoint. Same pattern as load_table's
     lazy-plan memo."""
-    cache = getattr(spark, "_fcm_result_cache", None)
-    if cache is None:
-        cache = {}
-        spark._fcm_result_cache = cache
+    cache = _session_cache(spark)
     key = ("ext_dedup_clusters", sf_dir)
-    if key not in cache:
-        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-        pairs = _ngram_pair_candidates(docs).select("a_id", "b_id")
-        cache[key] = D.neardup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    # fixpoint built under the shared build lock (r13 review finding:
+    # this was the second, unlocked _fcm_result_cache installer — a
+    # racing first-caller could clobber the dict the ivfpq path had
+    # just populated, and two cluster callers would both run the
+    # fixpoint)
+    with _ANN_INDEX_BUILD_LOCK:
+        if key not in cache:
+            docs = load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") < 300
+            )
+            pairs = _ngram_pair_candidates(docs).select("a_id", "b_id")
+            cache[key] = D.neardup_clusters(
+                docs.select("doc_id"), pairs, "doc_id"
+            )
     return cache[key]
 
 
