@@ -306,6 +306,26 @@ def main() -> None:
         "ext": {q: t for q, t in timings.items() if q not in GATE},
         "sf": sf,
     }
+    # Gate-vs-DuckDB comparison runs HERE — immediately after the clean
+    # gate waves, BEFORE the 80-query ext suite and the sf1 leg (r13
+    # methodology fix): the interleave used to run last, where the same
+    # prepared gate plans measured ~3x slower in the same process
+    # (post-churn heap/GC state: spark waves 0.82 s vs 0.29 s minutes
+    # earlier), so interleaved_ratio compared a polluted Spark session
+    # against a fully-warm DuckDB and swung 0.66→2.3 across runs. Both
+    # ABAB sides now measure the same session state the headline `value`
+    # measures.
+    try:
+        import duckdb as _duckdb
+
+        out["duckdb_version"] = _duckdb.__version__
+        out["duckdb_sec"] = duckdb_gate_total(sf_dir)
+        if best_concurrent is not None:
+            out["ratio_vs_duckdb"] = round(best_concurrent / out["duckdb_sec"], 4)
+        if gate_ok:
+            out["gate_interleaved"] = interleaved_gate_ratio(sf_dir, run, gate_ok)
+    except Exception as e:  # noqa: BLE001
+        out["duckdb_error"] = str(e)[:200]
     try:
         out["ext_duckdb"] = duckdb_ext_timings(sf_dir, sorted(out["ext"]))
         out["ext_duckdb_total"] = round(
@@ -367,28 +387,11 @@ def main() -> None:
             out["ext_wave_spread"] = round(max(ext_waves) - min(ext_waves), 4)
     if errors:
         out["errors"] = errors
-    # Ratio vs the DuckDB single-node baseline at the same SF, plus the
-    # 10x (sf1) crossover point — both recorded in the artifact so scale
-    # regressions are visible round over round. Failures here must never
-    # sink the bench line itself.
-    try:
-        import duckdb as _duckdb
-
-        # Attribution fields (VERDICT r10 item 8): cross-round DuckDB
-        # baseline swings (r9 0.467 s -> r10 0.294 s at sf0.1) were not
-        # attributable to engine version vs ambient load. Record the
-        # version, and re-measure the same gate total a second time in
-        # the SAME process at the end of the bench — the rerun spread is
-        # the session's own noise floor, so a ratio swing larger than it
-        # points at the engine, not the machine.
-        out["duckdb_version"] = _duckdb.__version__
-        out["duckdb_sec"] = duckdb_gate_total(sf_dir)
-        if best_concurrent is not None:
-            out["ratio_vs_duckdb"] = round(best_concurrent / out["duckdb_sec"], 4)
-        if gate_ok:
-            out["gate_interleaved"] = interleaved_gate_ratio(sf_dir, run, gate_ok)
-    except Exception as e:  # noqa: BLE001
-        out["duckdb_error"] = str(e)[:200]
+    # The 10x (sf1) crossover point — recorded in the artifact so scale
+    # regressions are visible round over round. (The duckdb_sec rerun at
+    # the very end keeps the VERDICT-r10 attribution field: the rerun
+    # spread is the session's own noise floor, so a ratio swing larger
+    # than it points at the engine, not the machine.)
     if sf == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             out["sf1"] = sf1_crossover(spark, sf_dir)
