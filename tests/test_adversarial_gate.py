@@ -59,6 +59,10 @@ ADVERSARIAL_QUERIES = [
     "ext_text_chunks",
     "ext_text_bpe",
     "ext_pack_bpe",
+    # r13: hostile text exercises the learner's normalization-boundary
+    # contract (pairs never counted across a gap the encoder can't
+    # merge) and the unrolled 3-round oracle on NULL/empty/unicode rows
+    "ext_text_bpe_learn",
     "ext_text_redact",
     "ext_budget_sample",
     "ext_sketch_kmv",
