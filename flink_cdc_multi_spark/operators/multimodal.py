@@ -1711,6 +1711,52 @@ def parse_wav_pcm16(blob: bytes):
         return None
 
 
+# Audio fingerprint window count: 57 energy windows → 56 delta-sign
+# bits, deliberately below the sign bit like dhash56 (same signed-BIGINT
+# portability convention).
+AUDIO_HASH_WINDOWS = 57
+
+
+def audio_hash56(blob: bytes) -> int | None:
+    """Perceptual AUDIO fingerprint over REAL decoded PCM16 samples
+    (r13) — the waveform twin of dhash56, completing the near-dup
+    family's modality coverage (text MinHash/SimHash, image dHash,
+    embedding cosine, audio THIS): gain changes scale every window's
+    energy by the same factor and small noise mostly cancels, because
+    only the SIGN of neighboring-window energy deltas is kept.
+
+    1. real RIFF/PCM16 decode (parse_wav_pcm16 — shared with
+       wav_pcm16_stats);
+    2. partition the n samples into 57 windows by k = (j·57) // n —
+       exact integer arithmetic, replayable in SQL (the dhash grid
+       convention, as a partition instead of a sample);
+    3. window energy e[k] = Σ x² (exact int64: 2^30 per sample, n
+       bounded by the int64 budget for any real clip);
+    4. bit(k) = 1 iff e[k+1] > e[k], packed little-endian — 56 bits,
+       sign-safe in every engine.
+
+    None for out-of-profile blobs (parse_wav_pcm16's contract) or
+    clips shorter than 57 samples (a window would be empty). Compose
+    with exact_dedup on the hash for duplicate-clip groups or the
+    pigeonhole pair join for hamming-tolerant near-dups."""
+    import numpy as np
+
+    parsed = parse_wav_pcm16(blob)
+    if parsed is None:
+        return None
+    _, samples = parsed
+    n = len(samples)
+    if n < AUDIO_HASH_WINDOWS:
+        return None
+    x = samples.astype(np.int64)
+    k = (np.arange(n, dtype=np.int64) * AUDIO_HASH_WINDOWS) // n
+    e = np.zeros(AUDIO_HASH_WINDOWS, dtype=np.int64)
+    np.add.at(e, k, x * x)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    w = np.arange(AUDIO_HASH_WINDOWS - 1, dtype=np.int64)
+    return int((bits << w).sum())
+
+
 def wav_pcm16_stats(blob: bytes):
     """(sample_rate, n_samples, sum_abs, peak) from a real decode of the
     WAV bytes — exact integers (the audio analogue of png_luma_sum's

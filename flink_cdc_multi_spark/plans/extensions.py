@@ -1342,6 +1342,51 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_multimodal_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO fingerprint (r13): audio_hash56 over REAL
+    decoded PCM16 samples of a deterministic WAV fixture — the waveform
+    member of the near-dup family (text MinHash/SimHash, image dHash,
+    embedding cosine, audio this). Real RIFF walk + numpy PCM decode →
+    57 energy windows by the exact (j·57)//n partition → delta-sign
+    bits; every step exact integer, so the DuckDB oracle replays the
+    whole fingerprint from (doc_id)-closed-form arithmetic — a wrong
+    chunk walk, sample stride, window boundary, or bit order breaks the
+    value hash. Positive-mod id→params on BOTH sides for negative
+    (adversarial) doc_ids. Scale: the codec-family shape — repartition
+    8-byte ids, Arrow mapInPandas, blob never leaves its task; compose
+    with exact_dedup(ahash) or the pigeonhole pair join."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen_and_hash(it):
+        import numpy as np
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            hashes = []
+            for d in ids:
+                d = int(d)
+                n = d % 120 + 171  # >= 171 samples: every window nonempty
+                s = d % 256
+                j = np.arange(n, dtype=np.int64)
+                samples = (s * 7 + 13 * j) % 4001 - 2000
+                blob = M.make_wav_pcm16(8000, samples,
+                                        extra_chunk=(d % 2 == 0))
+                hashes.append(M.audio_hash56(blob))
+            yield pd.DataFrame(
+                {"doc_id": ids, "ahash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return docs.mapInPandas(gen_and_hash, "doc_id long, ahash long")
+
+
 def ext_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG entropy decode end to end (round 6; AC profile r11):
     synthesize a spec-valid baseline grayscale JPEG per document —
@@ -2102,6 +2147,7 @@ EXT_QUERIES = {
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
+    "ext_multimodal_audiohash": ext_multimodal_audiohash,
     "ext_multimodal_jpeg": ext_multimodal_jpeg,
     "ext_multimodal_gifbmp": ext_multimodal_gifbmp,
     "ext_events_topk": ext_events_topk,
@@ -3213,6 +3259,31 @@ EXT_ORACLE_SQL = {
     """,
     # closed-form recompute of the waveform the engine encodes AND
     # decodes through real RIFF/PCM bytes
+    "ext_multimodal_audiohash": """
+        -- audio fingerprint replay (r13): closed-form PCM samples, the
+        -- exact (j*57)//n window partition, int64 energy sums,
+        -- delta-sign bits packed little-endian (the dhash convention)
+        WITH d AS (
+          SELECT doc_id,
+                 ((doc_id % 120) + 120) % 120 + 171 AS n,
+                 ((doc_id % 256) + 256) % 256 AS s
+          FROM documents
+        ), x AS (
+          SELECT doc_id, n, CAST(j.j AS BIGINT) AS j,
+                 ((s * 7 + 13 * CAST(j.j AS BIGINT)) % 4001) - 2000 AS v
+          FROM d, range(300) j(j) WHERE j.j < n
+        ), e AS (
+          SELECT doc_id, (j * 57) // n AS k, SUM(v * v) AS en
+          FROM x GROUP BY doc_id, (j * 57) // n
+        ), bits AS (
+          SELECT a.doc_id,
+                 CASE WHEN b.en > a.en
+                      THEN 1::BIGINT << CAST(a.k AS INTEGER) ELSE 0 END AS bv
+          FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        )
+        SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS ahash
+        FROM bits GROUP BY doc_id
+    """,
     "ext_multimodal_audio": """
         WITH d AS (
           SELECT doc_id,

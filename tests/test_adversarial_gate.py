@@ -81,6 +81,9 @@ ADVERSARIAL_QUERIES = [
     # r13: negative ids pin the floored-division group/member mapping
     # (gid = (i - pmod)/3) and the pair join over hostile id space
     "ext_dedup_images",
+    # r13: negative ids pin the positive-mod audio fixture params and
+    # the (j*57)//n window partition across Python/SQL
+    "ext_multimodal_audiohash",
     "ext_embed_quantize",
     "ext_embed_centroid",
     "ext_ann_topk",

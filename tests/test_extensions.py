@@ -1881,6 +1881,32 @@ def test_decode_pixels_dispatch_all_formats():
     assert M.dhash56(M.make_tiny_png(4, 4)) is None  # no IDAT: out of profile
 
 
+def test_audio_hash56_properties():
+    """audio_hash56 (r13): deterministic on identical clips; GAIN
+    INVARIANT (scaling every sample by a constant scales every window's
+    energy by its square — delta signs unchanged); sensitive to moving
+    energy between windows; None for short clips (< 57 samples) and
+    non-PCM16 garbage."""
+    import numpy as np
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(-800, 800, size=400)
+    blob = M.make_wav_pcm16(8000, base)
+    h = M.audio_hash56(blob)
+    assert h is not None and 0 <= h < (1 << 56)
+    assert M.audio_hash56(M.make_wav_pcm16(16000, base)) == h  # rate-free
+    assert M.audio_hash56(M.make_wav_pcm16(8000, base * 3)) == h  # gain
+    loud = base.copy()
+    loud[:7] = 30000  # blast the first window
+    h2 = M.audio_hash56(M.make_wav_pcm16(8000, loud))
+    assert h2 != h and (h2 & 1) == 0  # e[1] > e[0] now false
+    assert M.audio_hash56(M.make_wav_pcm16(8000, base[:56])) is None
+    assert M.audio_hash56(b"RIFFgarbage") is None
+    assert M.audio_hash56(M.make_wav_pcm16(8000, base[:57])) is not None
+
+
 def test_dhash_pairs_blocks_scale_with_max_hamming(spark):
     """The pigeonhole block count is DERIVED from max_hamming (ADVICE
     r12): max_hamming >= 4 widens to 7 blocks instead of silently going
