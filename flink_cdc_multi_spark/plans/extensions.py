@@ -1971,6 +1971,59 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex
 
 
+def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the near-dup pair graph (r13) — the
+    power-iteration class of distributed graph algorithm, complementing
+    the CC fixpoint (data-dependent rounds) and triangle closure (no
+    rounds): 3 UNROLLED damped iterations over the symmetrized edge set,
+    fully lazy (no plan-time collect — the iteration count is fixed, so
+    the loop unrolls into one declarative plan of 3 join+agg stages).
+
+    Exact-integer formulation so every engine replays it bit-for-bit
+    (floating PageRank sums diverge across engines by summation order):
+    pr_0 = 1,000,000 per participating vertex; contribution =
+    pr div degree (integer floor); pr_{k+1} = 150,000 +
+    (85 · Σ contributions) div 100 — the standard 0.15/0.85 damping on a
+    10^6 fixed-point scale. Defined over edge-participating vertices
+    (every vertex of the symmetrized graph has degree ≥ 1, so no
+    dangling-mass term). Scale: each iteration is one equi-join of the
+    edge list with the previous rank vector plus one partial-agg
+    groupBy — the Pregel message-passing shape as plain shuffles; at
+    100 TB the edge list is the LSH pair output and iterations stay
+    join+agg (no driver state). Output: (doc_id, pr)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    e = _ngram_pair_candidates(docs, mult=50).select("a_id", "b_id")
+    edges = e.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(e.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).select(
+        F.col("u").alias("node"), "deg"
+    )
+    pr = deg.select(
+        F.col("node").alias("id"), F.lit(1_000_000).cast("bigint").alias("pr")
+    )
+    for _ in range(3):
+        # dataset aliases: everything descends from the same edge scan,
+        # so unqualified columns are ambiguous self-join references
+        contrib = (
+            pr.alias("p")
+            .join(deg.alias("d"), F.col("p.id") == F.col("d.node"))
+            .select(F.col("d.node").alias("src"),
+                    F.expr("pr div deg").alias("cv"))
+        )
+        pr = (
+            edges.alias("e")
+            .join(contrib.alias("c"), F.col("e.u") == F.col("c.src"))
+            .groupBy(F.col("e.v").alias("id"))
+            .agg(
+                (F.lit(150_000) + F.expr("(85 * sum(cv)) div 100"))
+                .cast("bigint")
+                .alias("pr")
+            )
+        )
+    return pr.select(F.col("id").alias("doc_id"), "pr")
+
+
 def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding time-window aggregate: 24-hour windows every 12 hours
     (each event lands in exactly 2 windows) with row and distinct-user
@@ -2144,6 +2197,7 @@ EXT_QUERIES = {
     "ext_events_sliding": ext_events_sliding,
     "ext_window_range": ext_window_range,
     "ext_graph_triangles": ext_graph_triangles,
+    "ext_graph_pagerank": ext_graph_pagerank,
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
@@ -3024,6 +3078,51 @@ EXT_ORACLE_SQL = {
               FROM events WHERE user_id < 10 AND ts IS NOT NULL) e
         WINDOW w AS (PARTITION BY user_id ORDER BY t
                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "ext_graph_pagerank": r"""
+        -- integer PageRank replay (r13): same jaccard edge set as the
+        -- triangles oracle, symmetrized; 3 unrolled damped iterations
+        -- in exact fixed-point arithmetic (pr0 = 1e6; contribution =
+        -- pr // degree; next = 150000 + (85 * sum) // 100) — integer
+        -- sums are order-insensitive, so the hash can never drift on
+        -- float summation order
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 500
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), ex AS (
+          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+        ), e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) * 50 >= any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)
+        ), ed AS (
+          SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), deg AS (
+          SELECT u, COUNT(*) AS dg FROM ed GROUP BY u
+        ), p0 AS (
+          SELECT u AS id, 1000000::BIGINT AS pr FROM deg
+        ), p1 AS (
+          SELECT ed.v AS id, 150000 + (85 * SUM(p0.pr // deg.dg)) // 100 AS pr
+          FROM ed JOIN p0 ON p0.id = ed.u JOIN deg ON deg.u = ed.u
+          GROUP BY ed.v
+        ), p2 AS (
+          SELECT ed.v AS id, 150000 + (85 * SUM(p1.pr // deg.dg)) // 100 AS pr
+          FROM ed JOIN p1 ON p1.id = ed.u JOIN deg ON deg.u = ed.u
+          GROUP BY ed.v
+        ), p3 AS (
+          SELECT ed.v AS id, 150000 + (85 * SUM(p2.pr // deg.dg)) // 100 AS pr
+          FROM ed JOIN p2 ON p2.id = ed.u JOIN deg ON deg.u = ed.u
+          GROUP BY ed.v
+        )
+        SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3
     """,
     "ext_graph_triangles": r"""
         WITH t AS (

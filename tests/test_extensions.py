@@ -1881,6 +1881,31 @@ def test_decode_pixels_dispatch_all_formats():
     assert M.dhash56(M.make_tiny_png(4, 4)) is None  # no IDAT: out of profile
 
 
+def test_graph_pagerank_triangle_fixpoint(spark, tmp_path):
+    """ext_graph_pagerank (r13): on a complete triangle of identical
+    docs the integer formula is a FIXPOINT at the initial 1,000,000
+    (deg 2, contribution 500,000, in-sum 1,000,000 → 150,000 +
+    85% · 1,000,000 = 1,000,000) — hand-checkable; the isolated doc has
+    no edges and is absent from the result by contract."""
+    import os
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "totally different words here now"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    from flink_cdc_multi_spark.plans import extensions as E
+
+    got = {r["doc_id"]: r["pr"] for r in E.ext_graph_pagerank(spark, sf).collect()}
+    assert got == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+
+
 def test_audio_hash56_properties():
     """audio_hash56 (r13): deterministic on identical clips; GAIN
     INVARIANT (scaling every sample by a constant scales every window's
