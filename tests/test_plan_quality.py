@@ -440,6 +440,18 @@ def test_ext_dedup_spans_plan_shape(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final on both aggs
 
 
+def test_ext_graph_pagerank_plan_shape(spark):
+    """ext_graph_pagerank (r13): the 3 unrolled iterations must stay
+    plain equi-join + partial-agg stages — no cartesian product, no
+    Expand fan-out, and the whole unrolled plan constructs lazily (a
+    regression to a plan-time collect would break the fully-lazy
+    contract the docstring pins)."""
+    plan = plan_of(spark, "ext_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 8  # partial+final per stage
+
+
 def test_ext_dedup_images_fused_pair_dedup(spark):
     """The image near-dup pair path (r13) must stay the FUSED pigeonhole
     form like the simhash paths: one block-keyed self-join, pair-dedup as
