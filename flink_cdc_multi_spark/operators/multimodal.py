@@ -849,6 +849,13 @@ def _jpeg_gray_decode(blob: bytes, want_pixels: bool):
         while pos + 4 <= len(blob):
             if blob[pos] != 0xFF:
                 return None
+            # skip 0xFF fill bytes (ITU T.81 §B.1.1.2): any number of
+            # 0xFF may pad before the marker id — treating one as the id
+            # would read a garbage segment length (ADVICE r13)
+            while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(blob):
+                return None
             marker = blob[pos + 1]
             if marker == 0xD9:
                 break
@@ -1158,6 +1165,12 @@ def jpeg_color_decode_pixels(blob: bytes):
         scan_start = None
         while pos + 4 <= len(blob):
             if blob[pos] != 0xFF:
+                return None
+            # skip 0xFF fill bytes (ITU T.81 §B.1.1.2) — same contract as
+            # the grayscale walk above (ADVICE r13)
+            while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(blob):
                 return None
             marker = blob[pos + 1]
             if marker == 0xD9:

@@ -667,7 +667,14 @@ def assign_cells(
         # exact int64 fallback, blocked over rows AND cells to bound the
         # difference tensor; strict < across cell chunks keeps the LOWEST
         # cid on ties (chunks scan cid-ascending), matching argmin's
-        # first-min and the oracle's (d2, cid) order
+        # first-min and the oracle's (d2, cid) order. int64 is itself
+        # exact only while 4·dim·mx² < 2^63 — numpy wraps silently past
+        # that, so refuse rather than mis-assign (ADVICE r13)
+        if 4.0 * dim * mx * mx >= 2.0**63:
+            raise ValueError(
+                f"component magnitude {mx} overflows exact int64 "
+                f"distance at dim {dim}; rescale the vectors"
+            )
         qi = q.astype(np.int64)
         best_d = np.full(len(qi), np.iinfo(np.int64).max, dtype=np.int64)
         best_c = np.zeros(len(qi), dtype=np.int64)
@@ -863,6 +870,15 @@ def train_pq_codewords(
             .argmin(1)
         )
     else:
+        # the int64 path is itself exact only while 4·dim·mx² < 2^63
+        # (|diff| ≤ 2mx, summed over dim); numpy int64 overflow wraps
+        # SILENTLY, which is the exact failure this fallback exists to
+        # prevent — refuse rather than mis-assign (ADVICE r13)
+        if 4.0 * dim * mx * mx >= 2.0**63:
+            raise ValueError(
+                f"component magnitude {mx} overflows exact int64 distance "
+                f"at dim {dim}; rescale the vectors before training"
+            )
         cidx = np.empty(len(V), dtype=np.int64)
         for lo in range(0, len(V), 256):  # block rows AND keep cells whole
             hi = min(lo + 256, len(V))

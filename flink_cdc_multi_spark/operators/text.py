@@ -243,7 +243,13 @@ def learn_bpe_merges(
                     F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
                 ).alias("s")
             ).persist()
-            nxt.count()
+            # if the materializing count throws, unpersist nxt too — the
+            # finally below only sees the OLD seg (ADVICE r13 leak)
+            try:
+                nxt.count()
+            except Exception:
+                nxt.unpersist()
+                raise
             seg.unpersist()
             seg = nxt
         return merges

@@ -1256,6 +1256,58 @@ def test_jpeg_decoder_rejects_out_of_profile():
     assert M.jpeg_gray_luma_sum(bytes(bad)) is None
 
 
+def test_jpeg_decoders_skip_fill_bytes():
+    """ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker id — a spec-valid stream with padding must decode to the SAME
+    pixels as the unpadded stream, in BOTH the gray and color walks
+    (ADVICE r13: the walk previously read a fill byte as the marker id
+    and pulled a garbage segment length)."""
+    import numpy as np
+
+    gray = M.make_jpeg_gray_dc(16, 8, [5, -5])
+    # insert two fill bytes right after SOI, before the first segment
+    gray_padded = gray[:2] + b"\xff\xff" + gray[2:]
+    assert M.jpeg_gray_luma_sum(gray_padded) == M.jpeg_gray_luma_sum(gray)
+
+    color = M.make_jpeg_color_dc(16, 8, [10, -20], [5, -8], [-3, 7])
+    color_padded = color[:2] + b"\xff" + color[2:]
+    px = M.jpeg_color_decode_pixels(color)
+    px_padded = M.jpeg_color_decode_pixels(color_padded)
+    assert px is not None and px_padded is not None
+    assert np.array_equal(px, px_padded)
+    # fill bytes before a LATER marker (between two header segments)
+    i = color.index(b"\xff\xc4")
+    mid_padded = color[:i] + b"\xff\xff\xff" + color[i:]
+    px_mid = M.jpeg_color_decode_pixels(mid_padded)
+    assert px_mid is not None and np.array_equal(px, px_mid)
+
+
+def test_train_pq_int64_overflow_guard(spark):
+    """The blocked exact-int64 coarse-assign fallback must REFUSE input
+    whose squared-distance sum could wrap int64 (ADVICE r13: numpy wraps
+    silently — the exact regime the fallback exists to make safe).
+    Components of ~2e3 quantize to ~2e9; 4·dim·mx² ≈ 4e19 > 2^63."""
+    import numpy as np
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [(i, [2.0e3 + i, -2.0e3, 1.5e3, -1.1e3]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        S.train_pq_codewords(big, big.limit(2), m=2, n_codewords=2)
+    # mid-range magnitudes (past the 2^53 float guard, inside int64
+    # exactness) still train through the blocked fallback
+    mid = spark.createDataFrame(
+        [(i, [50.0 + i, -50.0, 30.0, -11.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    mx = 51.0 * S.LSH_QUANT
+    assert 4.0 * 4 * mx * mx >= 2.0**53  # routes to the int64 fallback
+    tw = S.train_pq_codewords(mid, mid.limit(2), m=2, n_codewords=2)
+    assert tw.shape == (2, 4) and tw.dtype == np.int64
+
+
 def test_lzw_roundtrip_fuzz():
     """Raw GIF-variant LZW: roundtrip over random and highly-repetitive
     streams (repetition grows the dictionary fast — exercises variable

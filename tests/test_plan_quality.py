@@ -450,6 +450,9 @@ def test_ext_graph_pagerank_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 8  # partial+final per stage
+    # r14 (ADVICE r13): the iteration joins are shuffle_hash-hinted on
+    # the node-cardinality side — SMJ would pay full sorts per iteration
+    assert "SortMergeJoin" not in plan
 
 
 def test_ext_dedup_images_fused_pair_dedup(spark):
