@@ -213,7 +213,10 @@ def main() -> None:
     # amortization of the same contract; its timed number is pure serving,
     # zero corpus scans), and
     # ext_dedup_clusters runs its iterative fixpoint (the result of an
-    # iterative algorithm is a materialized artifact), and
+    # iterative algorithm is a materialized artifact),
+    # ext_ann_ivfpq_trained (r14) trains its kmeans models over a capped
+    # sample and persists the index (the FAISS train+add slot; timed
+    # number is pure serving like _indexed), and
     # ext_text_bpe_learn (r13) runs its 3 learning rounds (3 one-row
     # argmax collects — same iterative-algorithm contract) — their timed
     # numbers below measure serving the built index, like any prepared

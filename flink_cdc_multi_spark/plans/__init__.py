@@ -39,11 +39,13 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # (New queries sort to the front automatically: never-checked queries rank
 # before any checked one.)
 _REGATE: list[str] = [
-    # r13: mixed-format fixture (PNG/gray-JPEG/GIF/BMP/color-JPEG/
-    # 420-JPEG by doc_id mod 6) + format-dispatched decode_pixels —
-    # both the hashes and the oracle changed, so the driver must
-    # re-gate the new contract
-    "ext_multimodal_dhash",
+    # r14: shuffle_hash hints changed the driver-visible plan (SMJ →
+    # SHJ per unrolled iteration); values unchanged but the executed
+    # plan is new, so re-gate
+    "ext_graph_pagerank",
+    # r14: new query (would auto-front as never-checked; pinned anyway
+    # so a stale CORRECTNESS parse can't rotate it out)
+    "ext_ann_ivfpq_trained",
 ]
 
 

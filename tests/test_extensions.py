@@ -2754,6 +2754,39 @@ def test_trained_pq_codewords_roundtrip_and_distortion(spark, tmp_path):
     assert served_f == inline_full
 
 
+def test_ext_ann_ivfpq_trained_artifact_contract(spark):
+    """The gated trained-ANN query (r14, VERDICT r13 item 2): its
+    artifact path is sf-INDEPENDENT (the static oracle SQL names it as a
+    literal), so the contract is one-artifact-per-process with a rebuild
+    whenever sf_dir changes. Pins: (a) the oracle SQL embeds exactly
+    _trained_index_path(); (b) after running the query the artifact
+    holds trained-scale models; (c) a different sf_dir triggers a
+    rebuild at the SAME path (the cache key is the sf, not the path)."""
+    import json as _json
+    import os as _os
+
+    import flink_cdc_multi_spark.plans.extensions as E
+
+    path = E._trained_index_path()
+    assert path in E.EXT_ORACLE_SQL["ext_ann_ivfpq_trained"]
+
+    E.ext_ann_ivfpq_trained(spark, "/root/testdata/sf0.001").collect()
+    with open(_os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    assert meta["codebook_scale"] == "residual-trained"
+    assert meta["centroids_scale"] == "trained"
+    assert spark._fcm_result_cache["ann_trained_sf"] == "/root/testdata/sf0.001"
+
+    mtime = _os.path.getmtime(_os.path.join(path, "meta.json"))
+    E.ext_ann_ivfpq_trained(spark, "/root/testdata/sf0.01").collect()
+    assert spark._fcm_result_cache["ann_trained_sf"] == "/root/testdata/sf0.01"
+    assert _os.path.getmtime(_os.path.join(path, "meta.json")) >= mtime
+    # same sf again: memoized, no rebuild (mtime unchanged)
+    mtime2 = _os.path.getmtime(_os.path.join(path, "meta.json"))
+    E.ext_ann_ivfpq_trained(spark, "/root/testdata/sf0.01")
+    assert _os.path.getmtime(_os.path.join(path, "meta.json")) == mtime2
+
+
 def test_png_unfilter_paths_agree_across_cutoff():
     """The size-branched unfilter (byte loop < stride 80, numpy rows
     >= 80) must be pixel-identical across the cutoff and against the
