@@ -1044,3 +1044,101 @@ def _cc_fixpoint(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFram
             "so this indicates an extreme graph or a bug)"
         )
     return labels
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    freq_broadcast: bool = False,
+) -> DataFrame:
+    """Span REMOVAL (r14, VERDICT r13 item 3) — the surgery half of the
+    Lee et al. 2022 exact-substring pipeline (arXiv:2107.06499 §3):
+    ext_dedup_spans emits the per-doc duplicate-window SIGNAL; this
+    operator cuts the duplicated spans OUT of the text. Output one row
+    per input doc: (id_col, n_tokens, n_removed, cleaned).
+
+    Contract (mirrored verbatim in the DuckDB oracle):
+    - windows are the spans signal's positional n-token windows
+      (_shingle_array: duplicates kept; docs with < n tokens contribute
+      ONE whole-text window), identified by md5-hash60 — the
+      contamination hash contract, both sides move together;
+    - the CANONICAL occurrence of a window is the globally first by
+      (doc_id, pos) — min(struct(id, pos)), a partial-agg reduction,
+      never a row_number window (the materialization skew rule);
+    - every NON-canonical occurrence of a window seen >= 2 times
+      corpus-wide marks its covered token positions [pos, pos+wlen-1]
+      (wlen = min(n, n_tokens) — the whole-text window covers the whole
+      short doc) for removal; overlapping spans union their positions;
+    - cleaned = surviving tokens joined by ONE space (tokenization is
+      split-on-\\s+ of trim(text), so original whitespace is not
+      reconstructable by design — both engines agree);
+    - within one doc a repeated window keeps its FIRST occurrence iff no
+      earlier doc holds the window; cross-doc, only the earliest doc's
+      first occurrence survives.
+
+    Scale shape: the spans query's commonness pattern (one corpus-wide
+    window agg — partial agg collapses hot boilerplate windows map-side —
+    one large-large join on the 8-byte hash key with the caller-supplied
+    broadcast-when-small guard) plus one doc-keyed removal-set agg and a
+    doc-local array rebuild: the TEXT never shuffles with the windows,
+    only (id, pos, h) triples do, and the rebuild's filter lambda runs
+    on the already-materialized token array behind the Generate barrier."""
+    tok = _token_barrier(
+        df.filter(F.col(text_col).isNotNull()), id_col, text_col
+    )
+    w = (
+        tok.select(
+            "id",
+            F.size("toks").alias("n_toks"),
+            F.posexplode(_shingle_array(n)).alias("pos", "s"),
+        )
+        .select("id", "n_toks", "pos", _md5_hash60(F.col("s")).alias("h"))
+    )
+    freq = w.groupBy("h").agg(
+        F.count("*").alias("tot"),
+        F.min(F.struct(F.col("id").alias("cid"),
+                       F.col("pos").alias("cpos"))).alias("canon"),
+    )
+    if freq_broadcast:
+        freq = F.broadcast(freq)
+    removed = (
+        w.join(freq, "h")
+        .filter(
+            (F.col("tot") >= 2)
+            & ~((F.col("id") == F.col("canon.cid"))
+                & (F.col("pos") == F.col("canon.cpos")))
+        )
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.col("pos") + F.least(F.lit(n), F.col("n_toks")) - 1,
+                )
+            ).alias("rp"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("rp").alias("removed"))
+    )
+    empty = F.array().cast("array<int>")
+    keep = F.filter(
+        "toks",
+        lambda t, i: ~F.array_contains(
+            F.coalesce(F.col("removed"), empty), i
+        ),
+    )
+    return (
+        # shuffle_hash on the removal-set side (the filtered/smaller
+        # fact): sort-merge would pay a full corpus sort on doc_id for a
+        # doc-keyed left join (the filtered-fact-join rule)
+        tok.join(removed.hint("shuffle_hash"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("removed"), F.lit(0))
+            .cast("bigint").alias("n_removed"),
+            F.array_join(keep, " ").alias("cleaned"),
+        )
+    )

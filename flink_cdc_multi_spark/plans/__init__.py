@@ -43,9 +43,10 @@ _REGATE: list[str] = [
     # SHJ per unrolled iteration); values unchanged but the executed
     # plan is new, so re-gate
     "ext_graph_pagerank",
-    # r14: new query (would auto-front as never-checked; pinned anyway
-    # so a stale CORRECTNESS parse can't rotate it out)
+    # r14: new queries (would auto-front as never-checked; pinned anyway
+    # so a stale CORRECTNESS parse can't rotate them out)
     "ext_ann_ivfpq_trained",
+    "ext_dedup_spans_drop",
 ]
 
 

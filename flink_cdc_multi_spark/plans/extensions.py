@@ -304,6 +304,25 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_dedup_spans_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (r14, VERDICT r13 item 3): ext_dedup_spans upgraded
+    from signal to surgery — operators/dedup.drop_duplicate_spans cuts
+    every non-canonical occurrence of a duplicated 5-token window out of
+    the text (canonical = globally first by (doc_id, pos); the Lee et
+    al. 2022 exact-substring removal, arXiv:2107.06499 §3). Output:
+    (doc_id, n_tokens, n_removed, cleaned) — exact integers plus the
+    cleaned text, so the value hash pins the canonical-selection
+    tie-break, the overlapping-span position union, AND the rebuilt
+    string. Same broadcast guard as ext_dedup_spans (fail-closed)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return D.drop_duplicate_spans(
+        docs, id_col="doc_id", text_col="text", n=5,
+        freq_broadcast=(
+            _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES
+        ),
+    )
+
+
 # Registry hygiene note (r13, VERDICT r12 item 8): the signature-only
 # gated queries ext_dedup_minhash_md5 / ext_dedup_simhash_md5 were
 # RETIRED — they gated strict sub-stages (minhash_signatures_md5 /
@@ -2221,6 +2240,7 @@ EXT_QUERIES = {
     "ext_dedup_semantic": ext_dedup_semantic,
     "ext_dedup_lines": ext_dedup_lines,
     "ext_dedup_spans": ext_dedup_spans,
+    "ext_dedup_spans_drop": ext_dedup_spans_drop,
     "ext_text_bpe_learn": ext_text_bpe_learn,
     "ext_dedup_minhash": ext_dedup_minhash,
     "ext_dedup_simhash": ext_dedup_simhash,
@@ -3974,6 +3994,54 @@ EXT_ORACLE_SQL["ext_dedup_spans"] = r"""
              AS n_dup_windows
     FROM w JOIN f USING (h)
     GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+# Span-removal replay (r14): windows with POSITIONS via a range join
+# (DuckDB unnest has no ordinality; sh[i+1] over range(len(sh)) is the
+# positional form), canonical occurrence via the (doc_id, pos) window
+# rank — rn = 1 IS min(struct(doc_id, pos)), the Spark side's reduction —
+# and the rebuild as list_filter over token positions. COALESCE(removed,
+# []) mirrors the Spark left join's NULL-removal-set docs.
+EXT_ORACLE_SQL["ext_dedup_spans_drop"] = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n_toks,
+             CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks)-4),
+                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                              toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
+             END sh
+      FROM t
+    ), w AS (
+      SELECT doc_id, n_toks, CAST(u.p.pos AS BIGINT) AS pos,
+             ('0x' || substr(md5(u.p.s), 1, 15))::BIGINT AS h
+      FROM s, unnest(list_transform(range(len(sh)),
+                       i -> {'pos': i, 's': sh[i+1]})) AS u(p)
+    ), m AS (
+      SELECT doc_id, n_toks, pos,
+             COUNT(*) OVER (PARTITION BY h) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM w
+    ), rp AS (
+      SELECT DISTINCT doc_id, pos + u.i AS rp
+      FROM m, unnest(range(CASE WHEN n_toks < 5 THEN n_toks ELSE 5 END)) AS u(i)
+      WHERE tot >= 2 AND rn > 1
+    ), rem AS (
+      SELECT doc_id, list(rp) AS removed, COUNT(*) AS n_removed
+      FROM rp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(len(t.toks)),
+                 i -> NOT list_contains(COALESCE(rem.removed, []), i)),
+               i -> t.toks[i+1]),
+             ' '), '') AS cleaned
+    FROM t LEFT JOIN rem USING (doc_id)
 """
 
 # Image near-dup pair replay (r13): the 9×7 fixture pixels ARE the dHash

@@ -50,6 +50,11 @@ ADVERSARIAL_QUERIES = [
     # r13: hostile text (NULL/empty/whitespace/dup-across-sources) hits
     # the whole-text-window convention and the dup counting
     "ext_dedup_spans",
+    # r14: the removal transform — planted ≥5-token spans (-17/-18) pin
+    # cross-doc excision + within-doc keep-first; the short-dup rows
+    # (-5/-6/-7) pin whole-text-window removal; whitespace rows pin the
+    # tokenize/rejoin contract
+    "ext_dedup_spans_drop",
     "ext_dedup_ngram",
     "ext_dedup_fingerprint",
     "ext_text_quality",

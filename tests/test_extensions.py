@@ -2754,6 +2754,42 @@ def test_trained_pq_codewords_roundtrip_and_distortion(spark, tmp_path):
     assert served_f == inline_full
 
 
+def test_drop_duplicate_spans_planted_fixture(spark):
+    """drop_duplicate_spans (r14, VERDICT r13 item 3) on a planted
+    corpus — pins every clause of the removal contract:
+    - cross-doc excision: doc 2 shares doc 1's 5-token prefix window;
+      canonical is (1, 0), so doc 2 loses tokens 0-4 and keeps 'x';
+    - within-doc keep-first + overlapping-span position union: doc 3 is
+      'p q r s t' three times; every window at pos >= 5 is a dup of an
+      earlier one, so positions 5-14 are excised and exactly the FIRST
+      occurrence survives;
+    - whole-text-window removal on short docs: doc 5 duplicates doc 4's
+      1-token text; canonical (4, 0) keeps, doc 5 is emptied;
+    - whitespace rows: docs 6/7 tokenize to [''] and share the ''
+      window — the canonical (6, 0) 'keeps' it, doc 7 removes it; both
+      render as '' (array_join of either [] or [''])."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"),
+         (2, "a b c d e x"),
+         (3, "p q r s t p q r s t p q r s t"),
+         (4, "hello"),
+         (5, "hello"),
+         (6, "   "),
+         (7, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+           for r in D.drop_duplicate_spans(df).collect()}
+    assert out == {
+        1: (6, 0, "a b c d e f"),
+        2: (6, 5, "x"),
+        3: (15, 10, "p q r s t"),
+        4: (1, 0, "hello"),
+        5: (1, 1, ""),
+        6: (1, 0, ""),
+        7: (1, 1, ""),
+    }
+
+
 def test_ext_ann_ivfpq_trained_artifact_contract(spark):
     """The gated trained-ANN query (r14, VERDICT r13 item 2): its
     artifact path is sf-INDEPENDENT (the static oracle SQL names it as a

@@ -440,6 +440,21 @@ def test_ext_dedup_spans_plan_shape(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final on both aggs
 
 
+def test_ext_dedup_spans_drop_plan_shape(spark):
+    """ext_dedup_spans_drop (r14): the spans commonness shape plus the
+    removal legs — text filter pushed to the scan, the small-input
+    broadcast guard fires for the frequency side at the test SF, the
+    canonical pick is a min(struct) REDUCTION (no row_number Window —
+    the materialization skew rule), and the doc-keyed removal join is
+    shuffled-hash, never a full-corpus sort-merge."""
+    plan = plan_of(spark, "ext_dedup_spans_drop")
+    assert "IsNotNull(text)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_ext_graph_pagerank_plan_shape(spark):
     """ext_graph_pagerank (r13): the 3 unrolled iterations must stay
     plain equi-join + partial-agg stages — no cartesian product, no

@@ -123,6 +123,22 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
              "lang": "en", "source": "src3", "n_chars": 35},
             {"doc_id": -16, "text": "   \nbelow a blank-ish line\n   ",
              "lang": "en", "source": "src1", "n_chars": 30},
+            # duplicate-SPAN rows (r14, ext_dedup_spans_drop): ≥5-token
+            # spans so the normal (non-whole-text) window path is
+            # exercised on hostile ids. -17 repeats a 5-token span
+            # within one doc (keep-first: the pos-0 occurrence is
+            # canonical, later occurrences excised, overlapping windows
+            # union their positions); -18 embeds the same span mid-text
+            # (cross-doc excision: canonical is (-18, 2) < (-17, 0)
+            # by id order, so BOTH -17 occurrences drop). The short-doc
+            # dup rows (-5/-6/-7) already pin the whole-text-window
+            # removal convention.
+            {"doc_id": -17,
+             "text": "alpha beta gamma delta epsilon alpha beta gamma delta epsilon tail",
+             "lang": "en", "source": "src2", "n_chars": 66},
+            {"doc_id": -18,
+             "text": "lead in alpha beta gamma delta epsilon out",
+             "lang": "en", "source": "src3", "n_chars": 42},
         ]
     if name == "embeddings":
         dim = 0
