@@ -2035,9 +2035,16 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (312 edges / 24 triangles at sf0.01), so the closure logic is
     exercised, not just an empty-result match."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    e = _ngram_pair_candidates(docs, mult=50).select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    )  # oriented: u < v by construction
+    e = _ngram_pair_candidates(docs, mult=50).select("a_id", "b_id")
+    return graph_triangles_over(e)
+
+
+def graph_triangles_over(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an ORIENTED (a_id, b_id) pair
+    frame (a_id < b_id, e.g. any of the near-dup pair outputs) — the
+    edge-parameterized core of ext_graph_triangles, factored (r14) so
+    the sf10 harness can drive it over the LSH pair graph directly."""
+    e = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
     uv, vw = e.alias("uv"), e.alias("vw")
     # wedges u<v<w, then close with the (u, w) edge
     wedge = uv.join(vw, F.col("uv.v") == F.col("vw.u")).select(
@@ -2077,6 +2084,26 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+agg (no driver state). Output: (doc_id, pr)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     e = _ngram_pair_candidates(docs, mult=50).select("a_id", "b_id")
+    return graph_pagerank_over(e)
+
+
+def graph_pagerank_over(pairs: DataFrame, iters: int = 3,
+                        broadcast_ranks: bool = False) -> DataFrame:
+    """Integer PageRank over an (a_id, b_id) pair frame — the
+    edge-parameterized core of ext_graph_pagerank, factored (r14) so the
+    sf10 harness can drive it over the LSH pair graph directly.
+
+    ``broadcast_ranks``: the rank/degree vectors are NODE-cardinality
+    (16 bytes/node — 8 MB at 500k nodes) while the edge list is
+    EDGE-cardinality; broadcasting the per-iteration contribution frame
+    deletes the edge-side shuffle entirely (edges are probed in place,
+    only the node-sized aggregate exchanges). r14 sf10 A/B (PERF.md):
+    10.5 s shuffle form → 4.7 s broadcast form on the 25M-edge
+    100-clique graph (3.36× → 1.76× DuckDB, same-session interleaved,
+    checksum-matched). Caller-guarded like the commonness broadcast:
+    sound while n_nodes·16B fits executor memory; at billion-node scale
+    leave False and pay the shuffle_hash form."""
+    e = pairs.select("a_id", "b_id")
     edges = e.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).unionByName(e.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
@@ -2086,7 +2113,7 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = deg.select(
         F.col("node").alias("id"), F.lit(1_000_000).cast("bigint").alias("pr")
     )
-    for _ in range(3):
+    for _ in range(iters):
         # dataset aliases: everything descends from the same edge scan,
         # so unqualified columns are ambiguous self-join references.
         # shuffle_hash hints (ADVICE r13): both joins are equi-joins
@@ -2099,10 +2126,13 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("d.node").alias("src"),
                     F.expr("pr div deg").alias("cv"))
         )
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
+        else:
+            contrib = contrib.hint("shuffle_hash")
         pr = (
             edges.alias("e")
-            .join(contrib.alias("c").hint("shuffle_hash"),
-                  F.col("e.u") == F.col("c.src"))
+            .join(contrib.alias("c"), F.col("e.u") == F.col("c.src"))
             .groupBy(F.col("e.v").alias("id"))
             .agg(
                 (F.lit(150_000) + F.expr("(85 * sum(cv)) div 100"))
