@@ -8,8 +8,13 @@ Topology parity with the reference (SURVEY.md §3.2-3.3):
             (+ offset-store branch, + status-store branch, checkpoint-aligned)
 
     here:   readStream(text) → decode_raw (envelope) → foreachBatch:
-              1. route_batch: per-table typed parquet appends (dt-bucketed)
-              2. reduce_offset → offset file   (after writes: at-least-once)
+              1. route_batch: per-table typed parquet publish (dt-bucketed,
+                 EXACTLY-ONCE under replay: batch-keyed staging/promote,
+                 operators/routing.publish_batch_parquet — the reference's
+                 roll-on-checkpoint parity, FlinkCDCMulti.java:373-389)
+              2. reduce_offset → offset file   (after writes; the offset
+                 FILE itself stays at-least-once — resume over-replay is
+                 filtered by resume_filter)
               3. status accumulate → status file
               4. control: DDL classification / snapshot-completion → stop
 
@@ -334,6 +339,42 @@ class CDCPipeline:
             raw = fsio.read_text(self.controller_path)
             if raw:
                 self.controller.load_state(json.loads(raw))
+        self._ckpt_dir: str | None = None
+        self._publish_tag: str | None = None
+        # fallback publish tag for direct process_batch callers (polling,
+        # tests): unique per pipeline INSTANCE, so two runs sharing a
+        # sink never collide on batch ids; such callers have no replay,
+        # so stability across processes isn't needed (their crash
+        # semantics stay at-least-once via their own watermark/offset)
+        import uuid
+
+        self._instance_tag: str = uuid.uuid4().hex[:8]
+
+    def _batch_key(self, batch_id: int) -> str:
+        """Publish key unique per (query lineage, epoch): the streaming
+        query id from the checkpoint's metadata file (stable across
+        restarts of the SAME checkpoint — the replay-dedup requirement —
+        and regenerated with a fresh one) + the epoch id. A bare epoch
+        id collides across lineages sharing a sink dir (r14
+        kafka-resume: a fresh checkpoint's batch 0 would delete the
+        previous run's b0- files; r14 polling e2e: a second polling
+        process's batch 0 deleted the first's snapshot)."""
+        if self._publish_tag is None and self._ckpt_dir:
+            meta = fsio.read_text(fsio.join(self._ckpt_dir, "metadata"))
+            tag = None
+            if meta:
+                try:
+                    tag = json.loads(meta)["id"].replace("-", "")[:8]
+                except (ValueError, KeyError, TypeError):
+                    tag = None
+            if tag is None:
+                # metadata unreadable: fall back to a CKPT-PATH-stable
+                # tag so a restart of the same checkpoint still dedups
+                import hashlib
+
+                tag = hashlib.md5(self._ckpt_dir.encode()).hexdigest()[:8]
+            self._publish_tag = tag
+        return f"{self._publish_tag or self._instance_tag}x{batch_id}"
 
     def _resolve_unknown_table(self, db: str, tbl: str):
         """Newly-added-table pickup: when enabled and a schema provider is
@@ -376,19 +417,22 @@ class CDCPipeline:
             return False
         return 1 <= len(self.registry.data_specs()) <= cfg.onepass_max_tables
 
-    def _write_table_slice(self, df: DataFrame, spec, db: str, tbl: str) -> None:
+    def _write_table_slice(self, df: DataFrame, spec, db: str, tbl: str,
+                           batch_id: int | None = None) -> None:
         from flink_cdc_multi_spark.functions.datetime_utils import dt_bucket
-        from flink_cdc_multi_spark.operators.routing import project_table
+        from flink_cdc_multi_spark.operators.routing import (
+            project_table,
+            publish_batch_parquet,
+        )
 
         cfg = self.config
         # project_table handles both payload shapes: struct (stream-level
         # typed decode) short-circuits to payload.*, string gets from_json
         typed = project_table(df, self.registry, spec, db, tbl)
         typed = typed.withColumn("dt", dt_bucket(F.col("_ts")))
-        (
-            typed.write.mode("append")
-            .partitionBy("dt")
-            .parquet(f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}")
+        publish_batch_parquet(
+            typed, f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}",
+            batch_id,
         )
 
     def _remove_if_dataless(self, spark: SparkSession, spec) -> None:
@@ -403,20 +447,28 @@ class CDCPipeline:
         fs, jp = _hadoop_fs(spark, path)
         if not fs.exists(jp):
             return
+        import re
+
         it = fs.listFiles(jp, True)
         while it.hasNext():
-            if it.next().getPath().getName().startswith("part-"):
+            name = it.next().getPath().getName()
+            # data files: legacy appends are part-*, the exactly-once
+            # publish promotes them as b<batch>-part-*
+            if name.startswith("part-") or re.match(r"b[0-9a-fx]+-part-", name):
                 return
         fs.delete(jp, True)
 
-    def _append_ddl_rows(self, spark: SparkSession, ddl_rows: list) -> None:
+    def _append_ddl_rows(self, spark: SparkSession, ddl_rows: list,
+                         batch_id: int | None = None) -> None:
         """Write collected DDL events into the per-db `_<db>_ddl` tables.
         DDL volume is control-plane volume (~zero), so the rows ride the
         observation and land via a driver-built append — no per-batch empty
-        write job for the DDL table."""
+        write job for the DDL table. Same exactly-once publish as the
+        data tables (a replayed batch must not duplicate DDL rows)."""
         from collections import defaultdict
 
         from flink_cdc_multi_spark.functions.datetime_utils import dt_bucket
+        from flink_cdc_multi_spark.operators.routing import publish_batch_parquet
 
         cfg = self.config
         by_db: dict[str, list] = defaultdict(list)
@@ -429,10 +481,9 @@ class CDCPipeline:
             data = [tuple(r[f.name] for f in spec.payload_schema.fields) for r in rows]
             df = spark.createDataFrame(data, spec.payload_schema)
             df = df.withColumn("dt", dt_bucket(F.col("_ts")))
-            (
-                df.write.mode("append")
-                .partitionBy("dt")
-                .parquet(f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}")
+            publish_batch_parquet(
+                df, f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}",
+                batch_id,
             )
 
     def _process_batch_onepass(self, envelope: DataFrame, batch_id: int) -> None:
@@ -475,7 +526,8 @@ class CDCPipeline:
         try:
             if len(data_specs) == 1:
                 db, tbl = identity(data_specs[0])
-                self._write_table_slice(observed, data_specs[0], db, tbl)
+                self._write_table_slice(observed, data_specs[0], db, tbl,
+                                        batch_id=self._batch_key(batch_id))
             else:
                 # first write consumes the observed plan (materializes
                 # metrics); the rest run concurrently over the cached batch
@@ -488,6 +540,7 @@ class CDCPipeline:
                             observed if i == 0 else envelope,
                             spec,
                             *identity(spec),
+                            batch_id=self._batch_key(batch_id),
                         )
                         for i, spec in enumerate(data_specs)
                     ]
@@ -518,7 +571,8 @@ class CDCPipeline:
                 spec = self._resolve_unknown_table(db, tbl)
                 if spec is not None:
                     self.registry.add(spec)
-                    self._write_table_slice(envelope, spec, db, tbl)
+                    self._write_table_slice(envelope, spec, db, tbl,
+                                            batch_id=self._batch_key(batch_id))
                 else:
                     remaining.append((db, tbl))
             if remaining:
@@ -537,7 +591,8 @@ class CDCPipeline:
 
         ddl_rows = m["ddl"] or []
         if ddl_rows:
-            self._append_ddl_rows(envelope.sparkSession, ddl_rows)
+            self._append_ddl_rows(envelope.sparkSession, ddl_rows,
+                                  batch_id=self._batch_key(batch_id))
 
         # offset file AFTER data writes commit (at-least-once), monotone
         if self.offset_store is not None:
@@ -614,7 +669,10 @@ class CDCPipeline:
                 data = envelope.filter(F.col("_op") == OP_READ).limit(0)
                 counts = None  # counts describe the unfiltered batch
 
-            # 1. route + write
+            # 1. route + write (batch_id → exactly-once publish: a
+            # replayed batch deletes its own prior files before
+            # re-promoting, so a crash anywhere between the data write
+            # and the checkpoint commit cannot duplicate rows)
             route_batch(
                 data,
                 self.registry,
@@ -622,6 +680,7 @@ class CDCPipeline:
                 cfg.source_id,
                 resolve_unknown=self._resolve_unknown_table,
                 counts=counts,
+                batch_id=self._batch_key(batch_id),
             )
             t = self._mark("route_write", t)
 
@@ -730,6 +789,9 @@ class CDCPipeline:
                 "own reader instead"
             )
         cfg = self.config
+        # publish keys derive from this checkpoint's query lineage
+        self._ckpt_dir = checkpoint_dir
+        self._publish_tag = None
         # self-heal any compaction swap a previous process crashed inside:
         # without this, streaming appends recreate the live dir with only
         # post-crash rows and the NEXT compaction deletes `__old` (the
@@ -804,6 +866,23 @@ class CDCPipeline:
                 max_files_per_trigger,
                 payload_schema=payload_schema,
             )
+        # The offset-file resume filter applies ONLY to fresh-checkpoint
+        # starts (offset-file resume, manual reposition, feed re-read).
+        # When the checkpoint already has progress, Spark's own WAL
+        # replays the exact uncommitted batch and the batch-keyed
+        # exactly-once publish dedups it — filtering that replay instead
+        # LOSES rows: the publish deletes the crashed attempt's files and
+        # re-promotes only the filtered remainder (r14 kill-mid-batch
+        # test caught exactly this: offset file advanced past the
+        # uncommitted batch before the crash).
+        if offset and self._checkpoint_has_progress(spark, checkpoint_dir):
+            LOG.warning(
+                "checkpoint %s has progress; ignoring stored/configured "
+                "offset %s (the checkpoint WAL governs resume — to "
+                "reposition, start a fresh checkpoint dir)",
+                checkpoint_dir, offset,
+            )
+            offset = None
         if offset:
             stream = resume_filter(stream, cfg.source_type, offset)
         elif cfg.startup_mode == "timestamp" and cfg.datetime_offset:
@@ -831,6 +910,21 @@ class CDCPipeline:
             )
         query = writer.start()
         return query
+
+    @staticmethod
+    def _checkpoint_has_progress(spark: SparkSession, checkpoint_dir: str) -> bool:
+        """True when the Spark checkpoint's offset WAL holds at least one
+        entry — i.e. start() is resuming an existing query rather than
+        beginning a fresh one."""
+        from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+
+        fs, p = _hadoop_fs(spark, f"{checkpoint_dir}/offsets")
+        if not fs.exists(p):
+            return False
+        for st in fs.listStatus(p):
+            if not st.getPath().getName().startswith("."):
+                return True
+        return False
 
     def run_until_stopped(self, query, poll_s: float = 0.25, timeout_s: float | None = None):
         """Await the stop controller: the triggering batch commits, then the

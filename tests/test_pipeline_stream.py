@@ -158,6 +158,108 @@ def test_resume_from_offset_file(spark, tmp_path):
     assert sorted(r["id"] for r in users.collect()) == [2, 3]
 
 
+def test_publish_batch_parquet_replay_idempotent(spark, tmp_path):
+    """The exactly-once publish primitive (r14, VERDICT r13 item 6):
+    re-publishing the SAME batch converges to exactly one copy through
+    every crash window — complete prior promote (checkpoint never
+    committed), partial promote (some b<id>- files missing), and a stray
+    extra file from a duplicated attempt."""
+    import shutil
+
+    from flink_cdc_multi_spark.operators.routing import publish_batch_parquet
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        "id long, v string, dt string",
+    )
+    publish_batch_parquet(df, table, 7)
+    assert spark.read.parquet(table).count() == 3
+    # window 1: complete promote, uncommitted checkpoint → full replay
+    publish_batch_parquet(df, table, 7)
+    assert spark.read.parquet(table).count() == 3
+    # window 2: partial promote — delete one promoted file, replay heals
+    import glob as _glob
+    import os as _os
+
+    files = _glob.glob(f"{table}/dt=*/b7-part-*")
+    assert files, "promoted files must carry the b<batch>- prefix"
+    _os.remove(files[0])
+    publish_batch_parquet(df, table, 7)
+    assert spark.read.parquet(table).count() == 3
+    # window 3: stray duplicate file from a crashed attempt → deleted
+    files = _glob.glob(f"{table}/dt=*/b7-part-*")
+    shutil.copy(files[0], files[0].replace("b7-part-", "b7-part-zz"))
+    publish_batch_parquet(df, table, 7)
+    assert spark.read.parquet(table).count() == 3
+    # a DIFFERENT batch appends (no cross-batch interference)
+    publish_batch_parquet(df, table, 8)
+    assert spark.read.parquet(table).count() == 6
+    # hidden staging dirs never linger
+    assert not _glob.glob(f"{table}/.staging_*")
+
+
+def test_stream_kill_mid_batch_no_dup_no_loss(spark, tmp_path):
+    """Kill-mid-batch e2e (r14, VERDICT r13 item 6): batch 0 commits;
+    batch 1 PUBLISHES its data then the job dies before the checkpoint
+    commit (the classic foreachBatch duplicate window — injected by
+    raising after process_batch returns). A fresh pipeline on the same
+    checkpoint replays batch 1 with the same epoch id; the batch-keyed
+    publish deletes the orphaned b1- files and re-promotes, so the sink
+    ends with NO duplicates and NO loss. A partial-promote crash is
+    simulated on top by deleting one orphan file before the restart."""
+    import glob as _glob
+    import os as _os
+
+    pipe = _pipeline(tmp_path)
+    feed = _feed(tmp_path, "f1.json", [
+        make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=20),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    query = pipe.start(spark, feed, ckpt)
+    query.processAllAvailable()
+    query.stop()
+    table = str(tmp_path / "sink" / "s1_testdb__users")
+    assert spark.read.parquet(table).count() == 2
+
+    # batch 1: publish succeeds, then the job dies pre-commit
+    pipe2 = _pipeline(tmp_path)
+    orig = pipe2.process_batch
+
+    def crash_after_publish(df, bid):
+        orig(df, bid)
+        if bid >= 1:
+            raise RuntimeError("injected crash after publish, before commit")
+
+    pipe2.process_batch = crash_after_publish
+    _feed(tmp_path, "f2.json", [
+        make_mysql_row(op="c", after={"id": 3, "v": "c"}, pos=30),
+        make_mysql_row(op="c", after={"id": 4, "v": "d"}, pos=40),
+    ])
+    query2 = pipe2.start(spark, feed, ckpt)
+    try:
+        query2.processAllAvailable()
+    except Exception:
+        pass
+    query2.stop()
+    assert spark.read.parquet(table).count() == 4  # orphaned batch-1 rows
+    orphans = [f for f in _glob.glob(f"{table}/dt=*/b*-part-*")
+               if "/b0-" not in f]
+    assert orphans, "batch-1 publish should have landed before the crash"
+    _os.remove(orphans[0])  # partial-promote crash on top
+
+    # restart: same checkpoint → batch 1 replays under the same epoch id
+    pipe3 = _pipeline(tmp_path)
+    query3 = pipe3.start(spark, feed, ckpt)
+    query3.processAllAvailable()
+    query3.stop()
+    users = spark.read.parquet(table)
+    assert users.count() == 4  # no dup, no loss
+    assert sorted(r["id"] for r in users.select("id").collect()) == [1, 2, 3, 4]
+    assert pipe3.offset_store.read() == "mysql-bin.000001,40"
+
+
 def test_stop_controller_ignores_non_target_ddl():
     ctl = StopController(snapshot_only=False, target_tables={"testdb.users"})
     ctl.on_ddl_rows([{"_db": "testdb", "_ddl": "DROP TABLE other", "_ddl_tbl": "other"}])

@@ -198,6 +198,79 @@ def test_polling_e2e_snapshot_then_delta_then_resume(spark, tmp_path):
     assert state["shop.users"]["ts"].startswith("2024-01-02 10:00:00")
 
 
+def test_polling_timestamp_startup_matches_feed_end_state(spark, tmp_path):
+    """startup.mode=timestamp parity across transports (r14, VERDICT r13
+    item 7; MySQLStreamer.java:220-255 matrix): the SAME change history
+    positioned at the SAME datetime offset through (a) the Debezium file
+    feed and (b) the polling leg must materialize the SAME end state —
+    rows strictly before the cut excluded by both, rows at/after it
+    present with identical latest images. Ops differ by construction
+    (polling can't see ops, only states), so parity is on the
+    materialized (id, updated_at, v) image."""
+    from conftest import make_mysql_row
+
+    cut = "2024-01-01 11:30:00"
+    history = [
+        (1, _ts("2024-01-01 10:00:00"), "a"),      # before the cut
+        (2, _ts("2024-01-01 11:00:00"), "b"),      # before the cut
+        (3, _ts("2024-01-01 12:00:00"), "c"),      # after
+        (4, _ts("2024-01-02 10:00:00"), "d"),      # after
+    ]
+
+    # (a) polling leg: live table holds the history; poll-since-datetime
+    live = str(tmp_path / "live" / "shop.users")
+    _write_standin(spark, live, history)
+    cfg = _cfg(tmp_path, **{"startup.mode": "timestamp",
+                            "datetime.offset": cut})
+    run_polling(spark, cfg, _pipeline(cfg), max_polls=1, interval_s=0)
+    poll_out = spark.read.parquet(str(tmp_path / "sink" / "poll1_shop__users"))
+
+    # (b) feed leg: the same history as change events, same timestamp start
+    def ev(i, ts, v):
+        ms = int(ts.timestamp() * 1000)
+        return make_mysql_row(
+            db="shop", op="c",
+            after={"id": i, "updated_at": ts.strftime("%Y-%m-%d %H:%M:%S"),
+                   "v": v},
+            pos=i * 10, ts_ms=ms,
+        )
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    (feed_dir / "f1.json").write_text(
+        "\n".join(ev(i, ts, v) for i, ts, v in history) + "\n"
+    )
+    feed_cfg = JobConfig.from_dict({
+        "source.id": "feed1",
+        "source.type": "mysql",
+        "sink.path": str(tmp_path / "fsink"),
+        "offset.store.path": str(tmp_path / "foffsets"),
+        "startup.mode": "timestamp",
+        "datetime.offset": cut,
+        "checkpoint.interval": 1,
+    })
+    feed_pipe = CDCPipeline(
+        feed_cfg, TableRegistry.build("mysql", {("shop", "users"): SCHEMA})
+    )
+    q = feed_pipe.start(spark, str(feed_dir), str(tmp_path / "fckpt"))
+    q.processAllAvailable()
+    q.stop()
+    feed_out = spark.read.parquet(str(tmp_path / "fsink" / "feed1_shop__users"))
+
+    def latest_image(df):
+        return {
+            r["id"]: (r["updated_at"], r["v"])
+            for r in df.groupBy("id")
+            .agg(F.max_by(F.struct("updated_at", "v"), "_ts").alias("s"))
+            .select("id", "s.updated_at", "s.v")
+            .collect()
+        }
+
+    pi, fi = latest_image(poll_out), latest_image(feed_out)
+    assert pi == fi
+    assert sorted(pi) == [3, 4]  # the pre-cut rows excluded by BOTH legs
+
+
 def test_polling_startup_latest_skips_existing_rows(spark, tmp_path):
     live = str(tmp_path / "live" / "shop.users")
     _write_standin(spark, live, BASE)
