@@ -135,6 +135,61 @@ def test_mysql_real_capture_transaction_metadata(spark):
     assert env.count() == 8  # 9 lines - 1 heartbeat
 
 
+def test_mysql_real_capture_temporal_decimal_types(spark, tmp_path):
+    """Capture-corpus growth (r14, VERDICT r13 item 1): the Debezium
+    tutorial's inventory.orders topic extended with the semantic-type
+    payloads a real MySQL connector emits — DATE as epoch-day int32
+    (io.debezium.time.Date), DATETIME as epoch-ms int64 (Timestamp),
+    TIMESTAMP as a ZonedTimestamp ISO string, DECIMAL as a string under
+    decimal.handling.mode=string (the reference's exactness-over-
+    arithmetic choice, MySQLStreamer.java:262 / SURVEY §1.3). The typed
+    boundary must land each EXACTLY: epoch-days never become dates,
+    decimal strings never pass through float."""
+    cfg = JobConfig.from_dict({
+        "source.id": "m2",
+        "source.type": "mysql",
+        "sink.path": str(tmp_path / "sink"),
+        "offset.store.path": str(tmp_path / "store"),
+        "checkpoint.interval": 1,
+    })
+    orders_schema = T.StructType([
+        T.StructField("order_number", T.LongType()),
+        T.StructField("order_date", T.IntegerType()),   # epoch days (§1.3)
+        T.StructField("purchaser", T.LongType()),
+        T.StructField("quantity", T.IntegerType()),
+        T.StructField("product_id", T.LongType()),
+        T.StructField("total", T.StringType()),         # decimal-as-string
+        T.StructField("created_at", T.LongType()),      # epoch millis
+        T.StructField("shipped_at", T.StringType()),    # ZonedTimestamp
+    ])
+    reg = TableRegistry.build("mysql", {("inventory", "orders"): orders_schema})
+    pipe = CDCPipeline(cfg, reg)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "capture.jsonl").write_text(
+        (FIXTURES / "mysql_inventory_orders.jsonl").read_text()
+    )
+    q = pipe.start(spark, str(feed), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "sink" / "m2_inventory__orders"))
+    got = out.orderBy("_ts").collect()
+    assert [r["_op"] for r in got] == ["READ", "READ", "INSERT", "UPDATE", "DELETE"]
+    ins = got[2]
+    # exact typed landing — no date coercion, no float round trip
+    assert (ins["order_date"], type(ins["order_date"])) == (19723, int)
+    assert ins["total"] == "1249.50"
+    assert ins["created_at"] == 1704067200000
+    assert ins["shipped_at"] == "2024-01-02T09:15:30Z"
+    upd = got[3]
+    assert (upd["quantity"], upd["total"]) == (2, "2499.00")
+    # DELETE carries the before image, NULLable ZonedTimestamp stays NULL
+    dele = got[4]
+    assert (dele["order_number"], dele["shipped_at"]) == (10002, None)
+    assert pipe.offset_store.read() == "mysql-bin.000004,1100"
+
+
 def test_postgres_real_capture_end_to_end(spark, tmp_path):
     pipe = _run_file_feed(
         spark, tmp_path, "postgres", "pg1", "postgres", CUSTOMERS_SQL,
