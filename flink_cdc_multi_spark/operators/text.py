@@ -136,22 +136,65 @@ def bpe_encode_table(text: Column, merges) -> Column:
         return F.when(norm == "", F.lit("")).otherwise(
             F.regexp_replace(F.trim(seq), " +", " ")
         )
-    pats = [(f" {a}  {b} ", f" {a}{b} ") for a, b in merges]
+    # rank-dict kernel (r14 — the real-tokenizer operating point): the
+    # r13 kernel scanned EVERY rank per document (`pat in seq` over the
+    # whole table), O(|merges|·len) per doc — measured linear in
+    # |merges| (2.3 s @1k → 11.5 s @8k on 50k sf1 docs, PERF.md r14);
+    # a 32k-merge production table needs work independent of table
+    # size; this kernel measures FLAT (~0.4-0.5 s at 1k/8k/32k). It is the
+    # standard subword-nmt/tiktoken shape: per WORD, repeatedly merge
+    # the lowest-rank adjacent pair (left-to-right, non-overlapping),
+    # with a word→encoding cache (tokenizers cache exactly this).
+    # Equivalent to the rank-order chain because a merge never makes two
+    # previously non-adjacent symbols adjacent, so once rank r is fully
+    # applied it can never re-fire — pinned bit-identical against the
+    # chain in test_bpe_encode_table_fallback_matches_chain. Merge pairs
+    # never contain the space character (bpe_normalize's alphabet is
+    # a-z; learned merges never cross word gaps), so per-word encoding
+    # matches the chain's whole-string scan.
+    ranks = {pair: i for i, pair in enumerate(merges)}
 
     @F.pandas_udf(T.StringType())
     def enc(s):
-        import re
+        cache: dict = {}
+
+        def word(w):
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank = None
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best = r, (syms[i], syms[i + 1])
+                if best is None:
+                    break
+                out = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if (i + 1 < n and syms[i] == best[0]
+                            and syms[i + 1] == best[1]):
+                        out.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            enc_w = " ".join(syms)
+            if len(cache) < 200_000:  # bound executor memory
+                cache[w] = enc_w
+            return enc_w
 
         def one(v):
             if v is None:
                 return None
             if v == "":
                 return ""
-            seq = " " + "  ".join(v) + " "
-            for pat, rep in pats:
-                if pat in seq:  # skip-scan: most ranks miss most docs
-                    seq = seq.replace(pat, rep)
-            return re.sub(" +", " ", seq.strip())
+            return " ".join(word(w) for w in v.split(" ") if w)
 
         return s.map(one)
 
