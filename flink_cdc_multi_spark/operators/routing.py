@@ -135,36 +135,71 @@ def publish_batch_parquet(typed: DataFrame, table_path: str,
 
 def _promote_staging(spark, table_path: str, staging: str,
                      batch_id: int) -> None:
+    """Promote staged part files into their dt= dirs under batch-keyed
+    names, deleting this batch's previously promoted files first.
+
+    Local (scheme-less) paths use plain os calls — the fsio pattern:
+    the Hadoop-FS form costs several py4j round trips PER FILE, and a
+    wide-dt batch promotes hundreds of files (measured: the sf1
+    streaming bench dropped 86k → 16k rows/s on py4j chatter alone).
+    Scheme'd paths (hdfs://, s3a://) go through Hadoop FS with glob
+    listings (one call, O(matches)) and thread-parallel renames; on S3
+    a rename is a copy — see publish_batch_parquet's note."""
+    import shutil as _shutil
+
+    from flink_cdc_multi_spark.sources import fsio
+
+    prefix = f"b{batch_id}-"
+    if not fsio.has_scheme(table_path):
+        import glob as _glob
+        import os as _os
+
+        for stale in _glob.glob(f"{table_path}/{prefix}*") + _glob.glob(
+            f"{table_path}/*/{prefix}*"
+        ):
+            _os.remove(stale)
+        for depth, pat in ((1, f"{staging}/part-*"),
+                           (2, f"{staging}/*/part-*")):
+            for f in _glob.glob(pat):
+                rel = _os.path.basename(_os.path.dirname(f)) if depth == 2 else ""
+                dest_dir = _os.path.join(table_path, rel) if rel else table_path
+                _os.makedirs(dest_dir, exist_ok=True)
+                _os.rename(f, _os.path.join(
+                    dest_dir, prefix + _os.path.basename(f)))
+        _shutil.rmtree(staging, ignore_errors=True)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
     from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
 
-    fs, tp = _hadoop_fs(spark, table_path)
-    prefix = f"b{batch_id}-"
-    # 1. delete this batch's previously promoted files (crashed attempt)
-    if fs.exists(tp):
-        it = fs.listFiles(tp, True)
-        stale = []
-        while it.hasNext():
-            f = it.next().getPath()
-            if f.getName().startswith(prefix) and "/.staging_" not in f.toString():
-                stale.append(f)
-        for f in stale:
-            fs.delete(f, False)
-    # 2. move staged part files into their dt= dirs under batch-keyed names
-    _, sp = _hadoop_fs(spark, staging)
-    sroot = fs.makeQualified(sp).toString()
-    it = fs.listFiles(sp, True)
-    moves = []
-    while it.hasNext():
-        f = it.next().getPath()
-        if f.getName().startswith("part-"):
-            rel = fs.makeQualified(f.getParent()).toString()[len(sroot):].lstrip("/")
-            moves.append((f, rel, f.getName()))
+    fs, _ = _hadoop_fs(spark, table_path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    for f, rel, name in moves:
-        dest_dir = jvm_path(table_path + (f"/{rel}" if rel else ""))
-        fs.mkdirs(dest_dir)
-        if not fs.rename(f, jvm_path(dest_dir, prefix + name)):
-            raise IOError(f"promote rename failed for {f} -> {dest_dir}")
+    for pat in (f"{table_path}/{prefix}*", f"{table_path}/*/{prefix}*"):
+        for st in fs.globStatus(jvm_path(pat)) or []:
+            fs.delete(st.getPath(), False)
+    moves = []
+    for depth, pat in ((1, f"{staging}/part-*"), (2, f"{staging}/*/part-*")):
+        for st in fs.globStatus(jvm_path(pat)) or []:
+            p = str(st.getPath().toUri().getPath())
+            name = p.rsplit("/", 1)[1]
+            rel = p.rsplit("/", 2)[1] if depth == 2 else ""
+            moves.append((st.getPath(), rel, name))
+    for rel in {rel for _, rel, _ in moves}:
+        fs.mkdirs(jvm_path(table_path + (f"/{rel}" if rel else "")))
+
+    def mv(m):
+        f, rel, name = m
+        dest = jvm_path(
+            table_path + (f"/{rel}" if rel else "") + "/" + prefix + name
+        )
+        if not fs.rename(f, dest):
+            raise IOError(f"promote rename failed for {f} -> {dest}")
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for r in ex.map(mv, moves):
+            pass
+    _, sp = _hadoop_fs(spark, staging)
     fs.delete(sp, True)
 
 

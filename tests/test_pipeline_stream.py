@@ -244,8 +244,12 @@ def test_stream_kill_mid_batch_no_dup_no_loss(spark, tmp_path):
         pass
     query2.stop()
     assert spark.read.parquet(table).count() == 4  # orphaned batch-1 rows
+    # publish names are b<lineage>x<epoch>-part-*; pick BATCH 1's files
+    # only (deleting a committed batch-0 file would be genuine data loss
+    # the replay correctly never restores — an early version of this
+    # filter did exactly that and flaked)
     orphans = [f for f in _glob.glob(f"{table}/dt=*/b*-part-*")
-               if "/b0-" not in f]
+               if "x1-part-" in _os.path.basename(f)]
     assert orphans, "batch-1 publish should have landed before the crash"
     _os.remove(orphans[0])  # partial-promote crash on top
 
