@@ -47,6 +47,7 @@ _REGATE: list[str] = [
     # so a stale CORRECTNESS parse can't rotate them out)
     "ext_ann_ivfpq_trained",
     "ext_dedup_spans_drop",
+    "ext_dedup_cluster_best",
 ]
 
 

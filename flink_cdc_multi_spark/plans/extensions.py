@@ -1686,6 +1686,46 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[key]
 
 
+def ext_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one-per-cluster (r14) — the selection rule real
+    dedup pipelines apply BETWEEN clustering and deletion (RefinedWeb/
+    FineWeb keep the best-quality member, not an arbitrary one): for
+    each near-dup cluster (the ext_dedup_clusters components, memoized),
+    keep the member with the highest quality_score, ties to the lowest
+    doc_id; members without tokens (no score row) rank below every
+    scored member via an integer sentinel and can only represent an
+    all-scoreless cluster. Output: (cluster_id, best_doc_id, best_score
+    NULLable, n_members).
+
+    Scale shape: the cluster labels are the already-built CC fixpoint;
+    the score is quality_score's one-exchange reduction; selection is a
+    max_by(struct) REDUCTION on cluster_id (the materialization skew
+    rule — a hot mega-cluster collapses map-side), never a row_number
+    window."""
+    clusters = ext_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    scores = X.quality_score(docs).select("doc_id", "score")
+    sentinel = F.lit(-(2 ** 62)).cast("bigint")
+    j = clusters.join(scores, "doc_id", "left")
+    ordk = F.struct(
+        F.coalesce(F.col("score"), sentinel).alias("s"),
+        (-F.col("doc_id")).alias("nd"),
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.max_by(F.struct(F.col("doc_id"), F.col("score")), ordk).alias("b"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("b.doc_id").alias("best_doc_id"),
+            F.col("b.score").cast("bigint").alias("best_score"),
+            "n_members",
+        )
+    )
+
+
 def ext_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking: 32-token windows, 8-token overlap (doc_id < 100
     scope keeps the gate result readable; the operator is unbounded)."""
@@ -2311,6 +2351,7 @@ EXT_QUERIES = {
     "ext_text_bpe": ext_text_bpe,
     "ext_text_quality_score": ext_text_quality_score,
     "ext_dedup_clusters": ext_dedup_clusters,
+    "ext_dedup_cluster_best": ext_dedup_cluster_best,
     "ext_text_chunks": ext_text_chunks,
     "ext_events_funnel": ext_events_funnel,
     "ext_events_retention": ext_events_retention,
@@ -3735,6 +3776,73 @@ def _quality_score_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["ext_text_quality_score"] = _quality_score_oracle_sql()
+
+
+def _cluster_best_oracle_sql() -> str:
+    """Replay of ext_dedup_cluster_best: the ext_dedup_clusters recursive
+    reachability closure composed with the QUALITY_WEIGHTS-generated
+    scorer (both sides move together with the weight table); selection
+    is the (score desc NULLS-as-sentinel, doc_id asc) rank-1 — the twin
+    of Spark's max_by(struct(coalesce(score, -2^62), -doc_id))."""
+    values = ", ".join(f"({b}, {w})" for b, w in enumerate(X.QUALITY_WEIGHTS))
+    sentinel = -(2 ** 62)
+    return rf"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 300
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), e AS (
+          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+        ), pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) * 5 >= any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs
+        ), walk AS (
+          SELECT doc_id AS id, doc_id AS r FROM t
+          UNION
+          SELECT w.id, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.r
+        ), clusters AS (
+          SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
+        ), w2(b, wt) AS (VALUES {values}),
+        tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM t WHERE text IS NOT NULL AND trim(text) <> ''
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT % {X.QUALITY_BUCKETS} AS b
+          FROM tok
+        ), sc AS (
+          SELECT doc_id, CAST(SUM(w2.wt) AS BIGINT) AS score
+          FROM h JOIN w2 USING (b) GROUP BY doc_id
+        ), ranked AS (
+          SELECT c.cluster_id, c.doc_id, sc.score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY COALESCE(sc.score, {sentinel}) DESC, c.doc_id
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+          FROM clusters c LEFT JOIN sc USING (doc_id)
+        )
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(doc_id AS BIGINT) AS best_doc_id,
+               CAST(score AS BIGINT) AS best_score,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    """
+
+
+EXT_ORACLE_SQL["ext_dedup_cluster_best"] = _cluster_best_oracle_sql()
 
 # BPE-exact packing replay: the ext_pack_sequences running sum with
 # n_tokens = the generated BPE chain's symbol count.

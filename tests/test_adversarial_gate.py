@@ -56,6 +56,11 @@ ADVERSARIAL_QUERIES = [
     # tokenize/rejoin contract
     "ext_dedup_spans_drop",
     "ext_dedup_ngram",
+    # r14: quality-aware keep-one — the dup rows (-5/-6/-7, identical
+    # text => one cluster, equal scores => lowest doc_id wins) and the
+    # empty/whitespace rows (scoreless members rank below every scored
+    # one via the sentinel) exercise both selection clauses
+    "ext_dedup_cluster_best",
     "ext_dedup_fingerprint",
     "ext_text_quality",
     "ext_text_quality_score",
