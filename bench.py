@@ -213,7 +213,8 @@ def main() -> None:
     # amortization of the same contract; its timed number is pure serving,
     # zero corpus scans), and
     # ext_dedup_clusters runs its iterative fixpoint (the result of an
-    # iterative algorithm is a materialized artifact),
+    # iterative algorithm is a materialized artifact; ext_dedup_cluster_best
+    # rides the same memoized build — no second fixpoint),
     # ext_ann_ivfpq_trained (r14) trains its kmeans models over a capped
     # sample and persists the index (the FAISS train+add slot; timed
     # number is pure serving like _indexed), and

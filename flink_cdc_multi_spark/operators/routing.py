@@ -102,8 +102,16 @@ def project_table(
     return rows.select(payload, *keep_meta).select("r.*", *keep_meta)
 
 
+# Suffix of the per-table sidecar recording the batch key whose rows a
+# maintenance compaction FOLDED into the rewritten table (written beside
+# the table dir, not inside — the swap replaces the dir). A replayed
+# batch with this key skips its publish: re-promoting rows compaction
+# already folded would duplicate them (streaming/pipeline.run_compaction).
+COMPACTED_KEY_MARKER = "__folded.json"
+
+
 def publish_batch_parquet(typed: DataFrame, table_path: str,
-                          batch_id: int | None) -> None:
+                          batch_id: int | str | None) -> None:
     """Publish one batch's rows for one table, EXACTLY-ONCE under
     foreachBatch replay (r14, VERDICT r13 item 6 — the reference gets
     this from roll-on-checkpoint, java/FlinkCDCMulti.java:373-389; a
@@ -128,6 +136,23 @@ def publish_batch_parquet(typed: DataFrame, table_path: str,
     if batch_id is None:
         typed.write.mode("append").partitionBy("dt").parquet(table_path)
         return
+    from flink_cdc_multi_spark.sources import fsio
+
+    marker = fsio.read_text(table_path + COMPACTED_KEY_MARKER)
+    if marker:
+        try:
+            folded = __import__("json").loads(marker).get("folded_key")
+        except ValueError:
+            folded = None
+        if folded == str(batch_id):
+            # this batch's rows were folded into a compacted rewrite
+            # whose epoch never reached the checkpoint commit — replaying
+            # the publish would duplicate them next to the image. The
+            # plan must still EXECUTE (noop sink): the one-pass streaming
+            # path rides its control-plane Observation on this job and
+            # would block forever on obs.get otherwise.
+            typed.write.format("noop").mode("overwrite").save()
+            return
     staging = f"{table_path}/.staging_b{batch_id}"
     typed.write.mode("overwrite").partitionBy("dt").parquet(staging)
     _promote_staging(typed.sparkSession, table_path, staging, batch_id)
@@ -211,7 +236,7 @@ def route_batch(
     write: bool = True,
     resolve_unknown=None,
     counts: dict | None = None,
-    batch_id: int | None = None,
+    batch_id: int | str | None = None,
 ) -> RouteResult:
     """Demux one (micro-)batch to per-table parquet appends.
 

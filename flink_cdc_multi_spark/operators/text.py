@@ -152,7 +152,21 @@ def bpe_encode_table(text: Column, merges) -> Column:
     # never contain the space character (bpe_normalize's alphabet is
     # a-z; learned merges never cross word gaps), so per-word encoding
     # matches the chain's whole-string scan.
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    #
+    # Constructibility filter (r14 review finding): a pair whose
+    # component is neither a single character nor the output of an
+    # EARLIER rank can never fire under chain semantics (the symbol
+    # doesn't exist when that rank's replace pass runs) — but the
+    # min-rank iteration WOULD fire it once a later rank builds the
+    # component. Dropping such ranks keeps the two kernels bit-identical
+    # for arbitrary tables, exactly as the chain treats them (a no-op).
+    built: set = set()
+    usable = []
+    for a, b in merges:
+        if (len(a) == 1 or a in built) and (len(b) == 1 or b in built):
+            usable.append((a, b))
+            built.add(a + b)
+    ranks = {pair: i for i, pair in enumerate(usable)}
 
     @F.pandas_udf(T.StringType())
     def enc(s):

@@ -2375,26 +2375,13 @@ EXT_QUERIES = {
 }
 
 # DuckDB oracles for the deterministic (non-hash-dependent) extensions.
-EXT_ORACLE_SQL = {
-    "ext_text_chunks": r"""
-        WITH t AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
-          FROM documents WHERE doc_id < 100 AND trim(text) <> ''
-        )
-        , c AS (
-          SELECT doc_id, toks,
-                 unnest(range(CAST(ceil(len(toks)/24.0) AS BIGINT))) AS chunk_id
-          FROM t
-        )
-        SELECT doc_id, chunk_id,
-               array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
-               CAST(least(32, len(toks) - chunk_id*24) AS BIGINT) AS n_tokens
-        FROM c WHERE chunk_id*24 < len(toks)
-        ORDER BY doc_id, chunk_id
-    """,
-    "ext_dedup_clusters": r"""
-        WITH RECURSIVE t AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+# Shared reachability-closure CTE chain for the near-dup cluster oracles
+# (r14 review finding: ext_dedup_cluster_best hand-copied these ~25 lines
+# from ext_dedup_clusters — a future scope/threshold edit to one copy
+# would silently gate the two queries against DIFFERENT clusterings).
+# `t` carries `text` so score-consuming composers can reuse it.
+_NEARDUP_CLOSURE_CTES = r"""t AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') toks
           FROM documents WHERE doc_id < 300
         ), s AS (
           SELECT doc_id,
@@ -2417,7 +2404,27 @@ EXT_ORACLE_SQL = {
           SELECT doc_id AS id, doc_id AS r FROM t
           UNION
           SELECT w.id, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.r
+        )"""
+
+EXT_ORACLE_SQL = {
+    "ext_text_chunks": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 100 AND trim(text) <> ''
         )
+        , c AS (
+          SELECT doc_id, toks,
+                 unnest(range(CAST(ceil(len(toks)/24.0) AS BIGINT))) AS chunk_id
+          FROM t
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+               CAST(least(32, len(toks) - chunk_id*24) AS BIGINT) AS n_tokens
+        FROM c WHERE chunk_id*24 < len(toks)
+        ORDER BY doc_id, chunk_id
+    """,
+    "ext_dedup_clusters": f"""
+        WITH RECURSIVE {_NEARDUP_CLOSURE_CTES}
         SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
         FROM walk GROUP BY id ORDER BY doc_id
     """,
@@ -3787,31 +3794,7 @@ def _cluster_best_oracle_sql() -> str:
     values = ", ".join(f"({b}, {w})" for b, w in enumerate(X.QUALITY_WEIGHTS))
     sentinel = -(2 ** 62)
     return rf"""
-        WITH RECURSIVE t AS (
-          SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') toks
-          FROM documents WHERE doc_id < 300
-        ), s AS (
-          SELECT doc_id,
-                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                      ELSE list_distinct(list_transform(range(len(toks)-2),
-                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-                 END sh
-          FROM t
-        ), e AS (
-          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
-        ), pairs AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-          HAVING COUNT(*) * 5 >= any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)
-        ), edges AS (
-          SELECT a_id AS src, b_id AS dst FROM pairs
-          UNION ALL SELECT b_id, a_id FROM pairs
-        ), walk AS (
-          SELECT doc_id AS id, doc_id AS r FROM t
-          UNION
-          SELECT w.id, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.r
-        ), clusters AS (
+        WITH RECURSIVE {_NEARDUP_CLOSURE_CTES}, clusters AS (
           SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
         ), w2(b, wt) AS (VALUES {values}),
         tok AS (

@@ -418,7 +418,7 @@ class CDCPipeline:
         return 1 <= len(self.registry.data_specs()) <= cfg.onepass_max_tables
 
     def _write_table_slice(self, df: DataFrame, spec, db: str, tbl: str,
-                           batch_id: int | None = None) -> None:
+                           batch_id: int | str | None = None) -> None:
         from flink_cdc_multi_spark.functions.datetime_utils import dt_bucket
         from flink_cdc_multi_spark.operators.routing import (
             project_table,
@@ -451,7 +451,13 @@ class CDCPipeline:
 
         it = fs.listFiles(jp, True)
         while it.hasNext():
-            name = it.next().getPath().getName()
+            p = it.next().getPath()
+            name = p.getName()
+            # staged files in a hidden .staging_* dir are NOT data —
+            # counting them would keep a dataless dir alive forever when
+            # a crashed attempt's staging lingers (r14 review finding)
+            if "/.staging_" in p.toString():
+                continue
             # data files: legacy appends are part-*, the exactly-once
             # publish promotes them as b<batch>-part-*
             if name.startswith("part-") or re.match(r"b[0-9a-fx]+-part-", name):
@@ -459,7 +465,7 @@ class CDCPipeline:
         fs.delete(jp, True)
 
     def _append_ddl_rows(self, spark: SparkSession, ddl_rows: list,
-                         batch_id: int | None = None) -> None:
+                         batch_id: int | str | None = None) -> None:
         """Write collected DDL events into the per-db `_<db>_ddl` tables.
         DDL volume is control-plane volume (~zero), so the rows ride the
         observation and land via a driver-built append — no per-batch empty
@@ -624,7 +630,8 @@ class CDCPipeline:
             and cfg.table_key_columns
             and self.batches_processed % cfg.compact_every_n_batches == 0
         ):
-            self.run_compaction(envelope.sparkSession)
+            self.run_compaction(envelope.sparkSession,
+                                folded_key=self._batch_key(batch_id))
 
     def process_batch(self, envelope: DataFrame, batch_id: int) -> None:
         import time
@@ -715,13 +722,18 @@ class CDCPipeline:
             # PERF.md names small-file buildup the antidote target). Runs
             # AFTER the offset commit: the replay window on resume starts at
             # the stored offset, so compacting away tombstones/old images
-            # below it can never resurrect a row.
+            # below it can never resurrect a row. Exactly-once under a
+            # crash between compaction and the epoch's checkpoint commit
+            # is preserved by the folded-key marker (see run_compaction):
+            # the replayed batch sees its own key in the marker and skips
+            # its publish instead of re-promoting rows compaction folded.
             if (
                 cfg.compact_every_n_batches
                 and cfg.table_key_columns
                 and self.batches_processed % cfg.compact_every_n_batches == 0
             ):
-                self.run_compaction(envelope.sparkSession)
+                self.run_compaction(envelope.sparkSession,
+                                    folded_key=self._batch_key(batch_id))
         finally:
             envelope.unpersist()
 
@@ -737,11 +749,25 @@ class CDCPipeline:
             return [F.col("_ts"), F.col("_txn_op_index").try_cast("int")]
         return ["_ts"]
 
-    def run_compaction(self, spark) -> dict[str, int]:
+    def run_compaction(self, spark, folded_key=None) -> dict[str, int]:
         """Compact every table declared in table.key.columns to its
         materialized latest image (operators/cdc.compact_table). Returns
-        {table key: compacted row count}."""
+        {table key: compacted row count}.
+
+        ``folded_key`` (r14 review finding): compaction rewrites the
+        table into plain part-* files, consuming the b<key>- replay
+        markers of the CURRENT (not-yet-checkpoint-committed) batch — a
+        crash between compaction and the commit would then re-promote
+        that batch's rows next to the compacted image. The fix is an
+        atomic per-table marker recording the batch key whose rows
+        compaction folds, written BEFORE the rewrite: a replayed batch
+        whose key matches the marker SKIPS its publish
+        (publish_batch_parquet). Both crash orderings are safe — marker
+        written but compaction not run: the original published files
+        are still in place, the skip loses nothing; compaction ran:
+        the skip prevents the duplicate."""
         from flink_cdc_multi_spark.operators.cdc import _hadoop_fs, compact_table
+        from flink_cdc_multi_spark.operators.routing import COMPACTED_KEY_MARKER
 
         cfg = self.config
         order_cols = self.compaction_order_cols()
@@ -755,6 +781,14 @@ class CDCPipeline:
             fs, jp = _hadoop_fs(spark, path)
             if not fs.exists(jp):
                 continue  # no batch has landed rows for it yet
+            if folded_key is not None:
+                # marker lives BESIDE the table dir — the compaction swap
+                # replaces the dir itself, so an inside marker would be
+                # consumed by the very rewrite it guards
+                fsio.write_text_atomic(
+                    path + COMPACTED_KEY_MARKER,
+                    json.dumps({"folded_key": str(folded_key)}),
+                )
             results[key] = compact_table(spark, path, key_cols, order_cols)
             LOG.info("compacted %s -> %d rows", key, results[key])
         return results
@@ -792,6 +826,13 @@ class CDCPipeline:
         # publish keys derive from this checkpoint's query lineage
         self._ckpt_dir = checkpoint_dir
         self._publish_tag = None
+        # sweep orphaned staging dirs (r14): a crash mid-staging under a
+        # RETIRED lineage (fresh checkpoint, or a direct caller's
+        # per-instance tag) leaves a hidden .staging_b* dir no replay
+        # will ever rewrite or clean; any staging present at start is
+        # orphaned by definition (staging only lives inside a running
+        # batch of THIS query)
+        self._sweep_stale_staging(spark)
         # self-heal any compaction swap a previous process crashed inside:
         # without this, streaming appends recreate the live dir with only
         # post-crash rows and the NEXT compaction deletes `__old` (the
@@ -866,23 +907,36 @@ class CDCPipeline:
                 max_files_per_trigger,
                 payload_schema=payload_schema,
             )
-        # The offset-file resume filter applies ONLY to fresh-checkpoint
-        # starts (offset-file resume, manual reposition, feed re-read).
-        # When the checkpoint already has progress, Spark's own WAL
-        # replays the exact uncommitted batch and the batch-keyed
-        # exactly-once publish dedups it — filtering that replay instead
-        # LOSES rows: the publish deletes the crashed attempt's files and
-        # re-promotes only the filtered remainder (r14 kill-mid-batch
-        # test caught exactly this: offset file advanced past the
-        # uncommitted batch before the crash).
-        if offset and self._checkpoint_has_progress(spark, checkpoint_dir):
-            LOG.warning(
-                "checkpoint %s has progress; ignoring stored/configured "
-                "offset %s (the checkpoint WAL governs resume — to "
-                "reposition, start a fresh checkpoint dir)",
-                checkpoint_dir, offset,
-            )
-            offset = None
+        # The resume offset is PINNED per checkpoint lineage (r14): the
+        # filter must be attempt-invariant — a replayed batch must see
+        # the exact rows its crashed attempt saw, or the batch-keyed
+        # exactly-once publish deletes the crashed attempt's files and
+        # re-promotes a DIFFERENT row set (two r14 findings: an
+        # offsets-WAL-keyed guard flipped the filter off entirely, and
+        # the offset FILE advancing inside the crashed attempt shifted
+        # the filter forward and lost the in-between rows). A sidecar in
+        # the checkpoint dir records the offset resolved at the
+        # lineage's FIRST start; every restart filters from that same
+        # value — the semantics of a real CDC client, which seeks once
+        # at subscription. Repositioning therefore requires a fresh
+        # checkpoint dir (warned below), matching the WAL's own behavior
+        # for source offsets.
+        sidecar = fsio.join(checkpoint_dir, "_fcm_resume_offset.json")
+        pinned_raw = fsio.read_text(sidecar)
+        if pinned_raw is not None:
+            try:
+                pinned = json.loads(pinned_raw).get("offset")
+            except ValueError:
+                pinned = None
+            if offset != pinned:
+                LOG.warning(
+                    "checkpoint %s pinned resume offset %r at first start; "
+                    "ignoring %r (repositioning needs a fresh checkpoint dir)",
+                    checkpoint_dir, pinned, offset,
+                )
+            offset = pinned
+        else:
+            fsio.write_text_atomic(sidecar, json.dumps({"offset": offset}))
         if offset:
             stream = resume_filter(stream, cfg.source_type, offset)
         elif cfg.startup_mode == "timestamp" and cfg.datetime_offset:
@@ -911,20 +965,26 @@ class CDCPipeline:
         query = writer.start()
         return query
 
-    @staticmethod
-    def _checkpoint_has_progress(spark: SparkSession, checkpoint_dir: str) -> bool:
-        """True when the Spark checkpoint's offset WAL holds at least one
-        entry — i.e. start() is resuming an existing query rather than
-        beginning a fresh one."""
-        from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+    def _sweep_stale_staging(self, spark: SparkSession) -> None:
+        """Delete leftover .staging_b* dirs under every registered table
+        dir (see start() — any staging present at start is orphaned)."""
+        import shutil as _shutil
 
-        fs, p = _hadoop_fs(spark, f"{checkpoint_dir}/offsets")
-        if not fs.exists(p):
-            return False
-        for st in fs.listStatus(p):
-            if not st.getPath().getName().startswith("."):
-                return True
-        return False
+        cfg = self.config
+        for spec in self.registry.specs.values():
+            path = f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}"
+            if not fsio.has_scheme(path):
+                import glob as _glob
+
+                for d in _glob.glob(f"{path}/.staging_b*"):
+                    _shutil.rmtree(d, ignore_errors=True)
+                continue
+            from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+
+            fs, _ = _hadoop_fs(spark, path)
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            for st in fs.globStatus(jvm_path(f"{path}/.staging_b*")) or []:
+                fs.delete(st.getPath(), True)
 
     def run_until_stopped(self, query, poll_s: float = 0.25, timeout_s: float | None = None):
         """Await the stop controller: the triggering batch commits, then the

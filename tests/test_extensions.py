@@ -2284,6 +2284,24 @@ def test_bpe_encode_table_fallback_matches_chain(spark, monkeypatch):
     ).first()["bpe"]
     assert two == "ab cd"  # ('a','b') and ('c','d') merged to one symbol each
 
+    # constructibility contract (r14): a rank whose component no EARLIER
+    # rank builds can never fire under chain semantics; the rank-dict
+    # kernel must treat it as the same no-op, not fire it after a later
+    # rank builds the component. ('ab','c') precedes ('a','b') here: the
+    # chain leaves 'abc' as 'ab c'; a constructibility-blind min-rank
+    # kernel would produce 'abc'.
+    disordered = [("a", "b"), ("x", "y")] * 1  # rank 1 filler
+    bad_first = [("ab", "c")] + disordered
+    monkeypatch.setattr(X2, "MAX_CHAINED_MERGES", 0)
+    got = df.sparkSession.range(1).select(
+        X2.bpe_encode_table(F.lit("abc"), bad_first).alias("bpe")
+    ).first()["bpe"]
+    monkeypatch.undo()
+    chain_ref = df.sparkSession.range(1).select(
+        X2.bpe_encode_table(F.lit("abc"), bad_first).alias("bpe")
+    ).first()["bpe"]
+    assert got == chain_ref == "ab c"
+
 
 def test_bpe_encode_fuzz_vs_python_reference(spark):
     """Randomized texts (deterministic seed) over a run-heavy alphabet —

@@ -207,7 +207,11 @@ def test_stream_kill_mid_batch_no_dup_no_loss(spark, tmp_path):
     checkpoint replays batch 1 with the same epoch id; the batch-keyed
     publish deletes the orphaned b1- files and re-promotes, so the sink
     ends with NO duplicates and NO loss. A partial-promote crash is
-    simulated on top by deleting one orphan file before the restart."""
+    simulated on top by deleting one orphan file before the restart.
+    (The offset file advanced past batch 1 before the crash; the pinned
+    resume-offset sidecar keeps the replay unfiltered and identical —
+    see test_offset_resume_batch0_crash_stays_filtered for the
+    filtered-lineage twin.)"""
     import glob as _glob
     import os as _os
 
@@ -262,6 +266,117 @@ def test_stream_kill_mid_batch_no_dup_no_loss(spark, tmp_path):
     assert users.count() == 4  # no dup, no loss
     assert sorted(r["id"] for r in users.select("id").collect()) == [1, 2, 3, 4]
     assert pipe3.offset_store.read() == "mysql-bin.000001,40"
+
+
+def test_offset_resume_batch0_crash_stays_filtered(spark, tmp_path):
+    """r14 review finding: the resume-filter guard must key on commits/
+    (written AFTER the batch), not the offsets/ WAL (written BEFORE) —
+    otherwise a crash inside batch 0 of a fresh-checkpoint offset-file
+    resume flips the filter off for the replay, which then re-publishes
+    the batch UNFILTERED under the same key while the previous lineage's
+    copies survive. With commits-keying, batch-0 replay content is
+    attempt-invariant: the filtered rows, exactly once."""
+    pipe = _pipeline(tmp_path)
+    pipe.offset_store.write("mysql-bin.000001,200")
+    feed = _feed(tmp_path, "f1.json", [
+        make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=100),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=200),
+        make_mysql_row(op="c", after={"id": 3, "v": "c"}, pos=300),
+    ])
+    orig = pipe.process_batch
+
+    def crash(df, bid):
+        orig(df, bid)
+        raise RuntimeError("injected crash after publish, before commit")
+
+    pipe.process_batch = crash
+    ckpt = str(tmp_path / "ckpt")
+    q = pipe.start(spark, feed, ckpt)
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass
+    q.stop()
+    table = str(tmp_path / "sink" / "s1_testdb__users")
+    # the crashed attempt published the FILTERED batch (pos >= 200)
+    assert sorted(r["id"] for r in spark.read.parquet(table).collect()) == [2, 3]
+
+    pipe2 = _pipeline(tmp_path)
+    q2 = pipe2.start(spark, feed, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    # replay is filtered IDENTICALLY (no commits yet -> filter reapplied)
+    # and the batch-keyed publish dedups the crashed attempt
+    assert sorted(r["id"] for r in spark.read.parquet(table).collect()) == [2, 3]
+
+
+def test_crash_between_compaction_and_commit_no_dup(spark, tmp_path):
+    """r14 review finding: maintenance compaction rewrites the table into
+    plain part-* files, consuming the replayed batch's b<key>- markers —
+    a crash between compaction and the epoch's checkpoint commit would
+    re-promote that batch's rows next to the compacted image. The
+    folded-key sidecar (written BEFORE the rewrite) makes the replayed
+    batch SKIP its publish instead."""
+    import glob as _glob
+
+    cfg = {
+        "compact.every.n.batches": 1,
+        "table.key.columns": {"testdb.users": ["id"]},
+    }
+    pipe = _pipeline(tmp_path, **cfg)
+    feed = _feed(tmp_path, "f1.json", [
+        make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10,
+                       ts_ms=1700000001000),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=20,
+                       ts_ms=1700000002000),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    q = pipe.start(spark, feed, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    table = str(tmp_path / "sink" / "s1_testdb__users")
+    assert spark.read.parquet(table).count() == 2
+
+    # batch 1 publishes, compaction folds it, then the job dies pre-commit
+    pipe2 = _pipeline(tmp_path, **cfg)
+    orig = pipe2.process_batch
+
+    def crash(df, bid):
+        orig(df, bid)
+        if bid >= 1:
+            raise RuntimeError("injected crash after compaction, before commit")
+
+    pipe2.process_batch = crash
+    _feed(tmp_path, "f2.json", [
+        make_mysql_row(op="u", before={"id": 1, "v": "a"},
+                       after={"id": 1, "v": "a2"}, pos=30,
+                       ts_ms=1700000003000),
+        make_mysql_row(op="d", before={"id": 2, "v": "b"}, after=None,
+                       pos=40, ts_ms=1700000004000),
+    ])
+    q2 = pipe2.start(spark, feed, ckpt)
+    try:
+        q2.processAllAvailable()
+    except Exception:
+        pass
+    q2.stop()
+    # compaction folded batch 1: the table is the latest image, marker set
+    import json as _json
+
+    marker = _json.loads(open(table + "__folded.json").read())
+    assert marker["folded_key"].endswith("x1")
+    assert [(r["id"], r["v"], r["_op"]) for r in
+            spark.read.parquet(table).collect()] == [(1, "a2", "UPDATE")]
+
+    # restart: batch 1 replays; the marker makes its publish a no-op
+    pipe3 = _pipeline(tmp_path, **cfg)
+    q3 = pipe3.start(spark, feed, ckpt)
+    q3.processAllAvailable()
+    q3.stop()
+    rows = [(r["id"], r["v"], r["_op"]) for r in
+            spark.read.parquet(table).collect()]
+    assert rows == [(1, "a2", "UPDATE")]  # no re-promoted duplicates
+    assert not _glob.glob(f"{table}/dt=*/b*x1-part-*")
 
 
 def test_stop_controller_ignores_non_target_ddl():
