@@ -514,6 +514,11 @@ def run_polling(
     loses it). Returns the number of polls executed."""
     from flink_cdc_multi_spark.sources.jdbc import snapshot_to_envelope
 
+    # same startup hygiene as the streaming leg: a crash mid-staging in a
+    # previous polling process (per-instance publish tag, never replayed)
+    # leaves orphaned .staging_b* dirs no one else will clean
+    pipeline._sweep_stale_staging(spark)
+
     raw = cfg.raw
     ts_col = raw.get("polling.watermark.column")
     pk_col = raw.get("polling.key.column")
