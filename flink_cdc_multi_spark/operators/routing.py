@@ -136,12 +136,14 @@ def publish_batch_parquet(typed: DataFrame, table_path: str,
     if batch_id is None:
         typed.write.mode("append").partitionBy("dt").parquet(table_path)
         return
+    import json
+
     from flink_cdc_multi_spark.sources import fsio
 
     marker = fsio.read_text(table_path + COMPACTED_KEY_MARKER)
     if marker:
         try:
-            folded = __import__("json").loads(marker).get("folded_key")
+            folded = json.loads(marker).get("folded_key")
         except ValueError:
             folded = None
         if folded == str(batch_id):
@@ -170,14 +172,13 @@ def _promote_staging(spark, table_path: str, staging: str,
     Scheme'd paths (hdfs://, s3a://) go through Hadoop FS with glob
     listings (one call, O(matches)) and thread-parallel renames; on S3
     a rename is a copy — see publish_batch_parquet's note."""
-    import shutil as _shutil
-
     from flink_cdc_multi_spark.sources import fsio
 
     prefix = f"b{batch_id}-"
     if not fsio.has_scheme(table_path):
         import glob as _glob
         import os as _os
+        import shutil as _shutil
 
         for stale in _glob.glob(f"{table_path}/{prefix}*") + _glob.glob(
             f"{table_path}/*/{prefix}*"
@@ -222,8 +223,7 @@ def _promote_staging(spark, table_path: str, staging: str,
             raise IOError(f"promote rename failed for {f} -> {dest}")
 
     with ThreadPoolExecutor(max_workers=16) as ex:
-        for r in ex.map(mv, moves):
-            pass
+        list(ex.map(mv, moves))  # drain: propagate the first failure
     _, sp = _hadoop_fs(spark, staging)
     fs.delete(sp, True)
 
@@ -238,7 +238,7 @@ def route_batch(
     counts: dict | None = None,
     batch_id: int | str | None = None,
 ) -> RouteResult:
-    """Demux one (micro-)batch to per-table parquet appends.
+    """Demux one (micro-)batch to per-table parquet publishes.
 
     ``counts``: precomputed ``{(db, tbl): n}`` for the batch (the streaming
     pipeline already has it from its one-pass batch_summary); when None,

@@ -523,6 +523,7 @@ class CDCPipeline:
         cached = len(data_specs) > 1
         if cached:
             envelope = envelope.persist()
+        bkey = self._batch_key(batch_id)
         obs = Observation(f"ctl_{batch_id}")
         observed = envelope.observe(obs, *self._ctl_aggs)
 
@@ -533,7 +534,7 @@ class CDCPipeline:
             if len(data_specs) == 1:
                 db, tbl = identity(data_specs[0])
                 self._write_table_slice(observed, data_specs[0], db, tbl,
-                                        batch_id=self._batch_key(batch_id))
+                                        batch_id=bkey)
             else:
                 # first write consumes the observed plan (materializes
                 # metrics); the rest run concurrently over the cached batch
@@ -546,7 +547,7 @@ class CDCPipeline:
                             observed if i == 0 else envelope,
                             spec,
                             *identity(spec),
-                            batch_id=self._batch_key(batch_id),
+                            batch_id=bkey,
                         )
                         for i, spec in enumerate(data_specs)
                     ]
@@ -578,7 +579,7 @@ class CDCPipeline:
                 if spec is not None:
                     self.registry.add(spec)
                     self._write_table_slice(envelope, spec, db, tbl,
-                                            batch_id=self._batch_key(batch_id))
+                                            batch_id=bkey)
                 else:
                     remaining.append((db, tbl))
             if remaining:
@@ -598,7 +599,7 @@ class CDCPipeline:
         ddl_rows = m["ddl"] or []
         if ddl_rows:
             self._append_ddl_rows(envelope.sparkSession, ddl_rows,
-                                  batch_id=self._batch_key(batch_id))
+                                  batch_id=bkey)
 
         # offset file AFTER data writes commit (at-least-once), monotone
         if self.offset_store is not None:
@@ -630,8 +631,7 @@ class CDCPipeline:
             and cfg.table_key_columns
             and self.batches_processed % cfg.compact_every_n_batches == 0
         ):
-            self.run_compaction(envelope.sparkSession,
-                                folded_key=self._batch_key(batch_id))
+            self.run_compaction(envelope.sparkSession, folded_key=bkey)
 
     def process_batch(self, envelope: DataFrame, batch_id: int) -> None:
         import time
