@@ -38,16 +38,23 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # Queries rewritten this round — force into the driver window for re-gating.
 # (New queries sort to the front automatically: never-checked queries rank
 # before any checked one.)
-_REGATE: list[str] = [
-    # r14: shuffle_hash hints changed the driver-visible plan (SMJ →
-    # SHJ per unrolled iteration); values unchanged but the executed
-    # plan is new, so re-gate
-    "ext_graph_pagerank",
-    # r14: new queries (would auto-front as never-checked; pinned anyway
-    # so a stale CORRECTNESS parse can't rotate them out)
-    "ext_ann_ivfpq_trained",
-    "ext_dedup_spans_drop",
-    "ext_dedup_cluster_best",
+#
+# Pins are (query, round_pinned) and AUTO-EXPIRE (VERDICT r14 item 1): once a
+# committed CORRECTNESS_r*.json from round >= round_pinned contains a PASSING
+# row for the query, the pin has done its job and is ignored, so stale pins
+# can never push least-recently-checked queries out of the next round's
+# 50-window (the r14 round-boundary red: three r13-green queries were
+# displaced by pins whose queries already had fresh r14 rows). The round stamp
+# is what lets a pin coexist with the PREVIOUS round's green row for the same
+# query — pin round N's plan changes as (name, N) and never clear by hand.
+_REGATE: list[tuple[str, int]] = [
+    # r15: gated plan now takes the size-guarded broadcast_ranks form at the
+    # gate SF (SHJ rank exchange deleted per iteration) — executed plan is new
+    ("ext_graph_pagerank", 15),
+    # r15: semantic dedup cells now come from trained (kmeans++/Lloyd)
+    # centroids instead of seeded corpus rows — assignments move, oracle moved
+    # with them
+    ("ext_dedup_semantic", 15),
 ]
 
 
@@ -68,9 +75,11 @@ def _row_passed(row) -> bool:
     )
 
 
-def _last_checked_rounds() -> dict[str, int]:
-    """Map query name -> most recent round with a PASSING driver row."""
+def _last_checked_rounds() -> tuple[dict[str, int], int]:
+    """(query name -> most recent round with a PASSING driver row,
+    newest committed round number seen, -1 if none)."""
     rounds: dict[str, int] = {}
+    newest = -1
     repo_root = Path(__file__).resolve().parents[2]
     for path in repo_root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", path.name)
@@ -83,19 +92,29 @@ def _last_checked_rounds() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
+        newest = max(newest, rnd)
         for name, row in rows.items():
             if _row_passed(row):
                 rounds[name] = max(rounds.get(name, -1), rnd)
-    return rounds
+    return rounds, newest
 
 
 _merged = {**QUERIES, **EXT_QUERIES}
 _registry_index = {name: i for i, name in enumerate(_merged)}
-_checked = _last_checked_rounds()
+_checked, _newest_round = _last_checked_rounds()
+
+# Auto-expire: a pin whose query already has a passing row in a round at or
+# after the pin's own round has been re-gated — drop it so it stops occupying
+# window space.
+_ACTIVE_REGATE: list[str] = [
+    name for name, pin_round in _REGATE if _checked.get(name, -1) < pin_round
+]
 
 
 def _gate_order(name: str) -> tuple[int, int, int]:
-    pinned = _REGATE.index(name) if name in _REGATE else len(_REGATE)
+    pinned = (
+        _ACTIVE_REGATE.index(name) if name in _ACTIVE_REGATE else len(_ACTIVE_REGATE)
+    )
     return (pinned, _checked.get(name, -1), _registry_index[name])
 
 

@@ -62,6 +62,48 @@ _COMMONNESS_BCAST_BYTES = int(
 )
 
 
+# Broadcast guard for graph_pagerank_over (VERDICT r14 item 2): the
+# rank/degree/contribution frames are NODE-cardinality at 16 bytes/row
+# (src:bigint, cv:bigint), and every node of the doc pair graph is a
+# doc_id, so documents' row count bounds the broadcast payload. 64 MB
+# default = 4M nodes — far above any gate SF, far below executor memory.
+_PAGERANK_BCAST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PAGERANK_BCAST_BYTES", 64 << 20)
+)
+
+
+def _local_input_rows(sf_dir: str, table: str) -> int:
+    """Row count of a LOCAL parquet input from footer metadata only (no
+    Spark job — the plan stays lazy), or a sentinel larger than any
+    broadcast threshold when the path is remote, unreadable, or a dir
+    with no ``.parquet`` members: the guard fails CLOSED to the shuffle
+    plan, exactly like :func:`_local_input_bytes`."""
+    big = 1 << 62
+    if "://" in sf_dir:
+        return big
+    path = os.path.join(sf_dir, f"{table}.parquet")
+
+    def footer_rows(f: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f).metadata.num_rows
+
+    try:
+        if os.path.isfile(path):
+            return footer_rows(path)
+        if os.path.isdir(path):
+            counts = [
+                footer_rows(e.path)
+                for e in os.scandir(path)
+                if e.is_file() and e.name.endswith(".parquet")
+            ]
+            if counts:  # empty proves nothing — fail closed (see bytes guard)
+                return sum(counts)
+    except Exception:
+        pass
+    return big
+
+
 def _local_input_bytes(sf_dir: str, table: str) -> int:
     """UNCOMPRESSED byte size of a LOCAL parquet input (sum of row-group
     ``total_byte_size`` from the footers — decoded bytes, the quantity the
@@ -2121,10 +2163,21 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list with the previous rank vector plus one partial-agg
     groupBy — the Pregel message-passing shape as plain shuffles; at
     100 TB the edge list is the LSH pair output and iterations stay
-    join+agg (no driver state). Output: (doc_id, pr)."""
+    join+agg (no driver state). Output: (doc_id, pr).
+
+    r15 (VERDICT r14 item 2): the gated default is now the size-guarded
+    ``broadcast_ranks`` form — node count is bounded by the documents
+    row count (every graph vertex is a doc_id), read driver-side from
+    the parquet footers like the commonness byte guard, failing CLOSED
+    to the shuffle_hash form on remote/unreadable inputs. r14 sf10 A/B:
+    10.5 s shuffle → 4.7 s broadcast on the 25M-edge graph (1.76×
+    DuckDB)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     e = _ngram_pair_candidates(docs, mult=50).select("a_id", "b_id")
-    return graph_pagerank_over(e)
+    node_bound = _local_input_rows(sf_dir, "documents")
+    return graph_pagerank_over(
+        e, broadcast_ranks=node_bound * 16 <= _PAGERANK_BCAST_BYTES
+    )
 
 
 def graph_pagerank_over(pairs: DataFrame, iters: int = 3,
