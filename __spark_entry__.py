@@ -44,4 +44,12 @@ def oracle_sql() -> dict[str, str]:
     pixel decode, and the shingle distinct counts are oracle-checked via
     engine-portable arithmetic (md5-parity planes, integer quantization,
     closed-form pixel sums, md5-hash60 distinct)."""
-    return dict(ALL_ORACLE_SQL)
+    out = dict(ALL_ORACLE_SQL)
+    # pid-scoped artifact paths must be rendered in the EVALUATING process
+    # (ADVICE r14: a fork-after-import harness otherwise reads a parent-pid
+    # path that doesn't exist)
+    from flink_cdc_multi_spark.plans.extensions import LAZY_ORACLE_SQL
+
+    for name, render in LAZY_ORACLE_SQL.items():
+        out[name] = render()
+    return out

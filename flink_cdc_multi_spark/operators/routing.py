@@ -110,6 +110,38 @@ def project_table(
 COMPACTED_KEY_MARKER = "__folded.json"
 
 
+def _marker_retired_by(folded: str, batch_key: str) -> bool:
+    """True when a publish under ``batch_key`` PROVES the folded epoch's
+    checkpoint committed, so the marker is dead state (ADVICE r14: it
+    otherwise survives forever and its safety rests on batch keys never
+    repeating across lineages). Proof requires the SAME lineage tag with
+    a LATER epoch: foreachBatch is serial within a lineage, so epoch
+    N+1's publish implies epoch N committed. A different lineage's
+    publish proves nothing (concurrent writers share sink dirs by
+    design), so foreign markers are left alone."""
+    try:
+        f_tag, f_epoch = folded.rsplit("x", 1)
+        b_tag, b_epoch = str(batch_key).rsplit("x", 1)
+        return f_tag == b_tag and int(b_epoch) > int(f_epoch)
+    except ValueError:
+        return False
+
+
+def _remove_marker(table_path: str) -> None:
+    from flink_cdc_multi_spark.sources import fsio
+
+    path = table_path + COMPACTED_KEY_MARKER
+    if not fsio.has_scheme(path):
+        import contextlib
+        import os as _os
+
+        with contextlib.suppress(FileNotFoundError):
+            _os.remove(path)
+        return
+    _, fs, jpath = fsio._fs_path(path)
+    fs.delete(jpath, False)
+
+
 def publish_batch_parquet(typed: DataFrame, table_path: str,
                           batch_id: int | str | None) -> None:
     """Publish one batch's rows for one table, EXACTLY-ONCE under
@@ -146,6 +178,13 @@ def publish_batch_parquet(typed: DataFrame, table_path: str,
             folded = json.loads(marker).get("folded_key")
         except ValueError:
             folded = None
+        if folded is not None and _marker_retired_by(folded, batch_id):
+            # a LATER epoch of the folded key's own lineage is publishing
+            # — the folded epoch's checkpoint committed, the marker can
+            # never match a replay again: clear it so it doesn't outlive
+            # the table (and so the happy path stops paying its read)
+            _remove_marker(table_path)
+            folded = None
         if folded == str(batch_id):
             # this batch's rows were folded into a compacted rewrite
             # whose epoch never reached the checkpoint commit — replaying
@@ -180,6 +219,15 @@ def _promote_staging(spark, table_path: str, staging: str,
         import os as _os
         import shutil as _shutil
 
+        # the staging dir we just wrote MUST exist: an empty glob here
+        # otherwise "promotes" zero files and the batch still commits its
+        # offset — silent loss if an external sweep (or operator rm) raced
+        # us (ADVICE r14 medium). Fail loudly instead.
+        if not _os.path.isdir(staging):
+            raise IOError(
+                f"staging dir vanished before promote: {staging} "
+                "(concurrent sweep or external deletion?)"
+            )
         for stale in _glob.glob(f"{table_path}/{prefix}*") + _glob.glob(
             f"{table_path}/*/{prefix}*"
         ):
@@ -201,6 +249,11 @@ def _promote_staging(spark, table_path: str, staging: str,
 
     fs, _ = _hadoop_fs(spark, table_path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(jvm_path(staging)):  # see local-path guard above
+        raise IOError(
+            f"staging dir vanished before promote: {staging} "
+            "(concurrent sweep or external deletion?)"
+        )
     for pat in (f"{table_path}/{prefix}*", f"{table_path}/*/{prefix}*"):
         for st in fs.globStatus(jvm_path(pat)) or []:
             fs.delete(st.getPath(), False)

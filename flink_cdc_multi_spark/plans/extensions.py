@@ -3776,6 +3776,14 @@ def _trained_ann_oracle_sql() -> str:
 
 EXT_ORACLE_SQL["ext_ann_ivfpq_trained"] = _trained_ann_oracle_sql()
 
+# Lazily re-rendered oracle entries (ADVICE r14): the trained artifact path
+# is pid-scoped, so a harness that imports plans in a parent and evaluates
+# the SQL in a forked worker would read a nonexistent artifact with the
+# import-time string. __spark_entry__.oracle_sql() overlays these at CALL
+# time so the pid is captured in the evaluating process; the import-time
+# value above stays for direct EXT_ORACLE_SQL consumers in-process.
+LAZY_ORACLE_SQL: dict = {"ext_ann_ivfpq_trained": _trained_ann_oracle_sql}
+
 
 def _bpe_chain_sql(col: str = "n") -> str:
     """The DuckDB twin of bpe_encode's replace chain, generated from the

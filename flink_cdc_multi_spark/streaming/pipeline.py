@@ -368,11 +368,25 @@ class CDCPipeline:
                 except (ValueError, KeyError, TypeError):
                     tag = None
             if tag is None:
-                # metadata unreadable: fall back to a CKPT-PATH-stable
-                # tag so a restart of the same checkpoint still dedups
-                import hashlib
+                # metadata unreadable: a path-derived tag would be
+                # IDENTICAL for a fresh checkpoint recreated at the same
+                # path, so the new lineage's batch 0 would delete the old
+                # lineage's b<tag>x0- files (ADVICE r14). Persist a
+                # generated tag in a sidecar INSIDE the checkpoint dir
+                # instead: unique per lineage (the sidecar dies with the
+                # checkpoint), stable across restarts of this one.
+                side = fsio.join(self._ckpt_dir, "_fcm_publish_tag.json")
+                raw = fsio.read_text(side)
+                if raw:
+                    try:
+                        tag = json.loads(raw).get("tag") or None
+                    except ValueError:
+                        tag = None
+                if tag is None:
+                    import uuid as _uuid
 
-                tag = hashlib.md5(self._ckpt_dir.encode()).hexdigest()[:8]
+                    tag = _uuid.uuid4().hex[:8]
+                    fsio.write_text_atomic(side, json.dumps({"tag": tag}))
             self._publish_tag = tag
         return f"{self._publish_tag or self._instance_tag}x{batch_id}"
 
@@ -463,6 +477,11 @@ class CDCPipeline:
             if name.startswith("part-") or re.match(r"b[0-9a-fx]+-part-", name):
                 return
         fs.delete(jp, True)
+        # the folded-key marker lives BESIDE the dir; dropping the table
+        # must drop it too or it becomes permanent orphan state (ADVICE r14)
+        from flink_cdc_multi_spark.operators.routing import _remove_marker
+
+        _remove_marker(path)
 
     def _append_ddl_rows(self, spark: SparkSession, ddl_rows: list,
                          batch_id: int | str | None = None) -> None:
@@ -829,9 +848,9 @@ class CDCPipeline:
         # sweep orphaned staging dirs (r14): a crash mid-staging under a
         # RETIRED lineage (fresh checkpoint, or a direct caller's
         # per-instance tag) leaves a hidden .staging_b* dir no replay
-        # will ever rewrite or clean; any staging present at start is
-        # orphaned by definition (staging only lives inside a running
-        # batch of THIS query)
+        # will ever rewrite or clean. Age-gated (r15): a staging dir may
+        # also belong to a CONCURRENT pipeline sharing the sink — see
+        # _sweep_stale_staging
         self._sweep_stale_staging(spark)
         # self-heal any compaction swap a previous process crashed inside:
         # without this, streaming appends recreate the live dir with only
@@ -966,10 +985,23 @@ class CDCPipeline:
         return query
 
     def _sweep_stale_staging(self, spark: SparkSession) -> None:
-        """Delete leftover .staging_b* dirs under every registered table
-        dir (see start() — any staging present at start is orphaned)."""
+        """Delete ORPHANED .staging_b* dirs under every registered table
+        dir. Age-gated (ADVICE r14 medium): the lineage/instance-tag
+        design supports concurrent pipelines sharing a sink dir, and an
+        unconditional sweep would delete a concurrently RUNNING batch's
+        staging mid-publish — _promote_staging's empty glob then promoted
+        zero rows while the victim still committed its offset (silent
+        loss). A live batch's staging is at most a batch-duration old;
+        orphans (crashed retired lineages) persist indefinitely — so only
+        dirs older than SPARK_GRAFT_STAGING_SWEEP_AGE_S (default 3600 s)
+        are swept, and _promote_staging now fails LOUDLY if its staging
+        dir vanished anyway."""
+        import os as _os
         import shutil as _shutil
+        import time as _time
 
+        min_age_s = float(_os.environ.get("SPARK_GRAFT_STAGING_SWEEP_AGE_S", 3600))
+        now_ms = _time.time() * 1000.0
         cfg = self.config
         for spec in self.registry.specs.values():
             path = f"{cfg.sink_path}/{cfg.source_id}_{spec.output_name}"
@@ -977,14 +1009,20 @@ class CDCPipeline:
                 import glob as _glob
 
                 for d in _glob.glob(f"{path}/.staging_b*"):
-                    _shutil.rmtree(d, ignore_errors=True)
+                    try:
+                        age_s = (now_ms / 1000.0) - _os.path.getmtime(d)
+                    except OSError:
+                        continue  # vanished under us — its owner is live
+                    if age_s >= min_age_s:
+                        _shutil.rmtree(d, ignore_errors=True)
                 continue
             from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
 
             fs, _ = _hadoop_fs(spark, path)
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path
             for st in fs.globStatus(jvm_path(f"{path}/.staging_b*")) or []:
-                fs.delete(st.getPath(), True)
+                if now_ms - st.getModificationTime() >= min_age_s * 1000.0:
+                    fs.delete(st.getPath(), True)
 
     def run_until_stopped(self, query, poll_s: float = 0.25, timeout_s: float | None = None):
         """Await the stop controller: the triggering batch commits, then the

@@ -1067,3 +1067,118 @@ def test_ts_falls_back_to_source_ts(spark):
     )
     df = spark.createDataFrame([(line,)], "value string")
     assert decode_raw(df, "mysql").first()["_ts"] == 1700000009000
+
+
+def test_staging_sweep_is_age_gated(spark, tmp_path):
+    """ADVICE r14 (medium): the start()-time sweep must not delete a
+    FRESH staging dir — it may belong to a concurrently running
+    pipeline sharing the sink (a scenario the lineage/instance tags
+    exist to support); deleting it made the victim's promote silently
+    publish zero rows while still committing its offset. Only dirs older
+    than the age gate are orphans."""
+    import os as _os
+
+    pipe = _pipeline(tmp_path)
+    table = tmp_path / "sink" / "s1_testdb__users"
+    fresh = table / ".staging_bdeadbeefx3"
+    old = table / ".staging_bfeedfacex7"
+    fresh.mkdir(parents=True)
+    old.mkdir(parents=True)
+    past = time.time() - 7200  # 2 h > the 1 h default gate
+    _os.utime(old, (past, past))
+    pipe._sweep_stale_staging(spark)
+    assert fresh.is_dir(), "fresh staging (live concurrent batch) was swept"
+    assert not old.exists(), "old orphaned staging survived the sweep"
+
+
+def test_promote_fails_loudly_when_staging_vanishes(spark, tmp_path):
+    """ADVICE r14 (medium), second half: if staging is gone at promote
+    time (external sweep/rm), the batch must FAIL, not publish zero rows
+    and commit its offset."""
+    from flink_cdc_multi_spark.operators.routing import _promote_staging
+
+    table = str(tmp_path / "t")
+    with pytest.raises(IOError, match="staging dir vanished"):
+        _promote_staging(spark, table, f"{table}/.staging_b9", 9)
+
+
+def test_publish_tag_fallback_is_unique_per_lineage(tmp_path):
+    """ADVICE r14: when the checkpoint's metadata file is unreadable, the
+    fallback publish tag must be (a) stable across restarts of the SAME
+    checkpoint (replay dedup) and (b) DIFFERENT for a fresh checkpoint
+    recreated at the same path — an md5(path) tag made the new lineage's
+    batch 0 delete the old lineage's b<tag>x0- files."""
+    import shutil as _shutil
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()  # no `metadata` file → fallback path
+
+    def tag_of():
+        pipe = _pipeline(tmp_path)
+        pipe._ckpt_dir = str(ckpt)
+        return pipe._batch_key(0)
+
+    first = tag_of()
+    assert tag_of() == first, "tag not stable across restarts of one lineage"
+    _shutil.rmtree(ckpt)
+    ckpt.mkdir()  # fresh checkpoint at the SAME path = new lineage
+    assert tag_of() != first, "recreated checkpoint reused the old lineage tag"
+
+
+def test_folded_marker_retired_by_later_same_lineage_epoch(spark, tmp_path):
+    """ADVICE r14: the __folded.json compaction marker must not live
+    forever. A later epoch of the SAME lineage proves the folded epoch's
+    checkpoint committed (foreachBatch is serial), so its publish clears
+    the marker; a foreign lineage's publish proves nothing and leaves it."""
+    import glob as _glob
+    import json as _json
+
+    from flink_cdc_multi_spark.operators.routing import (
+        _marker_retired_by,
+        publish_batch_parquet,
+    )
+
+    assert _marker_retired_by("abcdx1", "abcdx2")
+    assert not _marker_retired_by("abcdx2", "abcdx1")  # replay of folded epoch
+    assert not _marker_retired_by("abcdx1", "otherx9")  # foreign lineage
+    assert not _marker_retired_by("abcdx1", "7")  # legacy int key
+    assert not _marker_retired_by("garbage", "abcdx2")
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", "2024-01-01")], "id long, v string, dt string")
+    publish_batch_parquet(df, table, "abcdx1")
+    marker = table + "__folded.json"
+    open(marker, "w").write(_json.dumps({"folded_key": "abcdx1"}))
+    # foreign lineage publish: marker untouched
+    publish_batch_parquet(df, table, "otherx5")
+    assert _json.loads(open(marker).read())["folded_key"] == "abcdx1"
+    # replay of the folded epoch still skips (marker intact above)
+    publish_batch_parquet(df, table, "abcdx1")
+    assert _glob.glob(f"{table}/dt=*/babcdx1-part-*"), "folded-epoch files lost"
+    # later epoch of the same lineage retires the marker and publishes
+    publish_batch_parquet(df, table, "abcdx2")
+    assert not _os_exists(marker)
+    assert spark.read.parquet(table).count() == 3
+
+
+def _os_exists(p):
+    import os
+
+    return os.path.exists(p)
+
+
+def test_remove_if_dataless_drops_sibling_marker(spark, tmp_path):
+    """ADVICE r14: deleting a dataless table dir must delete its sibling
+    __folded.json too — otherwise the marker is permanent orphan state."""
+    import json as _json
+
+    pipe = _pipeline(tmp_path)
+    table = tmp_path / "sink" / "s1_testdb__users"
+    table.mkdir(parents=True)
+    (table / "_SUCCESS").write_text("")
+    marker = str(table) + "__folded.json"
+    open(marker, "w").write(_json.dumps({"folded_key": "abcdx1"}))
+    spec = pipe.registry.specs["testdb.users"]
+    pipe._remove_if_dataless(spark, spec)
+    assert not table.exists()
+    assert not _os_exists(marker)
