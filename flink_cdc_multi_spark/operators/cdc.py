@@ -166,8 +166,16 @@ def compact_table(
     # adds _kafka_* coordinate columns). A single-footer read would pick
     # one schema and a compaction rewrite would then DELETE the columns
     # the other vintage carried; the union keeps every column (absent ->
-    # null) across transport switches.
-    df = spark.read.option("mergeSchema", "true").parquet(table_path)
+    # null) across transport switches. read_published (r15) additionally
+    # resolves manifest-committed batches (object-store publish mode) —
+    # they're hidden from a plain dir read, and compacting without them
+    # would DROP their rows when the swap discards the manifests. The
+    # swap's whole-dir rename folds manifests+batches into the flat
+    # layout, which is exactly right: the compacted output IS their
+    # materialized state.
+    from flink_cdc_multi_spark.operators.routing import read_published
+
+    df = read_published(spark, table_path)
     obs = Observation()
     state = latest_image(df, key_cols, order_cols, drop_deletes=drop_deletes).observe(
         obs, F.count(F.lit(1)).alias("n")

@@ -164,7 +164,18 @@ def publish_batch_parquet(typed: DataFrame, table_path: str,
     micro-batches there should prefer a longer trigger interval (same
     trade the reference's rolling sink makes).
 
-    batch_id None = legacy non-replayed append (backfills, tests)."""
+    batch_id None = legacy non-replayed append (backfills, tests).
+
+    Object stores (r15, VERDICT r14 item 3): rename-is-copy on S3, and
+    the delete-then-promote replay is non-atomic across N objects — so
+    scheme'd object-store paths (s3a/gs/abfs/…) publish through
+    MANIFEST COMMIT instead (:func:`_publish_manifest`): the batch's
+    files are written ONCE into a hidden per-batch dir and made visible
+    by a single atomic manifest write naming them; replay rewrites the
+    dir and re-points the manifest — zero data renames in any window.
+    Readers resolve through :func:`read_published`. Force a mode with
+    SPARK_GRAFT_PUBLISH_MODE=manifest|rename (tests; HDFS clusters that
+    prefer manifests)."""
     if batch_id is None:
         typed.write.mode("append").partitionBy("dt").parquet(table_path)
         return
@@ -194,9 +205,151 @@ def publish_batch_parquet(typed: DataFrame, table_path: str,
             # would block forever on obs.get otherwise.
             typed.write.format("noop").mode("overwrite").save()
             return
+    if _publish_mode(table_path) == "manifest":
+        _publish_manifest(typed, table_path, batch_id)
+        return
     staging = f"{table_path}/.staging_b{batch_id}"
     typed.write.mode("overwrite").partitionBy("dt").parquet(staging)
     _promote_staging(typed.sparkSession, table_path, staging, batch_id)
+
+
+# Schemes where a rename is a full object copy (or emulated directory op):
+# these take the manifest-commit publish path by default.
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3a", "s3", "s3n", "gs", "oss", "cos", "wasb", "wasbs", "abfs", "abfss"}
+)
+
+MANIFEST_DIR = "_manifests"
+BATCHES_DIR = ".batches"
+
+
+def _publish_mode(table_path: str) -> str:
+    import os as _os
+
+    forced = _os.environ.get("SPARK_GRAFT_PUBLISH_MODE")
+    if forced in ("manifest", "rename"):
+        return forced
+    scheme = table_path.split("://", 1)[0] if "://" in table_path else ""
+    return "manifest" if scheme in _OBJECT_STORE_SCHEMES else "rename"
+
+
+def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
+    """Object-store-safe exactly-once publish (VERDICT r14 item 3): the
+    single-atomic-marker recipe. The batch is written ONCE to the hidden
+    ``{table}/.batches/b<key>/`` dir (``dt`` stays a DATA column — no
+    partitionBy, so the files never move and parquet min/max stats still
+    prune dt row groups), then one atomic manifest
+    ``{table}/_manifests/b<key>.json`` names the batch's part files.
+    Readers (:func:`read_published`) take the union of manifested files:
+    an unmanifested batch dir is invisible, so every crash window —
+    mid-data-write, post-data/pre-manifest, post-manifest/pre-checkpoint
+    — converges on replay (rewrite dir, re-point manifest) with ZERO
+    data renames/copies. This is the Iceberg/Delta commit shape reduced
+    to one writer per table (foreachBatch is serial per lineage), which
+    is exactly the sink's contract.
+
+    Snapshot note: a replay rewrites the batch dir in place, so a reader
+    that resolved the OLD manifest mid-replay can hit vanished files —
+    the same (narrower) window the rename path has during
+    delete-then-promote; readers retry by re-resolving. Paths in the
+    manifest are RELATIVE to the table dir (relocatable)."""
+    import json as _json
+
+    from flink_cdc_multi_spark.sources import fsio
+
+    key = f"b{batch_id}"
+    batch_dir = f"{table_path}/{BATCHES_DIR}/{key}"
+    typed.write.mode("overwrite").parquet(batch_dir)
+    if not fsio.has_scheme(batch_dir):
+        import glob as _glob
+        import os as _os
+
+        names = sorted(
+            _os.path.basename(f) for f in _glob.glob(f"{batch_dir}/part-*")
+        )
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = typed.sparkSession or SparkSession.getActiveSession()
+        from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+
+        fs, _ = _hadoop_fs(spark, batch_dir)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        names = sorted(
+            st.getPath().getName()
+            for st in fs.globStatus(jvm_path(f"{batch_dir}/part-*")) or []
+        )
+    fsio.write_text_atomic(
+        f"{table_path}/{MANIFEST_DIR}/{key}.json",
+        _json.dumps(
+            {"files": [f"{BATCHES_DIR}/{key}/{n}" for n in names]}
+        ),
+    )
+
+
+def read_published(spark, table_path: str) -> DataFrame:
+    """Read a published table across BOTH publish modes: the union of
+    manifest-committed batches (object-store sinks) and the plain dt=
+    partitioned layout (rename promotes + legacy appends). Manifest
+    batches carry ``dt`` as a data column; the dt=-partitioned leg's
+    inferred partition value is cast to match, so the union is
+    schema-stable. Unmanifested ``.batches`` dirs (crashed uncommitted
+    attempts) are invisible by construction."""
+    import json as _json
+
+    from flink_cdc_multi_spark.sources import fsio
+
+    mdir = f"{table_path}/{MANIFEST_DIR}"
+    files: list[str] = []
+    if not fsio.has_scheme(table_path):
+        import glob as _glob
+        import os as _os
+
+        for m in sorted(_glob.glob(f"{mdir}/b*.json")):
+            try:
+                rels = _json.loads(open(m).read()).get("files", [])
+            except (OSError, ValueError):
+                continue
+            files += [f"{table_path}/{rel}" for rel in rels]
+        has_flat = bool(
+            _glob.glob(f"{table_path}/*part-*") or _glob.glob(f"{table_path}/*/*part-*")
+        )
+    else:
+        from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+
+        fs, _ = _hadoop_fs(spark, table_path)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        for st in fs.globStatus(jvm_path(f"{mdir}/b*.json")) or []:
+            raw = fsio.read_text(str(st.getPath().toUri()))
+            try:
+                rels = _json.loads(raw).get("files", []) if raw else []
+            except ValueError:
+                continue
+            files += [f"{table_path}/{rel}" for rel in rels]
+        has_flat = bool(
+            (fs.globStatus(jvm_path(f"{table_path}/*part-*")) or [])
+            or (fs.globStatus(jvm_path(f"{table_path}/*/*part-*")) or [])
+        )
+    legs = []
+    if files:
+        # mergeSchema: batches written across a transport switch differ in
+        # columns (the _kafka_* vintage problem compact_table documents); a
+        # single-footer read would silently drop the other vintage's columns
+        legs.append(spark.read.option("mergeSchema", "true").parquet(*files))
+    if has_flat:
+        flat = spark.read.option("mergeSchema", "true").parquet(table_path)
+        if files and "dt" in flat.columns:
+            # partition inference may type dt= values as DATE; the manifest
+            # leg keeps dt_bucket's string — align for the union
+            dt_type = dict(legs[0].dtypes).get("dt", "string")
+            flat = flat.withColumn("dt", F.col("dt").cast(dt_type))
+        legs.append(flat)
+    if not legs:
+        return spark.read.parquet(table_path)  # surface Spark's own error
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg, allowMissingColumns=True)
+    return out
 
 
 def _promote_staging(spark, table_path: str, staging: str,

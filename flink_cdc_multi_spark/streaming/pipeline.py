@@ -1000,6 +1000,11 @@ class CDCPipeline:
         import shutil as _shutil
         import time as _time
 
+        from flink_cdc_multi_spark.operators.routing import (
+            BATCHES_DIR,
+            MANIFEST_DIR,
+        )
+
         min_age_s = float(_os.environ.get("SPARK_GRAFT_STAGING_SWEEP_AGE_S", 3600))
         now_ms = _time.time() * 1000.0
         cfg = self.config
@@ -1008,7 +1013,16 @@ class CDCPipeline:
             if not fsio.has_scheme(path):
                 import glob as _glob
 
-                for d in _glob.glob(f"{path}/.staging_b*"):
+                # manifest-mode orphans: a batch dir with NO manifest is an
+                # uncommitted crashed attempt (a manifested dir is DATA)
+                unmanifested = [
+                    d
+                    for d in _glob.glob(f"{path}/{BATCHES_DIR}/b*")
+                    if not _os.path.exists(
+                        f"{path}/{MANIFEST_DIR}/{_os.path.basename(d)}.json"
+                    )
+                ]
+                for d in _glob.glob(f"{path}/.staging_b*") + unmanifested:
                     try:
                         age_s = (now_ms / 1000.0) - _os.path.getmtime(d)
                     except OSError:
@@ -1020,7 +1034,14 @@ class CDCPipeline:
 
             fs, _ = _hadoop_fs(spark, path)
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-            for st in fs.globStatus(jvm_path(f"{path}/.staging_b*")) or []:
+            stale = list(fs.globStatus(jvm_path(f"{path}/.staging_b*")) or [])
+            for st in fs.globStatus(jvm_path(f"{path}/{BATCHES_DIR}/b*")) or []:
+                mf = jvm_path(
+                    f"{path}/{MANIFEST_DIR}/{st.getPath().getName()}.json"
+                )
+                if not fs.exists(mf):
+                    stale.append(st)
+            for st in stale:
                 if now_ms - st.getModificationTime() >= min_age_s * 1000.0:
                     fs.delete(st.getPath(), True)
 

@@ -134,7 +134,11 @@ def main() -> None:
             if n_tables > 1
             else [os.path.join(work, "sink", "bench_bench__events")]
         )
-        written = sum(spark.read.parquet(d).count() for d in sink_dirs)
+        # read_published resolves BOTH publish modes (rename-promoted dt=
+        # layout and manifest-committed batches under SPARK_GRAFT_PUBLISH_MODE)
+        from flink_cdc_multi_spark.operators.routing import read_published
+
+        written = sum(read_published(spark, d).count() for d in sink_dirs)
         offset = pipe.offset_store.read()
         result = {
             "metric": "cdc streaming ingest rows/sec (decode+route+parquet+offset+status)",
