@@ -42,10 +42,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def duckdb_gate_total(sf_dir: str, runs: int = 2) -> float:
-    """DuckDB baseline for the gate suite at sf_dir: warm once, min-of-N
-    per query, summed — the same bar tools/bench_duckdb.py measures, inlined
-    here so every BENCH_r{N}.json carries its own ratio."""
+def duckdb_gate_total(sf_dir: str, runs: int = 3) -> float:
+    """DuckDB baseline for the gate suite at sf_dir: warm once,
+    MEDIAN-of-N per query, summed — the same bar tools/bench_duckdb.py
+    measures, inlined here so every BENCH_r{N}.json carries its own
+    ratio. Median (r15, VERDICT r14 item 4): r14's duckdb_rerun_spread
+    was 53% of the measurement with min-of-2 — one ambient-fast pass
+    dragged the whole total; the median of 3 is insensitive to a single
+    outlier in either direction."""
+    import statistics
+
     import duckdb
 
     con = duckdb.connect()
@@ -56,13 +62,12 @@ def duckdb_gate_total(sf_dir: str, runs: int = 2) -> float:
     for q in GATE:
         sql = ALL_ORACLE_SQL[q]
         con.execute(sql).fetchall()  # warm
-        best = None
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        total += best
+            samples.append(time.perf_counter() - t0)
+        total += statistics.median(samples)
     con.close()
     return round(total, 4)
 
@@ -127,28 +132,43 @@ def gate_concurrent_best(run, runs: int = 2) -> float:
 
 
 def interleaved_gate_ratio(sf_dir: str, run, gate_ok, waves: int = 2) -> dict:
-    """Same-session ABAB interleave (VERDICT r11 item 6; PERF.md A/B
-    methodology lesson): alternate one Spark concurrent gate wave with
-    one full DuckDB gate pass, back to back in this process, and ratio
-    the mins. The headline `ratio_vs_duckdb` compares numbers measured
-    minutes apart (the ext suite and sf1 run in between), so ambient
-    machine drift lands in the ratio — r11's 1.11→0.54 'improvement' was
-    mostly the DuckDB base doubling between rounds. This field is the
-    drift-resistant twin: any cross-round trend should be read off it
-    first."""
-    sp, dk = [], []
-    for _ in range(waves):
+    """Same-session ABBA interleave (VERDICT r11 item 6, hardened r15 per
+    VERDICT r14 item 4): one Spark concurrent gate wave, two DuckDB gate
+    passes, one Spark wave — back to back in this process — and ratio
+    the side-medians. The headline `ratio_vs_duckdb` compares numbers
+    measured minutes apart (the ext suite and sf1 run in between), so
+    ambient machine drift lands in it — r11's 1.11→0.54 'improvement'
+    was mostly the DuckDB base doubling between rounds. ABBA (not ABAB)
+    cancels LINEAR drift within the measurement itself: each side's two
+    samples straddle the same midpoint, so a steady ramp biases both
+    medians equally and divides out of the ratio. Both alternation
+    orders are thereby embedded in one sequence (the repo's
+    separate-JVM second-runner lesson, CLAUDE.md). `ratio` stays the
+    min/min for cross-round continuity; read `ratio_median` for trends."""
+    import statistics
+
+    def spark_wave() -> float:
         t0 = time.perf_counter()
         with ThreadPoolExecutor(len(gate_ok)) as ex:
             list(ex.map(run, gate_ok))
-        sp.append(round(time.perf_counter() - t0, 4))
+        return round(time.perf_counter() - t0, 4)
+
+    sp, dk = [], []
+    for _ in range(max(1, waves // 2)):
+        sp.append(spark_wave())
         dk.append(duckdb_gate_total(sf_dir, runs=1))
+        dk.append(duckdb_gate_total(sf_dir, runs=1))
+        sp.append(spark_wave())
     return {
+        "order": "ABBA",
         "spark_sec": min(sp),
         "duckdb_sec": min(dk),
         "spark_waves": sp,
         "duckdb_passes": dk,
+        "spark_spread": round(max(sp) - min(sp), 4),
+        "duckdb_spread": round(max(dk) - min(dk), 4),
         "ratio": round(min(sp) / min(dk), 4),
+        "ratio_median": round(statistics.median(sp) / statistics.median(dk), 4),
     }
 
 
@@ -217,7 +237,10 @@ def main() -> None:
     # rides the same memoized build — no second fixpoint),
     # ext_ann_ivfpq_trained (r14) trains its kmeans models over a capped
     # sample and persists the index (the FAISS train+add slot; timed
-    # number is pure serving like _indexed), and
+    # number is pure serving like _indexed),
+    # ext_dedup_semantic_trained (r15) trains its coarse quantizer the
+    # same way and persists the centroid grid (memoized per session+sf),
+    # and
     # ext_text_bpe_learn (r13) runs its 3 learning rounds (3 one-row
     # argmax collects — same iterative-algorithm contract) — their timed
     # numbers below measure serving the built index, like any prepared

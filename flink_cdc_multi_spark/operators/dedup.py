@@ -795,11 +795,12 @@ def embedding_neardup_pairs(
 
 def semantic_dedup(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    trained_centroids=None,
 ) -> DataFrame:
     """SemDeDup-shape semantic deduplication (VERDICT r11 item 3; Abbas
     et al. 2023, arXiv:2303.09540): cluster the corpus with a coarse
@@ -834,7 +835,9 @@ def semantic_dedup(
 
     from flink_cdc_multi_spark.operators.similarity import assign_cells
 
-    with_cell = assign_cells(df, centroids, dim, id_col, vec_col)
+    with_cell = assign_cells(
+        df, centroids, dim, id_col, vec_col, trained_centroids=trained_centroids
+    )
 
     def keep_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")

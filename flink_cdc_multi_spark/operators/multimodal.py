@@ -18,9 +18,12 @@ opt-in stand-in. Round 11 made the remaining stubs real:
 resampling over the full PNG pixel decode (``png_decode_pixels``), and
 ``frame_sample_features`` does timestamp-driven frame sampling over
 animated GIF89a with SELECTIVE decode (container walk + frame seek;
-only sampled frames pay LZW) — no PIL/opencv needed. True video codecs
-(H.264 …) still need a media library; ``frame_sample_plan`` remains the
-metadata-only fast path for those.
+only sampled frames pay LZW) — no PIL/opencv needed. Round 15 adds the
+real video CONTAINER path: ``video_sample_features`` walks MJPEG/AVI
+(RIFF 'AVI ' + '00dc' chunks — make_avi_mjpeg/avi_mjpeg_index/
+sample_avi_frames) and JPEG-decodes only the sampled frames. True
+inter-frame codecs (H.264 …) still need a media library;
+``frame_sample_plan`` remains the metadata-only fast path for those.
 
 Scale notes: media blobs ride in parquet binary columns; mapInPandas streams
 Arrow batches so one task never materializes more than
@@ -2249,6 +2252,187 @@ def frame_sample_features(
                 # NULL blob = out of profile: contributes no rows
                 samples = (
                     None if b is None else sample_gif_frames(bytes(b), every_ms)
+                )
+                for ts, k, luma, n_px in samples or ():
+                    rows["doc_id"].append(int(i))
+                    rows["sample_ts_ms"].append(ts)
+                    rows["frame_idx"].append(k)
+                    rows["luma_sum"].append(luma)
+                    rows["n_px"].append(n_px)
+            yield pd.DataFrame(
+                {n: pd.Series(v, dtype="int64") for n, v in rows.items()}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SAMPLES)
+
+
+# -- video: real RIFF/AVI container with MJPEG frames (public formats:
+# AVI RIFF per the Microsoft 'AVI RIFF File Reference'; frames are the
+# module's own spec-valid baseline JPEGs) -----------------------------------
+
+
+def make_avi_mjpeg(width: int, height: int, us_per_frame: int,
+                   jpeg_frames: list) -> bytes:
+    """Spec-valid AVI container around ready-made MJPEG (baseline JPEG)
+    frames (r15, VERDICT r14 item 5): RIFF('AVI ') with a hdrl LIST
+    (avih main header + one 'vids'/'MJPG' stream: strh + BITMAPINFOHEADER
+    strf), a movi LIST of word-aligned '00dc' chunks, and an idx1 index.
+    Composes the module's two existing real halves — the RIFF chunk
+    grammar (the WAV path) and the baseline JPEG encoder — into the
+    missing video member of the multimodal family."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        # RIFF word alignment: declared size stays exact, a pad byte
+        # follows odd payloads (same rule the WAV writer exercises)
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = chunk(b"avih", struct.pack(
+        "<10I",
+        us_per_frame,          # dwMicroSecPerFrame
+        0,                     # dwMaxBytesPerSec (informational)
+        0,                     # dwPaddingGranularity
+        0x10,                  # dwFlags: AVIF_HASINDEX
+        n,                     # dwTotalFrames
+        0, 1,                  # dwInitialFrames, dwStreams
+        max_bytes,             # dwSuggestedBufferSize
+        width, height,
+    ) + b"\x00" * 16)          # dwReserved[4]
+    strh = chunk(b"strh", struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG",
+        0,                     # dwFlags
+        0, 0,                  # wPriority, wLanguage
+        0,                     # dwInitialFrames
+        us_per_frame, 1_000_000,  # dwScale/dwRate = frames per second
+        0, n,                  # dwStart, dwLength (frames)
+        max_bytes, 0xFFFFFFFF, # dwSuggestedBufferSize, dwQuality
+        0,                     # dwSampleSize (0: one sample per chunk)
+        0, 0, width, height,   # rcFrame
+    ))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    ))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_payload = b"movi"
+    offsets = []  # idx1 offsets are relative to the 'movi' fourcc start
+    for f in jpeg_frames:
+        offsets.append((len(movi_payload) - 4, len(f)))
+        movi_payload += chunk(b"00dc", bytes(f))
+    movi = chunk(b"LIST", movi_payload)
+    idx1 = chunk(b"idx1", b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)
+        for off, size in offsets
+    ))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_mjpeg_index(blob: bytes):
+    """Real RIFF walk of an AVI: (us_per_frame, width, height,
+    [(frame_offset, frame_size), ...]) for the in-profile case —
+    RIFF('AVI ') with an avih header and a movi LIST of '00dc' MJPEG
+    chunks — None otherwise (wrong magic, truncated, no video chunks).
+    INDEXING ONLY: frame payloads are located, never decoded — the
+    selective-decode property rides on this split (sample_avi_frames
+    decodes just the frames the clock lands in). The movi chunks are the
+    ground truth (idx1 is advisory and absent in capture-in-progress
+    files, so it is not required)."""
+    try:
+        if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+            return None
+        us_per_frame = width = height = None
+        frames: list = []
+        pos = 12
+        end = min(len(blob), 8 + struct.unpack("<I", blob[4:8])[0])
+
+        def walk(pos: int, end: int) -> None:
+            nonlocal us_per_frame, width, height
+            while pos + 8 <= end:
+                tag = blob[pos : pos + 4]
+                size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+                data_start = pos + 8
+                data_end = min(data_start + size, end)
+                if tag == b"LIST":
+                    walk(data_start + 4, data_end)  # skip the list kind
+                elif tag == b"avih" and size >= 40:
+                    hdr = struct.unpack("<10I", blob[data_start : data_start + 40])
+                    us_per_frame, width, height = hdr[0], hdr[8], hdr[9]
+                elif tag[2:4] == b"dc":  # ##dc: compressed video frame
+                    frames.append((data_start, size))
+                pos = data_start + size + (size % 2)  # word alignment
+
+        walk(pos, end)
+        if not us_per_frame or not frames:
+            return None
+        return us_per_frame, width, height, frames
+    except (struct.error, IndexError):
+        return None
+
+
+def sample_avi_frames(blob: bytes, every_ms: int):
+    """MJPEG/AVI frame sampling with selective decode — the video twin of
+    sample_gif_frames: index the container, lay the frame clock from
+    dwMicroSecPerFrame, take timestamps 0, every_ms, … strictly below the
+    total duration, and JPEG-decode ONLY the frames those timestamps land
+    in (jpeg_gray_luma_sum over the frame's byte slice; a frame no sample
+    hits never pays entropy decode). Returns
+    [(sample_ts_ms, frame_idx, luma_sum, n_px), ...] or None when the
+    blob is out of profile."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    idx = avi_mjpeg_index(blob)
+    if idx is None:
+        return None
+    us_per_frame, _w, _h, frames = idx
+    frame_ms = us_per_frame / 1000.0
+    total_ms = frame_ms * len(frames)
+    wanted: dict[int, list[int]] = {}
+    ts = 0
+    while ts < total_ms:
+        k = min(int(ts * 1000 // us_per_frame), len(frames) - 1)
+        wanted.setdefault(k, []).append(ts)
+        ts += every_ms
+    out = []
+    for k in sorted(wanted):
+        off, size = frames[k]
+        decoded = jpeg_gray_luma_sum(blob[off : off + size])
+        if decoded is None:
+            return None
+        luma, n_px = decoded
+        for ts in wanted[k]:
+            out.append((ts, k, luma, n_px))
+    out.sort()
+    return out
+
+
+def video_sample_features(
+    df: DataFrame,
+    every_ms: int,
+    id_col: str = "doc_id",
+    binary_col: str = "media",
+) -> DataFrame:
+    """binary MJPEG/AVI column → one row per sampled timestamp with the
+    REAL decoded luma of the frame on screen at that instant — the video
+    member of the multimodal family (same schema and mapInPandas shape
+    as frame_sample_features; blob never leaves its task; cost is
+    O(sampled frames), not O(container frames))."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {n: [] for n in FRAME_SAMPLES.names}
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[binary_col]):
+                samples = (
+                    None if b is None else sample_avi_frames(bytes(b), every_ms)
                 )
                 for ts, k, luma, n_px in samples or ():
                     rows["doc_id"].append(int(i))

@@ -628,10 +628,11 @@ def _collect_q6_vectors(df: DataFrame, id_col: str, vec_col: str):
 
 def assign_cells(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained_centroids=None,
 ) -> DataFrame:
     """(id, v, cell): deterministic coarse-quantizer assignment — argmin
     int64 d² over the LSH_QUANT-floored components to the collected
@@ -639,8 +640,16 @@ def assign_cells(
     takes the first min — the oracle's (d2, cid) sort order). Row-local
     Arrow kernel over a broadcast-size model: the corpus never shuffles
     for indexing. Shared by ivf_topk_fixed-style probes and
-    semantic_dedup's clustering step."""
-    cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
+    semantic_dedup's clustering step.
+
+    ``trained_centroids`` (r15): an (n_cells, dim) int64 grid matrix
+    from train_ivf_centroids — cell ids are the matrix row indices,
+    same as the ivf_pq trained paths."""
+    if trained_centroids is not None:
+        C = np.asarray(trained_centroids, dtype=np.int64)
+        cent_ids = np.arange(C.shape[0], dtype=np.int64)
+    else:
+        cent_ids, C = _collect_q6_vectors(centroids, id_col, vec_col)
     assert C.shape[1] == dim
     df = valid_vectors(df, dim, vec_col)
     # |q-c|² via the matmul expansion |q|² + |c|² - 2 q·c in float64 —

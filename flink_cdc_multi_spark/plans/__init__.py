@@ -51,10 +51,9 @@ _REGATE: list[tuple[str, int]] = [
     # r15: gated plan now takes the size-guarded broadcast_ranks form at the
     # gate SF (SHJ rank exchange deleted per iteration) — executed plan is new
     ("ext_graph_pagerank", 15),
-    # r15: semantic dedup cells now come from trained (kmeans++/Lloyd)
-    # centroids instead of seeded corpus rows — assignments move, oracle moved
-    # with them
-    ("ext_dedup_semantic", 15),
+    # (ext_dedup_semantic keeps its fixed-cell plan; the trained-centroid
+    # form landed as the NEW query ext_dedup_semantic_trained, which fronts
+    # automatically as never-checked)
 ]
 
 

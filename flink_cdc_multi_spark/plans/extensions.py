@@ -264,6 +264,66 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(emb, centroids, dim=64, threshold=0.35)
 
 
+def _semantic_trained_path() -> str:
+    """Artifact dir for the trained SemDeDup coarse quantizer — the
+    _trained_index_path idiom: pid-keyed (concurrent processes can't
+    race each other's overwrite), sf-INDEPENDENT so the DuckDB oracle
+    can name it (rendered lazily per LAZY_ORACLE_SQL); one artifact per
+    process, rebuilt whenever sf_dir changes."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"fcm_semdedup_trained_{os.getpid()}"
+    )
+
+
+def ext_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TRAINED coarse quantizer (r15, VERDICT r14 item
+    6): the same composition as ext_dedup_semantic, but the cells come
+    from train_ivf_centroids (seeded kmeans++/Lloyd on the int64
+    LSH_QUANT grid) instead of 16 fixed data vectors — the same upgrade
+    that bought the ANN path +78% recall@3 (PERF.md r13). Measured
+    (tools/measure_semdedup_trained.py, PERF.md r15): dup recall vs the
+    quantization-free truth rises 0.417→0.486 (2k vectors) / 0.805→0.827
+    (5k), zero false drops either way, and max/mean cell balance tightens
+    1.31→1.10 — at 100 TB the balance bound is what caps the slowest
+    in-cell keep-one task for a given n_centroids knob.
+
+    Gate pattern = ext_ann_ivfpq_trained: kmeans is engine-local
+    plan-time work (documented eager build, memoized per session+sf),
+    the trained grid persists verbatim as int64 parquet, and the DuckDB
+    oracle replays the entire distributed half — cell argmin (d2, cid)
+    and in-cell keep-one — from the artifact, bit-for-bit. Output:
+    (vec_id, cell, kept), same schema as the fixed-cell query."""
+    cache = _session_cache(spark)
+    path = _semantic_trained_path()
+    with _ANN_INDEX_BUILD_LOCK:
+        if cache.get("semdedup_trained_sf") != sf_dir:
+            emb = load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < 5000
+            )
+            tc = S.train_ivf_centroids(emb, n_cells=16, dim=64)
+            (
+                spark.createDataFrame(
+                    [(int(i), [int(x) for x in tc[i]]) for i in range(len(tc))],
+                    "id long, vq array<long>",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{path}/centroids_q")
+            )
+            cache["semdedup_trained_sf"] = sf_dir
+            cache["semdedup_trained_model"] = tc
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5000)
+    return D.semantic_dedup(
+        emb,
+        None,
+        dim=64,
+        threshold=0.35,
+        trained_centroids=cache["semdedup_trained_model"],
+    )
+
+
 def ext_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge LEARNING, gated cross-engine (r13): the
     first 3 merges subword-nmt's learn_bpe would adopt on the documents
@@ -1370,6 +1430,56 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_features(media, every_ms=80)
 
 
+def ext_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling (r15, VERDICT r14 item 5):
+    synthesize a spec-valid MJPEG/AVI per document — RIFF('AVI ') with
+    avih/strh/strf headers, word-aligned '00dc' chunks, idx1 index
+    (operators/multimodal.make_avi_mjpeg, composing the WAV path's RIFF
+    grammar with the module's baseline JPEG encoder) — and sample it
+    back through video_sample_features at an 80 ms stride over 50 ms
+    frames: container walk, frame-clock mapping from dwMicroSecPerFrame,
+    JPEG entropy decode of ONLY the sampled frames (the stride lands
+    consecutive samples in non-consecutive frames on every multi-frame
+    doc, so the selective path is always exercised — pinned by a
+    decode-call-count test like the GIF twin). Frames are the DC-only
+    JPEG profile (flat 8x8 blocks at exact dc+128), so the DuckDB oracle
+    replays the frame clock AND the decoded luma closed-form; a wrong
+    RIFF walk, avih parse, frame index, chunk alignment, or JPEG decode
+    breaks the hash. Output: (doc_id, sample_ts_ms, frame_idx,
+    luma_sum, n_px) — the frame_sample_features schema."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for d in ids:
+                d = int(d)
+                bw, bh = d % 3 + 1, d % 2 + 1
+                nf = d % 4 + 2
+                frames = [
+                    M.make_jpeg_gray_dc(
+                        bw * 8, bh * 8,
+                        [((d * 7 + f * 19 + b * 13) % 201) - 100
+                         for b in range(bw * bh)],
+                    )
+                    for f in range(nf)
+                ]
+                blobs.append(M.make_avi_mjpeg(bw * 8, bh * 8, 50_000, frames))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    return M.video_sample_features(media, every_ms=80)
+
+
 def ext_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by (value, event_id) per event type — the canonical
     top-N-per-group pattern. The (value DESC, event_id ASC) order is
@@ -2361,6 +2471,7 @@ EXT_QUERIES = {
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_dedup_embedding_lsh": ext_dedup_embedding_lsh,
     "ext_dedup_semantic": ext_dedup_semantic,
+    "ext_dedup_semantic_trained": ext_dedup_semantic_trained,
     "ext_dedup_lines": ext_dedup_lines,
     "ext_dedup_spans": ext_dedup_spans,
     "ext_dedup_spans_drop": ext_dedup_spans_drop,
@@ -2384,6 +2495,7 @@ EXT_QUERIES = {
     "ext_multimodal_luma": ext_multimodal_luma,
     "ext_multimodal_resize": ext_multimodal_resize,
     "ext_multimodal_frames": ext_multimodal_frames,
+    "ext_multimodal_video": ext_multimodal_video,
     "ext_multimodal_dhash": ext_multimodal_dhash,
     "ext_dedup_images": ext_dedup_images,
     "ext_embed_quantize": ext_embed_quantize,
@@ -3111,6 +3223,31 @@ EXT_ORACLE_SQL = {
                CAST(MAX(w * h) AS BIGINT) AS n_px
         FROM g GROUP BY doc_id, ts ORDER BY doc_id, ts
     """,
+    "ext_multimodal_video": """
+        WITH d AS (
+          SELECT doc_id,
+                 ((doc_id % 3) + 3) % 3 + 1 AS bw,
+                 ((doc_id % 2) + 2) % 2 + 1 AS bh,
+                 ((doc_id % 4) + 4) % 4 + 2 AS nf
+          FROM documents
+        ), smp AS (
+          SELECT doc_id, bw, bh, unnest(range(0, nf * 50, 80)) AS ts
+          FROM d
+        ), fr AS (
+          SELECT doc_id, bw, bh, ts, ts // 50 AS fi FROM smp
+        ), blk AS (
+          SELECT *, unnest(range(bw * bh)) AS b FROM fr
+        )
+        SELECT doc_id,
+               CAST(ts AS BIGINT) AS sample_ts_ms,
+               CAST(MAX(fi) AS BIGINT) AS frame_idx,
+               -- DC-only baseline JPEG: every pixel of block b in frame fi
+               -- decodes to exactly dc + 128 (q0 = 8), 64 px per block
+               CAST(SUM(64 * (((doc_id * 7 + fi * 19 + b * 13) % 201) - 100 + 128))
+                    AS BIGINT) AS luma_sum,
+               CAST(MAX(bw * bh * 64) AS BIGINT) AS n_px
+        FROM blk GROUP BY doc_id, ts ORDER BY doc_id, ts
+    """,
     "ext_rollup_agg": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -3776,13 +3913,59 @@ def _trained_ann_oracle_sql() -> str:
 
 EXT_ORACLE_SQL["ext_ann_ivfpq_trained"] = _trained_ann_oracle_sql()
 
+def _semantic_trained_oracle_sql() -> str:
+    """ext_dedup_semantic's oracle with the cent CTE swapped to the
+    persisted trained grid (read_parquet of centroids_q) — everything
+    downstream (argmin (d2, cid) cells, in-cell keep-one) is replayed
+    identically, so the hash pins the whole distributed half against the
+    kmeans artifact."""
+    path = _semantic_trained_path()
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, t.i,
+             CAST(floor(embedding[t.i+1]::DOUBLE * 1000000) AS BIGINT) AS q
+      FROM embeddings, range(64) t(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND vec_id < 5000
+    ), cent AS (
+      SELECT id AS cid, t.i, vq[t.i+1] AS q
+      FROM read_parquet('{path}/centroids_q/*.parquet'), range(64) t(i)
+    ), d2c AS (
+      SELECT c.vec_id, ct.cid, SUM((c.q - ct.q) * (c.q - ct.q)) AS d2
+      FROM comp c JOIN cent ct USING (i)
+      GROUP BY c.vec_id, ct.cid
+    ), cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2c) WHERE rn = 1
+    ), vc AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid
+      FROM embeddings e JOIN cells c USING (vec_id)
+      WHERE e.vec_id < 5000 AND e.embedding IS NOT NULL
+        AND len(e.embedding) = 64
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM vc a JOIN vc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    )
+    SELECT v.vec_id, v.cid AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM vc v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+"""
+
+
+EXT_ORACLE_SQL["ext_dedup_semantic_trained"] = _semantic_trained_oracle_sql()
+
 # Lazily re-rendered oracle entries (ADVICE r14): the trained artifact path
 # is pid-scoped, so a harness that imports plans in a parent and evaluates
 # the SQL in a forked worker would read a nonexistent artifact with the
 # import-time string. __spark_entry__.oracle_sql() overlays these at CALL
 # time so the pid is captured in the evaluating process; the import-time
 # value above stays for direct EXT_ORACLE_SQL consumers in-process.
-LAZY_ORACLE_SQL: dict = {"ext_ann_ivfpq_trained": _trained_ann_oracle_sql}
+LAZY_ORACLE_SQL: dict = {
+    "ext_ann_ivfpq_trained": _trained_ann_oracle_sql,
+    "ext_dedup_semantic_trained": _semantic_trained_oracle_sql,
+}
 
 
 def _bpe_chain_sql(col: str = "n") -> str:

@@ -2962,3 +2962,84 @@ def test_frame_sampling_rejects_nonpositive_stride(spark):
                 spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [blob]})),
                 bad,
             )
+
+
+def test_avi_mjpeg_round_trip_exact():
+    """make_avi_mjpeg → avi_mjpeg_index → sample_avi_frames replays the
+    DC-only closed form exactly: decoded pixel is dc+128, frame clock is
+    dwMicroSecPerFrame, stride maps ts // frame_ms."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    for d in (0, 1, 5, 7, 11, 254):
+        bw, bh, nf = d % 3 + 1, d % 2 + 1, d % 4 + 2
+        frames = [
+            M.make_jpeg_gray_dc(
+                bw * 8, bh * 8,
+                [((d * 7 + f * 19 + b * 13) % 201) - 100 for b in range(bw * bh)],
+            )
+            for f in range(nf)
+        ]
+        blob = M.make_avi_mjpeg(bw * 8, bh * 8, 50_000, frames)
+        us, w, h, idx = M.avi_mjpeg_index(blob)
+        assert (us, w, h, len(idx)) == (50_000, bw * 8, bh * 8, nf)
+        got = M.sample_avi_frames(blob, 80)
+        exp = []
+        ts = 0
+        while ts < nf * 50:
+            fi = ts // 50
+            luma = sum(
+                64 * (((d * 7 + fi * 19 + b * 13) % 201) - 100 + 128)
+                for b in range(bw * bh)
+            )
+            exp.append((ts, fi, luma, bw * bh * 64))
+            ts += 80
+        assert got == exp, (d, got, exp)
+
+
+def test_avi_frame_sampling_selective_decode(monkeypatch):
+    """Frames no sample lands in must NEVER pay JPEG entropy decode: a
+    200 ms stride over 10 x 50 ms frames decodes 3 frames (0, 4, 8),
+    not 10 — the property that makes sampling O(sampled), not
+    O(container), at 100 TB."""
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    frames = [M.make_jpeg_gray_dc(8, 8, [f]) for f in range(10)]
+    blob = M.make_avi_mjpeg(8, 8, 50_000, frames)
+    calls = []
+    real = M.jpeg_gray_luma_sum
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(M, "jpeg_gray_luma_sum", counting)
+    rows = M.sample_avi_frames(blob, 200)
+    assert [r[:2] for r in rows] == [(0, 0), (200, 4), (400, 8)]
+    assert len(calls) == 3
+
+
+def test_avi_sampler_rejections_and_fuzz():
+    """Out-of-profile AVIs -> None, never fake rows or crashes: non-RIFF,
+    RIFF-but-WAV, truncation at every prefix, zero frames, random byte
+    corruption (decode either returns None or exact-profile rows — it
+    must never raise)."""
+    import random
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    assert M.sample_avi_frames(b"junk", 80) is None
+    assert M.sample_avi_frames(M.make_wav_pcm16(8000, [0, 1, 2]), 80) is None
+    frames = [M.make_jpeg_gray_dc(8, 8, [f]) for f in range(3)]
+    blob = M.make_avi_mjpeg(8, 8, 50_000, frames)
+    for cut in range(0, len(blob), 97):
+        M.sample_avi_frames(blob[:cut], 80)  # must not raise
+    rng = random.Random(7)
+    for _ in range(200):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        M.sample_avi_frames(bytes(b), 80)  # must not raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.sample_avi_frames(blob, 0)

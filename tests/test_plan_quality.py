@@ -219,6 +219,18 @@ def test_ext_dedup_semantic_no_all_pairs(spark):
     assert "hashpartitioning(cell" in plan
 
 
+def test_ext_dedup_semantic_trained_same_plan_shape(spark):
+    """The trained-centroid variant (r15) must keep the fixed variant's
+    exact scale shape: the kmeans model rides the pandas_udf closure
+    (broadcast-size, built at plan time by documented contract), so the
+    plan still has no join and exactly ONE exchange on cell."""
+    plan = plan_of(spark, "ext_dedup_semantic_trained")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(cell" in plan
+
+
 def test_q21_aggregate_form_no_self_joins(spark):
     """The r7 rewrite evaluates the EXISTS/NOT-EXISTS correlation as
     per-orderkey aggregates (n_late == 1, n_supp > 1): the plan must be
