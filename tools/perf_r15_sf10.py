@@ -1,0 +1,209 @@
+"""r15 sf10 scale measurements for the operators gated this round,
+same-session interleaved ABAB Spark/DuckDB where a twin exists (the
+PERF.md methodology — one process, alternated engines, min-of-N).
+
+    python tools/gen_scaled_sf.py /root/testdata/sf0.1 /tmp/sf10 100
+    python tools/perf_r15_sf10.py /tmp/sf10 [target ...]
+
+Targets:
+
+- video_500k: ext_multimodal_video's full pipeline over the sf10
+  documents table (500k spec-valid MJPEG/AVI containers synthesized,
+  walked, and selectively JPEG-decoded in the Spark path) vs the
+  registered closed-form DuckDB oracle. Like the audiohash/images r14
+  rows, the DuckDB side never touches a container — the ratio is a
+  value check; the meaningful number is container throughput (docs/s).
+- semdedup_trained_2m: trained vs fixed coarse quantizer over the FULL
+  sf10 embeddings table (2M vectors, dim 64) at the production
+  n_centroids knob (256) — Spark-only wall + cell balance (an in-cell
+  cosine quadratic at 2M vectors has no feasible SQL twin; value
+  correctness is gated at sf0.01). The balance number is the scale
+  claim: max cell bounds the slowest keep-one task.
+
+Every twinned target cross-checks row count + integer checksum before
+timing is trusted. Numbers go to PERF.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_cdc_multi_spark.operators import dedup as D  # noqa: E402
+from flink_cdc_multi_spark.operators import similarity as S  # noqa: E402
+from flink_cdc_multi_spark.plans import ALL_ORACLE_SQL, ALL_QUERIES  # noqa: E402
+from flink_cdc_multi_spark.plans.queries import load_table  # noqa: E402
+from flink_cdc_multi_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def ab(name: str, plan, con, sql: str, spark_checksum, duck_checksum,
+       runs: int = 2) -> dict:
+    rec: dict = {}
+    t0 = time.perf_counter()
+    plan.write.format("noop").mode("overwrite").save()
+    rec["spark_cold_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    rec["duck_cold_s"] = round(time.perf_counter() - t0, 3)
+    sp, dk = [], []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        plan.write.format("noop").mode("overwrite").save()
+        sp.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        dk.append(round(time.perf_counter() - t0, 3))
+    rec.update({
+        "spark_times": sp, "duck_times": dk,
+        "spark_min": min(sp), "duck_min": min(dk),
+        "ratio": round(min(sp) / min(dk), 3),
+    })
+    s_chk = spark_checksum(plan)
+    d_chk = tuple(con.execute(
+        f"SELECT COUNT(*), {duck_checksum} FROM ({sql})").fetchone())
+    rec["spark_check"] = list(map(int, s_chk))
+    rec["duck_check"] = list(map(int, d_chk))
+    rec["check_match"] = list(s_chk) == list(d_chk)
+    print(json.dumps({name: rec}), flush=True)
+    return rec
+
+
+def semdedup_variant(name: str, emb, centroids, trained, n_docs: int) -> dict:
+    plan = D.semantic_dedup(
+        emb, centroids, dim=64, threshold=0.35, trained_centroids=trained
+    )
+    t0 = time.perf_counter()
+    stats = plan.groupBy("cell").agg(
+        F.count("*").alias("n"), F.sum(F.col("kept").cast("long")).alias("k")
+    ).collect()
+    wall = round(time.perf_counter() - t0, 2)
+    sizes = [r["n"] for r in stats]
+    rec = {
+        "wall_s": wall,
+        "docs_per_s": round(n_docs / wall),
+        "n_cells_used": len(sizes),
+        "max_cell": max(sizes),
+        "balance_max_over_mean": round(max(sizes) / (sum(sizes) / len(sizes)), 2),
+        "n_kept": int(sum(r["k"] for r in stats)),
+        "n_rows": int(sum(sizes)),
+    }
+    print(json.dumps({name: rec}), flush=True)
+    return rec
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+    only = set(sys.argv[2:])
+    spark = get_spark(
+        "perf-r15", extra_conf={"spark.sql.files.maxPartitionBytes": "16m"}
+    )
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def want(n: str) -> bool:
+        return not only or n in only
+
+    results: dict = {}
+    if want("video_500k"):
+        plan = ALL_QUERIES["ext_multimodal_video"](spark, sf_dir)
+
+        def chk(p):
+            r = p.agg(F.count("*"), F.sum("luma_sum")).collect()[0]
+            return (r[0], r[1])
+
+        results["video_500k"] = ab(
+            "video_500k", plan, con, ALL_ORACLE_SQL["ext_multimodal_video"],
+            chk, "SUM(luma_sum)")
+        n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+        results["video_500k"]["docs_per_s"] = round(
+            n_docs / results["video_500k"]["spark_min"])
+        print(json.dumps({"video_docs_per_s":
+                          results["video_500k"]["docs_per_s"]}), flush=True)
+
+    if want("video_500k_serve"):
+        # isolate the OPERATOR (container walk + selective JPEG decode)
+        # from fixture synthesis: persist the AVI blobs once, untimed —
+        # the build_edges idiom from perf_r14
+        from flink_cdc_multi_spark.operators import multimodal as M
+
+        media_path = "/tmp/r15_avi500k"
+        if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
+            import pandas as pd
+
+            docs = (load_table(spark, sf_dir, "documents").select("doc_id")
+                    .repartition(spark.sparkContext.defaultParallelism))
+
+            def gen(it):
+                for pdf in it:
+                    ids = pdf["doc_id"].astype("int64")
+                    blobs = []
+                    for d in ids:
+                        d = int(d)
+                        bw, bh, nf = d % 3 + 1, d % 2 + 1, d % 4 + 2
+                        frames = [
+                            M.make_jpeg_gray_dc(
+                                bw * 8, bh * 8,
+                                [((d * 7 + f * 19 + b * 13) % 201) - 100
+                                 for b in range(bw * bh)])
+                            for f in range(nf)
+                        ]
+                        blobs.append(
+                            M.make_avi_mjpeg(bw * 8, bh * 8, 50_000, frames))
+                    yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+            t0 = time.perf_counter()
+            docs.mapInPandas(gen, "doc_id long, media binary").write.mode(
+                "overwrite").parquet(media_path)
+            print(f"avi corpus built in {time.perf_counter()-t0:.1f}s",
+                  flush=True)
+        media = spark.read.parquet(media_path)
+        plan = M.video_sample_features(media, every_ms=80)
+
+        def chk(p):
+            r = p.agg(F.count("*"), F.sum("luma_sum")).collect()[0]
+            return (r[0], r[1])
+
+        results["video_500k_serve"] = ab(
+            "video_500k_serve", plan, con,
+            ALL_ORACLE_SQL["ext_multimodal_video"], chk, "SUM(luma_sum)")
+        n_docs = media.count()
+        results["video_500k_serve"]["docs_per_s"] = round(
+            n_docs / results["video_500k_serve"]["spark_min"])
+        print(json.dumps({"serve_docs_per_s":
+                          results["video_500k_serve"]["docs_per_s"]}),
+              flush=True)
+
+    if want("semdedup_trained_2m"):
+        emb = S.valid_vectors(load_table(spark, sf_dir, "embeddings"),
+                              64, "embedding")
+        n = emb.count()
+        print(json.dumps({"n_vectors": n}), flush=True)
+        t0 = time.perf_counter()
+        tc = S.train_ivf_centroids(emb, n_cells=256, dim=64)
+        print(json.dumps({"train_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        fixed_cents = emb.orderBy("vec_id").limit(256)
+        results["semdedup_fixed_2m"] = semdedup_variant(
+            "semdedup_fixed_2m", emb, fixed_cents, None, n)
+        results["semdedup_trained_2m"] = semdedup_variant(
+            "semdedup_trained_2m", emb, None, tc, n)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
