@@ -44,12 +44,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 def duckdb_gate_total(sf_dir: str, runs: int = 3) -> float:
     """DuckDB baseline for the gate suite at sf_dir: warm once,
-    MEDIAN-of-N per query, summed — the same bar tools/bench_duckdb.py
-    measures, inlined here so every BENCH_r{N}.json carries its own
-    ratio. Median (r15, VERDICT r14 item 4): r14's duckdb_rerun_spread
-    was 53% of the measurement with min-of-2 — one ambient-fast pass
-    dragged the whole total; the median of 3 is insensitive to a single
-    outlier in either direction."""
+    MEDIAN-of-N per query, summed. Median (r15, VERDICT r14 item 4):
+    r14's duckdb_rerun_spread was 53% of the measurement with min-of-2 —
+    one ambient-fast pass dragged the whole total; the median of 3 is
+    insensitive to a single outlier in either direction. NOTE this is a
+    DIFFERENT estimator from tools/bench_duckdb.py (min-based) and from
+    BENCH_r14-and-earlier artifacts — the artifact carries
+    `duckdb_estimator` so cross-round readers see the switch."""
     import statistics
 
     import duckdb
@@ -346,6 +347,10 @@ def main() -> None:
         import duckdb as _duckdb
 
         out["duckdb_version"] = _duckdb.__version__
+        # r15 estimator switch: gate totals are median-of-3 per query
+        # (r14 and earlier: min-of-2) — flag it so round-over-round
+        # ratio trends aren't read across unlike estimators
+        out["duckdb_estimator"] = "median-of-3"
         out["duckdb_sec"] = duckdb_gate_total(sf_dir)
         if best_concurrent is not None:
             out["ratio_vs_duckdb"] = round(best_concurrent / out["duckdb_sec"], 4)

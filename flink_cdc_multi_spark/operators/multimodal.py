@@ -2350,26 +2350,31 @@ def avi_mjpeg_index(blob: bytes):
             return None
         us_per_frame = width = height = None
         frames: list = []
-        pos = 12
-        end = min(len(blob), 8 + struct.unpack("<I", blob[4:8])[0])
-
-        def walk(pos: int, end: int) -> None:
-            nonlocal us_per_frame, width, height
+        end0 = min(len(blob), 8 + struct.unpack("<I", blob[4:8])[0])
+        # ITERATIVE walk (r15 review: a hostile blob of thousands of
+        # nested LIST headers blows the recursion limit, and
+        # RecursionError escapes the never-raise contract). Each stack
+        # entry strictly advances pos, so total work is O(len(blob)).
+        stack = [(12, end0)]
+        while stack:
+            pos, end = stack.pop()
             while pos + 8 <= end:
                 tag = blob[pos : pos + 4]
                 size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
                 data_start = pos + 8
                 data_end = min(data_start + size, end)
                 if tag == b"LIST":
-                    walk(data_start + 4, data_end)  # skip the list kind
-                elif tag == b"avih" and size >= 40:
+                    # resume the current level after the list, then
+                    # descend (skip the 4-byte list kind)
+                    stack.append((data_start + size + (size % 2), end))
+                    pos, end = data_start + 4, data_end
+                    continue
+                if tag == b"avih" and size >= 40:
                     hdr = struct.unpack("<10I", blob[data_start : data_start + 40])
                     us_per_frame, width, height = hdr[0], hdr[8], hdr[9]
                 elif tag[2:4] == b"dc":  # ##dc: compressed video frame
                     frames.append((data_start, size))
                 pos = data_start + size + (size % 2)  # word alignment
-
-        walk(pos, end)
         if not us_per_frame or not frames:
             return None
         return us_per_frame, width, height, frames
@@ -2394,6 +2399,14 @@ def sample_avi_frames(blob: bytes, every_ms: int):
     us_per_frame, _w, _h, frames = idx
     frame_ms = us_per_frame / 1000.0
     total_ms = frame_ms * len(frames)
+    # the sample count is driven by the ATTACKER-CONTROLLED avih header,
+    # not blob size (r15 review): dwMicroSecPerFrame=0xFFFFFFFF over a
+    # few thousand fake chunks yields billions of loop iterations before
+    # any decode. A header whose clock implies more samples than this
+    # generous per-blob bound is out of profile — None, like any other
+    # malformed container.
+    if total_ms / every_ms > 65536:
+        return None
     wanted: dict[int, list[int]] = {}
     ts = 0
     while ts < total_ms:

@@ -259,6 +259,29 @@ def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
 
     key = f"b{batch_id}"
     batch_dir = f"{table_path}/{BATCHES_DIR}/{key}"
+    # a replay can arrive under a DIFFERENT publish mode than the crashed
+    # attempt (SPARK_GRAFT_PUBLISH_MODE flipped between runs — r15
+    # review): clean any rename-mode promote of this batch first, or the
+    # epoch is published twice across the two layouts.
+    if not fsio.has_scheme(table_path):
+        import glob as _glob
+        import os as _os
+
+        for stale in _glob.glob(f"{table_path}/{key}-*") + _glob.glob(
+            f"{table_path}/*/{key}-*"
+        ):
+            _os.remove(stale)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark0 = typed.sparkSession or SparkSession.getActiveSession()
+        from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+
+        fs0, _ = _hadoop_fs(spark0, table_path)
+        jp0 = spark0._jvm.org.apache.hadoop.fs.Path
+        for pat in (f"{table_path}/{key}-*", f"{table_path}/*/{key}-*"):
+            for st in fs0.globStatus(jp0(pat)) or []:
+                fs0.delete(st.getPath(), False)
     typed.write.mode("overwrite").parquet(batch_dir)
     if not fsio.has_scheme(batch_dir):
         import glob as _glob
@@ -279,12 +302,19 @@ def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
             st.getPath().getName()
             for st in fs.globStatus(jvm_path(f"{batch_dir}/part-*")) or []
         )
-    fsio.write_text_atomic(
-        f"{table_path}/{MANIFEST_DIR}/{key}.json",
-        _json.dumps(
-            {"files": [f"{BATCHES_DIR}/{key}/{n}" for n in names]}
-        ),
+    # commit: on object stores a single PUT is the atomic primitive
+    # (write_text_atomic's delete+rename recipe opens a vanish window on
+    # S3 — r15 review); local/HDFS get tmp+rename, where RENAME is the
+    # atomic primitive.
+    manifest_path = f"{table_path}/{MANIFEST_DIR}/{key}.json"
+    payload = _json.dumps(
+        {"files": [f"{BATCHES_DIR}/{key}/{n}" for n in names]}
     )
+    scheme = table_path.split("://", 1)[0] if "://" in table_path else ""
+    if scheme in _OBJECT_STORE_SCHEMES:
+        fsio.write_text_create(manifest_path, payload)
+    else:
+        fsio.write_text_atomic(manifest_path, payload)
 
 
 def read_published(spark, table_path: str) -> DataFrame:
@@ -326,9 +356,20 @@ def read_published(spark, table_path: str) -> DataFrame:
             except ValueError:
                 continue
             files += [f"{table_path}/{rel}" for rel in rels]
+        # Hadoop globStatus, unlike Python glob, MATCHES dot-prefixed
+        # dirs (r15 review): a lingering .staging_b*/part-* would set
+        # has_flat on a manifest-only table and the flat leg would then
+        # crash on zero visible files — filter to what a parquet reader
+        # can actually see.
+        def visible(sts) -> list:
+            return [
+                st for st in (sts or [])
+                if "/." not in str(st.getPath().toUri().getPath())
+            ]
+
         has_flat = bool(
-            (fs.globStatus(jvm_path(f"{table_path}/*part-*")) or [])
-            or (fs.globStatus(jvm_path(f"{table_path}/*/*part-*")) or [])
+            visible(fs.globStatus(jvm_path(f"{table_path}/*part-*")))
+            or visible(fs.globStatus(jvm_path(f"{table_path}/*/*part-*")))
         )
     legs = []
     if files:
@@ -385,6 +426,17 @@ def _promote_staging(spark, table_path: str, staging: str,
             f"{table_path}/*/{prefix}*"
         ):
             _os.remove(stale)
+        # cross-mode replay cleanup (r15 review): drop any MANIFEST-mode
+        # publish of this batch from a prior attempt under a flipped
+        # SPARK_GRAFT_PUBLISH_MODE — the manifest-mode twin does the same
+        # for rename-promoted files. Manifest first: that's the
+        # visibility flip, so a crash mid-cleanup can't double-expose.
+        import contextlib as _contextlib
+
+        key = f"b{batch_id}"
+        with _contextlib.suppress(FileNotFoundError):
+            _os.remove(f"{table_path}/{MANIFEST_DIR}/{key}.json")
+        _shutil.rmtree(f"{table_path}/{BATCHES_DIR}/{key}", ignore_errors=True)
         for depth, pat in ((1, f"{staging}/part-*"),
                            (2, f"{staging}/*/part-*")):
             for f in _glob.glob(pat):
@@ -410,6 +462,10 @@ def _promote_staging(spark, table_path: str, staging: str,
     for pat in (f"{table_path}/{prefix}*", f"{table_path}/*/{prefix}*"):
         for st in fs.globStatus(jvm_path(pat)) or []:
             fs.delete(st.getPath(), False)
+    # cross-mode replay cleanup (r15 review; see the local branch)
+    key = f"b{batch_id}"
+    fs.delete(jvm_path(f"{table_path}/{MANIFEST_DIR}/{key}.json"), False)
+    fs.delete(jvm_path(f"{table_path}/{BATCHES_DIR}/{key}"), True)
     moves = []
     for depth, pat in ((1, f"{staging}/part-*"), (2, f"{staging}/*/part-*")):
         for st in fs.globStatus(jvm_path(pat)) or []:

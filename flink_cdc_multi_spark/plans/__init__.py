@@ -74,11 +74,9 @@ def _row_passed(row) -> bool:
     )
 
 
-def _last_checked_rounds() -> tuple[dict[str, int], int]:
-    """(query name -> most recent round with a PASSING driver row,
-    newest committed round number seen, -1 if none)."""
+def _last_checked_rounds() -> dict[str, int]:
+    """query name -> most recent round with a PASSING driver row."""
     rounds: dict[str, int] = {}
-    newest = -1
     repo_root = Path(__file__).resolve().parents[2]
     for path in repo_root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", path.name)
@@ -91,16 +89,15 @@ def _last_checked_rounds() -> tuple[dict[str, int], int]:
             continue
         if not isinstance(rows, dict):
             continue
-        newest = max(newest, rnd)
         for name, row in rows.items():
             if _row_passed(row):
                 rounds[name] = max(rounds.get(name, -1), rnd)
-    return rounds, newest
+    return rounds
 
 
 _merged = {**QUERIES, **EXT_QUERIES}
 _registry_index = {name: i for i, name in enumerate(_merged)}
-_checked, _newest_round = _last_checked_rounds()
+_checked = _last_checked_rounds()
 
 # Auto-expire: a pin whose query already has a passing row in a round at or
 # after the pin's own round has been re-gated — drop it so it stops occupying

@@ -70,6 +70,25 @@ def write_text_atomic(path: str, content: str) -> None:
         raise IOError(f"rename {path}.tmp -> {path} failed")
 
 
+def write_text_create(path: str, content: str) -> None:
+    """Single direct create-overwrite — ONE object PUT on S3-family
+    stores, where a PUT is atomic and the tmp+delete+rename recipe of
+    write_text_atomic is NOT (S3 rename is copy+delete; the delete
+    opens a window where the file vanishes for readers — r15 review).
+    On HDFS/local a visible-path create is the non-atomic one (readers
+    can observe partial writes), so use write_text_atomic there; the
+    split belongs to the caller, which knows its scheme."""
+    if not has_scheme(path):  # local: os.replace IS the atomic primitive
+        write_text_atomic(path, content)
+        return
+    jvm, fs, jpath = _fs_path(path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def read_text(path: str) -> str | None:
     """File content, or None when the file does not exist."""
     if not has_scheme(path):

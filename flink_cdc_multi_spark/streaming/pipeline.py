@@ -463,15 +463,35 @@ class CDCPipeline:
             return
         import re
 
+        from flink_cdc_multi_spark.operators.routing import (
+            BATCHES_DIR,
+            MANIFEST_DIR,
+        )
+
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        manifested = {
+            st.getPath().getName()[: -len(".json")]
+            for st in fs.globStatus(jvm_path(f"{path}/{MANIFEST_DIR}/b*.json"))
+            or []
+        }
         it = fs.listFiles(jp, True)
         while it.hasNext():
             p = it.next().getPath()
             name = p.getName()
+            full = p.toString()
             # staged files in a hidden .staging_* dir are NOT data —
             # counting them would keep a dataless dir alive forever when
             # a crashed attempt's staging lingers (r14 review finding)
-            if "/.staging_" in p.toString():
+            if "/.staging_" in full:
                 continue
+            # manifest-mode batch dirs: parts are data ONLY when their
+            # batch's manifest committed — an unmanifested dir is a
+            # crashed attempt, the same non-data class as staging (r15
+            # review: counting it re-introduced the staging bug)
+            if f"/{BATCHES_DIR}/" in full:
+                bkey = full.split(f"/{BATCHES_DIR}/", 1)[1].split("/", 1)[0]
+                if bkey not in manifested:
+                    continue
             # data files: legacy appends are part-*, the exactly-once
             # publish promotes them as b<batch>-part-*
             if name.startswith("part-") or re.match(r"b[0-9a-fx]+-part-", name):

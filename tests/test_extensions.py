@@ -3043,3 +3043,30 @@ def test_avi_sampler_rejections_and_fuzz():
 
     with _pytest.raises(ValueError):
         M.sample_avi_frames(blob, 0)
+
+
+def test_avi_hostile_headers_never_raise_or_hang():
+    """r15 review findings: (a) thousands of NESTED LIST headers must not
+    blow the recursion limit (the walk is iterative now); (b) a hostile
+    dwMicroSecPerFrame that implies billions of samples is out of
+    profile -> None, never an unbounded driver/executor loop."""
+    import struct as _struct
+
+    from flink_cdc_multi_spark.operators import multimodal as M
+
+    # (a) 5000 nested LISTs
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + _struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    blob = b"RIFF" + _struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert M.avi_mjpeg_index(blob) is None  # no frames — and NO RecursionError
+
+    # (b) absurd frame clock: 0xFFFFFFFF us/frame over 3 real frames
+    frames = [M.make_jpeg_gray_dc(8, 8, [f]) for f in range(3)]
+    hostile = M.make_avi_mjpeg(8, 8, 0xFFFFFFFF, frames)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    assert M.sample_avi_frames(hostile, 80) is None
+    assert _time.perf_counter() - t0 < 1.0  # bounded, not a spin

@@ -1360,3 +1360,129 @@ def test_stream_kill_mid_batch_manifest_mode(spark, tmp_path, monkeypatch):
     assert users.count() == 4
     assert sorted(r["id"] for r in users.select("id").collect()) == [1, 2, 3, 4]
     assert pipe3.offset_store.read() == "mysql-bin.000001,40"
+
+
+def test_compaction_crash_replay_manifest_mode(spark, tmp_path, monkeypatch):
+    """Manifest-mode twin of test_crash_between_compaction_and_commit_no_dup:
+    compaction's whole-dir swap folds manifest-committed batches into the
+    flat layout (read through read_published), the folded-key marker still
+    makes the replayed batch skip its publish, and later manifest batches
+    union back in over the compacted base."""
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_MODE", "manifest")
+    from flink_cdc_multi_spark.operators.routing import read_published
+
+    cfg = {
+        "compact.every.n.batches": 1,
+        "table.key.columns": {"testdb.users": ["id"]},
+    }
+    pipe = _pipeline(tmp_path, **cfg)
+    feed = _feed(tmp_path, "f1.json", [
+        make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10,
+                       ts_ms=1700000001000),
+        make_mysql_row(op="c", after={"id": 2, "v": "b"}, pos=20,
+                       ts_ms=1700000002000),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    q = pipe.start(spark, feed, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    table = str(tmp_path / "sink" / "s1_testdb__users")
+    assert read_published(spark, table).count() == 2
+
+    pipe2 = _pipeline(tmp_path, **cfg)
+    orig = pipe2.process_batch
+
+    def crash(df, bid):
+        orig(df, bid)
+        if bid >= 1:
+            raise RuntimeError("injected crash after compaction, before commit")
+
+    pipe2.process_batch = crash
+    _feed(tmp_path, "f2.json", [
+        make_mysql_row(op="u", before={"id": 1, "v": "a"},
+                       after={"id": 1, "v": "a2"}, pos=30,
+                       ts_ms=1700000003000),
+        make_mysql_row(op="d", before={"id": 2, "v": "b"}, after=None,
+                       pos=40, ts_ms=1700000004000),
+    ])
+    q2 = pipe2.start(spark, feed, ckpt)
+    try:
+        q2.processAllAvailable()
+    except Exception:
+        pass
+    q2.stop()
+    assert [(r["id"], r["v"], r["_op"]) for r in
+            read_published(spark, table).collect()] == [(1, "a2", "UPDATE")]
+
+    # restart: batch 1 replays; marker no-ops its publish; no duplicates
+    pipe3 = _pipeline(tmp_path, **cfg)
+    q3 = pipe3.start(spark, feed, ckpt)
+    q3.processAllAvailable()
+    q3.stop()
+    rows = [(r["id"], r["v"], r["_op"]) for r in
+            read_published(spark, table).collect()]
+    assert rows == [(1, "a2", "UPDATE")]
+
+
+def test_replay_under_flipped_publish_mode_converges(spark, tmp_path, monkeypatch):
+    """r15 review: a batch replayed under a DIFFERENT publish mode than
+    its crashed attempt must clean the other mode's copy — each path
+    deletes the other layout's artifacts for its batch key, so the epoch
+    is published exactly once in whichever mode ran last."""
+    from flink_cdc_multi_spark.operators.routing import (
+        publish_batch_parquet,
+        read_published,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id long, v string, dt string",
+    )
+    # attempt 1: manifest mode; crash before checkpoint commit
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_MODE", "manifest")
+    publish_batch_parquet(df, table, "ffx1")
+    assert read_published(spark, table).count() == 2
+    # replay under rename mode: must NOT double-publish
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_MODE", "rename")
+    publish_batch_parquet(df, table, "ffx1")
+    assert read_published(spark, table).count() == 2
+    # flip back: replay under manifest again — still exactly once
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_MODE", "manifest")
+    publish_batch_parquet(df, table, "ffx1")
+    assert read_published(spark, table).count() == 2
+
+
+def test_remove_if_dataless_ignores_unmanifested_batch_parts(spark, tmp_path):
+    """r15 review: part files inside an UNMANIFESTED .batches dir are a
+    crashed uncommitted attempt, not data — a dataless table dir holding
+    only those must still be removed (the staging-dir rule extended to
+    manifest mode), along with its sibling __folded.json."""
+    import json as _json
+
+    pipe = _pipeline(tmp_path)
+    table = tmp_path / "sink" / "s1_testdb__users"
+    orphan = table / ".batches" / "bzzx9"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"not really parquet")
+    (table / "_SUCCESS").write_text("")
+    marker = str(table) + "__folded.json"
+    open(marker, "w").write(_json.dumps({"folded_key": "bzzx9"}))
+    spec = pipe.registry.specs["testdb.users"]
+    pipe._remove_if_dataless(spark, spec)
+    assert not table.exists()
+    import os as _os
+
+    assert not _os.path.exists(marker)
+    # and a MANIFESTED batch dir keeps the table alive
+    table2 = tmp_path / "sink2"
+    pipe2 = _pipeline(tmp_path)
+    t2 = tmp_path / "sink" / "s1_testdb__users"
+    live = t2 / ".batches" / "baax1"
+    live.mkdir(parents=True)
+    (live / "part-00000.parquet").write_bytes(b"x")
+    m = t2 / "_manifests"
+    m.mkdir(parents=True)
+    (m / "baax1.json").write_text(_json.dumps({"files": [".batches/baax1/part-00000.parquet"]}))
+    pipe2._remove_if_dataless(spark, spec)
+    assert t2.exists(), "manifested batch data wrongly classified as non-data"

@@ -104,7 +104,7 @@ def test_driver_gate_window_is_least_recently_checked(  # VERDICT r9 item 6
     least-recently-checked 50 of the committed CORRECTNESS history."""
     from flink_cdc_multi_spark.plans import _ACTIVE_REGATE, _last_checked_rounds
 
-    checked, _ = _last_checked_rounds()
+    checked = _last_checked_rounds()
     names = list(ALL_QUERIES)
     window, outside = names[:50], names[50:]
     if not outside:
