@@ -132,7 +132,7 @@ def gate_concurrent_best(run, runs: int = 2) -> float:
     return best
 
 
-def interleaved_gate_ratio(sf_dir: str, run, gate_ok, waves: int = 2) -> dict:
+def interleaved_gate_ratio(sf_dir: str, run, gate_ok, waves: int = 4) -> dict:
     """Same-session ABBA interleave (VERDICT r11 item 6, hardened r15 per
     VERDICT r14 item 4): one Spark concurrent gate wave, two DuckDB gate
     passes, one Spark wave — back to back in this process — and ratio
@@ -145,7 +145,11 @@ def interleaved_gate_ratio(sf_dir: str, run, gate_ok, waves: int = 2) -> dict:
     medians equally and divides out of the ratio. Both alternation
     orders are thereby embedded in one sequence (the repo's
     separate-JVM second-runner lesson, CLAUDE.md). `ratio` stays the
-    min/min for cross-round continuity; read `ratio_median` for trends."""
+    min/min for cross-round continuity; read `ratio_median` for trends.
+    waves=4 (two ABBA rounds) since r15: at sf0.1 the whole gate is
+    ~0.3 s/side, so 2 samples/side left the median hostage to one
+    ambient outlier (a single 65%-slow DuckDB pass in the r15 quiet
+    run); 4 samples cost ~2 s and median out one outlier per side."""
     import statistics
 
     def spark_wave() -> float:
