@@ -759,3 +759,40 @@ def pack_offsets(
         F.floor(start / block_tokens).alias("start_seq"),
         F.floor((start + F.col("n_tokens") - 1) / block_tokens).alias("end_seq"),
     )
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical URL identity for URL-level dedup (r15) — the first
+    dedup stage of RefinedWeb-class pipelines (Penedo et al. 2023,
+    arXiv:2306.01116 §3.1 apply it before any content dedup: the same
+    page re-crawled under trivially different URLs is the cheapest
+    duplicate class to kill). Pure Column regexp chain (one codegen
+    stage, zero shuffles). Engine portability: step 1 deletes ALL
+    whitespace (URLs carry none legitimately), which makes the later
+    '$' anchors safe on both engines — Java '$' matches before a
+    trailing newline, RE2's does not (the adversarial-gate rule), so
+    '$' is only portable once newlines cannot exist; replacement
+    backreferences use each engine's own syntax (Java '$n' here,
+    RE2 '\\n' in the DuckDB oracle):
+
+    lowercase + drop whitespace → drop #fragment → drop http(s)://
+    scheme → drop leading www. → drop default :80/:443 port → drop
+    utm_* tracking params (re-anchoring the first surviving param to
+    '?') → drop empty '?' → drop one trailing slash.
+
+    Ordering matters and is pinned by tests: the fragment goes FIRST
+    (a '#' can hide a tracking param), the port is normalized before
+    path handling, and the trailing slash goes LAST (stripping the port
+    can expose one)."""
+    u = F.regexp_replace(F.lower(url), r"\s", "")
+    u = F.regexp_replace(u, r"#.*", "")
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r":(80|443)(/|\?|$)", "$2")
+    # tracking params: drop every utm_* key (with its & or ? prefix) ...
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")
+    # ... then re-anchor: if the first survivor lost its '?', restore it
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u

@@ -175,6 +175,41 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
 
 
+def ext_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (r15) — the first dedup stage of RefinedWeb-class
+    pipelines (arXiv:2306.01116 §3.1): canonicalize the URL
+    (operators/text.url_canonicalize — lowercase, strip whitespace/
+    fragment/scheme/www/default-port/utm-params/trailing-slash) and keep
+    one doc per canonical identity. URLs are synthesized closed-form
+    from doc_id (the multimodal idiom: scheme/WWW/port/slash/utm/
+    fragment variants by doc_id residues, so every canonicalization
+    rule fires at the gate SF and both engines build the identical
+    messy string), then the whole op is ONE codegen stage + ONE
+    partial-agg'd groupBy — no joins, no windows; at 100 TB the shuffle
+    carries one row per (partition, canonical URL). Output:
+    (url_canon, n_dups, keep_id = min doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http://")).otherwise(F.lit("HTTPS://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 50).cast("string"), F.lit(".example.com"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), (d % 20).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(d.alias("doc_id"), X.url_canonicalize(url).alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
 def ext_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-text fingerprint histogram (whitespace/case-insensitive
     near-exact dedup key)."""
@@ -2466,6 +2501,7 @@ def ext_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
+    "ext_dedup_urls": ext_dedup_urls,
     "ext_dedup_fingerprint": ext_dedup_fingerprint,
     "ext_dedup_ngram": ext_dedup_ngram,
     "ext_dedup_embedding": ext_dedup_embedding,
@@ -2654,6 +2690,47 @@ EXT_ORACLE_SQL = {
         FROM e c JOIN n USING (doc_id) JOIN probe p USING (h)
         WHERE c.doc_id >= 5
         GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    "ext_dedup_urls": """
+        -- same messy-URL synthesis as the Spark side (CASE arms by
+        -- doc_id residues; % is sign-of-dividend in BOTH engines, so
+        -- adversarial negative doc_ids take identical branches), then
+        -- the url_canonicalize chain in RE2 syntax ('g' flags to match
+        -- Java replaceAll; backrefs as \\n)
+        WITH d AS (
+          SELECT doc_id,
+            concat(
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END,
+              CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+              'site', CAST(doc_id % 50 AS VARCHAR), '.example.com',
+              CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+              '/page/', CAST(doc_id % 20 AS VARCHAR),
+              CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+              CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END,
+              CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END
+            ) AS url
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(
+              lower(url),
+              '\\s', '', 'g'),
+              '#.*', '', 'g'),
+              '^https?://', '', 'g'),
+              '^www\\.', '', 'g'),
+              ':(80|443)(/|\\?|$)', '\\2', 'g'),
+              '[?&]utm_[^&#]*', '', 'g'),
+              '^([^?]*)&', '\\1?', 'g'),
+              '\\?$', '', 'g'),
+              '/$', '', 'g') AS url_canon
+          FROM d
+        )
+        SELECT url_canon,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               MIN(doc_id) AS keep_id
+        FROM c GROUP BY url_canon ORDER BY url_canon
     """,
     "ext_dedup_exact": """
         -- COALESCE mirrors exact_dedup's concat_ws digest, which folds a

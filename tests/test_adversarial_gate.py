@@ -56,6 +56,10 @@ ADVERSARIAL_QUERIES = [
     # tokenize/rejoin contract
     "ext_dedup_spans_drop",
     "ext_dedup_ngram",
+    # r15: URL-level dedup — the hostile NEGATIVE doc_ids stress the
+    # sign-of-dividend % parity the residue branches (and the oracle's
+    # CASE arms) rely on
+    "ext_dedup_urls",
     # r14: quality-aware keep-one — the dup rows (-5/-6/-7, identical
     # text => one cluster, equal scores => lowest doc_id wins) and the
     # empty/whitespace rows (scoreless members rank below every scored

@@ -3070,3 +3070,33 @@ def test_avi_hostile_headers_never_raise_or_hang():
     t0 = _time.perf_counter()
     assert M.sample_avi_frames(hostile, 80) is None
     assert _time.perf_counter() - t0 < 1.0  # bounded, not a spin
+
+
+def test_url_canonicalize_rules(spark):
+    """url_canonicalize (r15): every rule and the ordering pins the
+    docstring declares — fragment before utm (a '#' can hide a param),
+    port before path handling, trailing slash LAST (port strip can
+    expose one), whitespace deleted first so '$' anchors are portable."""
+    import pyspark.sql.functions as F
+
+    from flink_cdc_multi_spark.operators.text import url_canonicalize
+
+    cases = [
+        ("HTTP://WWW.Example.COM/Path/", "example.com/path"),
+        ("https://example.com:443/a?utm_source=x", "example.com/a"),
+        ("http://example.com:80/a/b", "example.com/a/b"),
+        ("example.com/a?utm_a=1&utm_b=2", "example.com/a"),
+        # first param utm, real param follows: '?' is re-anchored
+        ("example.com/a?utm_a=1&q=2", "example.com/a?q=2"),
+        ("example.com/a?q=2&utm_a=1", "example.com/a?q=2"),
+        ("example.com/a#frag?utm_x=1", "example.com/a"),  # fragment hides param
+        ("example.com:80", "example.com"),
+        ("example.com:8080/a", "example.com:8080/a"),  # non-default port kept
+        (" exam ple.com/a \n", "example.com/a"),  # whitespace incl newline
+        ("https://www.site.com/", "site.com"),
+        ("site.com/a/", "site.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(url_canonicalize(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases], list(zip(got, cases))
