@@ -135,6 +135,7 @@ def decode_raw(
     value_col: str = "value",
     passthrough: tuple[str, ...] = (),
     payload_schema: T.StructType | None = None,
+    schemas_enable: bool = False,
 ) -> DataFrame:
     """Raw Debezium JSON lines → flat envelope DataFrame with columns
     ``_db _tbl _database _op _ts _ddl _ddl_tbl payload`` + per-source offset
@@ -142,8 +143,21 @@ def decode_raw(
     ``payload_schema`` is given (single-table streams), as a typed struct
     parsed in the same single pass; the routing boundary then projects
     without a second parse. ``passthrough`` columns (e.g. Kafka
-    topic/partition/offset) are carried into the envelope unchanged."""
+    topic/partition/offset) are carried into the envelope unchanged.
+
+    ``schemas_enable`` (r15): Kafka Connect's JsonConverter DEFAULT
+    (``value.converter.schemas.enable=true``) wraps every record as
+    ``{"schema": {...}, "payload": {<the Debezium event>}}`` — a user
+    pointing this engine at a default-converter topic would otherwise
+    decode all-null metadata. When set, the wrapper is unwrapped with
+    ONE get_json_object before the envelope parse (tombstones/null
+    values stay null; heartbeats and schema-change events are wrapped
+    too and unwrap the same way). Config-gated rather than
+    auto-detected: detection would pay extra JSON probes per record on
+    the hot path for the schemaless majority."""
     v = F.col(value_col)
+    if schemas_enable:
+        v = F.get_json_object(v, "$.payload")
     schema = _meta_schema(payload_schema) if payload_schema is not None else RAW_META_SCHEMA
     meta = F.from_json(v, schema).alias("m")
     df = raw.select(meta, *[F.col(c) for c in passthrough])
@@ -283,8 +297,10 @@ def unwrap_mongo_extended_json(payload: DataFrame | None = None):
     return unwrap
 
 
-def read_raw_batch(spark: SparkSession, path: str, source_type: str) -> DataFrame:
-    return decode_raw(spark.read.text(path), source_type)
+def read_raw_batch(spark: SparkSession, path: str, source_type: str,
+                   schemas_enable: bool = False) -> DataFrame:
+    return decode_raw(spark.read.text(path), source_type,
+                      schemas_enable=schemas_enable)
 
 
 def read_raw_stream(
@@ -293,8 +309,11 @@ def read_raw_stream(
     source_type: str,
     max_files_per_trigger: int | None = None,
     payload_schema: T.StructType | None = None,
+    schemas_enable: bool = False,
 ) -> DataFrame:
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return decode_raw(reader.load(path), source_type, payload_schema=payload_schema)
+    return decode_raw(reader.load(path), source_type,
+                      payload_schema=payload_schema,
+                      schemas_enable=schemas_enable)

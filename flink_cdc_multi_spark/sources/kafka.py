@@ -21,10 +21,13 @@ class KafkaSupportMissing(RuntimeError):
     pass
 
 
-def kafka_values_to_envelope(kafka_df: DataFrame, source_type: str) -> DataFrame:
+def kafka_values_to_envelope(kafka_df: DataFrame, source_type: str,
+                             schemas_enable: bool = False) -> DataFrame:
     """Kafka record frame → CDC envelope. The Kafka (topic, partition,
     offset) triple is retained as ``_kafka_*`` columns — a second monotone
-    resume key alongside the source-native offsets."""
+    resume key alongside the source-native offsets. ``schemas_enable``:
+    unwrap the JsonConverter schema envelope (the Kafka Connect DEFAULT
+    — see decode_raw)."""
     return decode_raw(
         kafka_df.select(
             F.col("value").cast("string").alias("value"),
@@ -34,6 +37,7 @@ def kafka_values_to_envelope(kafka_df: DataFrame, source_type: str) -> DataFrame
         ),
         source_type,
         passthrough=("_kafka_topic", "_kafka_partition", "_kafka_offset"),
+        schemas_enable=schemas_enable,
     )
 
 

@@ -939,12 +939,21 @@ class CDCPipeline:
         if input_stream is not None:
             stream = input_stream
         else:
+            # value.converter.schemas.enable: the Kafka Connect
+            # JsonConverter DEFAULT wraps records in {"schema","payload"}
+            # — honor the same property name for the file feed so a topic
+            # dump from a default-converter deployment replays unedited
+            schemas_enable = (
+                str(cfg.raw.get("value.converter.schemas.enable", "false"))
+                .lower() == "true"
+            )
             stream = read_raw_stream(
                 spark,
                 input_path,
                 cfg.source_type,
                 max_files_per_trigger,
                 payload_schema=payload_schema,
+                schemas_enable=schemas_enable,
             )
         # The resume offset is PINNED per checkpoint lineage (r14): the
         # filter must be attempt-invariant — a replayed batch must see

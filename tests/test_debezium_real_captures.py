@@ -346,3 +346,46 @@ def test_mysql_real_capture_kafka_leg_with_tombstone(spark, tmp_path):
     assert customers.count() == 6
     assert pipe.offset_store.read() == "mysql-bin.000003,1300"
     assert pipe.controller.stop_requested
+
+
+def test_mysql_capture_with_connect_schema_envelope(spark, tmp_path):
+    """value.converter.schemas.enable=true (the Kafka Connect JsonConverter
+    DEFAULT, r15): every record — data events, heartbeats, schema-change
+    events — arrives wrapped as {"schema": {...}, "payload": {...}}. With
+    the flag set, the decoder unwraps once and the ENTIRE end-to-end
+    behavior of the unwrapped capture is reproduced: ops, images, binlog
+    coordinates, offset advancement, DDL routing, delayed-stop decision."""
+    pipe = _run_file_feed(
+        spark, tmp_path, "mysql", "m1", "inventory", CUSTOMERS_SQL,
+        "mysql_inventory_schemas.jsonl",
+        **{"value.converter.schemas.enable": "true"},
+    )
+    customers = spark.read.parquet(str(tmp_path / "sink" / "m1_inventory__customers"))
+    got = customers.orderBy("_ts").collect()
+    assert [r["_op"] for r in got] == [
+        "READ", "READ", "READ", "INSERT", "UPDATE", "DELETE",
+    ]
+    by_op = {r["_op"]: r for r in got}
+    assert (by_op["DELETE"]["id"], by_op["DELETE"]["email"]) == (1005, "kander@acme.com")
+    assert all(r["_binlog_file_internal"] == "mysql-bin.000003" for r in got)
+    assert pipe.offset_store.read() == "mysql-bin.000003,1300"
+    ddl = spark.read.parquet(str(tmp_path / "sink" / "m1_inventory___inventory_ddl"))
+    assert ddl.count() == 2
+    assert pipe.controller.stop_requested
+
+
+def test_schema_envelope_flag_off_leaves_wrapped_records_undecoded(spark, tmp_path):
+    """Without the flag, wrapped records decode to no data rows (all
+    metadata null) rather than wrong rows — and vice versa the flag on an
+    UNWRAPPED feed must not invent rows: the knob is explicit, never a
+    guess."""
+    from flink_cdc_multi_spark.sources.debezium_json import read_raw_batch
+
+    feed = tmp_path / "wrapped.jsonl"
+    feed.write_text((FIXTURES / "mysql_inventory_schemas.jsonl").read_text())
+    env = read_raw_batch(spark, str(feed), "mysql")
+    assert env.filter(env["_op"].isNotNull()).count() == 0
+    plain = tmp_path / "plain.jsonl"
+    plain.write_text((FIXTURES / "mysql_inventory.jsonl").read_text())
+    env2 = read_raw_batch(spark, str(plain), "mysql", schemas_enable=True)
+    assert env2.filter(env2["_op"].isNotNull()).count() == 0
