@@ -267,3 +267,84 @@ def cdc_delta_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming exact dedup ---------------------------------------------------
+#
+# Duplicate suppression across micro-batches (r15): the streaming twin of
+# operators/dedup.exact_dedup, for at-least-once transports (Kafka
+# redeliveries, polling overlap, replayed feeds) where the SAME content
+# arrives more than once and must reach the sink exactly once. Per-digest
+# engine state (checkpointed, partitioned across executors) remembers what
+# has been emitted; an optional processing-time TTL bounds state at
+# O(distinct digests per TTL window) — the standard trade: a duplicate
+# arriving after the TTL is re-emitted, so size the TTL to the transport's
+# redelivery horizon, not to the corpus.
+
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
+
+
+def dedup_stream(
+    df: DataFrame,
+    content_cols: list[str],
+    order_col: str,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame → first-seen rows only, deduplicated on the
+    md5 digest of ``content_cols`` (the exact_dedup identity — 16-byte
+    state key, never the content). Within one micro-batch the kept copy
+    is the LOWEST ``order_col`` (deterministic, the exact_dedup keep=min
+    rule); across batches the first batch to see a digest wins and later
+    ones emit nothing. Output mode: append.
+
+    Why not dropDuplicates(): Spark's built-in streaming dropDuplicates
+    keeps state forever without a watermark column, and with one it
+    needs event-time watermarks on the dedup key's row. This form keys
+    state by content digest, picks the within-batch representative by an
+    explicit ORDER (dropDuplicates keeps an arbitrary copy), and bounds
+    state with a processing-time TTL that matches transport redelivery
+    semantics rather than event time."""
+    from pyspark.sql import functions as F
+
+    digest = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+    ).alias("__digest")
+    keyed = df.select(digest, "*")
+    out_schema = T.StructType(keyed.schema.fields)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry: forget the digest (a later duplicate re-emits —
+            # the documented trade); nothing to emit
+            state.remove()
+            return
+        seen = state.exists
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if not seen:
+            state.update((1,))
+        best = None
+        if not seen:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                cand = pdf.loc[[pdf[order_col].idxmin()]]
+                if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                    best = cand
+        if best is not None:
+            yield best
+
+    return keyed.groupBy("__digest").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -378,3 +378,52 @@ def test_delta_stream_impl_surface(spark):
     except ImportError:
         with pytest.raises(ImportError, match="protobuf"):
             cdc_delta_stream(stream, "pk", "g", "v", "pos", impl="tws")
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """dedup_stream (r15): the streaming exact-dedup twin — within one
+    micro-batch the LOWEST order_col copy of each content digest is
+    emitted; a later batch redelivering the same content emits NOTHING
+    (per-digest engine state); new content still flows."""
+    import json as _json
+
+    from flink_cdc_multi_spark.streaming.stateful import dedup_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows1 = [
+        {"text": "alpha", "doc_id": 7},
+        {"text": "alpha", "doc_id": 3},   # same content, lower id: the keeper
+        {"text": "beta", "doc_id": 5},
+    ]
+    (feed / "f1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    schema = "text string, doc_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    out = dedup_stream(stream, ["text"], "doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {(r["text"], r["doc_id"])
+           for r in spark.sql("SELECT text, doc_id FROM dedup_stream_t").collect()}
+    assert got == {("alpha", 3), ("beta", 5)}
+
+    # batch 2: redelivery of alpha (any id) suppressed; new content passes
+    rows2 = [
+        {"text": "alpha", "doc_id": 1},   # duplicate across batches
+        {"text": "gamma", "doc_id": 9},
+    ]
+    (feed / "f2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["text"], r["doc_id"])
+           for r in spark.sql("SELECT text, doc_id FROM dedup_stream_t").collect()}
+    assert got == {("alpha", 3), ("beta", 5), ("gamma", 9)}
