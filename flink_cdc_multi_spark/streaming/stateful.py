@@ -276,12 +276,22 @@ def cdc_delta_stream(
 # redeliveries, polling overlap, replayed feeds) where the SAME content
 # arrives more than once and must reach the sink exactly once. Per-digest
 # engine state (checkpointed, partitioned across executors) remembers what
-# has been emitted; an optional processing-time TTL bounds state at
-# O(distinct digests per TTL window) — the standard trade: a duplicate
-# arriving after the TTL is re-emitted, so size the TTL to the transport's
-# redelivery horizon, not to the corpus.
+# has been emitted.
+#
+# TTL design note: GroupStateTimeout.ProcessingTimeTimeout was tried first
+# and REJECTED — pending processing-time timers make the micro-batch engine
+# spin continuous no-data batches under the default trigger and
+# processAllAvailable (measured: ~35 batches in seconds on one idle key),
+# which is pathological for a low-traffic stream. The TTL here is instead
+# STORED in the state value (first-seen processing time) and evaluated only
+# when the digest shows up again: same suppression horizon, zero idle work.
+# The trade: state for never-seen-again digests is not reclaimed until the
+# timer API is viable (transformWithState timers — the environment-blocked
+# tws path, PERF.md), and a TTL decision is processing-time, so a crash
+# replay CAN flip it near the boundary (at-least-once exactly at the
+# horizon edge, exact inside it).
 
-_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen_at_ms", T.LongType())])
 
 
 def dedup_stream(
@@ -289,55 +299,56 @@ def dedup_stream(
     content_cols: list[str],
     order_col: str,
     ttl_minutes: int | None = None,
+    now_ms=None,
 ) -> DataFrame:
     """Streaming DataFrame → first-seen rows only, deduplicated on the
     md5 digest of ``content_cols`` (the exact_dedup identity — 16-byte
     state key, never the content). Within one micro-batch the kept copy
     is the LOWEST ``order_col`` (deterministic, the exact_dedup keep=min
     rule); across batches the first batch to see a digest wins and later
-    ones emit nothing. Output mode: append.
+    ones emit nothing, until ``ttl_minutes`` past the FIRST sighting (no
+    refresh: steady redelivery cannot suppress forever), after which the
+    next copy re-emits and restarts the horizon. Output mode: append.
 
     Why not dropDuplicates(): Spark's built-in streaming dropDuplicates
-    keeps state forever without a watermark column, and with one it
-    needs event-time watermarks on the dedup key's row. This form keys
-    state by content digest, picks the within-batch representative by an
-    explicit ORDER (dropDuplicates keeps an arbitrary copy), and bounds
-    state with a processing-time TTL that matches transport redelivery
-    semantics rather than event time."""
+    keeps state forever without an event-time watermark column. This
+    form keys state by content digest, picks the within-batch
+    representative by an explicit ORDER (dropDuplicates keeps an
+    arbitrary copy), and bounds the suppression horizon with a
+    processing-time TTL matched to transport redelivery semantics.
+    ``now_ms``: injectable clock (tests); defaults to wall time."""
+    import time as _time
+
     from pyspark.sql import functions as F
 
+    clock = now_ms or (lambda: int(_time.time() * 1000))
     digest = F.md5(
         F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
     ).alias("__digest")
     keyed = df.select(digest, "*")
     out_schema = T.StructType(keyed.schema.fields)
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_minutes
-        else GroupStateTimeout.NoTimeout
-    )
+    ttl_ms = ttl_minutes * 60 * 1000 if ttl_minutes else None
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            # TTL expiry: forget the digest (a later duplicate re-emits —
-            # the documented trade); nothing to emit
-            state.remove()
+        now = clock()
+        fresh = True
+        if state.exists:
+            (seen_at,) = state.get
+            fresh = ttl_ms is not None and now - seen_at > ttl_ms
+        if not fresh:
+            for _ in pdfs:  # drain (required by the API contract)
+                pass
             return
-        seen = state.exists
-        if ttl_minutes:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        if not seen:
-            state.update((1,))
+        state.update((now,))
         best = None
-        if not seen:
-            for pdf in pdfs:
-                if len(pdf) == 0:
-                    continue
-                cand = pdf.loc[[pdf[order_col].idxmin()]]
-                if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
-                    best = cand
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[[pdf[order_col].idxmin()]]
+            if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                best = cand
         if best is not None:
             yield best
 
@@ -346,5 +357,5 @@ def dedup_stream(
         outputStructType=out_schema,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=timeout,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

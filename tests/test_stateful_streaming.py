@@ -427,3 +427,51 @@ def test_dedup_stream_across_batches(spark, tmp_path):
     got = {(r["text"], r["doc_id"])
            for r in spark.sql("SELECT text, doc_id FROM dedup_stream_t").collect()}
     assert got == {("alpha", 3), ("beta", 5), ("gamma", 9)}
+
+
+def test_dedup_stream_ttl_reopens_horizon(spark, tmp_path):
+    """dedup_stream TTL (r15, stored-expiry design — no engine timers, see
+    the module note on the rejected ProcessingTimeTimeout): a duplicate
+    INSIDE the horizon is suppressed; one arriving after ttl_minutes past
+    the FIRST sighting re-emits and restarts the horizon. Clock injected
+    (file-backed) so expiry is deterministic."""
+    import json as _json
+
+    from flink_cdc_multi_spark.streaming.stateful import dedup_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    clock_file = tmp_path / "clock"
+    clock_file.write_text("1000")
+    cf = str(clock_file)
+    (feed / "f1.jsonl").write_text(_json.dumps({"text": "x", "doc_id": 5}))
+    stream = (
+        spark.readStream.schema("text string, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    out = dedup_stream(
+        stream, ["text"], "doc_id", ttl_minutes=1,
+        now_ms=lambda: int(open(cf).read()),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ttl_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # inside the horizon: suppressed
+    clock_file.write_text(str(1000 + 30_000))
+    (feed / "f2.jsonl").write_text(_json.dumps({"text": "x", "doc_id": 4}))
+    q.processAllAvailable()
+    rows = [r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_ttl_t").collect()]
+    assert rows == [5]
+    # past the horizon (measured from FIRST sighting): re-emitted
+    clock_file.write_text(str(1000 + 61_000))
+    (feed / "f3.jsonl").write_text(_json.dumps({"text": "x", "doc_id": 3}))
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_ttl_t").collect())
+    assert rows == [3, 5]
