@@ -282,6 +282,21 @@ def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
         for pat in (f"{table_path}/{key}-*", f"{table_path}/*/{key}-*"):
             for st in fs0.globStatus(jp0(pat)) or []:
                 fs0.delete(st.getPath(), False)
+    # dt-range stats ride the write job as an Observation (no extra job):
+    # the manifest records the batch's [dt_min, dt_max] so read_published
+    # can prune WHOLE BATCHES driver-side — the Iceberg-manifest pruning
+    # shape; at 100 TB a dt-filtered read skips every non-overlapping
+    # batch without touching a footer. Multiple observations per job
+    # compose (the one-pass control plane may ride this same write).
+    dt_stats = None
+    if "dt" in typed.columns:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        typed = typed.observe(
+            obs, F.min("dt").alias("dt_min"), F.max("dt").alias("dt_max")
+        )
+        dt_stats = obs
     typed.write.mode("overwrite").parquet(batch_dir)
     if not fsio.has_scheme(batch_dir):
         import glob as _glob
@@ -307,9 +322,13 @@ def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
     # S3 — r15 review); local/HDFS get tmp+rename, where RENAME is the
     # atomic primitive.
     manifest_path = f"{table_path}/{MANIFEST_DIR}/{key}.json"
-    payload = _json.dumps(
-        {"files": [f"{BATCHES_DIR}/{key}/{n}" for n in names]}
-    )
+    doc = {"files": [f"{BATCHES_DIR}/{key}/{n}" for n in names]}
+    if dt_stats is not None:
+        row = dt_stats.get  # blocks until the write job finished (it has)
+        if row.get("dt_min") is not None:
+            doc["dt_min"] = str(row["dt_min"])
+            doc["dt_max"] = str(row["dt_max"])
+    payload = _json.dumps(doc)
     scheme = table_path.split("://", 1)[0] if "://" in table_path else ""
     if scheme in _OBJECT_STORE_SCHEMES:
         fsio.write_text_create(manifest_path, payload)
@@ -317,17 +336,37 @@ def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
         fsio.write_text_atomic(manifest_path, payload)
 
 
-def read_published(spark, table_path: str) -> DataFrame:
+def read_published(spark, table_path: str, dt_min: str | None = None,
+                   dt_max: str | None = None) -> DataFrame:
     """Read a published table across BOTH publish modes: the union of
     manifest-committed batches (object-store sinks) and the plain dt=
     partitioned layout (rename promotes + legacy appends). Manifest
     batches carry ``dt`` as a data column; the dt=-partitioned leg's
     inferred partition value is cast to match, so the union is
     schema-stable. Unmanifested ``.batches`` dirs (crashed uncommitted
-    attempts) are invisible by construction."""
+    attempts) are invisible by construction.
+
+    ``dt_min``/``dt_max`` ('yyyy-MM-dd', inclusive): restrict the read to
+    that dt range. Whole manifested BATCHES whose recorded [dt_min,
+    dt_max] cannot overlap are pruned DRIVER-SIDE (the Iceberg-manifest
+    pruning shape — at 100 TB a time-sliced read never lists or footers
+    the non-overlapping batches); manifests without stats are read (fail
+    open), and the range is ALSO applied as a dt predicate on both legs,
+    so pruning is purely an optimization: partition pruning handles the
+    dt= leg, row-group stats handle the in-batch residue."""
     import json as _json
 
     from flink_cdc_multi_spark.sources import fsio
+
+    def overlaps(doc: dict) -> bool:
+        lo, hi = doc.get("dt_min"), doc.get("dt_max")
+        if lo is None or hi is None:
+            return True  # no stats recorded: fail open
+        if dt_min is not None and hi < dt_min:
+            return False
+        if dt_max is not None and lo > dt_max:
+            return False
+        return True
 
     mdir = f"{table_path}/{MANIFEST_DIR}"
     files: list[str] = []
@@ -337,10 +376,11 @@ def read_published(spark, table_path: str) -> DataFrame:
 
         for m in sorted(_glob.glob(f"{mdir}/b*.json")):
             try:
-                rels = _json.loads(open(m).read()).get("files", [])
+                doc = _json.loads(open(m).read())
             except (OSError, ValueError):
                 continue
-            files += [f"{table_path}/{rel}" for rel in rels]
+            if overlaps(doc):
+                files += [f"{table_path}/{rel}" for rel in doc.get("files", [])]
         has_flat = bool(
             _glob.glob(f"{table_path}/*part-*") or _glob.glob(f"{table_path}/*/*part-*")
         )
@@ -352,10 +392,11 @@ def read_published(spark, table_path: str) -> DataFrame:
         for st in fs.globStatus(jvm_path(f"{mdir}/b*.json")) or []:
             raw = fsio.read_text(str(st.getPath().toUri()))
             try:
-                rels = _json.loads(raw).get("files", []) if raw else []
+                doc = _json.loads(raw) if raw else {}
             except ValueError:
                 continue
-            files += [f"{table_path}/{rel}" for rel in rels]
+            if overlaps(doc):
+                files += [f"{table_path}/{rel}" for rel in doc.get("files", [])]
         # Hadoop globStatus, unlike Python glob, MATCHES dot-prefixed
         # dirs (r15 review): a lingering .staging_b*/part-* would set
         # has_flat on a manifest-only table and the flat leg would then
@@ -386,10 +427,24 @@ def read_published(spark, table_path: str) -> DataFrame:
             flat = flat.withColumn("dt", F.col("dt").cast(dt_type))
         legs.append(flat)
     if not legs:
+        if dt_min is not None or dt_max is not None:
+            # every batch pruned: an empty frame in the table's schema is
+            # the correct answer for a range with no data — only a table
+            # with NO commits at all surfaces Spark's own error below
+            try:
+                full = read_published(spark, table_path)
+                return full.filter(F.lit(False))
+            except Exception:
+                pass
         return spark.read.parquet(table_path)  # surface Spark's own error
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg, allowMissingColumns=True)
+    if (dt_min is not None or dt_max is not None) and "dt" in out.columns:
+        if dt_min is not None:
+            out = out.filter(F.col("dt").cast("string") >= dt_min)
+        if dt_max is not None:
+            out = out.filter(F.col("dt").cast("string") <= dt_max)
     return out
 
 

@@ -1486,3 +1486,47 @@ def test_remove_if_dataless_ignores_unmanifested_batch_parts(spark, tmp_path):
     (m / "baax1.json").write_text(_json.dumps({"files": [".batches/baax1/part-00000.parquet"]}))
     pipe2._remove_if_dataless(spark, spec)
     assert t2.exists(), "manifested batch data wrongly classified as non-data"
+
+
+def test_read_published_dt_range_prunes_batches(spark, tmp_path, monkeypatch):
+    """Manifest dt-range stats (r15): each manifest records its batch's
+    [dt_min, dt_max] (an Observation riding the write job — no extra
+    job), and read_published(dt_min, dt_max) prunes non-overlapping
+    batches driver-side while still applying the dt predicate exactly.
+    Manifests without stats are read (fail open)."""
+    import json as _json
+
+    from flink_cdc_multi_spark.operators.routing import (
+        publish_batch_parquet,
+        read_published,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_MODE", "manifest")
+    table = str(tmp_path / "t")
+    jan = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-15")], "id long, v string, dt string"
+    )
+    mar = spark.createDataFrame(
+        [(3, "c", "2024-03-01"), (4, "d", "2024-03-09")], "id long, v string, dt string"
+    )
+    publish_batch_parquet(jan, table, "ppx1")
+    publish_batch_parquet(mar, table, "ppx2")
+    m1 = _json.loads(open(f"{table}/_manifests/bppx1.json").read())
+    assert (m1["dt_min"], m1["dt_max"]) == ("2024-01-01", "2024-01-15")
+
+    got = read_published(spark, table, dt_min="2024-03-01")
+    assert sorted(r["id"] for r in got.collect()) == [3, 4]
+    # driver-side pruning: the January batch's files are not in the plan
+    files = got.inputFiles()
+    assert files and all("bppx2" in f for f in files)
+    # in-batch residue still filtered exactly (batch overlaps, row outside)
+    got2 = read_published(spark, table, dt_min="2024-01-10", dt_max="2024-02-28")
+    assert sorted(r["id"] for r in got2.collect()) == [2]
+    # range with no data: empty frame in the table's schema, not an error
+    assert read_published(spark, table, dt_min="2025-01-01").count() == 0
+    # fail open: a stats-less manifest (older vintage) is always read
+    doc = _json.loads(open(f"{table}/_manifests/bppx1.json").read())
+    doc.pop("dt_min"), doc.pop("dt_max")
+    open(f"{table}/_manifests/bppx1.json", "w").write(_json.dumps(doc))
+    got3 = read_published(spark, table, dt_min="2024-03-01")
+    assert sorted(r["id"] for r in got3.collect()) == [3, 4]
