@@ -366,6 +366,33 @@ def expire_partitions(spark, table_path: str, before_dt: str) -> list[str]:
             # no string reconcatenation/scheme-normalization round-trip
             fs.delete(status.getPath(), True)
             dropped.append(name)
+    # manifest-mode leg (r15): a manifest-committed batch has no dt= dir;
+    # it expires when its WHOLE dt range is old (dt_max < before_dt —
+    # partial overlap keeps the batch: retention here never rewrites
+    # data, matching the dt=-dir granularity trade). Visibility flips
+    # first (delete the manifest), then the batch dir; a crash between
+    # the two leaves an unmanifested dir the start()-time age-gated
+    # sweep reclaims. Stats-less manifests never expire (fail open,
+    # like read_published's pruning).
+    import json as _json
+
+    from flink_cdc_multi_spark.operators.routing import BATCHES_DIR, MANIFEST_DIR
+    from flink_cdc_multi_spark.sources import fsio
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for st in fs.globStatus(jvm_path(f"{table_path}/{MANIFEST_DIR}/b*.json")) or []:
+        raw = fsio.read_text(str(st.getPath().toUri()))
+        try:
+            doc = _json.loads(raw) if raw else {}
+        except ValueError:
+            continue
+        hi = doc.get("dt_max")
+        if hi is None or not (len(hi) == 10 and hi < before_dt):
+            continue
+        key = st.getPath().getName()[: -len(".json")]
+        fs.delete(st.getPath(), False)
+        fs.delete(jvm_path(f"{table_path}/{BATCHES_DIR}/{key}"), True)
+        dropped.append(key)
     return sorted(dropped)
 
 

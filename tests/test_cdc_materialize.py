@@ -411,3 +411,48 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert expire_partitions(spark, path, dts[1]) == []
     with pytest.raises(ValueError, match="YYYY-MM-DD"):
         expire_partitions(spark, path, "20231114")
+
+
+def test_expire_partitions_manifest_batches(spark, tmp_path, monkeypatch):
+    """Retention on a manifest-mode table (r15): a batch expires when its
+    WHOLE dt range is older than the cutoff (manifest deleted FIRST —
+    the visibility flip — then the batch dir); a partially overlapping
+    batch and a stats-less manifest both survive (fail open)."""
+    import json as _json
+    import os as _os
+
+    from flink_cdc_multi_spark.operators.cdc import expire_partitions
+    from flink_cdc_multi_spark.operators.routing import (
+        publish_batch_parquet,
+        read_published,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_MODE", "manifest")
+    table = str(tmp_path / "t")
+    schema = "id long, v string, dt string"
+    publish_batch_parquet(
+        spark.createDataFrame([(1, "a", "2023-12-01"), (2, "b", "2023-12-20")], schema),
+        table, "rrx1")  # wholly old: expires
+    publish_batch_parquet(
+        spark.createDataFrame([(3, "c", "2023-12-30"), (4, "d", "2024-01-05")], schema),
+        table, "rrx2")  # straddles the cutoff: kept whole
+    publish_batch_parquet(
+        spark.createDataFrame([(5, "e", "2024-02-01")], schema),
+        table, "rrx3")  # new: kept
+    # strip stats from rrx3's manifest to pin the fail-open rule with an
+    # OLD-looking... (no — stats-less must survive ANY cutoff)
+    m3 = f"{table}/_manifests/brrx3.json"
+    doc = _json.loads(open(m3).read())
+    doc.pop("dt_min"), doc.pop("dt_max")
+    open(m3, "w").write(_json.dumps(doc))
+
+    dropped = expire_partitions(spark, table, "2024-01-01")
+    assert dropped == ["brrx1"]
+    assert not _os.path.exists(f"{table}/_manifests/brrx1.json")
+    assert not _os.path.exists(f"{table}/.batches/brrx1")
+    got = sorted(r["id"] for r in read_published(spark, table).collect())
+    assert got == [3, 4, 5]
+    # a far-future cutoff still can't expire the stats-less manifest
+    dropped2 = expire_partitions(spark, table, "2030-01-01")
+    assert "brrx3" not in dropped2
+    assert sorted(r["id"] for r in read_published(spark, table).collect()) == [5]
