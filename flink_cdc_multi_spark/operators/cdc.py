@@ -374,23 +374,20 @@ def expire_partitions(spark, table_path: str, before_dt: str) -> list[str]:
     # the two leaves an unmanifested dir the start()-time age-gated
     # sweep reclaims. Stats-less manifests never expire (fail open,
     # like read_published's pruning).
-    import json as _json
-
-    from flink_cdc_multi_spark.operators.routing import BATCHES_DIR, MANIFEST_DIR
-    from flink_cdc_multi_spark.sources import fsio
+    from flink_cdc_multi_spark.operators.routing import (
+        BATCHES_DIR,
+        MANIFEST_DIR,
+        iter_manifests,
+    )
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    for st in fs.globStatus(jvm_path(f"{table_path}/{MANIFEST_DIR}/b*.json")) or []:
-        raw = fsio.read_text(str(st.getPath().toUri()))
-        try:
-            doc = _json.loads(raw) if raw else {}
-        except ValueError:
-            continue
+    for key, doc in iter_manifests(spark, table_path):
         hi = doc.get("dt_max")
-        if hi is None or not (len(hi) == 10 and hi < before_dt):
+        # non-string/malformed stats never expire (skip-and-report rule —
+        # a corrupt manifest must not abort the sweep or delete data)
+        if not (isinstance(hi, str) and len(hi) == 10 and hi < before_dt):
             continue
-        key = st.getPath().getName()[: -len(".json")]
-        fs.delete(st.getPath(), False)
+        fs.delete(jvm_path(f"{table_path}/{MANIFEST_DIR}/{key}.json"), False)
         fs.delete(jvm_path(f"{table_path}/{BATCHES_DIR}/{key}"), True)
         dropped.append(key)
     return sorted(dropped)

@@ -336,6 +336,54 @@ def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
         fsio.write_text_atomic(manifest_path, payload)
 
 
+def iter_manifests(spark, table_path: str):
+    """Yield (batch_key, manifest_doc) for every PARSEABLE manifest under
+    ``{table}/_manifests`` — the one protocol reader shared by
+    read_published and retention (r15 review: two hand-copied loops would
+    let a manifest format change make reads and retention disagree).
+    Unparseable manifests are skipped, matching the dt=-leg rule that a
+    malformed entry is never silently acted on."""
+    import json as _json
+
+    from flink_cdc_multi_spark.sources import fsio
+
+    mdir = f"{table_path}/{MANIFEST_DIR}"
+    if not fsio.has_scheme(table_path):
+        import glob as _glob
+        import os as _os
+
+        for m in sorted(_glob.glob(f"{mdir}/b*.json")):
+            try:
+                doc = _json.loads(open(m).read())
+            except (OSError, ValueError):
+                continue
+            if isinstance(doc, dict):
+                yield _os.path.basename(m)[: -len(".json")], doc
+        return
+    from flink_cdc_multi_spark.operators.cdc import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, table_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for st in fs.globStatus(jvm_path(f"{mdir}/b*.json")) or []:
+        raw = fsio.read_text(str(st.getPath().toUri()))
+        try:
+            doc = _json.loads(raw) if raw else None
+        except ValueError:
+            continue
+        if isinstance(doc, dict):
+            yield st.getPath().getName()[: -len(".json")], doc
+
+
+def _validate_dt_bound(label: str, val: str | None) -> None:
+    """Malformed date bounds must ERROR, not silently lexically-compare
+    everything away (r15 review: '2024-3-1' pruned all of March and
+    filtered the rows too) — the expire_partitions rule."""
+    if val is None:
+        return
+    if len(val) != 10 or val[4] != "-" or val[7] != "-":
+        raise ValueError(f"{label} must be YYYY-MM-DD, got {val!r}")
+
+
 def read_published(spark, table_path: str, dt_min: str | None = None,
                    dt_max: str | None = None) -> DataFrame:
     """Read a published table across BOTH publish modes: the union of
@@ -354,33 +402,32 @@ def read_published(spark, table_path: str, dt_min: str | None = None,
     open), and the range is ALSO applied as a dt predicate on both legs,
     so pruning is purely an optimization: partition pruning handles the
     dt= leg, row-group stats handle the in-batch residue."""
-    import json as _json
-
     from flink_cdc_multi_spark.sources import fsio
+
+    _validate_dt_bound("dt_min", dt_min)
+    _validate_dt_bound("dt_max", dt_max)
 
     def overlaps(doc: dict) -> bool:
         lo, hi = doc.get("dt_min"), doc.get("dt_max")
-        if lo is None or hi is None:
-            return True  # no stats recorded: fail open
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return True  # no/corrupt stats: fail open
         if dt_min is not None and hi < dt_min:
             return False
         if dt_max is not None and lo > dt_max:
             return False
         return True
 
-    mdir = f"{table_path}/{MANIFEST_DIR}"
     files: list[str] = []
+    sample_file: str | None = None  # schema source for the all-pruned case
+    for _key, doc in iter_manifests(spark, table_path):
+        rels = doc.get("files", [])
+        if rels and sample_file is None:
+            sample_file = f"{table_path}/{rels[0]}"
+        if overlaps(doc):
+            files += [f"{table_path}/{rel}" for rel in rels]
     if not fsio.has_scheme(table_path):
         import glob as _glob
-        import os as _os
 
-        for m in sorted(_glob.glob(f"{mdir}/b*.json")):
-            try:
-                doc = _json.loads(open(m).read())
-            except (OSError, ValueError):
-                continue
-            if overlaps(doc):
-                files += [f"{table_path}/{rel}" for rel in doc.get("files", [])]
         has_flat = bool(
             _glob.glob(f"{table_path}/*part-*") or _glob.glob(f"{table_path}/*/*part-*")
         )
@@ -389,14 +436,6 @@ def read_published(spark, table_path: str, dt_min: str | None = None,
 
         fs, _ = _hadoop_fs(spark, table_path)
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        for st in fs.globStatus(jvm_path(f"{mdir}/b*.json")) or []:
-            raw = fsio.read_text(str(st.getPath().toUri()))
-            try:
-                doc = _json.loads(raw) if raw else {}
-            except ValueError:
-                continue
-            if overlaps(doc):
-                files += [f"{table_path}/{rel}" for rel in doc.get("files", [])]
         # Hadoop globStatus, unlike Python glob, MATCHES dot-prefixed
         # dirs (r15 review): a lingering .staging_b*/part-* would set
         # has_flat on a manifest-only table and the flat leg would then
@@ -427,15 +466,14 @@ def read_published(spark, table_path: str, dt_min: str | None = None,
             flat = flat.withColumn("dt", F.col("dt").cast(dt_type))
         legs.append(flat)
     if not legs:
-        if dt_min is not None or dt_max is not None:
-            # every batch pruned: an empty frame in the table's schema is
-            # the correct answer for a range with no data — only a table
-            # with NO commits at all surfaces Spark's own error below
-            try:
-                full = read_published(spark, table_path)
-                return full.filter(F.lit(False))
-            except Exception:
-                pass
+        if (dt_min is not None or dt_max is not None) and sample_file:
+            # every batch pruned: an empty frame is the correct answer for
+            # a range with no data. Schema comes from ONE sample file, not
+            # a full-table re-read (r15 review: the recursion paid the
+            # exact listing/footer cost the pruning exists to skip); a
+            # column another batch vintage added may be absent from the
+            # EMPTY frame's schema — acceptable for zero rows.
+            return spark.read.parquet(sample_file).filter(F.lit(False))
         return spark.read.parquet(table_path)  # surface Spark's own error
     out = legs[0]
     for leg in legs[1:]:

@@ -784,7 +784,10 @@ def url_canonicalize(url: Column) -> Column:
     (a '#' can hide a tracking param), the port is normalized before
     path handling, and the trailing slash goes LAST (stripping the port
     can expose one)."""
-    u = F.regexp_replace(F.lower(url), r"\s", "")
+    # explicit whitespace class, not \s: Java's \s includes \x0b, RE2's
+    # does not — the classes must be written out for the two engines to
+    # delete the same characters (r15 review)
+    u = F.regexp_replace(F.lower(url), "[ \t\n\x0b\f\r]", "")
     u = F.regexp_replace(u, r"#.*", "")
     u = F.regexp_replace(u, r"^https?://", "")
     u = F.regexp_replace(u, r"^www\.", "")

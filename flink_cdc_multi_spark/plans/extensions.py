@@ -2716,7 +2716,10 @@ EXT_ORACLE_SQL = {
             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(
               lower(url),
-              '\\s', '', 'g'),
+              -- explicit whitespace class (Java \s has \x0b, RE2's does
+              -- not — both engines spell the same six chars; r15 review)
+              '[' || chr(32) || chr(9) || chr(10) || chr(11) || chr(12)
+                  || chr(13) || ']', '', 'g'),
               '#.*', '', 'g'),
               '^https?://', '', 'g'),
               '^www\\.', '', 'g'),

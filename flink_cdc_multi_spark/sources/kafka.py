@@ -47,9 +47,13 @@ def read_kafka_stream(
     topics: str,
     source_type: str,
     starting_offsets: str = "earliest",
+    schemas_enable: bool = False,
 ) -> DataFrame:
     """readStream.format('kafka') → envelope. Raises KafkaSupportMissing
-    when the integration jar is absent (this container)."""
+    when the integration jar is absent (this container).
+    ``schemas_enable``: the topic was produced by Kafka Connect's DEFAULT
+    JsonConverter (value.converter.schemas.enable=true) — unwrap the
+    {"schema","payload"} envelope (decode_raw)."""
     try:
         raw = (
             spark.readStream.format("kafka")
@@ -63,7 +67,8 @@ def read_kafka_stream(
             "spark-sql-kafka-0-10 not on the classpath; add the package or "
             "use the file feed (sources/debezium_json.read_raw_stream)"
         ) from exc
-    return kafka_values_to_envelope(raw, source_type)
+    return kafka_values_to_envelope(raw, source_type,
+                                    schemas_enable=schemas_enable)
 
 
 # Kafka's fixed source schema (Structured Streaming Kafka integration docs):
@@ -85,6 +90,7 @@ def read_kafka_stream_standin(
     path: str,
     source_type: str,
     max_files_per_trigger: int | None = None,
+    schemas_enable: bool = False,
 ) -> DataFrame:
     """Container-limit fallback for ``read_kafka_stream``: a directory of
     JSON-lines files where each record carries Kafka's consumer fields
@@ -115,4 +121,5 @@ def read_kafka_stream_standin(
         "timestamp",
         "timestampType",
     )
-    return kafka_values_to_envelope(raw, source_type)
+    return kafka_values_to_envelope(raw, source_type,
+                                    schemas_enable=schemas_enable)

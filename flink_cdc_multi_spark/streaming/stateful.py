@@ -322,11 +322,17 @@ def dedup_stream(
     from pyspark.sql import functions as F
 
     clock = now_ms or (lambda: int(_time.time() * 1000))
+    # collision-safe internal key column, and an output schema WITHOUT it
+    # (r15 review: the digest leaked into every sink row, and an input
+    # that already had the column broke groupBy with an ambiguous ref)
+    dcol = "__fcm_dedup_digest"
+    if dcol in df.columns:
+        raise ValueError(f"input already has reserved column {dcol!r}")
     digest = F.md5(
         F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
-    ).alias("__digest")
+    ).alias(dcol)
     keyed = df.select(digest, "*")
-    out_schema = T.StructType(keyed.schema.fields)
+    out_schema = df.schema
     ttl_ms = ttl_minutes * 60 * 1000 if ttl_minutes else None
 
     def update(
@@ -344,15 +350,19 @@ def dedup_stream(
         state.update((now,))
         best = None
         for pdf in pdfs:
+            # NULL order keys are never chosen (the exact_dedup min_by
+            # contract) — and an all-NA idxmin would otherwise raise and
+            # kill the whole streaming query off one malformed record
+            pdf = pdf[pdf[order_col].notna()]
             if len(pdf) == 0:
                 continue
             cand = pdf.loc[[pdf[order_col].idxmin()]]
             if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
                 best = cand
         if best is not None:
-            yield best
+            yield best.drop(columns=[dcol])
 
-    return keyed.groupBy("__digest").applyInPandasWithState(
+    return keyed.groupBy(dcol).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=_DEDUP_STATE_SCHEMA,

@@ -475,3 +475,46 @@ def test_dedup_stream_ttl_reopens_horizon(spark, tmp_path):
     q.stop()
     rows = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_ttl_t").collect())
     assert rows == [3, 5]
+
+
+def test_dedup_stream_schema_and_null_order(spark, tmp_path):
+    """r15 review fixes: (a) the internal digest column must NOT leak into
+    the output schema, and a reserved-column collision is rejected at
+    plan time; (b) rows with a NULL order key are never chosen and never
+    crash the query (the exact_dedup min_by contract)."""
+    import json as _json
+
+    from flink_cdc_multi_spark.streaming.stateful import dedup_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f1.jsonl").write_text("\n".join([
+        _json.dumps({"text": "x"}),                   # null order: dropped
+        _json.dumps({"text": "x", "doc_id": 8}),
+        _json.dumps({"text": "onlynull"}),            # all-NA group: no row
+    ]))
+    stream = (
+        spark.readStream.schema("text string, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    out = dedup_stream(stream, ["text"], "doc_id")
+    assert set(out.schema.names) == {"text", "doc_id"}
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_nulls_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [(r["text"], r["doc_id"])
+            for r in spark.sql("SELECT text, doc_id FROM dedup_nulls_t").collect()]
+    assert rows == [("x", 8)]
+
+    import pytest as _pytest
+
+    bad = stream.withColumnRenamed("text", "__fcm_dedup_digest")
+    with _pytest.raises(ValueError, match="reserved column"):
+        dedup_stream(bad, ["__fcm_dedup_digest"], "doc_id")
