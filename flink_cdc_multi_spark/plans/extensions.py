@@ -2058,6 +2058,58 @@ def ext_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch (r15): per-language p50/p90/
+    p99 of document length via an integer histogram — the quantile
+    companion to ext_sketch_kmv's distinct sketch. Exact quantiles need
+    a global sort (or per-group collect); percentile_approx is
+    engine-local and can't be oracle-gated; a FIXED integer grid
+    (bucket = n_chars div 16) is deterministic, portable, and mergeable
+    by bucket-count addition — the shape a 100 TB profiling pass wants:
+    one partial-agg'd groupBy collapses the corpus to |langs|·|buckets|
+    rows map-side, and the quantile extraction runs over that tiny
+    frame. The estimate is the bucket LOWER BOUND (bucket*16) of the
+    first bucket whose cumulative count reaches ceil(q·n) — exact
+    integers end to end, error bounded by the grid width.
+
+    Scale: the corpus touches ONE exchange (the (lang, bucket) partial
+    agg); the cumulative window runs on the sketch, never the data.
+    Output: (lang, n_docs, p50_lb, p90_lb, p99_lb)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # integer div, then bigint throughout (Spark length() is int32 — the
+    # CLAUDE.md type-parity rule)
+    hist = (
+        docs.select(
+            "lang",
+            F.expr("CAST(length(text) AS BIGINT) div 16").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy("bucket")
+    cum = hist.select(
+        "lang", "bucket", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def q_lb(q_num: int, q_den: int):
+        # first bucket where cum·den >= n·num (integer ceil semantics)
+        hit = F.when(F.col("cum") * q_den >= F.col("n") * q_num,
+                     F.col("bucket") * 16)
+        return F.min(hit)
+
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            q_lb(1, 2).alias("p50_lb"),
+            q_lb(9, 10).alias("p90_lb"),
+            q_lb(99, 100).alias("p99_lb"),
+        )
+    )
+
+
 def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-cardinality sketch per language:
     the k=64 smallest md5-hash60 values of the distinct token set. The
@@ -2571,6 +2623,7 @@ EXT_QUERIES = {
     "ext_embed_centroid": ext_embed_centroid,
     "ext_profile_orders": ext_profile_orders,
     "ext_sketch_kmv": ext_sketch_kmv,
+    "ext_sketch_histogram": ext_sketch_histogram,
     "ext_dedup_priority": ext_dedup_priority,
     "ext_budget_sample": ext_budget_sample,
 }
@@ -3674,6 +3727,29 @@ EXT_ORACLE_SQL = {
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_eff,
                CAST(MAX(h) AS BIGINT) AS kth_min
         FROM r WHERE rn <= 64 GROUP BY lang
+    """,
+    "ext_sketch_histogram": """
+        WITH hist AS (
+          SELECT lang, CAST(length(text) AS BIGINT) // 16 AS bucket,
+                 COUNT(*) AS c
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY lang, bucket
+        ), cum AS (
+          SELECT lang, bucket, c,
+                 SUM(c) OVER (PARTITION BY lang ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 SUM(c) OVER (PARTITION BY lang) AS n
+          FROM hist
+        )
+        SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket * 16 END)
+                    AS BIGINT) AS p50_lb,
+               CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket * 16 END)
+                    AS BIGINT) AS p90_lb,
+               CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket * 16 END)
+                    AS BIGINT) AS p99_lb
+        FROM cum GROUP BY lang
     """,
     "ext_profile_orders": """
         SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

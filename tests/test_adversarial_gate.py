@@ -60,6 +60,10 @@ ADVERSARIAL_QUERIES = [
     # sign-of-dividend % parity the residue branches (and the oracle's
     # CASE arms) rely on
     "ext_dedup_urls",
+    # r15: quantile histogram — unicode (code-point length parity),
+    # NULL/empty text, and single-doc languages stress the grid + the
+    # integer-ceil quantile rule on both sides
+    "ext_sketch_histogram",
     # r14: quality-aware keep-one — the dup rows (-5/-6/-7, identical
     # text => one cluster, equal scores => lowest doc_id wins) and the
     # empty/whitespace rows (scoreless members rank below every scored
