@@ -139,6 +139,14 @@ def adversarial_rows(name: str, schema: pa.Schema) -> list[dict]:
             {"doc_id": -18,
              "text": "lead in alpha beta gamma delta epsilon out",
              "lang": "en", "source": "src3", "n_chars": 42},
+            # SINGLE-DOC language (r15, ext_sketch_histogram): with n=1
+            # the integer-ceil quantile rule collapses p50/p90/p99 onto
+            # the one bucket — the tiny-n edge the gate must pin on both
+            # engines (every fixture lang otherwise has 70+ docs and the
+            # claim would be vacuous; r15 review finding). 31 chars →
+            # bucket 1 → all three lower bounds = 16.
+            {"doc_id": -19, "text": "the only document in this lang",
+             "lang": "xx", "source": "src0", "n_chars": 31},
         ]
     if name == "embeddings":
         dim = 0
