@@ -63,6 +63,14 @@ class JobConfig:
     # (2/4/8/16, by 13/10/14/4%), so the bound sits at the edge of
     # measurement rather than an unmeasured guess.
     onepass_max_tables: int = 16
+    # opt-in content-level duplicate suppression for at-least-once
+    # transports (Kafka re-produced records, polling overlap, replayed
+    # feeds): the envelope stream passes through streaming/stateful.
+    # dedup_stream keyed on the full event content (all envelope columns
+    # except the Kafka transport triple), so a byte-identical redelivered
+    # event never reaches the sink twice. Costs one digest exchange +
+    # Arrow roundtrip per batch — off by default.
+    dedup_redelivery_suppress: bool = False
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -159,6 +167,10 @@ class JobConfig:
             },
             debug=str(cfg.get("debug", "false")).lower() == "true",
             onepass_max_tables=int(cfg.get("streaming.onepass.max.tables", 16)),
+            dedup_redelivery_suppress=str(
+                cfg.get("dedup.redelivery.suppress", "false")
+            ).lower()
+            == "true",
             raw=dict(cfg),
         )
 

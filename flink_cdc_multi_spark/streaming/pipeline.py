@@ -1000,6 +1000,34 @@ class CDCPipeline:
                 F.col("_ddl").isNotNull() | (F.col("_ts") >= start_ms)
             )
 
+        if cfg.dedup_redelivery_suppress:
+            # content-level duplicate suppression (r15, opt-in): identical
+            # redelivered events — re-produced Kafka records under new
+            # offsets, polling overlap, replayed feed files — are dropped
+            # by per-digest engine state BEFORE the batch body, so counts,
+            # status, offsets, and the sink all see each event once.
+            # Identity = every envelope column EXCEPT the Kafka transport
+            # triple (a re-produced duplicate carries a new kafka offset
+            # but identical source content/offsets; two genuinely distinct
+            # events always differ in their source offsets). The order key
+            # only breaks ties among IDENTICAL rows, so any never-null
+            # stand-in works — _ts with a 0 fallback (dedup_stream drops
+            # NULL order keys by contract, and DDL rows can carry null _ts).
+            from flink_cdc_multi_spark.streaming.stateful import dedup_stream
+
+            content_cols = [
+                c for c in stream.columns if not c.startswith("_kafka_")
+            ]
+            stream = (
+                dedup_stream(
+                    stream.withColumn(
+                        "_dedup_order", F.coalesce(F.col("_ts"), F.lit(0))
+                    ),
+                    content_cols,
+                    "_dedup_order",
+                )
+                .drop("_dedup_order")
+            )
         writer = stream.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint_dir
         )
