@@ -791,11 +791,19 @@ def url_canonicalize(url: Column) -> Column:
     u = F.regexp_replace(u, r"#.*", "")
     u = F.regexp_replace(u, r"^https?://", "")
     u = F.regexp_replace(u, r"^www\.", "")
-    u = F.regexp_replace(u, r":(80|443)(/|\?|$)", "$2")
+    # default port: anchored to the AUTHORITY ([^/?]* from the start —
+    # scheme/www are already gone) so a literal ':80/' inside the path
+    # ('/api/v1:80/x') is never stripped (r15 ADVICE: the unanchored form
+    # collapsed distinct pages into one canonical identity)
+    u = F.regexp_replace(u, r"^([^/?]*):(80|443)(/|\?|$)", "$1$3")
     # tracking params: drop every utm_* key (with its & or ? prefix) ...
     u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")
-    # ... then re-anchor: if the first survivor lost its '?', restore it
-    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    # ... then re-anchor: if the FIRST survivor lost its '?', restore it.
+    # [^?&] — the class must exclude '&' or the regex greedily rewrites
+    # the LAST '&' before any '?' ('?utm_x=1&q=2&r=3' canonicalized to
+    # 'a&q=2?r=3', so the true duplicate 'a?q=2&r=3' never matched —
+    # r15 VERDICT finding, reproduced in tests)
+    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u

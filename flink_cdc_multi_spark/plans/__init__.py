@@ -48,6 +48,12 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # is what lets a pin coexist with the PREVIOUS round's green row for the same
 # query — pin round N's plan changes as (name, N) and never clear by hand.
 _REGATE: list[tuple[str, int]] = [
+    # r16: url_canonicalize regex fixes (authority-anchored port strip,
+    # non-greedy re-anchor) + multi-param gate synthesis on BOTH sides
+    ("ext_dedup_urls", 16),
+    # r16: oracle's luma residue sign-normalized for negative doc_ids
+    # (the Spark-side generator was already non-negative-mod)
+    ("ext_multimodal_video", 16),
     # r15: gated plan now takes the size-guarded broadcast_ranks form at the
     # gate SF (SHJ rank exchange deleted per iteration) — executed plan is new
     ("ext_graph_pagerank", 15),

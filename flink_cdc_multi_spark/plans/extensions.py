@@ -198,6 +198,14 @@ def ext_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/page/"), (d % 20).cast("string"),
         F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(d % 7 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        # surviving params AFTER the utm arm (r16): every 14th doc carries
+        # the exact shape the r15 re-anchor bug mangled (leading utm + >=2
+        # surviving params), and odd multiples of 7 pin the '&'-leading
+        # re-anchor itself ('...&page=N&ref=home' with no '?')
+        F.when(d % 2 == 0,
+               F.concat(F.lit("&page="), (d % 3).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("&ref=home")).otherwise(F.lit("")),
         F.when(d % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
     return (
@@ -2744,12 +2752,14 @@ EXT_ORACLE_SQL = {
         WHERE c.doc_id >= 5
         GROUP BY c.doc_id ORDER BY c.doc_id
     """,
-    "ext_dedup_urls": """
+    "ext_dedup_urls": r"""
         -- same messy-URL synthesis as the Spark side (CASE arms by
         -- doc_id residues; % is sign-of-dividend in BOTH engines, so
         -- adversarial negative doc_ids take identical branches), then
         -- the url_canonicalize chain in RE2 syntax ('g' flags to match
-        -- Java replaceAll; backrefs as \\n)
+        -- Java replaceAll; backrefs as \n). r16: port strip anchored to
+        -- the authority, re-anchor class excludes '&', and the synthesis
+        -- grew &page=/&ref= arms that pin the multi-param contract.
         WITH d AS (
           SELECT doc_id,
             concat(
@@ -2760,6 +2770,9 @@ EXT_ORACLE_SQL = {
               '/page/', CAST(doc_id % 20 AS VARCHAR),
               CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
               CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END,
+              CASE WHEN doc_id % 2 = 0
+                   THEN '&page=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END,
+              CASE WHEN doc_id % 7 = 0 THEN '&ref=home' ELSE '' END,
               CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END
             ) AS url
           FROM documents
@@ -2775,11 +2788,11 @@ EXT_ORACLE_SQL = {
                   || chr(13) || ']', '', 'g'),
               '#.*', '', 'g'),
               '^https?://', '', 'g'),
-              '^www\\.', '', 'g'),
-              ':(80|443)(/|\\?|$)', '\\2', 'g'),
+              '^www\.', '', 'g'),
+              '^([^/?]*):(80|443)(/|\?|$)', '\1\3', 'g'),
               '[?&]utm_[^&#]*', '', 'g'),
-              '^([^?]*)&', '\\1?', 'g'),
-              '\\?$', '', 'g'),
+              '^([^?&]*)&', '\1?', 'g'),
+              '\?$', '', 'g'),
               '/$', '', 'g') AS url_canon
           FROM d
         )
@@ -3375,8 +3388,13 @@ EXT_ORACLE_SQL = {
                CAST(ts AS BIGINT) AS sample_ts_ms,
                CAST(MAX(fi) AS BIGINT) AS frame_idx,
                -- DC-only baseline JPEG: every pixel of block b in frame fi
-               -- decodes to exactly dc + 128 (q0 = 8), 64 px per block
-               CAST(SUM(64 * (((doc_id * 7 + fi * 19 + b * 13) % 201) - 100 + 128))
+               -- decodes to exactly dc + 128 (q0 = 8), 64 px per block.
+               -- The residue is sign-normalized like the CTE's bw/bh/nf
+               -- arms: the generator uses Python's non-negative %, DuckDB's
+               -- bare % is sign-of-dividend and diverges on the adversarial
+               -- fixture's negative doc_ids (r15 ADVICE).
+               CAST(SUM(64 * ((((doc_id * 7 + fi * 19 + b * 13) % 201) + 201)
+                             % 201 - 100 + 128))
                     AS BIGINT) AS luma_sum,
                CAST(MAX(bw * bh * 64) AS BIGINT) AS n_px
         FROM blk GROUP BY doc_id, ts ORDER BY doc_id, ts

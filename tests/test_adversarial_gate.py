@@ -58,8 +58,14 @@ ADVERSARIAL_QUERIES = [
     "ext_dedup_ngram",
     # r15: URL-level dedup — the hostile NEGATIVE doc_ids stress the
     # sign-of-dividend % parity the residue branches (and the oracle's
-    # CASE arms) rely on
+    # CASE arms) rely on; r16: the synthesis also emits the multi-param
+    # shape (leading utm + >=2 surviving params) the r15 re-anchor bug
+    # mangled, so negative-id multi-param URLs are pinned here too
     "ext_dedup_urls",
+    # r16: video sampling — the oracle's luma residue is sign-normalized
+    # (((x%201)+201)%201) exactly like its bw/bh/nf arms; the all-negative
+    # doc_ids here are what that normalization exists for (r15 ADVICE)
+    "ext_multimodal_video",
     # r15: quantile histogram — unicode (code-point length parity),
     # NULL/empty text, and single-doc languages stress the grid + the
     # integer-ceil quantile rule on both sides

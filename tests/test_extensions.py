@@ -3092,6 +3092,18 @@ def test_url_canonicalize_rules(spark):
         ("example.com/a#frag?utm_x=1", "example.com/a"),  # fragment hides param
         ("example.com:80", "example.com"),
         ("example.com:8080/a", "example.com:8080/a"),  # non-default port kept
+        # r16 (VERDICT r15 finding, reproduced): leading utm + >=2 surviving
+        # params — the greedy '^([^?]*)&' re-anchor rewrote the LAST '&'
+        # ('example.com/a&q=2?r=3'), so this pair never deduped
+        ("example.com/a?utm_x=1&q=2&r=3", "example.com/a?q=2&r=3"),
+        ("example.com/a?q=2&r=3", "example.com/a?q=2&r=3"),
+        # r16 (ADVICE r15): default-port strip is anchored to the authority —
+        # a literal ':80/' or ':443?' in the PATH is not a port
+        ("example.com/api/v1:80/x", "example.com/api/v1:80/x"),
+        ("example.com/a:443?q=1", "example.com/a:443?q=1"),
+        ("example.com:443?q=1", "example.com?q=1"),
+        # '&'-leading param with no '?' anywhere: re-anchor restores it
+        ("example.com/a&page=1&ref=home", "example.com/a?page=1&ref=home"),
         (" exam ple.com/a \n", "example.com/a"),  # whitespace incl newline
         ("https://www.site.com/", "site.com"),
         ("site.com/a/", "site.com/a"),
