@@ -204,11 +204,18 @@ def main(argv: list[str] | None = None) -> int:
             topics,
             cfg.source_type,
             starting_offsets=cfg.raw.get("kafka.starting.offsets", "earliest"),
+            # a topic produced by Kafka Connect's DEFAULT JsonConverter is
+            # wrapped in {"schema","payload"} — without this flag the decode
+            # silently yields all-null envelopes (VERDICT r15 item 2)
+            schemas_enable=cfg.schemas_enable,
         )
     elif kafka_standin:
         from flink_cdc_multi_spark.sources.kafka import read_kafka_stream_standin
 
-        input_stream = read_kafka_stream_standin(spark, kafka_standin, cfg.source_type)
+        input_stream = read_kafka_stream_standin(
+            spark, kafka_standin, cfg.source_type,
+            schemas_enable=cfg.schemas_enable,
+        )
     pipe = CDCPipeline(cfg, registry, schema_provider=provider)
     ckpt = cfg.checkpoint_directory or f"{cfg.sink_path.rstrip('/')}/_checkpoint"
     query = pipe.start(spark, input_path, ckpt, input_stream=input_stream)

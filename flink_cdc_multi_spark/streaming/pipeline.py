@@ -943,17 +943,14 @@ class CDCPipeline:
             # JsonConverter DEFAULT wraps records in {"schema","payload"}
             # — honor the same property name for the file feed so a topic
             # dump from a default-converter deployment replays unedited
-            schemas_enable = (
-                str(cfg.raw.get("value.converter.schemas.enable", "false"))
-                .lower() == "true"
-            )
+            # (the Kafka legs get the same flag in __main__ — r16)
             stream = read_raw_stream(
                 spark,
                 input_path,
                 cfg.source_type,
                 max_files_per_trigger,
                 payload_schema=payload_schema,
-                schemas_enable=schemas_enable,
+                schemas_enable=cfg.schemas_enable,
             )
         # The resume offset is PINNED per checkpoint lineage (r14): the
         # filter must be attempt-invariant — a replayed batch must see
@@ -1009,24 +1006,44 @@ class CDCPipeline:
             # Identity = every envelope column EXCEPT the Kafka transport
             # triple (a re-produced duplicate carries a new kafka offset
             # but identical source content/offsets; two genuinely distinct
-            # events always differ in their source offsets). The order key
-            # only breaks ties among IDENTICAL rows, so any never-null
+            # DATA events always differ in their source offsets). The order
+            # key only breaks ties among IDENTICAL rows, so any never-null
             # stand-in works — _ts with a 0 fallback (dedup_stream drops
             # NULL order keys by contract, and DDL rows can carry null _ts).
+            #
+            # r16 (VERDICT item 3 + ADVICE): the state horizon is BOUNDED by
+            # dedup.redelivery.ttl.minutes (default = Kafka's default
+            # retention, 7 d — unbounded state grows linearly in total
+            # events), and DDL rows BYPASS suppression entirely: a
+            # position-less DDL (null source offsets/_ts — the class
+            # resume_filter deliberately passes) that legitimately recurs
+            # with identical statement text is content-identical, so
+            # suppressing it would silently drop a real schema-history
+            # event. DDL is table-cardinality per batch — passing it
+            # through costs nothing.
             from flink_cdc_multi_spark.streaming.stateful import dedup_stream
 
             content_cols = [
                 c for c in stream.columns if not c.startswith("_kafka_")
             ]
-            stream = (
+            data_leg = stream
+            ddl_leg = None
+            if "_ddl" in stream.columns:
+                ddl_leg = stream.filter(F.col("_ddl").isNotNull())
+                data_leg = stream.filter(F.col("_ddl").isNull())
+            deduped = (
                 dedup_stream(
-                    stream.withColumn(
+                    data_leg.withColumn(
                         "_dedup_order", F.coalesce(F.col("_ts"), F.lit(0))
                     ),
                     content_cols,
                     "_dedup_order",
+                    ttl_minutes=cfg.dedup_redelivery_ttl_minutes,
                 )
                 .drop("_dedup_order")
+            )
+            stream = (
+                deduped.unionByName(ddl_leg) if ddl_leg is not None else deduped
             )
         writer = stream.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint_dir

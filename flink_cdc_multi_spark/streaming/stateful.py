@@ -303,10 +303,16 @@ def dedup_stream(
 ) -> DataFrame:
     """Streaming DataFrame → first-seen rows only, deduplicated on the
     md5 digest of ``content_cols`` (the exact_dedup identity — 16-byte
-    state key, never the content). Within one micro-batch the kept copy
-    is the LOWEST ``order_col`` (deterministic, the exact_dedup keep=min
-    rule); across batches the first batch to see a digest wins and later
-    ones emit nothing, until ``ttl_minutes`` past the FIRST sighting (no
+    state key, never the content; NULLs are sentinel-coalesced so
+    null-shifted columns cannot alias). Within one micro-batch the kept
+    copy is the LOWEST ``order_col``, ties broken by a total order over
+    every output column — fully attempt-invariant, so a crash-replayed
+    batch promotes byte-identical rows (the exact_dedup keep=min rule
+    plus the sink's replay contract); a batch whose every copy has a
+    NULL order key emits nothing AND leaves the digest unseen (a later
+    valid copy still emits). Across batches the first batch to see a
+    digest wins and later ones emit nothing, until ``ttl_minutes`` past
+    the FIRST sighting (no
     refresh: steady redelivery cannot suppress forever), after which the
     next copy re-emits and restarts the horizon. Output mode: append.
 
@@ -328,8 +334,20 @@ def dedup_stream(
     dcol = "__fcm_dedup_digest"
     if dcol in df.columns:
         raise ValueError(f"input already has reserved column {dcol!r}")
+    # NULL sentinel per column (r15 ADVICE): bare concat_ws SKIPS nulls, so
+    # null-shifted adjacent columns alias to one digest ((NULL,'a') ==
+    # ('a',NULL)) and genuinely distinct events suppress each other. "\x00"
+    # never occurs in envelope strings (JSON text); a pathological real
+    # "\x00" value aliasing NULL trades a vanishing false-suppress for the
+    # common false-alias. State-key note: this changes digests, so state
+    # written by the pre-r16 format won't match — one extra emit per old
+    # digest after an upgrade, never a loss.
     digest = F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+              for c in content_cols],
+        )
     ).alias(dcol)
     keyed = df.select(digest, "*")
     out_schema = df.schema
@@ -347,8 +365,15 @@ def dedup_stream(
             for _ in pdfs:  # drain (required by the API contract)
                 pass
             return
-        state.update((now,))
-        best = None
+        # accumulate ALL rows tying at the running-min order value: for a
+        # true redelivery the order key always ties (identical content ⇒
+        # identical _ts), so picking plain chunk-order idxmin made the kept
+        # row's non-content columns (the _kafka_* triple) depend on shuffle
+        # fetch order — a crash replay could promote byte-different rows
+        # than the crashed attempt, violating the sink's ATTEMPT-INVARIANT
+        # rule (VERDICT r15 item 3)
+        ties = None
+        best_val = None
         for pdf in pdfs:
             # NULL order keys are never chosen (the exact_dedup min_by
             # contract) — and an all-NA idxmin would otherwise raise and
@@ -356,11 +381,31 @@ def dedup_stream(
             pdf = pdf[pdf[order_col].notna()]
             if len(pdf) == 0:
                 continue
-            cand = pdf.loc[[pdf[order_col].idxmin()]]
-            if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
-                best = cand
-        if best is not None:
-            yield best.drop(columns=[dcol])
+            m = pdf[order_col].min()
+            if best_val is None or m < best_val:
+                best_val = m
+                ties = pdf[pdf[order_col] == m]
+            elif m == best_val:
+                ties = pd.concat([ties, pdf[pdf[order_col] == m]])
+        if ties is None:
+            # no representable row: the digest is NOT marked seen (r16 —
+            # state.update used to run first, so an all-NULL-order batch
+            # burned the digest and every later valid copy was suppressed
+            # with nothing ever emitted)
+            return
+        state.update((now,))
+        if len(ties) > 1:
+            # total-order secondary tie-break over EVERY output column
+            # (repr: deterministic for the mixed str/int/bytes/NaN envelope
+            # types) — independent of pandas chunk order, hence identical
+            # across replay attempts
+            cols = [c for c in ties.columns if c != dcol]
+            pick = min(
+                range(len(ties)),
+                key=lambda i: tuple(repr(v) for v in ties.iloc[i][cols]),
+            )
+            ties = ties.iloc[[pick]]
+        yield ties.head(1).drop(columns=[dcol])
 
     return keyed.groupBy(dcol).applyInPandasWithState(
         update,

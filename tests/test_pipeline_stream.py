@@ -1564,3 +1564,50 @@ def test_dedup_redelivery_suppress_knob(spark, tmp_path):
         (1, 10), (1, 20), (2, 30)
     ], got
     assert rows.count() == 3
+
+
+def test_dedup_redelivery_ddl_bypasses_suppression(spark, tmp_path):
+    """r16 (ADVICE r15): DDL rows BYPASS redelivery suppression — a
+    position-less DDL (null source offsets, the class resume_filter
+    deliberately passes) that legitimately recurs with identical statement
+    text is content-identical, and suppressing it would silently drop a
+    real schema-history event. Two copies across batches must BOTH land in
+    the DDL table, while data-row suppression keeps working alongside."""
+    ddl = make_mysql_ddl(
+        ddl="CREATE INDEX i ON users (id)", ts_ms=None, file=None, pos=None
+    )
+    row = make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10,
+                         ts_ms=1700000001000)
+
+    pipe = _pipeline(tmp_path, **{"dedup.redelivery.suppress": "true"})
+    feed = _feed(tmp_path, "f1.json", [ddl, row])
+    ckpt = str(tmp_path / "ckpt")
+    q = pipe.start(spark, feed, ckpt)
+    q.processAllAvailable()
+    _feed(tmp_path, "f2.json", [ddl, row])  # identical DDL + redelivered row
+    q.processAllAvailable()
+    q.stop()
+    ddl_out = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb___testdb_ddl"))
+    assert ddl_out.count() == 2  # both DDL copies pass
+    data = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
+    assert data.count() == 1  # the redelivered data row is still suppressed
+
+
+def test_dedup_redelivery_ttl_config():
+    """r16 (VERDICT r15 item 3): the suppression horizon is
+    required-or-defaulted — default 7 days (Kafka's default retention),
+    explicit values plumb through, non-positive/non-integer rejected
+    loudly (unbounded state is not offered)."""
+    import pytest as _pytest
+
+    from flink_cdc_multi_spark.config import ConfigError, JobConfig
+
+    base = {"source.id": "s1", "source.type": "mysql", "sink.path": "/tmp/x"}
+    assert JobConfig.from_dict(dict(base)).dedup_redelivery_ttl_minutes == 10080
+    assert JobConfig.from_dict(
+        {**base, "dedup.redelivery.ttl.minutes": "90"}
+    ).dedup_redelivery_ttl_minutes == 90
+    with _pytest.raises(ConfigError, match="ttl.minutes must be >= 1"):
+        JobConfig.from_dict({**base, "dedup.redelivery.ttl.minutes": 0})
+    with _pytest.raises(ConfigError, match="must be an integer"):
+        JobConfig.from_dict({**base, "dedup.redelivery.ttl.minutes": "week"})

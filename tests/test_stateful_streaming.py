@@ -518,3 +518,117 @@ def test_dedup_stream_schema_and_null_order(spark, tmp_path):
     bad = stream.withColumnRenamed("text", "__fcm_dedup_digest")
     with _pytest.raises(ValueError, match="reserved column"):
         dedup_stream(bad, ["__fcm_dedup_digest"], "doc_id")
+
+
+def test_dedup_stream_tie_break_attempt_invariant(spark, tmp_path):
+    """r16 (VERDICT r15 item 3): among same-digest rows with EQUAL order
+    keys — exactly the redelivered-copy case: identical content, different
+    _kafka_* triple — the kept row is the total-order minimum over every
+    output column, NOT whatever pandas chunk order delivered first. Run the
+    same row set in two shuffled input orders under fresh checkpoints and
+    demand byte-identical survivors (the sink's ATTEMPT-INVARIANT rule)."""
+    import json as _json
+
+    from flink_cdc_multi_spark.streaming.stateful import dedup_stream
+
+    rows = [
+        {"text": "x", "ord": 5, "koff": 9},
+        {"text": "x", "ord": 5, "koff": 2},
+        {"text": "x", "ord": 5, "koff": 7},
+    ]
+    kept = []
+    for label, order in (("fwd", rows), ("rev", rows[::-1])):
+        feed = tmp_path / f"feed_{label}"
+        feed.mkdir()
+        (feed / "f1.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in order)
+        )
+        stream = (
+            spark.readStream.schema("text string, ord long, koff long")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(feed))
+        )
+        out = dedup_stream(stream, ["text"], "ord")
+        name = f"dedup_tie_{label}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{label}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        kept.append(
+            [(r["text"], r["ord"], r["koff"])
+             for r in spark.sql(f"SELECT * FROM {name}").collect()]
+        )
+    assert kept[0] == kept[1] == [("x", 5, 2)]
+
+
+def test_dedup_stream_all_null_order_leaves_digest_unseen(spark, tmp_path):
+    """r16 (VERDICT r15 item 3, API edge): a batch whose EVERY copy of a
+    digest has a NULL order key emits nothing — and must NOT mark the
+    digest seen (state.update used to run before the emit check, so that
+    content was suppressed forever with nothing ever emitted). A later
+    batch with a valid copy still emits it."""
+    import json as _json
+
+    from flink_cdc_multi_spark.streaming.stateful import dedup_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f1.jsonl").write_text(_json.dumps({"text": "z"}))  # null order
+    stream = (
+        spark.readStream.schema("text string, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    out = dedup_stream(stream, ["text"], "doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_burn_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM dedup_burn_t").count() == 0
+    (feed / "f2.jsonl").write_text(_json.dumps({"text": "z", "doc_id": 4}))
+    q.processAllAvailable()
+    q.stop()
+    rows = [(r["text"], r["doc_id"])
+            for r in spark.sql("SELECT * FROM dedup_burn_t").collect()]
+    assert rows == [("z", 4)]
+
+
+def test_dedup_stream_null_shift_distinct_digests(spark, tmp_path):
+    """r15 ADVICE: concat_ws SKIPS nulls, so without a per-column sentinel
+    (NULL,'x') and ('x',NULL) aliased to one digest and genuinely distinct
+    events suppressed each other. Both must emit."""
+    import json as _json
+
+    from flink_cdc_multi_spark.streaming.stateful import dedup_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f1.jsonl").write_text("\n".join([
+        _json.dumps({"a": None, "b": "x", "doc_id": 1}),
+        _json.dumps({"a": "x", "b": None, "doc_id": 2}),
+    ]))
+    stream = (
+        spark.readStream.schema("a string, b string, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    out = dedup_stream(stream, ["a", "b"], "doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_nullshift_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM dedup_nullshift_t").count() == 2
