@@ -2426,6 +2426,40 @@ def sample_avi_frames(blob: bytes, every_ms: int):
     return out
 
 
+def synthesize_avi_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, media): the closed-form MJPEG/AVI test corpus —
+    bw/bh/nf block-grid and frame count from doc_id residues (Python %,
+    non-negative), each frame a DC-only baseline JPEG whose every pixel
+    decodes to exactly dc+128 with dc = (doc_id·7 + frame·19 + block·13)
+    % 201 − 100. The ONE generator shared by the gated query
+    (plans.extensions.ext_multimodal_video), its DuckDB oracle's
+    closed-form (which replays these residues — sign-normalized there),
+    and the sf10 perf harness (tools/perf_r15_sf10.py) — r15 VERDICT
+    flagged the perf tool's hand-copy as drift risk."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for d in ids:
+                d = int(d)
+                bw, bh = d % 3 + 1, d % 2 + 1
+                nf = d % 4 + 2
+                frames = [
+                    make_jpeg_gray_dc(
+                        bw * 8, bh * 8,
+                        [((d * 7 + f * 19 + b * 13) % 201) - 100
+                         for b in range(bw * bh)],
+                    )
+                    for f in range(nf)
+                ]
+                blobs.append(make_avi_mjpeg(bw * 8, bh * 8, 50_000, frames))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return docs.mapInPandas(gen, "doc_id long, media binary")
+
+
 def video_sample_features(
     df: DataFrame,
     every_ms: int,

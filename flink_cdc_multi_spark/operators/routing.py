@@ -317,6 +317,18 @@ def _publish_manifest(typed: DataFrame, table_path: str, batch_id) -> None:
             st.getPath().getName()
             for st in fs.globStatus(jvm_path(f"{batch_dir}/part-*")) or []
         )
+    if not names:
+        # the batch dir we JUST wrote must glob at least one part file —
+        # Spark writes one even for a zero-row batch (probed; schema
+        # preservation), so empty here means the dir was deleted between
+        # the write and the glob (the age-gated concurrent-pipeline sweep
+        # window). Committing {"files": []} would be SILENT LOSS while the
+        # checkpoint still advances — fail loudly instead, exactly like
+        # _promote_staging's vanished-staging IOError (VERDICT r15 item 4).
+        raise IOError(
+            f"batch dir vanished (or lost its part files) before manifest "
+            f"commit: {batch_dir} (concurrent sweep or external deletion?)"
+        )
     # commit: on object stores a single PUT is the atomic primitive
     # (write_text_atomic's delete+rename recipe opens a vanish window on
     # S3 — r15 review); local/HDFS get tmp+rename, where RENAME is the
@@ -440,12 +452,28 @@ def read_published(spark, table_path: str, dt_min: str | None = None,
         # dirs (r15 review): a lingering .staging_b*/part-* would set
         # has_flat on a manifest-only table and the flat leg would then
         # crash on zero visible files — filter to what a parquet reader
-        # can actually see.
+        # can actually see. Only path components BELOW table_path count
+        # (VERDICT r15 item 4): testing the full path hid every flat file
+        # of a table under a dot-prefixed ANCESTOR (s3a://b/.warehouse/t),
+        # and compact_table reads through here — compaction would have
+        # rewritten the table without those rows.
+        from urllib.parse import urlparse as _urlparse
+
+        base = (
+            _urlparse(table_path).path
+            if "://" in table_path else table_path
+        ).rstrip("/")
+
         def visible(sts) -> list:
-            return [
-                st for st in (sts or [])
-                if "/." not in str(st.getPath().toUri().getPath())
-            ]
+            out = []
+            for st in sts or []:
+                p = str(st.getPath().toUri().getPath())
+                rel = p[len(base):] if p.startswith(base) else p
+                if not any(
+                    seg.startswith(".") for seg in rel.split("/") if seg
+                ):
+                    out.append(st)
+            return out
 
         has_flat = bool(
             visible(fs.globStatus(jvm_path(f"{table_path}/*part-*")))

@@ -1490,8 +1490,6 @@ def ext_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF walk, avih parse, frame index, chunk alignment, or JPEG decode
     breaks the hash. Output: (doc_id, sample_ts_ms, frame_idx,
     luma_sum, n_px) — the frame_sample_features schema."""
-    import pandas as pd
-
     from flink_cdc_multi_spark.operators import multimodal as M
 
     docs = (
@@ -1499,27 +1497,7 @@ def ext_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf["doc_id"].astype("int64")
-            blobs = []
-            for d in ids:
-                d = int(d)
-                bw, bh = d % 3 + 1, d % 2 + 1
-                nf = d % 4 + 2
-                frames = [
-                    M.make_jpeg_gray_dc(
-                        bw * 8, bh * 8,
-                        [((d * 7 + f * 19 + b * 13) % 201) - 100
-                         for b in range(bw * bh)],
-                    )
-                    for f in range(nf)
-                ]
-                blobs.append(M.make_avi_mjpeg(bw * 8, bh * 8, 50_000, frames))
-            yield pd.DataFrame({"doc_id": ids, "media": blobs})
-
-    media = docs.mapInPandas(gen, "doc_id long, media binary")
+    media = M.synthesize_avi_corpus(docs)
     return M.video_sample_features(media, every_ms=80)
 
 

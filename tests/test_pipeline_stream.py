@@ -1248,6 +1248,84 @@ def test_manifest_publish_exactly_once(spark, tmp_path, monkeypatch):
     assert dict(got.dtypes)["dt"] == "string"
 
 
+def test_manifest_publish_fails_loudly_when_batch_dir_vanishes(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r15 item 4 (first window): if the just-written batch dir is
+    deleted between the write and the part-file glob (the age-gated
+    concurrent-pipeline sweep window), committing {\"files\": []} would be
+    SILENT LOSS while the checkpoint still advances. Parity with
+    _promote_staging's vanished-staging IOError. Spark writes a part file
+    even for a zero-row batch (probed), so an empty glob here always
+    means external deletion."""
+    import glob as _glob
+
+    from flink_cdc_multi_spark.operators.routing import publish_batch_parquet
+
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_MODE", "manifest")
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", "2024-01-01")], "id long, v string, dt string")
+    # simulate the sweep racing us: the batch dir's glob comes back empty
+    real_glob = _glob.glob
+
+    def raced(pat, *a, **kw):
+        if "/.batches/" in pat and pat.endswith("part-*"):
+            return []
+        return real_glob(pat, *a, **kw)
+
+    monkeypatch.setattr(_glob, "glob", raced)
+    with pytest.raises(IOError, match="batch dir vanished"):
+        publish_batch_parquet(df, table, "vvx1")
+    import json as _json
+    import os as _os
+
+    assert not _os.path.exists(f"{table}/_manifests/bvvx1.json")
+    # and the happy path still commits a non-empty manifest
+    monkeypatch.setattr(_glob, "glob", real_glob)
+    publish_batch_parquet(df, table, "vvx1")
+    doc = _json.loads(open(f"{table}/_manifests/bvvx1.json").read())
+    assert doc["files"]
+
+
+def test_read_published_sees_flat_leg_under_dot_ancestor(spark, tmp_path):
+    """VERDICT r15 item 4 (second window): visible() filtered on '/.'
+    anywhere in the FULL path, so a table under a dot-prefixed ANCESTOR
+    dir (s3a://bucket/.warehouse/t) lost its entire flat (rename/legacy)
+    leg from every read — and compact_table reads through read_published,
+    so compaction would have rewritten the table WITHOUT those rows. Only
+    components BELOW table_path may hide files."""
+    from flink_cdc_multi_spark.operators.cdc import compact_table
+    from flink_cdc_multi_spark.operators.routing import (
+        publish_batch_parquet,
+        read_published,
+    )
+
+    wh = tmp_path / ".warehouse"
+    wh.mkdir()
+    # file:// scheme forces the Hadoop-FS branch where visible() lives
+    table = f"file://{wh}/t"
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id long, v string, dt string",
+    )
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_PUBLISH_MODE"] = "rename"
+    try:
+        publish_batch_parquet(df.withColumn("_op", F.lit("INSERT"))
+                              .withColumn("_ts", F.lit(1)), table, "dax1")
+        got = read_published(spark, table)
+        assert sorted(r["id"] for r in got.collect()) == [1, 2]
+        # dot-prefixed components BELOW the table still hide (staging)
+        n = compact_table(spark, table, ["id"], ["_ts"])
+        assert n == 2
+        assert sorted(
+            r["id"] for r in read_published(spark, table).collect()
+        ) == [1, 2]
+    finally:
+        _os.environ.pop("SPARK_GRAFT_PUBLISH_MODE", None)
+
+
 def test_compaction_folds_manifest_batches(spark, tmp_path, monkeypatch):
     """compact_table must resolve manifest-committed batches (hidden from
     a plain dir read) — otherwise the swap discards their rows with the

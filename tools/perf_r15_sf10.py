@@ -142,31 +142,13 @@ def main() -> None:
 
         media_path = "/tmp/r15_avi500k"
         if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
-            import pandas as pd
-
             docs = (load_table(spark, sf_dir, "documents").select("doc_id")
                     .repartition(spark.sparkContext.defaultParallelism))
 
-            def gen(it):
-                for pdf in it:
-                    ids = pdf["doc_id"].astype("int64")
-                    blobs = []
-                    for d in ids:
-                        d = int(d)
-                        bw, bh, nf = d % 3 + 1, d % 2 + 1, d % 4 + 2
-                        frames = [
-                            M.make_jpeg_gray_dc(
-                                bw * 8, bh * 8,
-                                [((d * 7 + f * 19 + b * 13) % 201) - 100
-                                 for b in range(bw * bh)])
-                            for f in range(nf)
-                        ]
-                        blobs.append(
-                            M.make_avi_mjpeg(bw * 8, bh * 8, 50_000, frames))
-                    yield pd.DataFrame({"doc_id": ids, "media": blobs})
-
             t0 = time.perf_counter()
-            docs.mapInPandas(gen, "doc_id long, media binary").write.mode(
+            # the shared generator (r16): hand-copying it here was flagged
+            # as drift risk vs the gated query's corpus
+            M.synthesize_avi_corpus(docs).write.mode(
                 "overwrite").parquet(media_path)
             print(f"avi corpus built in {time.perf_counter()-t0:.1f}s",
                   flush=True)
