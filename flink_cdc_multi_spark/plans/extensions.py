@@ -899,6 +899,51 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_split_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split assignment (r16): the split
+    bucket is keyed on the md5 digest of the TEXT (the exact_dedup
+    identity, NULL folded to '' by the same contract), never the doc_id
+    — so every byte-identical copy of a document lands in the SAME split
+    BY CONSTRUCTION. Splitting on doc_id (the naive form) sends exact
+    duplicates across the train/test boundary, which is measured test
+    contamination (Lee et al. 2022 'Deduplicating Training Data...',
+    arXiv:2107.06499 §5 find near-dup train/test overlap inflates eval);
+    content keying makes the leak structurally impossible rather than
+    something to audit after the fact. 80/10/10 by hash bucket.
+
+    Output per split: n_texts (distinct contents) and n_docs (raw rows),
+    so the consumer sees both the deduplicated and raw split sizes.
+
+    Scale: assignment is scan-local (one md5 per row); the rollup is a
+    partial-agg'd exchange on the 16-byte digest (the exact_dedup
+    shuffle shape) followed by a 3-row reduce — deliberately two stacked
+    aggregations instead of one groupBy with COUNT + COUNT(DISTINCT),
+    which would compile to Expand's |aggs|× row fan-out (the q21 lesson,
+    CLAUDE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    bucket = (
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_text = (
+        docs.select(split.alias("split"), digest.alias("d"))
+        .groupBy("split", "d")
+        .agg(F.count("*").alias("copies"))
+    )
+    return (
+        per_text.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_texts"),
+            F.sum("copies").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture downsampling: hit TARGET per-source mixture shares
     (the 'mix N% web, M% code' pretraining knob) by scaling the whole
@@ -2128,6 +2173,101 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL estimator constant alpha_m·m²·2^K for m=64 registers, K=55 (the
+# fixed-point scale of the harmonic sum below). Python-precomputed, repr
+# round-trip: both engines parse the same decimal literal to the same
+# IEEE double, so the one floating division in ext_sketch_hll is
+# bit-identical cross-engine.
+_HLL_C = 0.7093409548395029 * 64 * 64 * 2.0**55
+
+# Small-range (linear counting) estimates m·ln(m/V_empty) for
+# v_filled = 1..63, PRECOMPUTED in Python and embedded as the same
+# integer literals on both engine sides (the BPE_MERGES generated-oracle
+# pattern) — ln() is libm- not IEEE-specified, so it must never execute
+# inside either engine. Edit here and both sides move together.
+import math as _math
+
+_HLL_LC = tuple(
+    int(round(64 * _math.log(64 / (64 - v)))) for v in range(1, 64)
+)
+
+
+def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-token sketch per language (r16) —
+    THE industry-standard mergeable distinct counter (Flajolet et al.
+    2007), complementing ext_sketch_kmv: where KMV keeps the k smallest
+    hashes (needs a distinct + a per-group top-k), HLL keeps one 6-bit
+    register per bucket and merges by MAX — the cheapest possible
+    combine, and the exact reason it is the 100 TB profiling shape:
+    per-partition register maxima collapse map-side (partial agg), the
+    exchange carries ≤ |langs|·64 rows per task, and sketches from
+    different days/shards union by the same groupBy(max).
+
+    Spark's own approx_count_distinct is HLL± with an engine-private
+    hash — correct but not oracle-gateable. This form is DETERMINISTIC
+    and portable: md5-hash60 (the repo's cross-engine hash contract),
+    register index = top 6 bits, rho = leading-zero rank of the
+    remaining 54 bits computed by STRING position (lpad(bin(rem)) then
+    first '1' — exact integer/string logic, no float log2 whose libm
+    rounding could diverge engines). The sketch fields (v_filled,
+    harmonic_scaled = Σ 2^(55−M[j]) + empties·2^55, exact int64) cross
+    the gate as integers per the ratio rule; the estimate adds ONE
+    floating op — floor(C / CAST(harmonic AS DOUBLE)) with C a shared
+    decimal literal — which is IEEE-exact and identical cross-engine.
+    No distinct pre-pass: MAX absorbs repeated tokens, so unlike KMV the
+    token stream is never distinct-shuffled. The standard small-range
+    correction (raw ≤ 5m/2 and some register empty → linear counting
+    m·ln(m/V_empty)) is applied through the _HLL_LC table of 63
+    PRE-COMPUTED integers shared verbatim by both engines — ln() is
+    libm- not IEEE-specified and must never execute inside either
+    engine (est 61 → 29 against exact 31 on the gate fixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    j = F.shiftright(h, 54)
+    rem = h.bitwiseAND(F.lit((1 << 54) - 1))
+    pos = F.instr(F.lpad(F.bin(rem), 54, "0"), "1")
+    rho = F.when(pos == 0, F.lit(55)).otherwise(pos)
+    regs = (
+        toks.select("lang", j.alias("j"), rho.alias("rho"))
+        .groupBy("lang", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))")
+    return (
+        regs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("v_filled"),
+            (
+                F.sum(term)
+                + (F.lit(64) - F.count("*")) * F.lit(1 << 55)
+            ).cast("bigint").alias("harmonic_scaled"),
+        )
+        .select(
+            "lang",
+            "v_filled",
+            "harmonic_scaled",
+            F.floor(
+                F.lit(_HLL_C) / F.col("harmonic_scaled").cast("double")
+            ).cast("bigint").alias("raw_est"),
+        )
+        .select(
+            "lang",
+            "v_filled",
+            "harmonic_scaled",
+            F.when(
+                (F.col("v_filled") < 64) & (F.col("raw_est") <= 160),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in _HLL_LC]),
+                    F.col("v_filled").cast("int"),
+                ).cast("bigint"),
+            ).otherwise(F.col("raw_est")).alias("est_distinct"),
+        )
+    )
+
+
 def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     """Per-column row/null/distinct profile of any frame in long form
     (col_name, n_rows, n_null, n_distinct).
@@ -2609,7 +2749,9 @@ EXT_QUERIES = {
     "ext_embed_centroid": ext_embed_centroid,
     "ext_profile_orders": ext_profile_orders,
     "ext_sketch_kmv": ext_sketch_kmv,
+    "ext_sketch_hll": ext_sketch_hll,
     "ext_sketch_histogram": ext_sketch_histogram,
+    "ext_split_by_content": ext_split_by_content,
     "ext_dedup_priority": ext_dedup_priority,
     "ext_budget_sample": ext_budget_sample,
 }
@@ -3723,6 +3865,74 @@ EXT_ORACLE_SQL = {
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_eff,
                CAST(MAX(h) AS BIGINT) AS kth_min
         FROM r WHERE rn <= 64 GROUP BY lang
+    """,
+    "ext_sketch_hll": rf"""
+        -- portable HLL (r16): register index = top 6 of the 60-bit md5
+        -- hash, rho = first-'1' STRING position over the padded binary
+        -- rendering of the remaining 54 bits (exact integer/string
+        -- logic — no float log2); harmonic sum on the 2^55 fixed-point
+        -- scale stays in BIGINT; the single floating op (C / harmonic)
+        -- uses the shared decimal literal and IEEE division, identical
+        -- to the Spark side bit for bit
+        WITH occ AS (
+          SELECT lang, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM (SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) <> '') u
+        ), reg AS (
+          SELECT lang, h >> 54 AS j,
+                 CASE WHEN strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
+                                       54, '0'), '1') = 0
+                      THEN 55
+                      ELSE strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
+                                       54, '0'), '1')
+                 END AS rho
+          FROM occ
+        ), m AS (
+          SELECT lang, j, MAX(rho) AS mr FROM reg GROUP BY lang, j
+        ), s AS (
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS v_filled,
+                 CAST(SUM(1::BIGINT << (55 - mr))
+                      + (64 - COUNT(*)) * (1::BIGINT << 55)
+                      AS BIGINT) AS harmonic_scaled
+          FROM m GROUP BY lang
+        ), r AS (
+          SELECT lang, v_filled, harmonic_scaled,
+                 CAST(floor(1.046802484394006e+20
+                            / CAST(harmonic_scaled AS DOUBLE))
+                      AS BIGINT) AS raw_est
+          FROM s
+        )
+        -- small-range correction from the SHARED precomputed integer
+        -- table (_HLL_LC): ln() never executes in-engine
+        SELECT lang, v_filled, harmonic_scaled,
+               CASE WHEN v_filled < 64 AND raw_est <= 160
+                    THEN CAST(list_extract([{', '.join(str(x) for x in _HLL_LC)}],
+                                           CAST(v_filled AS INT)) AS BIGINT)
+                    ELSE raw_est END AS est_distinct
+        FROM r ORDER BY lang
+    """,
+    "ext_split_by_content": r"""
+        -- split bucket keyed on the md5 of the TEXT (NULL -> '', the
+        -- exact_dedup identity): every byte-identical copy lands in one
+        -- split by construction; 80/10/10 by 60-bit-hash residue
+        WITH d AS (
+          SELECT md5(COALESCE(text, '')) AS dg FROM documents
+        ), b AS (
+          SELECT dg,
+                 CASE WHEN ('0x' || substr(dg, 1, 15))::BIGINT % 100 < 80
+                        THEN 'train'
+                      WHEN ('0x' || substr(dg, 1, 15))::BIGINT % 100 < 90
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM d
+        ), t AS (
+          SELECT split, dg, COUNT(*) AS copies FROM b GROUP BY split, dg
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_texts,
+               CAST(SUM(copies) AS BIGINT) AS n_docs
+        FROM t GROUP BY split ORDER BY split
     """,
     "ext_sketch_histogram": """
         WITH hist AS (

@@ -70,6 +70,14 @@ ADVERSARIAL_QUERIES = [
     # NULL/empty text, and single-doc languages stress the grid + the
     # integer-ceil quantile rule on both sides
     "ext_sketch_histogram",
+    # r16: portable HLL — unicode tokens through md5, empty/whitespace
+    # text filtered identically, single-doc langs land in the
+    # linear-counting branch (shared precomputed table on both sides)
+    "ext_sketch_hll",
+    # r16: content-keyed split — NULL text folds to '' (the exact_dedup
+    # identity) and duplicate texts across sources must count as ONE
+    # n_texts in exactly one split on both sides
+    "ext_split_by_content",
     # r14: quality-aware keep-one — the dup rows (-5/-6/-7, identical
     # text => one cluster, equal scores => lowest doc_id wins) and the
     # empty/whitespace rows (scoreless members rank below every scored

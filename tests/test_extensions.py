@@ -3112,3 +3112,50 @@ def test_url_canonicalize_rules(spark):
     got = [r["c"] for r in
            df.select(url_canonicalize(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases], list(zip(got, cases))
+
+
+def test_hll_raw_branch_cross_engine_and_accuracy(spark, tmp_path):
+    """ext_sketch_hll (r16): the gate fixture's vocabulary is tiny, so the
+    driver gate only ever exercises the linear-counting branch — this test
+    pins the RAW-estimator branch (v_filled saturating, raw > 160) on a
+    synthetic 2000-distinct-token corpus: Spark and the DuckDB oracle must
+    agree EXACTLY (the whole formulation is integer/string logic plus one
+    shared-literal IEEE division), and the estimate must sit within the
+    ~13% stderr band of m=64 HLL."""
+    import duckdb
+
+    import pandas as pd
+
+    from flink_cdc_multi_spark.plans.extensions import (
+        EXT_ORACLE_SQL,
+        ext_sketch_hll,
+    )
+
+    texts = [
+        " ".join(f"tok{i}_{j}" for j in range(20))
+        for i in range(100)  # 100 docs x 20 unique tokens = 2000 distinct
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "text": texts,
+            "lang": ["en"] * 100,
+            "source": ["s"] * 100,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = ext_sketch_hll(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["v_filled"] == 64, "2000 tokens must saturate all 64 registers"
+    est = row["est_distinct"]
+    assert abs(est - 2000) / 2000 < 0.3, est  # ~2.3 sigma of the 13% stderr
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = con.execute(EXT_ORACLE_SQL["ext_sketch_hll"]).fetchall()
+    assert oracle == [
+        (row["lang"], row["v_filled"], row["harmonic_scaled"], est)
+    ]

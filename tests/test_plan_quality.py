@@ -326,6 +326,33 @@ def test_ext_sketch_kmv_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_ext_sketch_hll_is_pure_partial_agg(spark):
+    """r16: the HLL register build must be the mergeable-sketch plan —
+    partial_max collapses each map task to ≤ |langs|·64 register rows
+    BEFORE the exchange (the entire point of HLL at 100 TB), with no
+    distinct pre-pass, no window, no Expand; the scan reads only
+    (lang, text)."""
+    plan = plan_of(spark, "ext_sketch_hll")
+    assert "partial_max" in plan
+    assert "Expand" not in plan and "Window" not in plan
+    assert "ReadSchema: struct<text:string,lang:string>" in plan or (
+        "lang" in plan and "n_chars" not in plan and "source" not in plan
+    )
+
+
+def test_ext_split_by_content_stacked_aggs_no_expand(spark):
+    """r16: n_texts + n_docs come from two STACKED partial aggregations
+    (digest grain then split grain), never one groupBy with
+    COUNT + COUNT(DISTINCT) — that compiles to Expand's |aggs|× row
+    fan-out over the corpus (the q21 lesson). The scan reads only text."""
+    plan = plan_of(spark, "ext_split_by_content")
+    assert "Expand" not in plan
+    # formatted explain prints each node in tree AND detail section —
+    # count tree occurrences only
+    assert plan.count("+- Exchange") == 2
+    assert "ReadSchema: struct<text:string>" in plan
+
+
 def test_profile_table_approx_has_no_expand(spark):
     """The approx profiling path (wide-table knob) must compile WITHOUT
     Catalyst's Expand — no |cols|-way row fan-out — while the exact
