@@ -250,7 +250,11 @@ def main() -> None:
     # same way and persists the centroid grid (memoized per session+sf),
     # and
     # ext_text_bpe_learn (r13) runs its 3 learning rounds (3 one-row
-    # argmax collects — same iterative-algorithm contract) — their timed
+    # argmax collects — same iterative-algorithm contract), and
+    # ext_sample_kcenter (r16) runs its 8 greedy selection rounds (each
+    # one mapInPandas partition-reduce + a #partitions-row collect; the
+    # corpus is never collected — same iterative-algorithm contract,
+    # memoized per session+sf) — their timed
     # numbers below measure serving the built index, like any prepared
     # ANN/clustering deployment. Per-query isolation: one broken plan
     # must cost ONE entry, not the whole bench artifact (round-4 lesson —

@@ -1339,3 +1339,98 @@ def ivf_pq_topk_indexed(
         coded, queries, cent_ids, C, bsub, m, sub, k, n_probe, id_col, vec_col,
         residual=residual,
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    grid_scale: int = 1 << 20,
+) -> list[tuple[int, int]]:
+    """Exact k-center (farthest-point / maximin) greedy selection — the
+    classic diversity-aware coreset picker for training-data curation
+    (Sener & Savarese 2018 'Active Learning for CNNs: A Core-Set
+    Approach', arXiv:1708.00489: each pick maximizes its distance to the
+    nearest already-picked center, giving a 2-approximation of the
+    optimal k-center cover). Returns ``[(id, min_dist_sq)]`` of length
+    ≤ k in pick order; the first pick is the minimum id (deterministic
+    seed, dist 0), every later pick maximizes the exact INTEGER squared
+    L2 distance on the 2^20 grid, ties to the smaller id.
+
+    Exactness contract (the ivfpq int64-grid pattern): vectors are
+    gridded as floor(float64(x)·2^20) — float32→float64 is exact, the
+    product shifts a 24-bit mantissa inside float64's 53, floor is
+    exact — so distances are exact int64 sums (diffs ≲ 2^21, squares
+    ≲ 2^42, ·dim < 2^48) and every engine replays the identical picks.
+
+    Scale shape: greedy selection is inherently SEQUENTIAL in k, so the
+    loop lives on the driver — but each round is ONE mapInPandas pass
+    that reduces every partition to a single (id, min_dist) candidate
+    (numpy int64 kernel against the ≤ k broadcast centers) followed by a
+    driver-side max over #partitions rows; the corpus is never shuffled,
+    collected, or re-gridded (grid rides the scan), and round cost is
+    O(n·dim) scan-local work — k rounds = k scans, the standard
+    distributed k-center layout. NULL/ragged vectors are dropped by the
+    valid_vectors contract."""
+    vecs = valid_vectors(df, dim, vec_col).select(id_col, vec_col)
+    first = vecs.orderBy(id_col).limit(1).collect()
+    if not first:
+        return []
+
+    def grid(a) -> "np.ndarray":
+        return np.floor(
+            np.asarray(a, dtype=np.float64) * grid_scale
+        ).astype(np.int64)
+
+    picks: list[tuple[int, int]] = [(first[0][id_col], 0)]
+    centers = [grid(first[0][vec_col])]
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("d", T.LongType())]
+    )
+    for _ in range(1, k):
+        S = np.stack(centers)  # (r, dim) int64
+        taken = np.array([p for p, _ in picks], dtype=np.int64)
+
+        def cand(it, S=S, taken=taken):
+            best_id, best_d = None, -1
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].values.astype(np.int64)
+                # already-picked ids are OUT of the candidate set (a
+                # center is distance 0 from itself; a corpus that has
+                # run out of distinct grid points would otherwise
+                # re-pick pick #1 forever — the oracle excludes them
+                # with the same NOT-IN, so both engines emit the same
+                # ≤ k rows even on degenerate corpora)
+                keep = ~np.isin(ids, taken)
+                if not keep.any():
+                    continue
+                G = np.floor(
+                    np.stack(pdf[vec_col].values[keep]).astype(np.float64)
+                    * grid_scale
+                ).astype(np.int64)
+                ids = ids[keep]
+                md = None
+                for s in S:  # r ≤ k rows: loop keeps memory flat
+                    diff = G - s
+                    d = np.einsum("ij,ij->i", diff, diff)
+                    md = d if md is None else np.minimum(md, d)
+                top = md.max()
+                tid = int(ids[md == top].min())  # tie → smaller id
+                if top > best_d or (top == best_d and (
+                        best_id is None or tid < best_id)):
+                    best_id, best_d = tid, int(top)
+            if best_id is not None:
+                yield pd.DataFrame({"id": [best_id], "d": [best_d]})
+
+        rows = vecs.mapInPandas(cand, out_schema).collect()
+        if not rows:
+            break  # corpus exhausted (fewer than k valid vectors)
+        win = max(rows, key=lambda r: (r["d"], -r["id"]))
+        picks.append((win["id"], win["d"]))
+        crow = vecs.filter(F.col(id_col) == win["id"]).collect()[0]
+        centers.append(grid(crow[vec_col]))
+    return picks

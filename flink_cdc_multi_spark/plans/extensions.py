@@ -944,6 +944,44 @@ def ext_split_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware coreset selection (r16): exact k-center greedy
+    (farthest-point) picks over the embedding corpus — the third
+    sampling axis next to stratified (rate-per-group) and mixture
+    (share-per-source): maximin selection keeps the most MUTUALLY
+    DISTANT examples, the standard coreset recipe for curating a small
+    high-coverage training subset (Sener & Savarese 2018,
+    arXiv:1708.00489). Output: (pick_no, vec_id, min_dist_sq) — the
+    exact int64 squared L2 grid distance of each pick to its nearest
+    earlier pick (pick 1 = min vec_id, dist 0), so the sequence doubles
+    as the corpus' covering-radius profile.
+
+    PLAN-TIME ITERATIVE by documented contract (the ext_text_bpe_learn
+    class, noted in bench.py): greedy selection is sequential in k, so
+    the k=8 rounds run at plan construction — each is one mapInPandas
+    pass reducing every partition to a single candidate row (numpy
+    int64 kernel against the ≤ 8 broadcast centers) plus a
+    #partitions-row collect; the corpus is never shuffled or collected.
+    Memoized in _session_cache. Exactness: the operators/similarity.
+    kcenter_greedy int64-grid contract (floor(float64·2^20) — every step
+    IEEE-exact), replayed by the DuckDB oracle's 8 UNROLLED greedy
+    stages, so a wrong distance, tie-break, or exclusion rule breaks the
+    value hash."""
+    key = ("kcenter", sf_dir)
+    cache = _session_cache(spark)
+    with _ANN_INDEX_BUILD_LOCK:
+        if key not in cache:
+            emb = load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < 400
+            )
+            cache[key] = S.kcenter_greedy(emb, k=8, dim=64)
+    picks = cache[key]
+    return spark.createDataFrame(
+        [(i + 1, vid, d) for i, (vid, d) in enumerate(picks)],
+        "pick_no long, vec_id long, min_dist_sq long",
+    )
+
+
 def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture downsampling: hit TARGET per-source mixture shares
     (the 'mix N% web, M% code' pretraining knob) by scaling the whole
@@ -2752,6 +2790,7 @@ EXT_QUERIES = {
     "ext_sketch_hll": ext_sketch_hll,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
+    "ext_sample_kcenter": ext_sample_kcenter,
     "ext_dedup_priority": ext_dedup_priority,
     "ext_budget_sample": ext_budget_sample,
 }
@@ -4365,6 +4404,58 @@ def _bpe_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["ext_text_bpe"] = _bpe_oracle_sql()
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """DuckDB replay of ext_sample_kcenter: the k greedy rounds UNROLLED
+    into a CTE chain generated from the same k, scope, grid scale, and
+    tie-break as the Spark side (the BPE generated-oracle pattern —
+    change a knob and both engines move together). Each round computes
+    every unpicked vector's exact int64 grid distance to the selected
+    set (MIN over a cross join with sel{r-1}), takes the argmax with the
+    smaller-id tie-break, and appends it to the selection."""
+    dist = (
+        "CAST(list_sum(list_transform(range(64), i -> "
+        "(g.gv[i+1]-s.gv[i+1])*(g.gv[i+1]-s.gv[i+1]))) AS BIGINT)"
+    )
+    ctes = [
+        """g AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+                   AS gv
+          FROM embeddings
+          WHERE vec_id < 400 AND embedding IS NOT NULL
+            AND len(embedding) = 64
+        )""",
+        "p1 AS (SELECT vec_id, gv FROM g ORDER BY vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id, gv FROM p1)",
+    ]
+    finals = [
+        "SELECT CAST(1 AS BIGINT) AS pick_no, vec_id, "
+        "CAST(0 AS BIGINT) AS min_dist_sq FROM p1"
+    ]
+    for r in range(2, k + 1):
+        ctes.append(f"""d{r} AS (
+          SELECT g.vec_id, MIN({dist}) AS md
+          FROM g, sel{r - 1} s
+          WHERE g.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+          GROUP BY g.vec_id
+        )""")
+        ctes.append(
+            f"p{r} AS (SELECT vec_id, md FROM d{r} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(f"""sel{r} AS (
+          SELECT vec_id, gv FROM sel{r - 1}
+          UNION ALL
+          SELECT g.vec_id, g.gv FROM g JOIN p{r} USING (vec_id)
+        )""")
+        finals.append(f"SELECT CAST({r} AS BIGINT), vec_id, md FROM p{r}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+EXT_ORACLE_SQL["ext_sample_kcenter"] = _kcenter_oracle_sql()
 
 
 def _quality_score_oracle_sql() -> str:

@@ -78,6 +78,11 @@ ADVERSARIAL_QUERIES = [
     # identity) and duplicate texts across sources must count as ONE
     # n_texts in exactly one split on both sides
     "ext_split_by_content",
+    # r16: k-center greedy — the NULL/ragged embedding rows must be
+    # dropped by the valid_vectors contract on both sides, and the
+    # negative-id zero/epsilon vectors become pick #1 (min id seed) and
+    # legitimate far-point candidates
+    "ext_sample_kcenter",
     # r14: quality-aware keep-one — the dup rows (-5/-6/-7, identical
     # text => one cluster, equal scores => lowest doc_id wins) and the
     # empty/whitespace rows (scoreless members rank below every scored

@@ -3159,3 +3159,45 @@ def test_hll_raw_branch_cross_engine_and_accuracy(spark, tmp_path):
     assert oracle == [
         (row["lang"], row["v_filled"], row["harmonic_scaled"], est)
     ]
+
+
+def test_kcenter_greedy_semantics(spark):
+    """kcenter_greedy (r16): on a crafted corpus the maximin picks are
+    checkable by hand — seed = min id, then always the point FARTHEST
+    from its nearest selected center, ties to the smaller id; NULL and
+    ragged vectors are dropped (valid_vectors); already-picked ids are
+    never re-picked even when every remaining point coincides with a
+    center (degenerate corpus)."""
+    from flink_cdc_multi_spark.operators.similarity import kcenter_greedy
+
+    dim = 4
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    rows = [
+        (1, v(0)),          # seed (min id), at origin
+        (2, v(10)),         # farthest from origin -> pick 2
+        (3, v(5)),          # midpoint: min-dist 5^2*2^40 to either
+        (4, v(0.001)),      # near origin
+        (5, None),          # dropped
+        (6, [0.0, 0.0]),    # ragged: dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    picks = kcenter_greedy(df, k=4, dim=dim)
+    ids = [p for p, _ in picks]
+    assert ids == [1, 2, 3, 4]
+    g = 1 << 20
+    assert picks[0][1] == 0
+    assert picks[1][1] == (10 * g) ** 2          # 2 vs seed
+    assert picks[2][1] == (5 * g) ** 2           # 3 vs nearer of {0,10}
+    assert picks[3][1] == int(0.001 * g) ** 2    # 4 vs origin (floor grid)
+
+    # degenerate: all points identical -> k picks truncate to the corpus,
+    # later picks have dist 0, no id repeats
+    dup = spark.createDataFrame(
+        [(i, v(1)) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    picks2 = kcenter_greedy(dup, k=5, dim=dim)
+    assert [p for p, _ in picks2] == [0, 1, 2]
+    assert [d for _, d in picks2] == [0, 0, 0]
