@@ -2211,13 +2211,12 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL estimator constant alpha_m·m²·2^K for m=64 registers, K=55 (the
-# fixed-point scale of the harmonic sum below). Python-precomputed, repr
-# round-trip: both engines parse the same decimal literal to the same
-# IEEE double, so the one floating division in ext_sketch_hll is
-# bit-identical cross-engine.
-_HLL_C = 0.7093409548395029 * 64 * 64 * 2.0**55
-
+# HLL estimator constant: alpha_m·m²·2^K for m=64 registers is computed
+# in hll_sketch_over from the same alpha literal the oracle embeds
+# (1.046802484394006e+20 at K=55) — both engines parse the same decimal
+# to the same IEEE double, so the one floating division is bit-identical
+# cross-engine.
+#
 # Small-range (linear counting) estimates m·ln(m/V_empty) for
 # v_filled = 1..63, PRECOMPUTED in Python and embedded as the same
 # integer literals on both engine sides (the BPE_MERGES generated-oracle
@@ -2245,9 +2244,11 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — correct but not oracle-gateable. This form is DETERMINISTIC
     and portable: md5-hash60 (the repo's cross-engine hash contract),
     register index = top 6 bits, rho = leading-zero rank of the
-    remaining 54 bits computed by STRING position (lpad(bin(rem)) then
-    first '1' — exact integer/string logic, no float log2 whose libm
-    rounding could diverge engines). The sketch fields (v_filled,
+    remaining 54 bits — the oracle renders it as a string position
+    (lpad(bin(rem)) then first '1'), the Spark side as a value-identical
+    6-step integer binary search (no float log2 whose libm rounding
+    could diverge engines; no per-token string alloc — the measured
+    sf10 scan wall, PERF.md r16). The sketch fields (v_filled,
     harmonic_scaled = Σ 2^(55−M[j]) + empties·2^55, exact int64) cross
     the gate as integers per the ratio rule; the estimate adds ONE
     floating op — floor(C / CAST(harmonic AS DOUBLE)) with C a shared
@@ -2258,41 +2259,88 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     m·ln(m/V_empty)) is applied through the _HLL_LC table of 63
     PRE-COMPUTED integers shared verbatim by both engines — ln() is
     libm- not IEEE-specified and must never execute inside either
-    engine (est 61 → 29 against exact 31 on the gate fixture)."""
+    engine (est 61 → 29 against exact 31 on the gate fixture).
+
+    Production fast path: hll_sketch_over(use_xxhash=True) swaps the
+    md5 contract hash for one JVM xxhash64 call — 3.0 → 1.7 s at sf10,
+    DuckDB-parity (PERF.md r16); same register/rho/estimator machinery,
+    the minhash dual-path pattern."""
     docs = load_table(spark, sf_dir, "documents")
+    # per-DOC array_distinct (the kmv form): dedup-before-hash is a free
+    # scan-local reduction that cannot change the corpus distinct set, so
+    # the sketch is value-identical while md5+conv (the measured scan
+    # wall, PERF.md r16) runs once per per-doc-distinct token instead of
+    # once per occurrence; mirrored in the oracle (list_distinct)
     toks = docs.filter(F.trim("text") != "").select(
-        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+        "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-    j = F.shiftright(h, 54)
-    rem = h.bitwiseAND(F.lit((1 << 54) - 1))
-    pos = F.instr(F.lpad(F.bin(rem), 54, "0"), "1")
-    rho = F.when(pos == 0, F.lit(55)).otherwise(pos)
+    return hll_sketch_over(toks, ["lang"], "token")
+
+
+def hll_sketch_over(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """HLL distinct sketch of ``value_col`` per ``group_cols`` — the
+    value-parameterized core of ext_sketch_hll (the graph_pagerank_over
+    factoring). ``use_xxhash=False`` (the gated default) hashes through
+    the portable md5-hash60 contract so DuckDB replays the sketch
+    bit-for-bit; ``use_xxhash=True`` is the PRODUCTION fast path — one
+    JVM xxhash64 call instead of md5 + base-16 conv (the two measured
+    scan walls at sf10: 3.0 → 1.7 s over 500k docs, DuckDB-parity,
+    PERF.md r16), same 64 registers / rho / fixed-point harmonic sum /
+    shared-table linear counting, statistically identical estimates
+    (different hash ⇒ different register values, so only the md5 form
+    is oracle-gated — the minhash_lsh_pairs dual-path pattern)."""
+    if use_xxhash:
+        h = F.xxhash64(value_col)
+        rem_bits = 58  # full 64-bit hash: top 6 → register, 58 → rho
+    else:
+        h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
+        rem_bits = 54  # 60-bit portable hash
+    j = F.shiftrightunsigned(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    # rho = rem_bits+1 − bit_length(rem), bit_length by 6-step integer
+    # binary search — value-identical to the oracle's string-position
+    # form but pure comparisons/shifts in one codegen stage (the r16
+    # sf10 A/B: the bin+lpad+instr string rendering allocated per TOKEN
+    # and owned the scan wall; PERF.md r16)
+    bitlen = F.lit(0)
+    r = rem
+    for sh in (32, 16, 8, 4, 2, 1):
+        over = r >= F.lit(1 << sh)
+        bitlen = bitlen + F.when(over, F.lit(sh)).otherwise(F.lit(0))
+        r = F.when(over, F.shiftright(r, sh)).otherwise(r)
+    rho = F.lit(rem_bits + 1) - (bitlen + r.cast("int"))
     regs = (
-        toks.select("lang", j.alias("j"), rho.alias("rho"))
-        .groupBy("lang", "j")
+        df.select(*group_cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("m"))
     )
-    term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))")
+    kmax = rem_bits + 1
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({kmax} - m AS INT))")
+    c_const = 0.7093409548395029 * 64 * 64 * 2.0**kmax
     return (
-        regs.groupBy("lang")
+        regs.groupBy(*group_cols)
         .agg(
             F.count("*").cast("bigint").alias("v_filled"),
             (
                 F.sum(term)
-                + (F.lit(64) - F.count("*")) * F.lit(1 << 55)
+                + (F.lit(64) - F.count("*")) * F.lit(1 << kmax)
             ).cast("bigint").alias("harmonic_scaled"),
         )
         .select(
-            "lang",
+            *group_cols,
             "v_filled",
             "harmonic_scaled",
             F.floor(
-                F.lit(_HLL_C) / F.col("harmonic_scaled").cast("double")
+                F.lit(c_const) / F.col("harmonic_scaled").cast("double")
             ).cast("bigint").alias("raw_est"),
         )
         .select(
-            "lang",
+            *group_cols,
             "v_filled",
             "harmonic_scaled",
             F.when(
@@ -3914,9 +3962,12 @@ EXT_ORACLE_SQL = {
         -- uses the shared decimal literal and IEEE division, identical
         -- to the Spark side bit for bit
         WITH occ AS (
+          -- list_distinct = the Spark side's per-doc array_distinct:
+          -- dedup-before-hash, distinct-set invariant
           SELECT lang, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
           FROM (SELECT lang,
-                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                       unnest(list_distinct(
+                         regexp_split_to_array(trim(text), '\s+'))) AS token
                 FROM documents WHERE trim(text) <> '') u
         ), reg AS (
           SELECT lang, h >> 54 AS j,
@@ -4406,14 +4457,16 @@ def _bpe_oracle_sql() -> str:
 EXT_ORACLE_SQL["ext_text_bpe"] = _bpe_oracle_sql()
 
 
-def _kcenter_oracle_sql(k: int = 8) -> str:
+def _kcenter_oracle_sql(k: int = 8, scope: str = "vec_id < 400") -> str:
     """DuckDB replay of ext_sample_kcenter: the k greedy rounds UNROLLED
     into a CTE chain generated from the same k, scope, grid scale, and
     tie-break as the Spark side (the BPE generated-oracle pattern —
     change a knob and both engines move together). Each round computes
     every unpicked vector's exact int64 grid distance to the selected
     set (MIN over a cross join with sel{r-1}), takes the argmax with the
-    smaller-id tie-break, and appends it to the selection."""
+    smaller-id tie-break, and appends it to the selection. ``scope``:
+    the gate uses vec_id < 400; the sf10 perf harness passes TRUE to
+    replay the greedy over the whole corpus."""
     dist = (
         "CAST(list_sum(list_transform(range(64), i -> "
         "(g.gv[i+1]-s.gv[i+1])*(g.gv[i+1]-s.gv[i+1]))) AS BIGINT)"
@@ -4425,9 +4478,9 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
                    AS gv
           FROM embeddings
-          WHERE vec_id < 400 AND embedding IS NOT NULL
+          WHERE {scope} AND embedding IS NOT NULL
             AND len(embedding) = 64
-        )""",
+        )""".replace("{scope}", scope),
         "p1 AS (SELECT vec_id, gv FROM g ORDER BY vec_id LIMIT 1)",
         "sel1 AS (SELECT vec_id, gv FROM p1)",
     ]

@@ -3201,3 +3201,41 @@ def test_kcenter_greedy_semantics(spark):
     picks2 = kcenter_greedy(dup, k=5, dim=dim)
     assert [p for p, _ in picks2] == [0, 1, 2]
     assert [d for _, d in picks2] == [0, 0, 0]
+
+
+def test_hll_xxhash_fast_path(spark, tmp_path):
+    """hll_sketch_over(use_xxhash=True) (r16): the production fast path —
+    one JVM xxhash64 call replaces md5 + base-16 conv (the two measured
+    sf10 scan walls). Statistically equivalent: on the 2000-distinct
+    corpus the estimate must land in the same ~13% stderr band as the
+    md5 form; the plan must contain NO md5/conv, still partial_max, and
+    no Expand/Window (the mergeable-sketch shape is hash-independent)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.operators.text import tokens
+    from flink_cdc_multi_spark.plans.extensions import hll_sketch_over
+
+    texts = [" ".join(f"tok{i}_{j}" for j in range(20)) for i in range(100)]
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "text": texts, "lang": ["en"] * 100}
+    )
+    df = spark.createDataFrame(pdf)
+    toks = df.select(
+        "lang", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    fast = hll_sketch_over(toks, ["lang"], "t", use_xxhash=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fast.explain("formatted")
+    plan = buf.getvalue()
+    assert "xxhash64" in plan and "md5" not in plan and "conv(" not in plan
+    assert "partial_max" in plan
+    assert "Expand" not in plan and "Window" not in plan
+    row = fast.collect()[0]
+    assert row["v_filled"] == 64
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.3, row["est_distinct"]
