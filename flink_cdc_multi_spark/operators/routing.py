@@ -457,12 +457,12 @@ def read_published(spark, table_path: str, dt_min: str | None = None,
         # of a table under a dot-prefixed ANCESTOR (s3a://b/.warehouse/t),
         # and compact_table reads through here — compaction would have
         # rewritten the table without those rows.
-        from urllib.parse import urlparse as _urlparse
-
-        base = (
-            _urlparse(table_path).path
-            if "://" in table_path else table_path
-        ).rstrip("/")
+        # base comes from the SAME Hadoop Path normalizer the statuses
+        # use (r16 review: a urlparse'd base missed Hadoop's //-collapse
+        # and dot-segment normalization, so startswith silently fell
+        # back to full-path filtering — re-exposing the dot-ancestor
+        # hiding this fix exists to close)
+        base = str(jvm_path(table_path).toUri().getPath()).rstrip("/")
 
         def visible(sts) -> list:
             out = []

@@ -1386,15 +1386,21 @@ def kcenter_greedy(
 
     picks: list[tuple[int, int]] = [(first[0][id_col], 0)]
     centers = [grid(first[0][vec_col])]
-    out_schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("d", T.LongType())]
-    )
+    # the candidate row carries its own gridded vector, so promoting the
+    # round winner to a center needs NO second corpus scan (r16 review:
+    # the filter(id==win).collect() re-fetch doubled every round's job
+    # count and scan I/O)
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("d", T.LongType()),
+        T.StructField("g", T.ArrayType(T.LongType())),
+    ])
     for _ in range(1, k):
         S = np.stack(centers)  # (r, dim) int64
         taken = np.array([p for p, _ in picks], dtype=np.int64)
 
         def cand(it, S=S, taken=taken):
-            best_id, best_d = None, -1
+            best_id, best_d, best_g = None, -1, None
             for pdf in it:
                 if len(pdf) == 0:
                     continue
@@ -1419,18 +1425,21 @@ def kcenter_greedy(
                     d = np.einsum("ij,ij->i", diff, diff)
                     md = d if md is None else np.minimum(md, d)
                 top = md.max()
-                tid = int(ids[md == top].min())  # tie → smaller id
+                ti = np.flatnonzero(md == top)
+                w = ti[np.argmin(ids[ti])]  # tie → smaller id
+                tid = int(ids[w])
                 if top > best_d or (top == best_d and (
                         best_id is None or tid < best_id)):
-                    best_id, best_d = tid, int(top)
+                    best_id, best_d, best_g = tid, int(top), G[w]
             if best_id is not None:
-                yield pd.DataFrame({"id": [best_id], "d": [best_d]})
+                yield pd.DataFrame(
+                    {"id": [best_id], "d": [best_d], "g": [list(best_g)]}
+                )
 
         rows = vecs.mapInPandas(cand, out_schema).collect()
         if not rows:
             break  # corpus exhausted (fewer than k valid vectors)
         win = max(rows, key=lambda r: (r["d"], -r["id"]))
         picks.append((win["id"], win["d"]))
-        crow = vecs.filter(F.col(id_col) == win["id"]).collect()[0]
-        centers.append(grid(crow[vec_col]))
+        centers.append(np.asarray(win["g"], dtype=np.int64))
     return picks

@@ -2313,13 +2313,22 @@ def hll_sketch_over(
         over = r >= F.lit(1 << sh)
         bitlen = bitlen + F.when(over, F.lit(sh)).otherwise(F.lit(0))
         r = F.when(over, F.shiftright(r, sh)).otherwise(r)
-    rho = F.lit(rem_bits + 1) - (bitlen + r.cast("int"))
+    # register cap 55 — a no-op for the 54-bit md5 path (max rho IS 55),
+    # and on the 58-bit xxhash path it clips only the P = 2^-55 tail
+    # while keeping the fixed-point scale at 2^55 for BOTH paths: at a
+    # 2^59 scale `empties·2^59` overflows int64 for any group with ≥16
+    # empty registers — the common low-cardinality case — and ANSI mode
+    # (ON, CLAUDE.md) turns that into a job-killing ArithmeticException
+    # (r16 review finding; pinned by the low-cardinality fast-path test)
+    rho = F.least(
+        F.lit(rem_bits + 1) - (bitlen + r.cast("int")), F.lit(55)
+    )
     regs = (
         df.select(*group_cols, j.alias("j"), rho.alias("rho"))
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("m"))
     )
-    kmax = rem_bits + 1
+    kmax = 55
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({kmax} - m AS INT))")
     c_const = 0.7093409548395029 * 64 * 64 * 2.0**kmax
     return (
@@ -4466,13 +4475,18 @@ def _kcenter_oracle_sql(k: int = 8, scope: str = "vec_id < 400") -> str:
     set (MIN over a cross join with sel{r-1}), takes the argmax with the
     smaller-id tie-break, and appends it to the selection. ``scope``:
     the gate uses vec_id < 400; the sf10 perf harness passes TRUE to
-    replay the greedy over the whole corpus."""
+    replay the greedy over the whole corpus.
+
+    Every CTE is MATERIALIZED: each stage references its predecessors
+    more than once (the cross join AND the NOT-IN), so DuckDB's default
+    inlining re-evaluates the chain EXPONENTIALLY in k — measured 360 s
+    at sf0.1 vs 0.13 s materialized (r16 bench finding)."""
     dist = (
         "CAST(list_sum(list_transform(range(64), i -> "
         "(g.gv[i+1]-s.gv[i+1])*(g.gv[i+1]-s.gv[i+1]))) AS BIGINT)"
     )
     ctes = [
-        """g AS (
+        """g AS MATERIALIZED (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
@@ -4481,25 +4495,25 @@ def _kcenter_oracle_sql(k: int = 8, scope: str = "vec_id < 400") -> str:
           WHERE {scope} AND embedding IS NOT NULL
             AND len(embedding) = 64
         )""".replace("{scope}", scope),
-        "p1 AS (SELECT vec_id, gv FROM g ORDER BY vec_id LIMIT 1)",
-        "sel1 AS (SELECT vec_id, gv FROM p1)",
+        "p1 AS MATERIALIZED (SELECT vec_id, gv FROM g ORDER BY vec_id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT vec_id, gv FROM p1)",
     ]
     finals = [
         "SELECT CAST(1 AS BIGINT) AS pick_no, vec_id, "
         "CAST(0 AS BIGINT) AS min_dist_sq FROM p1"
     ]
     for r in range(2, k + 1):
-        ctes.append(f"""d{r} AS (
+        ctes.append(f"""d{r} AS MATERIALIZED (
           SELECT g.vec_id, MIN({dist}) AS md
           FROM g, sel{r - 1} s
           WHERE g.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
           GROUP BY g.vec_id
         )""")
         ctes.append(
-            f"p{r} AS (SELECT vec_id, md FROM d{r} "
+            f"p{r} AS MATERIALIZED (SELECT vec_id, md FROM d{r} "
             f"ORDER BY md DESC, vec_id LIMIT 1)"
         )
-        ctes.append(f"""sel{r} AS (
+        ctes.append(f"""sel{r} AS MATERIALIZED (
           SELECT vec_id, gv FROM sel{r - 1}
           UNION ALL
           SELECT g.vec_id, g.gv FROM g JOIN p{r} USING (vec_id)

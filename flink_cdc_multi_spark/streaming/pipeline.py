@@ -1014,23 +1014,38 @@ class CDCPipeline:
             # r16 (VERDICT item 3 + ADVICE): the state horizon is BOUNDED by
             # dedup.redelivery.ttl.minutes (default = Kafka's default
             # retention, 7 d — unbounded state grows linearly in total
-            # events), and DDL rows BYPASS suppression entirely: a
-            # position-less DDL (null source offsets/_ts — the class
-            # resume_filter deliberately passes) that legitimately recurs
-            # with identical statement text is content-identical, so
-            # suppressing it would silently drop a real schema-history
-            # event. DDL is table-cardinality per batch — passing it
-            # through costs nothing.
+            # events), and POSITION-LESS DDL rows BYPASS suppression: a
+            # DDL with null source offsets (the class resume_filter
+            # deliberately passes) that legitimately recurs with identical
+            # statement text is content-identical, so suppressing it would
+            # silently drop a real schema-history event. POSITIONED DDL
+            # stays on the dedup leg (r16 review): its offsets are part of
+            # the content identity, so distinct statements always differ
+            # and a redelivered copy is a genuine duplicate — an
+            # unconditional bypass wrote it twice to the schema-history
+            # table. Position-less DDL is rare — the bypass costs nothing.
             from flink_cdc_multi_spark.streaming.stateful import dedup_stream
 
             content_cols = [
                 c for c in stream.columns if not c.startswith("_kafka_")
             ]
+            pos_col = {
+                "mysql": "_binlog_file", "postgres": "_lsn", "oracle": "_scn"
+            }.get(cfg.source_type)
+            if pos_col and pos_col in stream.columns:
+                positionless = F.col(pos_col).isNull()
+                if cfg.source_type == "oracle":
+                    # the decoder's "0" default SCN = unknown position
+                    # (resume_filter's rule)
+                    positionless = positionless | (F.col(pos_col) == "0")
+            else:
+                positionless = F.lit(True)
             data_leg = stream
             ddl_leg = None
             if "_ddl" in stream.columns:
-                ddl_leg = stream.filter(F.col("_ddl").isNotNull())
-                data_leg = stream.filter(F.col("_ddl").isNull())
+                bypass = F.col("_ddl").isNotNull() & positionless
+                ddl_leg = stream.filter(bypass)
+                data_leg = stream.filter(~bypass)
             deduped = (
                 dedup_stream(
                     data_leg.withColumn(

@@ -3239,3 +3239,19 @@ def test_hll_xxhash_fast_path(spark, tmp_path):
     row = fast.collect()[0]
     assert row["v_filled"] == 64
     assert abs(row["est_distinct"] - 2000) / 2000 < 0.3, row["est_distinct"]
+
+    # low-cardinality (r16 review finding): with the scale at 2^59,
+    # `empties * 2^59` overflowed int64 for any group with >=16 empty
+    # registers — the common case — and ANSI mode turns that into a
+    # job-killing ArithmeticException. The 55-cap keeps the whole
+    # harmonic sum < 2^62 for BOTH hash paths.
+    few = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    ftoks = few.select(
+        "lang", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    frow = hll_sketch_over(ftoks, ["lang"], "t", use_xxhash=True).collect()[0]
+    assert frow["v_filled"] == 3
+    assert 2 <= frow["est_distinct"] <= 5  # LC branch, 3 exact

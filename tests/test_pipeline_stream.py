@@ -1316,6 +1316,13 @@ def test_read_published_sees_flat_leg_under_dot_ancestor(spark, tmp_path):
                               .withColumn("_ts", F.lit(1)), table, "dax1")
         got = read_published(spark, table)
         assert sorted(r["id"] for r in got.collect()) == [1, 2]
+        # r16 review: an UNNORMALIZED caller path (double slash) must not
+        # defeat the suffix test — base is derived through the same
+        # Hadoop Path normalizer the file statuses use
+        messy = f"file://{wh}//t"
+        assert sorted(
+            r["id"] for r in read_published(spark, messy).collect()
+        ) == [1, 2]
         # dot-prefixed components BELOW the table still hide (staging)
         n = compact_table(spark, table, ["id"], ["_ts"])
         assert n == 2
@@ -1645,28 +1652,36 @@ def test_dedup_redelivery_suppress_knob(spark, tmp_path):
 
 
 def test_dedup_redelivery_ddl_bypasses_suppression(spark, tmp_path):
-    """r16 (ADVICE r15): DDL rows BYPASS redelivery suppression — a
-    position-less DDL (null source offsets, the class resume_filter
-    deliberately passes) that legitimately recurs with identical statement
-    text is content-identical, and suppressing it would silently drop a
-    real schema-history event. Two copies across batches must BOTH land in
-    the DDL table, while data-row suppression keeps working alongside."""
+    """r16 (ADVICE r15): POSITION-LESS DDL rows BYPASS redelivery
+    suppression — null source offsets (the class resume_filter
+    deliberately passes) mean a legitimate recurrence is
+    content-identical, and suppressing it would silently drop a real
+    schema-history event. POSITIONED DDL stays on the dedup leg (r16
+    review): its offsets are part of the identity, so a redelivered copy
+    is a genuine duplicate and must land ONCE. Data-row suppression keeps
+    working alongside."""
     ddl = make_mysql_ddl(
         ddl="CREATE INDEX i ON users (id)", ts_ms=None, file=None, pos=None
     )
+    pos_ddl = make_mysql_ddl(ddl="CREATE INDEX j ON users (v)", pos=15)
     row = make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10,
                          ts_ms=1700000001000)
 
     pipe = _pipeline(tmp_path, **{"dedup.redelivery.suppress": "true"})
-    feed = _feed(tmp_path, "f1.json", [ddl, row])
+    feed = _feed(tmp_path, "f1.json", [ddl, pos_ddl, row])
     ckpt = str(tmp_path / "ckpt")
     q = pipe.start(spark, feed, ckpt)
     q.processAllAvailable()
-    _feed(tmp_path, "f2.json", [ddl, row])  # identical DDL + redelivered row
+    # identical position-less DDL + REDELIVERED positioned DDL + data row
+    _feed(tmp_path, "f2.json", [ddl, pos_ddl, row])
     q.processAllAvailable()
     q.stop()
     ddl_out = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb___testdb_ddl"))
-    assert ddl_out.count() == 2  # both DDL copies pass
+    per_stmt = {r["_ddl"]: r["n"] for r in
+                ddl_out.groupBy("_ddl").agg(F.count("*").alias("n")).collect()}
+    # position-less copies both pass; the positioned redelivery is suppressed
+    assert per_stmt == {"CREATE INDEX i ON users (id)": 2,
+                        "CREATE INDEX j ON users (v)": 1}, per_stmt
     data = spark.read.parquet(str(tmp_path / "sink" / "s1_testdb__users"))
     assert data.count() == 1  # the redelivered data row is still suppressed
 
