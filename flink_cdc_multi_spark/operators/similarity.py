@@ -1430,7 +1430,10 @@ def kcenter_greedy(
                 tid = int(ids[w])
                 if top > best_d or (top == best_d and (
                         best_id is None or tid < best_id)):
-                    best_id, best_d, best_g = tid, int(top), G[w]
+                    # .copy(): G[w] is a VIEW whose .base pins the whole
+                    # chunk's (rows × dim) matrix across the remaining
+                    # iterator (r16 review) — keep only the 64 int64s
+                    best_id, best_d, best_g = tid, int(top), G[w].copy()
             if best_id is not None:
                 yield pd.DataFrame(
                     {"id": [best_id], "d": [best_d], "g": [list(best_g)]}

@@ -2293,7 +2293,15 @@ def hll_sketch_over(
     PERF.md r16), same 64 registers / rho / fixed-point harmonic sum /
     shared-table linear counting, statistically identical estimates
     (different hash ⇒ different register values, so only the md5 form
-    is oracle-gated — the minhash_lsh_pairs dual-path pattern)."""
+    is oracle-gated — the minhash_lsh_pairs dual-path pattern).
+
+    NULL values are dropped (r16 review): md5(NULL) is NULL, and a NULL
+    register index would land a phantom 65th register in the group
+    (F.least turns its NULL rho into 55), driving v_filled past 64 and
+    the harmonic sum negative; xxhash64(NULL) would instead silently
+    count NULL as one distinct value. NULL is not a value — the
+    count-distinct convention both engines share."""
+    df = df.filter(F.col(value_col).isNotNull())
     if use_xxhash:
         h = F.xxhash64(value_col)
         rem_bits = 58  # full 64-bit hash: top 6 → register, 58 → rho

@@ -114,6 +114,30 @@ def validate_offset(offset: str, source_type: str) -> bool:
     return False
 
 
+def ddl_positionless(source_type: str, columns: list[str]) -> "F.Column":
+    """Predicate: this DDL row carries NO source position — the class
+    resume_filter's per-source rules deliberately pass (null binlog file
+    / null LSN / the Oracle decoder's "0" default SCN). Shared with the
+    redelivery-suppression DDL bypass (r16 review: a second hand-copied
+    position map in pipeline.start silently fell back to
+    bypass-ALL-DDL for unlisted source types, re-enabling the
+    positioned-DDL double-write it existed to fix). Unknown source
+    types and envelopes WITHOUT the position column return False —
+    fail CLOSED to the suppression leg, where the TTL bounds the
+    worst case (a recurring legit DDL re-emits after the horizon)
+    rather than duplicating schema history. MongoDB emits no DDL rows,
+    so it never reaches this predicate."""
+    pos_col = {
+        "mysql": "_binlog_file", "postgres": "_lsn", "oracle": "_scn"
+    }.get(source_type)
+    if not pos_col or pos_col not in columns:
+        return F.lit(False)
+    positionless = F.col(pos_col).isNull()
+    if source_type == "oracle":
+        positionless = positionless | (F.col(pos_col) == "0")
+    return positionless
+
+
 def resume_filter(envelope: DataFrame, source_type: str, offset: str | None) -> DataFrame:
     """Re-position a replayed feed past a stored offset. A real binlog/WAL
     client seeks server-side; for file-fed feeds the equivalent is a

@@ -1029,21 +1029,17 @@ class CDCPipeline:
             content_cols = [
                 c for c in stream.columns if not c.startswith("_kafka_")
             ]
-            pos_col = {
-                "mysql": "_binlog_file", "postgres": "_lsn", "oracle": "_scn"
-            }.get(cfg.source_type)
-            if pos_col and pos_col in stream.columns:
-                positionless = F.col(pos_col).isNull()
-                if cfg.source_type == "oracle":
-                    # the decoder's "0" default SCN = unknown position
-                    # (resume_filter's rule)
-                    positionless = positionless | (F.col(pos_col) == "0")
-            else:
-                positionless = F.lit(True)
+            from flink_cdc_multi_spark.sources.offsets import ddl_positionless
+
             data_leg = stream
             ddl_leg = None
             if "_ddl" in stream.columns:
-                bypass = F.col("_ddl").isNotNull() & positionless
+                # shared with resume_filter's position rules (r16 review:
+                # a hand-copied map here fell back to bypass-ALL-DDL for
+                # unlisted sources); fails CLOSED to the dedup leg
+                bypass = F.col("_ddl").isNotNull() & ddl_positionless(
+                    cfg.source_type, stream.columns
+                )
                 ddl_leg = stream.filter(bypass)
                 data_leg = stream.filter(~bypass)
             deduped = (

@@ -393,15 +393,15 @@ def dedup_stream(
             if best is not None and m > best[0]:
                 continue
             t = pdf[pdf[order_col] == m]
-            # itertuples over the tie subset: positional, no per-row
-            # label-based .iloc indexing
+            # streaming min over itertuples (positional, one key tuple
+            # alive at a time — r16 review: a list() of the tie subset
+            # re-materialized a single-chunk burst)
             ci = [t.columns.get_loc(c) for c in cols]
-            rows = list(t.itertuples(index=False, name=None))
-            ki = min(
-                range(len(rows)),
-                key=lambda i: tuple(repr(rows[i][j]) for j in ci),
-            )
-            key_t = tuple(repr(rows[ki][j]) for j in ci)
+            ki, key_t = None, None
+            for i, row in enumerate(t.itertuples(index=False, name=None)):
+                kt = tuple(repr(row[j]) for j in ci)
+                if key_t is None or kt < key_t:
+                    ki, key_t = i, kt
             if best is None or m < best[0] or (
                 m == best[0] and key_t < best[1]
             ):

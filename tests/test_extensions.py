@@ -3255,3 +3255,20 @@ def test_hll_xxhash_fast_path(spark, tmp_path):
     frow = hll_sketch_over(ftoks, ["lang"], "t", use_xxhash=True).collect()[0]
     assert frow["v_filled"] == 3
     assert 2 <= frow["est_distinct"] <= 5  # LC branch, 3 exact
+
+
+def test_hll_sketch_over_drops_null_values(spark):
+    """r16 review: md5(NULL) is NULL, so an unfiltered NULL value landed a
+    phantom 65th register (F.least turns NULL rho into 55) — v_filled
+    could exceed 64 and the harmonic sum go negative; on the xxhash path
+    NULL silently counted as a distinct value. NULL is not a value: both
+    paths must produce the sketch of the non-null values only."""
+    from flink_cdc_multi_spark.plans.extensions import hll_sketch_over
+
+    df = spark.createDataFrame(
+        [("en", "a"), ("en", None), ("en", "b")], "lang string, t string"
+    )
+    for xx in (False, True):
+        row = hll_sketch_over(df, ["lang"], "t", use_xxhash=xx).collect()[0]
+        assert row["v_filled"] == 2, (xx, row)
+        assert row["est_distinct"] == 2, (xx, row)
