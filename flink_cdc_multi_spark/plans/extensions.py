@@ -2211,6 +2211,67 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry (ext_sketch_cms): d hash rows × w columns.
+# Kirsch–Mitzenmacher double hashing derives the d row-columns from ONE
+# md5-hash60 — col_r = (h1 + r·h2) mod w with h2 forced odd — so the
+# scan pays a single md5 per occurrence (the measured HLL wall) and both
+# engines replay the identical integer arithmetic.
+_CMS_D, _CMS_W = 4, 256
+
+
+def ext_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch + point queries (r16) — the fourth
+    mergeable sketch next to KMV/HLL (distinct), and the histogram
+    (quantiles): CMS answers "how often does x occur" in fixed space
+    with a one-sided error (estimate ≥ truth, overshoot ≤ εN w.h.p. —
+    Cormode & Muthukrishnan 2005), THE heavy-hitter/frequency primitive
+    a 100 TB token-statistics pass wants: the sketch is d·w = 1024
+    int64 cells per group regardless of corpus size, built by ONE
+    partial-agg'd exchange (each map task collapses to ≤ 1024 cell rows
+    before the shuffle — sketches merge by cell-wise SUM, so
+    per-partition sketches ARE the partial aggregation), and point
+    queries join the broadcast-size sketch.
+
+    Probe set = the distinct tokens of doc_id < 5 (the contamination
+    probe idiom); output (token, est_count) with est = min over the d
+    rows. Everything is exact integer arithmetic on the shared
+    md5-hash60, so the sketch AND the estimates replay bit-for-bit in
+    DuckDB; the ≥-truth guarantee is pinned by a unit test against
+    exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.trim("text") != "")
+    toks = base.select(
+        F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    h1 = h % F.lit(_CMS_W * 4096)
+    h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            ((h1 + F.lit(r) * h2) % _CMS_W).alias("c"),
+        )
+        for r in range(_CMS_D)
+    ])
+    sketch = (
+        toks.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("n"))
+    )
+    probes = (
+        base.filter(F.col("doc_id") < 5)
+        .select(F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token"))
+        .distinct()
+        .select("token", F.explode(cells).alias("rc"))
+        .select("token", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("token")
+        .agg(F.min("n").cast("bigint").alias("est_count"))
+    )
+
+
 # HLL estimator constant: alpha_m·m²·2^K for m=64 registers is computed
 # in hll_sketch_over from the same alpha literal the oracle embeds
 # (1.046802484394006e+20 at K=55) — both engines parse the same decimal
@@ -2853,6 +2914,7 @@ EXT_QUERIES = {
     "ext_profile_orders": ext_profile_orders,
     "ext_sketch_kmv": ext_sketch_kmv,
     "ext_sketch_hll": ext_sketch_hll,
+    "ext_sketch_cms": ext_sketch_cms,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
     "ext_sample_kcenter": ext_sample_kcenter,
@@ -4019,6 +4081,38 @@ EXT_ORACLE_SQL = {
                                            CAST(v_filled AS INT)) AS BIGINT)
                     ELSE raw_est END AS est_distinct
         FROM r ORDER BY lang
+    """,
+    "ext_sketch_cms": r"""
+        -- count-min sketch: d=4 rows x w=256 cols, Kirsch-Mitzenmacher
+        -- double hashing off ONE md5-hash60 (col_r = (h1 + r*h2) mod w,
+        -- h2 forced odd) — all exact integer arithmetic, so the sketch
+        -- and the point estimates replay the Spark side bit-for-bit
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ), hh AS (
+          SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM tok
+        ), cell AS (
+          SELECT rr.r AS r,
+                 ((h % 1048576) + rr.r * ((h >> 30) | 1)) % 256 AS c
+          FROM hh, (SELECT unnest(range(4)) AS r) rr
+        ), sk AS (
+          SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n FROM cell GROUP BY r, c
+        ), probe AS (
+          SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+'))
+                   AS token
+          FROM documents WHERE trim(text) <> '' AND doc_id < 5
+        ), pc AS (
+          SELECT p.token, rr.r AS r,
+                 (((('0x' || substr(md5(p.token), 1, 15))::BIGINT % 1048576)
+                   + rr.r * ((('0x' || substr(md5(p.token), 1, 15))::BIGINT
+                              >> 30) | 1)) % 256) AS c
+          FROM probe p, (SELECT unnest(range(4)) AS r) rr
+        )
+        SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
+        FROM pc JOIN sk USING (r, c)
+        GROUP BY pc.token ORDER BY pc.token
     """,
     "ext_split_by_content": r"""
         -- split bucket keyed on the md5 of the TEXT (NULL -> '', the

@@ -74,6 +74,10 @@ ADVERSARIAL_QUERIES = [
     # text filtered identically, single-doc langs land in the
     # linear-counting branch (shared precomputed table on both sides)
     "ext_sketch_hll",
+    # r16: count-min — the hostile duplicate texts inflate true counts,
+    # unicode tokens exercise md5 parity, and the negative doc_ids sit
+    # outside the probe scope on both sides identically
+    "ext_sketch_cms",
     # r16: content-keyed split — NULL text folds to '' (the exact_dedup
     # identity) and duplicate texts across sources must count as ONE
     # n_texts in exactly one split on both sides

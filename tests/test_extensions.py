@@ -3272,3 +3272,31 @@ def test_hll_sketch_over_drops_null_values(spark):
         row = hll_sketch_over(df, ["lang"], "t", use_xxhash=xx).collect()[0]
         assert row["v_filled"] == 2, (xx, row)
         assert row["est_distinct"] == 2, (xx, row)
+
+
+def test_cms_estimate_dominates_truth(spark):
+    """ext_sketch_cms (r16): the count-min one-sided guarantee — every
+    point estimate is >= the token's true occurrence count (min over d
+    rows of cell sums can only over-count via collisions, never under).
+    At gate SF most estimates should be exact (vocab << d*w cells)."""
+    from flink_cdc_multi_spark.plans.extensions import ext_sketch_cms
+    from flink_cdc_multi_spark.plans.queries import load_table
+    from flink_cdc_multi_spark.operators.text import tokens
+
+    sf = "/root/testdata/sf0.001"
+    est = {r["token"]: r["est_count"]
+           for r in ext_sketch_cms(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").filter(F.trim("text") != "")
+    truth = {
+        r["token"]: r["n"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n"))
+        .collect()
+        if r["token"] in est
+    }
+    assert est and set(est) == set(truth)
+    assert all(est[t] >= truth[t] for t in truth), {
+        t: (est[t], truth[t]) for t in truth if est[t] < truth[t]
+    }
+    exact = sum(est[t] == truth[t] for t in truth)
+    assert exact >= len(truth) * 0.8  # collisions are rare at d*w=1024

@@ -340,6 +340,18 @@ def test_ext_sketch_hll_is_pure_partial_agg(spark):
     )
 
 
+def test_ext_sketch_cms_broadcast_probe_no_expand(spark):
+    """r16: the CMS build must be one partial-agg'd exchange (cell-wise
+    SUM is the sketch merge; each map task collapses to ≤ d·w = 1024
+    cell rows before the shuffle) and the point-query join must
+    BROADCAST the 1024-cell sketch — never shuffle the probe side
+    against it. Explode is Generate, not Expand."""
+    plan = plan_of(spark, "ext_sketch_cms")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" not in plan
+
+
 def test_ext_split_by_content_stacked_aggs_no_expand(spark):
     """r16: n_texts + n_docs come from two STACKED partial aggregations
     (digest grain then split grain), never one groupBy with
