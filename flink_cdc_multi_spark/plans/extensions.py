@@ -1140,6 +1140,84 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keywords emitted per document by ext_text_tfidf.
+_TFIDF_TOP_K = 5
+
+
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (r16): the classic
+    sparse-retrieval / topic-labeling primitive next to
+    ext_text_commonness (which rolls corpus frequency UP per doc; this
+    ranks terms WITHIN each doc). Output: the top-%d terms of every
+    document as (doc_id, rnk, token, tf, df) — term frequency and
+    document frequency as exact integers per the ratio rule.
+
+    Rank contract (cross-engine exact, no libm): classic tf-idf ranks by
+    tf·ln(N/df); ln is libm- not IEEE-specified and must never execute
+    inside either engine (the _HLL_LC rule). This operator's contract is
+    the LINEAR-IDF variant tf·(N/df) — within one document N is a
+    constant, so the rank key reduces to tf/df, ONE IEEE-754 division
+    (exactly specified, bit-identical in Spark and DuckDB), ties broken
+    by token ASC (token strings are unique within a doc, so the order is
+    total). Production swaps ln back in per taste; the plan is identical.
+
+    Scale shape: one scan → explode → partial-agg'd exchange on
+    (doc_id, token) builds tf as a pure HashAggregate (grouping by the
+    token STRING keeps the agg buffer primitive — carrying the string
+    through min() instead demotes the whole occurrence stream to a
+    SortAggregate, measured in this plan's first draft); the md5-hash60
+    h is projected AFTER the aggregate, so the hash runs once per
+    distinct (doc, term) row, never per occurrence. df is a SECOND
+    aggregate over those tf rows keyed by h, and the tf↔df join is on
+    the 8-byte h BY CONTRACT (the commonness collision-proof parity
+    pattern — a 60-bit collision folds df identically in both engines).
+    Same broadcast-when-small guard as commonness: distinct hashes ≤
+    total tokens ≤ uncompressed source bytes, so a provably small df
+    table is broadcast and the doc×term stream never shuffles on h.
+    The top-k is a row_number window partitioned by doc_id — unlike the
+    CDC materializations (max_by rule) the partition key here is the
+    HIGH-cardinality doc_id, so there is no hot-key skew wall; Spark's
+    WindowGroupLimit additionally caps each map task to k rows per doc
+    BEFORE the window exchange (plan-pinned).""" % (
+        _TFIDF_TOP_K
+    )
+    from flink_cdc_multi_spark.operators.text import widen_narrow_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    tok = (
+        widen_narrow_scan(docs.filter(F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+    )
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", h)
+    )
+    dfq = tf.groupBy("h").agg(F.count("*").alias("df"))
+    if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
+        dfq = F.broadcast(dfq)
+    win = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+        F.col("token").asc(),
+    )
+    return (
+        tf.join(dfq, "h")
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+        )
+    )
+
+
 def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (the storage/serving compression pass:
     4 bytes/dim → 1): per vector, symmetric scale = max|x|, q_i =
@@ -1602,6 +1680,60 @@ def ext_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("event_type", "event_id", "value", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# Odd multiplicative scramble for ext_layout_zorder's dimensions
+# (Knuth 2654435761 = 2^32·φ⁻¹ rounded to odd) — bijective mod 2^21,
+# shared verbatim with the generated DuckDB oracle.
+_ZORDER_SCRAMBLE = 2654435761
+
+
+def ext_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave kernel over events (r16) — the gated
+    face of operators/layout.py, the multi-column clustering layout that
+    makes parquet/manifest min/max pruning work for predicates on EITHER
+    of two dimensions (Delta's OPTIMIZE ZORDER BY; see the module
+    docstring and tests/test_layout.py for the measured per-file
+    bounding-rectangle collapse). The kernel is the classic 5-step
+    magic-mask bit spread — exact int64 shift/and/or chains that stay in
+    whole-stage codegen (never a 2·bits-term flat sum; codegen bailout
+    rule) — and is replayed bit-for-bit by the DuckDB oracle from the
+    SAME decimal mask literals (MORTON_MASKS, the shared-constant
+    generated-oracle pattern).
+
+    Query contract: each dimension is pmod(id, 2^21) then scrambled by
+    an ODD multiplicative constant mod 2^21 (a bijection, so it loses
+    nothing and FILLS all 21 bit positions — raw gate ids never exceed
+    ~2^14, which would leave the high mask stages vacuously green; the
+    double-mod first keeps the product ≤ 2^21·K < 2^53, no ANSI
+    overflow on hostile extreme ids). Negative and NULL ids in the
+    adversarial fixture flow through identically on both sides: NULL →
+    NULL key → the NULL zprefix group. Rows roll up by the 8-bit
+    z-prefix (the top of the 42-bit key = the coarse z-cell a file
+    would own) with exact-integer evidence per cell: count, min/max of
+    each scrambled dimension, and sum of the full key (any single-bit
+    interleave regression shifts it). Scale shape: scan-local bit math
+    + ONE partial-agg'd exchange on the ≤256-value zprefix — no joins,
+    no windows."""
+    from flink_cdc_multi_spark.operators.layout import MORTON_INPUT_MASK, morton2
+
+    m = MORTON_INPUT_MASK + 1
+    ev = load_table(spark, sf_dir, "events")
+    a = ((((F.col("user_id") % m) + m) % m) * _ZORDER_SCRAMBLE) % m
+    b = ((((F.col("event_id") % m) + m) % m) * _ZORDER_SCRAMBLE) % m
+    z = morton2(a, b)
+    return (
+        ev.select(a.alias("a"), b.alias("b"), z.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 34).alias("zprefix"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("a").cast("bigint").alias("min_a"),
+            F.max("a").cast("bigint").alias("max_a"),
+            F.min("b").cast("bigint").alias("min_b"),
+            F.max("b").cast("bigint").alias("max_b"),
+            F.sum("zkey").cast("bigint").alias("sum_z"),
+        )
     )
 
 
@@ -2887,6 +3019,8 @@ EXT_QUERIES = {
     "ext_sample_stratified": ext_sample_stratified,
     "ext_mixture_sample": ext_mixture_sample,
     "ext_text_commonness": ext_text_commonness,
+    "ext_text_tfidf": ext_text_tfidf,
+    "ext_layout_zorder": ext_layout_zorder,
     "ext_text_bigrams": ext_text_bigrams,
     "ext_text_vocab": ext_text_vocab,
     "ext_contamination": ext_contamination,
@@ -3779,6 +3913,35 @@ EXT_ORACLE_SQL = {
         FROM tok JOIN freq USING (h)
         GROUP BY tok.doc_id ORDER BY tok.doc_id
     """,
+    # Rank key tf/df is ONE IEEE-exact double division (linear-IDF
+    # contract — see the Spark docstring; no libm ln on either engine);
+    # the join/df identity is md5-hash60 BY CONTRACT (commonness
+    # pattern), token strings ride as min(token) per (doc, h).
+    "ext_text_tfidf": rf"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM tok GROUP BY doc_id, token
+        ), dfq AS (
+          SELECT h, COUNT(*) AS df FROM tf GROUP BY h
+        ), scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE)
+                            DESC, tf.token ASC
+                 ) AS rnk
+          FROM tf JOIN dfq USING (h)
+        )
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM scored WHERE rnk <= {_TFIDF_TOP_K}
+        ORDER BY doc_id, rnk
+    """,
     "ext_mixture_sample": r"""
         WITH c AS (
           SELECT source, COUNT(*) AS cnt,
@@ -4625,6 +4788,61 @@ def _kcenter_oracle_sql(k: int = 8, scope: str = "vec_id < 400") -> str:
 
 
 EXT_ORACLE_SQL["ext_sample_kcenter"] = _kcenter_oracle_sql()
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB replay of ext_layout_zorder, GENERATED from the same mask /
+    shift / bit-width constants as the Spark kernel (operators/layout.py
+    MORTON_MASKS — the shared-constant oracle pattern: edit the masks and
+    both engines move together). Each spread step is its own CTE column
+    stage so the expression tree stays linear, never the 2^steps textual
+    blowup of inlining."""
+    from flink_cdc_multi_spark.operators.layout import (
+        _MORTON_SHIFTS,
+        MORTON_INPUT_MASK,
+        MORTON_MASKS,
+    )
+
+    m = MORTON_INPUT_MASK + 1
+    k = _ZORDER_SCRAMBLE
+    ctes = [
+        f"""base AS (
+          SELECT (((((user_id % {m}) + {m}) % {m}) * {k}) % {m})
+                   & {MORTON_INPUT_MASK} AS a0,
+                 (((((event_id % {m}) + {m}) % {m}) * {k}) % {m})
+                   & {MORTON_INPUT_MASK} AS b0
+          FROM events
+        )"""
+    ]
+    prev = "base"
+    for i, (s, mask) in enumerate(zip(_MORTON_SHIFTS, MORTON_MASKS), 1):
+        pa, pb = f"a{i - 1}", f"b{i - 1}"
+        ctes.append(
+            f"""s{i} AS (
+          SELECT a0, b0,
+                 (({pa} | ({pa} << {s})) & {mask}) AS a{i},
+                 (({pb} | ({pb} << {s})) & {mask}) AS b{i}
+          FROM {prev}
+        )"""
+        )
+        prev = f"s{i}"
+    n = len(MORTON_MASKS)
+    return f"""
+        WITH {", ".join(ctes)}, z AS (
+          SELECT a0 AS a, b0 AS b, (a{n} | (b{n} << 1)) AS zkey FROM {prev}
+        )
+        SELECT (zkey >> 34) AS zprefix,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(a) AS BIGINT) AS min_a,
+               CAST(MAX(a) AS BIGINT) AS max_a,
+               CAST(MIN(b) AS BIGINT) AS min_b,
+               CAST(MAX(b) AS BIGINT) AS max_b,
+               CAST(SUM(zkey) AS BIGINT) AS sum_z
+        FROM z GROUP BY zprefix ORDER BY zprefix
+    """
+
+
+EXT_ORACLE_SQL["ext_layout_zorder"] = _zorder_oracle_sql()
 
 
 def _quality_score_oracle_sql() -> str:

@@ -87,6 +87,15 @@ ADVERSARIAL_QUERIES = [
     # negative-id zero/epsilon vectors become pick #1 (min id seed) and
     # legitimate far-point candidates
     "ext_sample_kcenter",
+    # r16: z-order kernel — the hostile NULL row, NULL user_id, negative
+    # and extreme (±2^62-class) ids stress the double-mod + bounded
+    # scramble (no ANSI overflow) and the NULL→NULL-key→NULL-group path
+    "ext_layout_zorder",
+    # r16: tf-idf keywords — unicode tokens through md5 parity,
+    # NULL/empty/whitespace text filtered identically on both sides,
+    # duplicate texts across sources stress df counting, and equal
+    # tf/df rank keys pin the token-ASC tie-break cross-engine
+    "ext_text_tfidf",
     # r14: quality-aware keep-one — the dup rows (-5/-6/-7, identical
     # text => one cluster, equal scores => lowest doc_id wins) and the
     # empty/whitespace rows (scoreless members rank below every scored

@@ -821,6 +821,50 @@ def test_text_commonness_exact_counts(spark, tmp_path):
     assert got == {1: (6, 3), 2: (3, 2)}  # whitespace-only doc absent
 
 
+def test_text_tfidf_rank_contract(spark, tmp_path):
+    # corpus of 3 docs: "x" appears in all (df=3), "y" in two (df=2),
+    # "z" only in doc1 (df=1).
+    # doc1 tokens (x x y z): tf/df -> x 2/3, y 1/2, z 1/1
+    #   rank order: z (1.0) > x (0.667) > y (0.5)
+    # doc2 (x y y):          y 2/2=1.0 > x 1/3
+    # doc3 (x):              x only
+    # tie-break: doc4 (a b) both tf=1 df=1 -> token ASC: a before b
+    import pandas as pd
+
+    from flink_cdc_multi_spark.plans.extensions import ext_text_tfidf
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["x x y z", "x y y", "x", "a b", "  "],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [7, 5, 1, 3, 2],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    rows = ext_text_tfidf(spark, str(sf)).collect()
+    got = {(r["doc_id"], r["rnk"]): (r["token"], r["tf"], r["df"]) for r in rows}
+    assert got[(1, 1)] == ("z", 1, 1)
+    assert got[(1, 2)] == ("x", 2, 3)
+    assert got[(1, 3)] == ("y", 1, 2)
+    assert got[(2, 1)] == ("y", 2, 2)
+    assert got[(2, 2)] == ("x", 1, 3)
+    assert got[(3, 1)] == ("x", 1, 3)
+    assert got[(4, 1)] == ("a", 1, 1)  # equal scores: token ASC
+    assert got[(4, 2)] == ("b", 1, 1)
+    assert not any(d == 5 for d, _ in got)  # whitespace-only doc absent
+    # every doc emits at most TOP_K rows and ranks are 1..n contiguous
+    from flink_cdc_multi_spark.plans.extensions import _TFIDF_TOP_K
+
+    for d in (1, 2, 3, 4):
+        rnks = sorted(r for (dd, r) in got if dd == d)
+        assert rnks == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= _TFIDF_TOP_K
+
+
 def test_mixture_sample_hits_target_shares(spark, tmp_path):
     # 4 sources x uniform 250 docs, target shares 2/4/6/8 percent
     # (p = idx%4*2+2): n_out = min(250*100//p) = floor(25000/8) = 3125,

@@ -318,6 +318,31 @@ def test_ext_embed_centroid_partial_agg(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_ext_text_tfidf_hash_agg_and_group_limit(spark):
+    """r16: the tf build must stay a HashAggregate (grouping by the token
+    string — carrying the string through min() demotes the occurrence
+    stream to a SortAggregate, the first-draft regression), the top-k
+    must pre-reduce map-side (WindowGroupLimit), and at gate SF the
+    provably-small df table is broadcast so the doc×term stream never
+    shuffles on h."""
+    plan = plan_of(spark, "ext_text_tfidf")
+    assert "SortAggregate" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    # only (doc_id, text) are ever read
+    assert "n_chars" not in plan and "source" not in plan
+
+
+def test_ext_layout_zorder_scan_local_single_exchange(spark):
+    """r16: the Morton kernel must stay scan-local integer bit math —
+    ONE partial-agg'd exchange on the zprefix, no joins/windows/Expand,
+    and the events scan reads ONLY (event_id, user_id)."""
+    plan = plan_of(spark, "ext_layout_zorder")
+    assert plan.count("+- Exchange") == 1  # tree section: exactly one
+    assert "Join" not in plan and "Window" not in plan and "Expand" not in plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan
+
+
 def test_ext_sketch_kmv_window_group_limit(spark):
     """The k-smallest selection must pre-reduce map-side (WindowGroupLimit
     = distributed per-partition KMV merge), never ship every distinct
