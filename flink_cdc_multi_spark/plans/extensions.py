@@ -2404,21 +2404,17 @@ def ext_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL estimator constant: alpha_m·m²·2^K for m=64 registers is computed
-# in hll_sketch_over from the same alpha literal the oracle embeds
-# (1.046802484394006e+20 at K=55) — both engines parse the same decimal
-# to the same IEEE double, so the one floating division is bit-identical
-# cross-engine.
-#
-# Small-range (linear counting) estimates m·ln(m/V_empty) for
-# v_filled = 1..63, PRECOMPUTED in Python and embedded as the same
-# integer literals on both engine sides (the BPE_MERGES generated-oracle
-# pattern) — ln() is libm- not IEEE-specified, so it must never execute
-# inside either engine. Edit here and both sides move together.
-import math as _math
-
-_HLL_LC = tuple(
-    int(round(64 * _math.log(64 / (64 - v)))) for v in range(1, 64)
+# HLL kernel (r16: extracted to operators/sketch.py so the batch sketch,
+# the merged-shard rollup, and the STREAMING distinct counter share one
+# j/rho projection + estimator — see the module docstring there for the
+# cross-engine float/ln rules). _HLL_LC stays the oracle-side name: the
+# generated SQL embeds these integers verbatim.
+from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
+    HLL_LC as _HLL_LC,
+)
+from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
+    hll_finalize,
+    hll_j_rho,
 )
 
 
@@ -2495,72 +2491,56 @@ def hll_sketch_over(
     count NULL as one distinct value. NULL is not a value — the
     count-distinct convention both engines share."""
     df = df.filter(F.col(value_col).isNotNull())
-    if use_xxhash:
-        h = F.xxhash64(value_col)
-        rem_bits = 58  # full 64-bit hash: top 6 → register, 58 → rho
-    else:
-        h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
-        rem_bits = 54  # 60-bit portable hash
-    j = F.shiftrightunsigned(h, rem_bits)
-    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
-    # rho = rem_bits+1 − bit_length(rem), bit_length by 6-step integer
-    # binary search — value-identical to the oracle's string-position
-    # form but pure comparisons/shifts in one codegen stage (the r16
-    # sf10 A/B: the bin+lpad+instr string rendering allocated per TOKEN
-    # and owned the scan wall; PERF.md r16)
-    bitlen = F.lit(0)
-    r = rem
-    for sh in (32, 16, 8, 4, 2, 1):
-        over = r >= F.lit(1 << sh)
-        bitlen = bitlen + F.when(over, F.lit(sh)).otherwise(F.lit(0))
-        r = F.when(over, F.shiftright(r, sh)).otherwise(r)
-    # register cap 55 — a no-op for the 54-bit md5 path (max rho IS 55),
-    # and on the 58-bit xxhash path it clips only the P = 2^-55 tail
-    # while keeping the fixed-point scale at 2^55 for BOTH paths: at a
-    # 2^59 scale `empties·2^59` overflows int64 for any group with ≥16
-    # empty registers — the common low-cardinality case — and ANSI mode
-    # (ON, CLAUDE.md) turns that into a job-killing ArithmeticException
-    # (r16 review finding; pinned by the low-cardinality fast-path test)
-    rho = F.least(
-        F.lit(rem_bits + 1) - (bitlen + r.cast("int")), F.lit(55)
-    )
+    # j/rho + register-cap rationale live in operators/sketch.hll_j_rho
+    # (r16 extraction — the streaming counter shares them verbatim)
+    j, rho = hll_j_rho(F.col(value_col), use_xxhash=use_xxhash)
     regs = (
         df.select(*group_cols, j.alias("j"), rho.alias("rho"))
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("m"))
     )
-    kmax = 55
-    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({kmax} - m AS INT))")
-    c_const = 0.7093409548395029 * 64 * 64 * 2.0**kmax
-    return (
-        regs.groupBy(*group_cols)
-        .agg(
-            F.count("*").cast("bigint").alias("v_filled"),
-            (
-                F.sum(term)
-                + (F.lit(64) - F.count("*")) * F.lit(1 << kmax)
-            ).cast("bigint").alias("harmonic_scaled"),
-        )
-        .select(
-            *group_cols,
-            "v_filled",
-            "harmonic_scaled",
-            F.floor(
-                F.lit(c_const) / F.col("harmonic_scaled").cast("double")
-            ).cast("bigint").alias("raw_est"),
-        )
-        .select(
-            *group_cols,
-            "v_filled",
-            "harmonic_scaled",
-            F.when(
-                (F.col("v_filled") < 64) & (F.col("raw_est") <= 160),
-                F.element_at(
-                    F.array(*[F.lit(x) for x in _HLL_LC]),
-                    F.col("v_filled").cast("int"),
-                ).cast("bigint"),
-            ).otherwise(F.col("raw_est")).alias("est_distinct"),
-        )
+    return hll_finalize(regs, group_cols)
+
+
+def ext_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL shard-merge rollup (r16): the property that makes HLL the
+    100 TB profiling sketch is MERGEABILITY — per-shard sketches union
+    by element-wise register max, so a daily/source-sharded pipeline
+    never revisits raw data to get corpus totals. This query PINS that
+    property cross-engine: build an independent sketch per
+    (lang, source) shard, merge the shards per lang by max-of-maxes,
+    and finalize — the oracle replays the same TWO-LEVEL merge, and the
+    result must equal the direct one-level ext_sketch_hll sketch
+    bit-for-bit (same registers either way; asserted as a unit test,
+    not just implied). Output adds n_shards (distinct sources folded
+    per lang) so the contract differs from ext_sketch_hll's and the
+    gate hashes a genuinely different result.
+
+    Scale shape: the shard build is the same partial_max collapse
+    (map tasks → ≤ |lang·source|·64 rows before ONE exchange); the
+    merge and finalize run on sketch-sized data (|groups|·64 rows) —
+    at 100 TB the second level costs nothing. n_shards is a
+    count_distinct over shard-sketch rows — sketch-sized input, so the
+    Expand fan-out rule for corpus-sized mixed aggregates does not
+    apply (and it is the ONLY aggregate in its groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "lang",
+        "source",
+        F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token"),
+    )
+    j, rho = hll_j_rho(F.col("token"), use_xxhash=False)
+    shard_regs = (
+        toks.select("lang", "source", j.alias("j"), rho.alias("rho"))
+        .groupBy("lang", "source", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = shard_regs.groupBy("lang", "j").agg(F.max("m").alias("m"))
+    n_shards = shard_regs.groupBy("lang").agg(
+        F.count_distinct("source").cast("bigint").alias("n_shards")
+    )
+    return hll_finalize(merged, ["lang"]).join(n_shards, "lang").select(
+        "lang", "n_shards", "v_filled", "harmonic_scaled", "est_distinct"
     )
 
 
@@ -3048,6 +3028,7 @@ EXT_QUERIES = {
     "ext_profile_orders": ext_profile_orders,
     "ext_sketch_kmv": ext_sketch_kmv,
     "ext_sketch_hll": ext_sketch_hll,
+    "ext_sketch_hll_merge": ext_sketch_hll_merge,
     "ext_sketch_cms": ext_sketch_cms,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
@@ -4244,6 +4225,55 @@ EXT_ORACLE_SQL = {
                                            CAST(v_filled AS INT)) AS BIGINT)
                     ELSE raw_est END AS est_distinct
         FROM r ORDER BY lang
+    """,
+    # Two-level merge replay of ext_sketch_hll_merge: per-(lang, source)
+    # shard registers, then max-of-maxes per lang — the mergeability
+    # contract. Same hash/rho/estimator arms as ext_sketch_hll above.
+    "ext_sketch_hll_merge": rf"""
+        WITH occ AS (
+          SELECT lang, source,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM (SELECT lang, source,
+                       unnest(list_distinct(
+                         regexp_split_to_array(trim(text), '\s+'))) AS token
+                FROM documents WHERE trim(text) <> '') u
+        ), reg AS (
+          SELECT lang, source, h >> 54 AS j,
+                 CASE WHEN strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
+                                       54, '0'), '1') = 0
+                      THEN 55
+                      ELSE strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
+                                       54, '0'), '1')
+                 END AS rho
+          FROM occ
+        ), shard AS (
+          SELECT lang, source, j, MAX(rho) AS mr
+          FROM reg GROUP BY lang, source, j
+        ), merged AS (
+          SELECT lang, j, MAX(mr) AS mr FROM shard GROUP BY lang, j
+        ), nsh AS (
+          SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_shards
+          FROM shard GROUP BY lang
+        ), s AS (
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS v_filled,
+                 CAST(SUM(1::BIGINT << (55 - mr))
+                      + (64 - COUNT(*)) * (1::BIGINT << 55)
+                      AS BIGINT) AS harmonic_scaled
+          FROM merged GROUP BY lang
+        ), r AS (
+          SELECT lang, v_filled, harmonic_scaled,
+                 CAST(floor(1.046802484394006e+20
+                            / CAST(harmonic_scaled AS DOUBLE))
+                      AS BIGINT) AS raw_est
+          FROM s
+        )
+        SELECT lang, n_shards, v_filled, harmonic_scaled,
+               CASE WHEN v_filled < 64 AND raw_est <= 160
+                    THEN CAST(list_extract([{', '.join(str(x) for x in _HLL_LC)}],
+                                           CAST(v_filled AS INT)) AS BIGINT)
+                    ELSE raw_est END AS est_distinct
+        FROM r JOIN nsh USING (lang) ORDER BY lang
     """,
     "ext_sketch_cms": r"""
         -- count-min sketch: d=4 rows x w=256 cols, Kirsch-Mitzenmacher

@@ -422,3 +422,91 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HLL_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.LongType()))]
+)
+
+
+def hll_distinct_stream(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    use_xxhash: bool = True,
+) -> DataFrame:
+    """Streaming distinct-count per group via the portable HLL sketch
+    (operators/sketch.py — the r16 batch kernel): state per key is the
+    64 register maxima, updated by element-wise max each micro-batch and
+    finalized to (group, v_filled, harmonic_scaled, est_distinct) in
+    update mode. Because the sketch merges by MAX, the streaming state
+    after ANY batch split equals the batch sketch over the union of all
+    rows so far — bit-for-bit, not approximately (pinned in
+    tests/test_streaming_hll.py against hll_sketch_over on the same
+    feed). That is the whole design: unlike a streaming
+    count_distinct, state is a CONSTANT 64 longs per key no matter how
+    many distinct values flow through — the only way a distinct counter
+    survives an unbounded 100 TB stream.
+
+    The hash + register + rho projection runs JVM-side BEFORE the
+    stateful exchange (the shared hll_j_rho columns), so the Python
+    stage only folds (j, rho) ints into the register vector; the
+    per-batch shuffle carries (group, j, rho) rows. ``use_xxhash=True``
+    (default) is the production hash; pass False for the md5-hash60
+    portable contract (e.g. to compare a stream against a DuckDB-side
+    batch replay). NULL values are dropped — NULL is not a value (the
+    batch operator's rule). Output mode: update (one row per key per
+    batch in which the key received data)."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.operators.sketch import (
+        HLL_REGISTERS,
+        hll_estimate_py,
+        hll_j_rho,
+    )
+
+    j, rho = hll_j_rho(F.col(value_col), use_xxhash=use_xxhash)
+    proj = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias(group_col),
+            j.alias("j"),
+            rho.alias("rho"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("v_filled", T.LongType()),
+            T.StructField("harmonic_scaled", T.LongType()),
+            T.StructField("est_distinct", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * HLL_REGISTERS
+        for pdf in pdfs:
+            for jj, rr in pdf.groupby("j")["rho"].max().items():
+                jj, rr = int(jj), int(rr)
+                if rr > regs[jj]:
+                    regs[jj] = rr
+        state.update((regs,))
+        v_filled, harmonic, est = hll_estimate_py(regs)
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "v_filled": [v_filled],
+                "harmonic_scaled": [harmonic],
+                "est_distinct": [est],
+            }
+        )
+
+    return proj.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_HLL_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

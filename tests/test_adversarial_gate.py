@@ -74,6 +74,10 @@ ADVERSARIAL_QUERIES = [
     # text filtered identically, single-doc langs land in the
     # linear-counting branch (shared precomputed table on both sides)
     "ext_sketch_hll",
+    # r16: HLL shard merge — same hostile class as ext_sketch_hll, plus
+    # the cross-source duplicate texts make shard sketches OVERLAP, so
+    # the max-of-maxes merge (not a sum) is what keeps both engines equal
+    "ext_sketch_hll_merge",
     # r16: count-min — the hostile duplicate texts inflate true counts,
     # unicode tokens exercise md5 parity, and the negative doc_ids sit
     # outside the probe scope on both sides identically

@@ -821,6 +821,34 @@ def test_text_commonness_exact_counts(spark, tmp_path):
     assert got == {1: (6, 3), 2: (3, 2)}  # whitespace-only doc absent
 
 
+def test_hll_merge_equals_direct_sketch(spark):
+    """Mergeability is EXACT: per-(lang, source) shard sketches merged by
+    max-of-maxes must equal the direct one-level lang sketch bit-for-bit
+    (same registers either way) — the property a sharded 100 TB rollup
+    relies on."""
+    from flink_cdc_multi_spark.plans.extensions import (
+        ext_sketch_hll,
+        ext_sketch_hll_merge,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = {
+        r["lang"]: (r["v_filled"], r["harmonic_scaled"], r["est_distinct"])
+        for r in ext_sketch_hll(spark, sf).collect()
+    }
+    merged = {
+        r["lang"]: (r["v_filled"], r["harmonic_scaled"], r["est_distinct"])
+        for r in ext_sketch_hll_merge(spark, sf).collect()
+    }
+    assert merged == direct
+    # and the shard count is a real multi-shard fold, not a degenerate 1
+    n_shards = {
+        r["lang"]: r["n_shards"]
+        for r in ext_sketch_hll_merge(spark, sf).collect()
+    }
+    assert max(n_shards.values()) >= 2
+
+
 def test_text_tfidf_rank_contract(spark, tmp_path):
     # corpus of 3 docs: "x" appears in all (df=3), "y" in two (df=2),
     # "z" only in doc1 (df=1).

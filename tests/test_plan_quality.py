@@ -333,6 +333,17 @@ def test_ext_text_tfidf_hash_agg_and_group_limit(spark):
     assert "n_chars" not in plan and "source" not in plan
 
 
+def test_ext_sketch_hll_merge_partial_agg_no_expand(spark):
+    """r16: the shard build must keep the mergeable-sketch shape —
+    partial_max collapses map tasks before the one corpus exchange; the
+    second-level merge and n_shards run on sketch-sized rows. The
+    count_distinct is the only aggregate in its groupBy, so no Expand
+    fan-out may appear."""
+    plan = plan_of(spark, "ext_sketch_hll_merge")
+    assert "partial_max" in plan
+    assert "Expand" not in plan and "Window" not in plan
+
+
 def test_ext_layout_zorder_scan_local_single_exchange(spark):
     """r16: the Morton kernel must stay scan-local integer bit math —
     ONE partial-agg'd exchange on the zprefix, no joins/windows/Expand,
