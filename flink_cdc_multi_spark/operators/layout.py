@@ -37,6 +37,8 @@ shared as decimal literals via ``MORTON_MASKS``).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +56,32 @@ MORTON_MASKS = (
     6148914691236517205,  # 0x5555555555555555
 )
 _MORTON_SHIFTS = (16, 8, 4, 2, 1)
+
+
+def dim_barrier(df: DataFrame, a: Column, b: Column) -> DataFrame:
+    """Materialize the two morton dimensions behind a Generate barrier —
+    ``explode(array(struct(a, b)))`` — before feeding them to
+    :func:`morton2`. The spread chain references its input TWICE per
+    step, so the expression tree duplicates its leaf 2^5 = 32 times;
+    CollapseProject happily re-inlines a computed alias into every copy
+    (the token_barrier lesson), which is catastrophic when the dim is a
+    quantile_bucket: higher-order functions are CodegenFallback, so the
+    63-comparison lambda would run INTERPRETED ×32 per row (measured:
+    the first zorder_layout draft wrote sf10 events in 12.6 s; with the
+    barrier the re-inline is impossible and only attribute leaves are
+    duplicated). Output columns: ``__dim_a``, ``__dim_b`` appended to
+    ``df``'s columns."""
+    keep = [F.col(c) for c in df.columns]
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(F.struct(a.alias("a"), b.alias("b")))
+        ).alias("__ab"),
+    ).select(
+        *keep,
+        F.col("__ab.a").alias("__dim_a"),
+        F.col("__ab.b").alias("__dim_b"),
+    )
 
 
 def spread_bits2(x: Column) -> Column:
@@ -100,11 +128,59 @@ def quantile_bucket(col: Column, boundaries: list[float]) -> Column:
     return F.when(col.isNotNull(), n)
 
 
+def morton2_np(a, b):
+    """Vectorized :func:`morton2` over numpy int64 arrays — the same
+    5-step magic-mask chain, verified element-identical to morton2_py in
+    tests. Inputs must already be masked to MORTON_BITS (bucket indices
+    are)."""
+    def spread(x):
+        x = x & np.int64(MORTON_INPUT_MASK)
+        for s, m in zip(_MORTON_SHIFTS, MORTON_MASKS):
+            x = (x | (x << np.int64(s))) & np.int64(m)
+        return x
+
+    return spread(a) | (spread(b) << np.int64(1))
+
+
+def _zkey_pandas_udf(bounds_a: list[float], bounds_b: list[float]):
+    """Arrow-batched zkey kernel for the WRITE path: np.searchsorted
+    (side='right' = count of boundaries ≤ x, exactly quantile_bucket's
+    contract) + the vectorized spread. This is the sanctioned
+    when-Python-is-unavoidable shape: the pure-expression form hits the
+    CodegenFallback trap — quantile_bucket is a higher-order function,
+    so the whole projection runs INTERPRETED and the 2·63-comparison
+    lambda dominates (same-session sf10 ABAB: 35 s/write expression vs
+    2.6-6.6 s vectorized — see PERF.md r16). NULL in either dim → NULL
+    key, matching the expression path (tested equal)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bna = np.asarray(bounds_a, dtype=float)
+    bnb = np.asarray(bounds_b, dtype=float)
+
+    @pandas_udf("long")
+    def zkey(a: pd.Series, b: pd.Series) -> pd.Series:
+        ia = np.searchsorted(
+            bna, a.to_numpy(dtype=float, na_value=np.nan), side="right"
+        ).astype(np.int64)
+        ib = np.searchsorted(
+            bnb, b.to_numpy(dtype=float, na_value=np.nan), side="right"
+        ).astype(np.int64)
+        out = pd.Series(morton2_np(ia, ib))
+        mask = a.isna() | b.isna()
+        if mask.any():
+            out = out.astype("Int64")
+            out[mask] = pd.NA
+        return out
+
+    return zkey
+
+
 def zorder_layout(
     df: DataFrame,
     cols: list[str],
     n_buckets: int = 256,
     n_partitions: int | None = None,
+    use_numpy: bool = True,
 ) -> DataFrame:
     """Return ``df`` re-laid-out in Z-order on two columns: quantile-bucket
     each dim to ``n_buckets`` cells, interleave to a Morton key, then ONE
@@ -130,11 +206,24 @@ def zorder_layout(
                       .approxQuantile("x", probs, err)))
         for c in cols
     }
-    zkey = morton2(
-        quantile_bucket(F.col(cols[0]), bounds[cols[0]]),
-        quantile_bucket(F.col(cols[1]), bounds[cols[1]]),
-    )
-    out = df.withColumn("__zkey", zkey)
+    if use_numpy:
+        # the default write path: one Arrow-batched vectorized kernel
+        # (see _zkey_pandas_udf — the expression form pays interpreted
+        # CodegenFallback evaluation of the bucket lambda)
+        zkey_udf = _zkey_pandas_udf(bounds[cols[0]], bounds[cols[1]])
+        out = df.withColumn("__zkey", zkey_udf(F.col(cols[0]), F.col(cols[1])))
+    else:
+        # pure-expression fallback (no Python workers): bucket indices
+        # MUST cross a dim_barrier before the interleave — see
+        # dim_barrier: without it the interpreted bucket lambda re-runs
+        # ~32x per row inside the spread chain
+        out = dim_barrier(
+            df,
+            quantile_bucket(F.col(cols[0]), bounds[cols[0]]),
+            quantile_bucket(F.col(cols[1]), bounds[cols[1]]),
+        ).withColumn(
+            "__zkey", morton2(F.col("__dim_a"), F.col("__dim_b"))
+        ).drop("__dim_a", "__dim_b")
     n_out = n_partitions or out.sparkSession.sparkContext.defaultParallelism
     return (
         out.repartitionByRange(n_out, "__zkey")

@@ -48,6 +48,9 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # is what lets a pin coexist with the PREVIOUS round's green row for the same
 # query — pin round N's plan changes as (name, N) and never clear by hand.
 _REGATE: list[tuple[str, int]] = [
+    # r16: ext_layout_zorder's dims now cross a Generate barrier before
+    # the spread chain (plan changed after first registration this round)
+    ("ext_layout_zorder", 16),
     # r16: url_canonicalize regex fixes (authority-anchored port strip,
     # non-greedy re-anchor) + multi-param gate synthesis on BOTH sides
     ("ext_dedup_urls", 16),

@@ -1716,15 +1716,26 @@ def ext_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleave regression shifts it). Scale shape: scan-local bit math
     + ONE partial-agg'd exchange on the ≤256-value zprefix — no joins,
     no windows."""
-    from flink_cdc_multi_spark.operators.layout import MORTON_INPUT_MASK, morton2
+    from flink_cdc_multi_spark.operators.layout import (
+        MORTON_INPUT_MASK,
+        dim_barrier,
+        morton2,
+    )
 
     m = MORTON_INPUT_MASK + 1
     ev = load_table(spark, sf_dir, "events")
     a = ((((F.col("user_id") % m) + m) % m) * _ZORDER_SCRAMBLE) % m
     b = ((((F.col("event_id") % m) + m) % m) * _ZORDER_SCRAMBLE) % m
-    z = morton2(a, b)
+    # dims cross a Generate barrier so the spread chain's 2^5 leaf
+    # duplication copies ATTRIBUTES, not the mod/scramble arithmetic
+    # (same-session sf10 ABAB: 0.95 → 0.77 s; see dim_barrier)
+    dims = dim_barrier(ev.select("user_id", "event_id"), a, b)
     return (
-        ev.select(a.alias("a"), b.alias("b"), z.alias("zkey"))
+        dims.select(
+            F.col("__dim_a").alias("a"),
+            F.col("__dim_b").alias("b"),
+            morton2(F.col("__dim_a"), F.col("__dim_b")).alias("zkey"),
+        )
         .groupBy(F.shiftright(F.col("zkey"), 34).alias("zprefix"))
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -2835,6 +2846,73 @@ def graph_pagerank_over(pairs: DataFrame, iters: int = 3,
     return pr.select(F.col("id").alias("doc_id"), "pr")
 
 
+def ext_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (r16) — the community-detection
+    member of the graph family (Raghavan et al. 2007), next to the CC
+    fixpoint (connectivity), triangles (closure), and PageRank
+    (centrality): LPA finds DENSE groups, which on a near-dup pair
+    graph separates template families that mere connectivity fuses
+    through bridge docs. Same jaccard edge set as
+    ext_graph_pagerank/ext_graph_triangles.
+
+    Deterministic contract (LPA's classic pitfall is tie randomness):
+    label_0(v) = v; each of 3 UNROLLED synchronous rounds assigns
+    label_{k+1}(v) = the most frequent label among v's neighbors, ties
+    broken by MIN label — in Spark ONE max_by reduction per round
+    (max(struct(count, -label)); never a row_number window, the
+    materialization rule), in the oracle the ANSI max-count-then-min
+    replay. All integer, so the hash cannot drift.
+
+    Scale shape: each round is one equi-join of the edge list with the
+    node-cardinality label vector plus two partial-agg'd groupBys — the
+    Pregel message-passing shape as plain shuffles, exactly pagerank's
+    plan class, and it inherits pagerank's guarded ``broadcast_labels``
+    fast path (node vector ≤ bound → edges never shuffle; fail-closed
+    to shuffle_hash)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    e = _ngram_pair_candidates(docs, mult=50).select("a_id", "b_id")
+    node_bound = _local_input_rows(sf_dir, "documents")
+    return graph_labelprop_over(
+        e, broadcast_labels=node_bound * 16 <= _PAGERANK_BCAST_BYTES
+    )
+
+
+def graph_labelprop_over(pairs: DataFrame, iters: int = 3,
+                         broadcast_labels: bool = False) -> DataFrame:
+    """Synchronous LPA over an (a_id, b_id) pair frame — the
+    edge-parameterized core of ext_graph_labelprop (the
+    graph_pagerank_over factoring, so scale harnesses can drive it over
+    LSH pair graphs directly). ``broadcast_labels`` follows
+    graph_pagerank_over's contract: the label vector is node-cardinality
+    (16 bytes/node), so broadcasting it deletes the per-round edge-side
+    exchange; caller-guarded, leave False at billion-node scale."""
+    e = pairs.select("a_id", "b_id")
+    edges = e.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(e.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").cast("bigint").alias("lbl")
+    )
+    for _ in range(iters):
+        lbls = F.broadcast(labels) if broadcast_labels \
+            else labels.hint("shuffle_hash")
+        cnt = (
+            edges.alias("e")
+            .join(lbls.alias("l"), F.col("e.u") == F.col("l.id"))
+            .groupBy(F.col("e.v").alias("v"), F.col("l.lbl").alias("nl"))
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count DESC, label ASC) as ONE reduction:
+        # max(struct(c, -lbl)) — lexicographic struct max
+        labels = (
+            cnt.groupBy(F.col("v").alias("id"))
+            .agg(F.max(F.struct(F.col("c"), (-F.col("nl")).alias("neg")))
+                 .alias("s"))
+            .select("id", (-F.col("s.neg")).cast("bigint").alias("lbl"))
+        )
+    return labels.select(F.col("id").alias("doc_id"), "lbl")
+
+
 def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding time-window aggregate: 24-hour windows every 12 hours
     (each event lands in exactly 2 windows) with row and distinct-user
@@ -3017,6 +3095,7 @@ EXT_QUERIES = {
     "ext_window_range": ext_window_range,
     "ext_graph_triangles": ext_graph_triangles,
     "ext_graph_pagerank": ext_graph_pagerank,
+    "ext_graph_labelprop": ext_graph_labelprop,
     "ext_text_redact": ext_text_redact,
     "ext_cdc_ivm": ext_cdc_ivm,
     "ext_multimodal_audio": ext_multimodal_audio,
@@ -4063,6 +4142,63 @@ EXT_ORACLE_SQL = {
           GROUP BY ed.v
         )
         SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3
+    """,
+    # synchronous LPA replay (r16): same jaccard edge set; 3 unrolled
+    # rounds of most-frequent-neighbor-label with MIN-label ties — the
+    # ANSI max-count-then-min form of the Spark side's max(struct(c,
+    # -lbl)) reduction. Each c_k is referenced TWICE (by its max and its
+    # argmin join), so it must be MATERIALIZED — DuckDB's default CTE
+    # inlining re-evaluates the chain exponentially in rounds (the
+    # kcenter 2700x lesson, PERF.md r16).
+    "ext_graph_labelprop": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id < 500
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                 END sh
+          FROM t
+        ), ex AS (
+          SELECT doc_id, len(sh) n_sh, unnest(sh) shingle FROM s
+        ), e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) * 50 >= any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)
+        ), ed AS (
+          SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), l0 AS (
+          SELECT DISTINCT u AS id, u AS lbl FROM ed
+        ), c1 AS MATERIALIZED (
+          SELECT ed.v, l0.lbl, COUNT(*) AS c FROM ed
+          JOIN l0 ON l0.id = ed.u GROUP BY ed.v, l0.lbl
+        ), m1 AS (
+          SELECT v, MAX(c) AS mc FROM c1 GROUP BY v
+        ), l1 AS (
+          SELECT c1.v AS id, MIN(c1.lbl) AS lbl
+          FROM c1 JOIN m1 ON c1.v = m1.v AND c1.c = m1.mc GROUP BY c1.v
+        ), c2 AS MATERIALIZED (
+          SELECT ed.v, l1.lbl, COUNT(*) AS c FROM ed
+          JOIN l1 ON l1.id = ed.u GROUP BY ed.v, l1.lbl
+        ), m2 AS (
+          SELECT v, MAX(c) AS mc FROM c2 GROUP BY v
+        ), l2 AS (
+          SELECT c2.v AS id, MIN(c2.lbl) AS lbl
+          FROM c2 JOIN m2 ON c2.v = m2.v AND c2.c = m2.mc GROUP BY c2.v
+        ), c3 AS MATERIALIZED (
+          SELECT ed.v, l2.lbl, COUNT(*) AS c FROM ed
+          JOIN l2 ON l2.id = ed.u GROUP BY ed.v, l2.lbl
+        ), m3 AS (
+          SELECT v, MAX(c) AS mc FROM c3 GROUP BY v
+        ), l3 AS (
+          SELECT c3.v AS id, MIN(c3.lbl) AS lbl
+          FROM c3 JOIN m3 ON c3.v = m3.v AND c3.c = m3.mc GROUP BY c3.v
+        )
+        SELECT id AS doc_id, CAST(lbl AS BIGINT) AS lbl FROM l3
+        ORDER BY doc_id
     """,
     "ext_graph_triangles": r"""
         WITH t AS (

@@ -821,6 +821,28 @@ def test_text_commonness_exact_counts(spark, tmp_path):
     assert got == {1: (6, 3), 2: (3, 2)}  # whitespace-only doc absent
 
 
+def test_labelprop_majority_beats_min_and_paths_agree(spark):
+    """LPA contract on a hand graph (triangle 1-2-3 plus node 9 on 2,3),
+    2 rounds: after round 1 node 2's neighbor labels are {2,1,2} — the
+    majority label 2 must WIN over the smaller label 1 (tie-break is
+    min only at EQUAL counts). Both the broadcast and shuffle label
+    paths must agree."""
+    from flink_cdc_multi_spark.plans.extensions import graph_labelprop_over
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 9), (3, 9)], "a_id long, b_id long"
+    )
+    want = {1: 1, 2: 2, 3: 2, 9: 1}
+    for bcast in (False, True):
+        got = {
+            r["doc_id"]: r["lbl"]
+            for r in graph_labelprop_over(
+                pairs, iters=2, broadcast_labels=bcast
+            ).collect()
+        }
+        assert got == want, (bcast, got)
+
+
 def test_hll_merge_equals_direct_sketch(spark):
     """Mergeability is EXACT: per-(lang, source) shard sketches merged by
     max-of-maxes must equal the direct one-level lang sketch bit-for-bit

@@ -120,6 +120,61 @@ def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
     assert back.agg(F.count("*"), F.sum("id"), F.sum("a"), F.sum("b")).collect()[0] == orig
 
 
+def test_morton2_np_matches_python_reference():
+    import numpy as np
+
+    from flink_cdc_multi_spark.operators.layout import morton2_np
+
+    rng = random.Random(3)
+    a = np.array([0, MORTON_INPUT_MASK]
+                 + [rng.randrange(1 << MORTON_BITS) for _ in range(500)],
+                 dtype=np.int64)
+    b = np.array([MORTON_INPUT_MASK, 0]
+                 + [rng.randrange(1 << MORTON_BITS) for _ in range(500)],
+                 dtype=np.int64)
+    z = morton2_np(a, b)
+    for i in range(len(a)):
+        assert int(z[i]) == morton2_py(int(a[i]), int(b[i]))
+
+
+def test_zorder_write_paths_agree(spark):
+    """The vectorized (numpy searchsorted + spread) write path and the
+    pure-expression (quantile_bucket + morton2) fallback must assign the
+    SAME z-key to every row — including NULL dims (NULL key, both
+    paths)."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.operators.layout import (
+        _zkey_pandas_udf,
+        dim_barrier,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1000), float(rng.randrange(1000)))
+            for i in range(4000)] + [(4000, None, 1.0), (4001, 5, None)]
+    df = spark.createDataFrame(rows, "id long, a long, b double")
+    probs = [i / 8 for i in range(1, 8)]
+    ba = sorted(set(df.selectExpr("cast(a as double) as x")
+                    .approxQuantile("x", probs, 1 / 32)))
+    bb = sorted(set(df.selectExpr("cast(b as double) as x")
+                    .approxQuantile("x", probs, 1 / 32)))
+    expr_keys = {
+        r["id"]: r["zk"]
+        for r in dim_barrier(
+            df, quantile_bucket(F.col("a"), ba), quantile_bucket(F.col("b"), bb)
+        ).withColumn("zk", morton2(F.col("__dim_a"), F.col("__dim_b")))
+        .collect()
+    }
+    udf_keys = {
+        r["id"]: r["zk"]
+        for r in df.withColumn(
+            "zk", _zkey_pandas_udf(ba, bb)(F.col("a"), F.col("b"))
+        ).collect()
+    }
+    assert expr_keys == udf_keys
+    assert udf_keys[4000] is None and udf_keys[4001] is None
+
+
 def test_zorder_layout_validates_args(spark):
     df = spark.range(10).withColumn("a", F.col("id")).withColumn("b", F.col("id"))
     with pytest.raises(ValueError):

@@ -352,6 +352,9 @@ def test_ext_layout_zorder_scan_local_single_exchange(spark):
     assert plan.count("+- Exchange") == 1  # tree section: exactly one
     assert "Join" not in plan and "Window" not in plan and "Expand" not in plan
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan
+    # the dims must stay materialized behind the Generate barrier (the
+    # 2^5 leaf-duplication rule — see layout.dim_barrier)
+    assert "Generate" in plan
 
 
 def test_ext_sketch_kmv_window_group_limit(spark):
@@ -558,6 +561,18 @@ def test_ext_graph_pagerank_plan_shape(spark):
     # r15 (VERDICT r14 item 2): at gate SF the node-count guard must take
     # the broadcast_ranks form — the per-iteration edge-side exchange is
     # deleted (sf10: 10.5 s shuffle → 4.7 s broadcast, 1.76× DuckDB)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ext_graph_labelprop_plan_shape(spark):
+    """ext_graph_labelprop (r16): same Pregel-as-joins contract as
+    pagerank — no cartesian, no Expand, no window (the argmax is a
+    max(struct) reduction), no SMJ (shuffle_hash/broadcast hints), and
+    at gate SF the guarded broadcast_labels form."""
+    plan = plan_of(spark, "ext_graph_labelprop")
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan and "Window" not in plan
+    assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
 
 

@@ -109,6 +109,30 @@ def pagerank_twin_sql(edges_path: str) -> str:
             + "\n    SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3")
 
 
+def labelprop_twin_sql(edges_path: str) -> str:
+    """3 unrolled synchronous LPA rounds (r16) over the same edge
+    parquet — max-count-then-min-label, count CTEs MATERIALIZED (each is
+    referenced twice; DuckDB's default inlining re-evaluates the chain
+    exponentially in rounds — the kcenter lesson)."""
+    it = """
+    , c{b} AS MATERIALIZED (
+      SELECT ed.v, l{a}.lbl, COUNT(*) AS c FROM ed
+      JOIN l{a} ON l{a}.id = ed.u GROUP BY ed.v, l{a}.lbl
+    ), m{b} AS (
+      SELECT v, MAX(c) AS mc FROM c{b} GROUP BY v
+    ), l{b} AS (
+      SELECT c{b}.v AS id, MIN(c{b}.lbl) AS lbl
+      FROM c{b} JOIN m{b} ON c{b}.v = m{b}.v AND c{b}.c = m{b}.mc
+      GROUP BY c{b}.v
+    )"""
+    return (f"""
+    WITH e AS (SELECT a_id, b_id FROM read_parquet('{edges_path}/*.parquet')),
+    ed AS (SELECT a_id u, b_id v FROM e UNION ALL SELECT b_id, a_id FROM e),
+    l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM ed)"""
+            + it.format(a=0, b=1) + it.format(a=1, b=2) + it.format(a=2, b=3)
+            + "\n    SELECT id AS doc_id, CAST(lbl AS BIGINT) AS lbl FROM l3")
+
+
 def triangles_twin_sql(edges_path: str) -> str:
     return f"""
     WITH e AS (SELECT a_id u, b_id v FROM read_parquet('{edges_path}/*.parquet')),
@@ -255,6 +279,28 @@ def main() -> None:
         results["pagerank_e20_bcast"] = ab(
             "pagerank_e20_bcast", plan, con, pagerank_twin_sql(e20),
             pr_checksum, "SUM(pr)")
+    if want("labelprop_e100") or want("labelprop_e100_bcast"):
+        from flink_cdc_multi_spark.plans.extensions import (
+            graph_labelprop_over,
+        )
+
+        build_edges(spark, sf_dir, None, e100)
+
+        def lp_checksum(plan):
+            r = plan.agg(
+                F.count("*"), F.sum(F.col("lbl") % 1000000007)
+            ).collect()[0]
+            return (r[0], r[1])
+
+        for tgt, bc in (("labelprop_e100", False),
+                        ("labelprop_e100_bcast", True)):
+            if want(tgt):
+                plan = graph_labelprop_over(spark.read.parquet(e100),
+                                            broadcast_labels=bc)
+                results[tgt] = ab(
+                    tgt, plan, con, labelprop_twin_sql(e100),
+                    lp_checksum, "SUM(lbl % 1000000007)")
+
     if want("triangles_e20"):
         plan = graph_triangles_over(spark.read.parquet(e20))
         results["triangles_e20"] = ab(

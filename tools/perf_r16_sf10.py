@@ -145,6 +145,204 @@ def main() -> None:
         }
         print(json.dumps({"kcenter_full": rec}), flush=True)
 
+    if want("tfidf_500k"):
+        ab(
+            "tfidf_500k",
+            ALL_QUERIES["ext_text_tfidf"](spark, sf_dir),
+            con,
+            ALL_ORACLE_SQL["ext_text_tfidf"],
+            lambda p: tuple(
+                p.agg(
+                    F.count("*"), F.sum("tf"), F.sum("df"), F.sum("rnk")
+                ).collect()[0]
+            ),
+            "CAST(SUM(tf) AS BIGINT), CAST(SUM(df) AS BIGINT), "
+            "CAST(SUM(rnk) AS BIGINT)",
+        )
+
+    if want("hll_merge_500k"):
+        ab(
+            "hll_merge_500k",
+            ALL_QUERIES["ext_sketch_hll_merge"](spark, sf_dir),
+            con,
+            ALL_ORACLE_SQL["ext_sketch_hll_merge"],
+            lambda p: tuple(
+                p.agg(
+                    F.count("*"),
+                    F.sum("n_shards"),
+                    F.sum("harmonic_scaled"),
+                    F.sum("est_distinct"),
+                ).collect()[0]
+            ),
+            "CAST(SUM(n_shards) AS BIGINT), "
+            "CAST(SUM(harmonic_scaled) AS BIGINT), "
+            "CAST(SUM(est_distinct) AS BIGINT)",
+        )
+
+    if want("zorder_10m"):
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        ab(
+            "zorder_10m",
+            ALL_QUERIES["ext_layout_zorder"](spark, sf_dir),
+            con,
+            ALL_ORACLE_SQL["ext_layout_zorder"],
+            lambda p: tuple(
+                p.agg(
+                    F.count("*"),
+                    F.sum("n"),
+                    # mod-sum: a plain SUM of 256 per-group key sums can
+                    # exceed int64 at 10M rows x 2^42-scale keys
+                    F.sum(F.col("sum_z") % 1000000007),
+                ).collect()[0]
+            ),
+            "CAST(SUM(n) AS BIGINT), "
+            "CAST(SUM(sum_z % 1000000007) AS BIGINT)",
+        )
+
+    if want("zorder_prune_10m"):
+        # Spark-only layout A/B: write the sf10 events (user_id, value
+        # dims) z-ordered vs single-column-sorted, then time the SAME
+        # selective 2-D aggregate on both — the win is parquet row-group
+        # pruning from pushed min/max filters on BOTH dimensions.
+        import shutil
+        import tempfile
+
+        from flink_cdc_multi_spark.operators.layout import zorder_layout
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        lo_u, hi_u = [
+            int(x)
+            for x in ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+        ]
+        base = tempfile.mkdtemp(prefix="zorder_ab_")
+        zdir, ldir = f"{base}/z", f"{base}/l"
+
+        def timed_write(df, d):
+            # min of 2 — the first write pays JVM/page-cache warmup and
+            # ambient waves land on single-shot write walls
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.parquet(d, mode="overwrite")
+                ts.append(round(time.perf_counter() - t0, 2))
+            return min(ts)
+
+        z_write = timed_write(
+            zorder_layout(ev, ["user_id", "value"], n_buckets=64,
+                          n_partitions=64),
+            zdir,
+        )
+        l_write = timed_write(
+            ev.repartitionByRange(64, "user_id")
+            .sortWithinPartitions("user_id"),
+            ldir,
+        )
+
+        # three predicate shapes; the headline is VALUE-ONLY — the
+        # second sort dimension, where a single-column layout cannot
+        # prune anything by construction
+        u_cut = lo_u + max(1, (hi_u - lo_u) // 64)
+        preds = {
+            "value_only": (None, (10.0, 11.0)),
+            "user_only": ((lo_u, u_cut), None),
+            "both": ((lo_u, u_cut), (10.0, 11.0)),
+        }
+
+        def pred_sql(p):
+            u, v = p
+            cl = []
+            if u:
+                cl.append(f"user_id BETWEEN {u[0]} AND {u[1]}")
+            if v:
+                cl.append(f"value BETWEEN {v[0]} AND {v[1]}")
+            return " AND ".join(cl)
+
+        def scan(d, p):
+            t0 = time.perf_counter()
+            row = (
+                spark.read.parquet(d)
+                .filter(pred_sql(p))
+                .agg(F.count("*"), F.sum("event_id"))
+                .collect()[0]
+            )
+            return round(time.perf_counter() - t0, 3), (
+                int(row[0]), int(row[1] or 0)
+            )
+
+        # The pruning evidence at local[32] is NOT wall-clock (a 10M-row
+        # scan sits on the 64-task floor either way) but what a
+        # stats-aware reader — parquet row-group pruning, manifest
+        # dt-stats, Delta data skipping — would actually read: files
+        # whose (user_id, value) min/max rectangle intersects the
+        # predicate, and the rows they contain.
+        import glob
+
+        import pyarrow.parquet as pqt
+
+        def file_rects(d):
+            out = []
+            for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+                md = pqt.ParquetFile(f).metadata
+                names = [
+                    md.row_group(0).column(i).path_in_schema
+                    for i in range(md.row_group(0).num_columns)
+                ]
+                ui, vi = names.index("user_id"), names.index("value")
+                mu = xu = mv = xv = None
+                nrows = 0
+                for g in range(md.num_row_groups):
+                    su = md.row_group(g).column(ui).statistics
+                    sv = md.row_group(g).column(vi).statistics
+                    nrows += md.row_group(g).num_rows
+                    mu = su.min if mu is None else min(mu, su.min)
+                    xu = su.max if xu is None else max(xu, su.max)
+                    mv = sv.min if mv is None else min(mv, sv.min)
+                    xv = sv.max if xv is None else max(xv, sv.max)
+                out.append((mu, xu, mv, xv, nrows))
+            return out
+
+        def covered(rects, p):
+            u, v = p
+            hf = hr = 0
+            for mu, xu, mv, xv, n in rects:
+                if u and (xu < u[0] or mu > u[1]):
+                    continue
+                if v and (xv < v[0] or mv > v[1]):
+                    continue
+                hf += 1
+                hr += n
+            return hf, hr
+
+        zrects, lrects = file_rects(zdir), file_rects(ldir)
+        rec = {
+            "n_rows": ev.count(),
+            "z_write_s": z_write,
+            "linear_write_s": l_write,
+            "n_files": len(zrects),
+        }
+        for pname, p in preds.items():
+            zf, zr = covered(zrects, p)
+            lf, lr = covered(lrects, p)
+            zt, zchk = scan(zdir, p)
+            lt, lchk = scan(ldir, p)
+            rec[pname] = {
+                "z_files_hit": zf,
+                "linear_files_hit": lf,
+                "z_rows_covered": zr,
+                "linear_rows_covered": lr,
+                "skip_ratio": round(lr / zr, 2) if zr else None,
+                "z_scan_s": zt,
+                "linear_scan_s": lt,
+                "check_match": zchk == lchk,
+                "matched_rows": zchk[0],
+            }
+        print(json.dumps({"zorder_prune_10m": rec}), flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
