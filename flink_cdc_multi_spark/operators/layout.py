@@ -14,15 +14,18 @@ dimension or both. This is exactly the layout strategy Delta Lake's
 parquet row-group pruning Spark applies from pushed filters, and the
 manifest dt-stats pruning in ``operators/routing.read_published``).
 
-Scale shape: ONE pass — a scan-local bucket+interleave projection (pure
-integer bit math, no UDF), then a single ``repartitionByRange`` exchange on
-the z-key with a within-partition sort. No joins, no windows, no driver
-data besides the ~|buckets| quantile boundaries per dimension (computed by
-``approxQuantile`` in one distributed pass, the documented eager-build
-pattern). The bit-spreading uses the classic 5-step magic-mask construction
-(Morton 1966 / "Bit Twiddling Hacks") — flat integer expressions that stay
-inside whole-stage codegen, NOT a 2·bits-term shift-or chain (codegen size
-bailout, see PERF.md lessons).
+Scale shape: ONE pass — a scan-local bucket+interleave projection, then a
+single ``repartitionByRange`` exchange on the z-key with a within-partition
+sort. No joins, no windows, no driver data besides the ~|buckets| quantile
+boundaries per dimension (computed by ``approxQuantile`` in one distributed
+pass, the documented eager-build pattern). The bit-spreading uses the
+classic 5-step magic-mask construction (Morton 1966 / "Bit Twiddling
+Hacks"). The write path's default kernel is an Arrow-batched vectorized
+searchsorted+spread (``_zkey_pandas_udf``) — the pure-expression form is
+kept (and tested key-identical) but pays interpreted CodegenFallback
+evaluation of the bucket lambda, measured 5-13× slower at sf10 (PERF.md
+r16); the GATE query (ext_layout_zorder) uses the pure-JVM expression
+kernel on raw ints, which is the oracle-replayed contract.
 
 Quantile (equal-FREQUENCY) bucketing, not equal-width: real columns are
 skewed, and equal-width buckets would put most rows in a few z-cells,
@@ -199,6 +202,11 @@ def zorder_layout(
         raise ValueError("zorder_layout interleaves exactly two columns")
     if not 2 <= n_buckets <= MORTON_INPUT_MASK + 1:
         raise ValueError(f"n_buckets must be in [2, 2^{MORTON_BITS}]")
+    reserved = {"__zkey", "__dim_a", "__dim_b", "__ab"} & set(df.columns)
+    if reserved:
+        # withColumn would silently OVERWRITE user data and the final
+        # drop would then delete it (the dedup_stream reserved-column rule)
+        raise ValueError(f"input already has reserved column(s) {reserved}")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     err = 1.0 / (4 * n_buckets)
     bounds = {

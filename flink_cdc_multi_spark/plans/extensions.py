@@ -2549,8 +2549,14 @@ def ext_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = shard_regs.groupBy("lang", "j").agg(F.max("m").alias("m"))
     n_shards = shard_regs.groupBy("lang").agg(
         F.count_distinct("source").cast("bigint").alias("n_shards")
-    )
-    return hll_finalize(merged, ["lang"]).join(n_shards, "lang").select(
+    ).withColumnRenamed("lang", "nsh_lang")
+    fin = hll_finalize(merged, ["lang"])
+    # NULL-safe join: a NULL-lang shard group must keep its sketch row
+    # (a plain equi-join would drop it on BOTH engines — consistent but
+    # lossy vs ext_sketch_hll; oracle uses IS NOT DISTINCT FROM)
+    return fin.join(
+        n_shards, fin["lang"].eqNullSafe(n_shards["nsh_lang"])
+    ).select(
         "lang", "n_shards", "v_filled", "harmonic_scaled", "est_distinct"
     )
 
@@ -4404,12 +4410,13 @@ EXT_ORACLE_SQL = {
                       AS BIGINT) AS raw_est
           FROM s
         )
-        SELECT lang, n_shards, v_filled, harmonic_scaled,
+        SELECT r.lang, nsh.n_shards, v_filled, harmonic_scaled,
                CASE WHEN v_filled < 64 AND raw_est <= 160
                     THEN CAST(list_extract([{', '.join(str(x) for x in _HLL_LC)}],
                                            CAST(v_filled AS INT)) AS BIGINT)
                     ELSE raw_est END AS est_distinct
-        FROM r JOIN nsh USING (lang) ORDER BY lang
+        FROM r JOIN nsh ON r.lang IS NOT DISTINCT FROM nsh.lang
+        ORDER BY r.lang
     """,
     "ext_sketch_cms": r"""
         -- count-min sketch: d=4 rows x w=256 cols, Kirsch-Mitzenmacher

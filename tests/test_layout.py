@@ -181,3 +181,7 @@ def test_zorder_layout_validates_args(spark):
         zorder_layout(df, ["a"], n_buckets=4)
     with pytest.raises(ValueError):
         zorder_layout(df, ["a", "b"], n_buckets=1)
+    # a reserved working column in the input must be rejected, never
+    # silently overwritten and dropped
+    with pytest.raises(ValueError):
+        zorder_layout(df.withColumn("__zkey", F.lit(1)), ["a", "b"])
