@@ -1,6 +1,7 @@
-"""Portable HyperLogLog kernel — shared by the batch sketch queries
-(plans/extensions.hll_sketch_over → ext_sketch_hll / ext_sketch_hll_merge)
-and the streaming distinct counter (streaming/stateful.hll_distinct_stream).
+"""Portable sketch kernels (HLL + count-min) — shared by the batch sketch
+queries (plans/extensions.hll_sketch_over → ext_sketch_hll /
+ext_sketch_hll_merge, ext_sketch_cms) and the streaming counters
+(streaming/stateful.hll_distinct_stream / cms_freq_stream).
 
 The whole point of HLL at 100 TB is that the sketch IS its own partial
 aggregate: 64 six-bit registers per group, merged by element-wise MAX — so
@@ -139,3 +140,29 @@ def hll_estimate_py(regs: list[int]) -> tuple[int, int, int]:
     if v_filled < HLL_REGISTERS and raw <= 160:
         return v_filled, harmonic, int(HLL_LC[v_filled - 1])
     return v_filled, harmonic, int(raw)
+
+
+# ---------------------------------------------------------------------------
+# Count-min kernel (shared by plans/extensions.ext_sketch_cms and the
+# streaming heavy-hitter estimator streaming/stateful.cms_freq_stream).
+# Kirsch–Mitzenmacher double hashing off ONE md5-hash60: col_r =
+# (h1 + r·h2) mod CMS_W with h2 forced odd — one hash per occurrence,
+# replayed as identical integer arithmetic by the DuckDB oracle.
+CMS_D, CMS_W = 4, 256
+
+
+def cms_h1_h2(value_col: Column) -> tuple[Column, Column]:
+    """(h1, h2) columns for the Kirsch–Mitzenmacher row-column derivation
+    — the md5-hash60 contract hash, split exactly as ext_sketch_cms's
+    oracle replays it."""
+    h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
+    h1 = h % F.lit(CMS_W * 4096)
+    h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def cms_indices_py(h1: int, h2: int) -> list[int]:
+    """Flattened cell indices (r·CMS_W + col_r) for one value — the
+    pure-Python replica of the engine-side derivation (streaming state
+    updates and test references share it)."""
+    return [r * CMS_W + (h1 + r * h2) % CMS_W for r in range(CMS_D)]

@@ -2358,8 +2358,18 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kirsch–Mitzenmacher double hashing derives the d row-columns from ONE
 # md5-hash60 — col_r = (h1 + r·h2) mod w with h2 forced odd — so the
 # scan pays a single md5 per occurrence (the measured HLL wall) and both
-# engines replay the identical integer arithmetic.
-_CMS_D, _CMS_W = 4, 256
+# engines replay the identical integer arithmetic. r16: the kernel lives
+# in operators/sketch.py (shared with the streaming heavy-hitter
+# estimator); these aliases keep the oracle-side names.
+from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
+    CMS_D as _CMS_D,
+)
+from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
+    CMS_W as _CMS_W,
+)
+from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
+    cms_h1_h2,
+)
 
 
 def ext_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2386,9 +2396,7 @@ def ext_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = base.select(
         F.explode(X.tokens(F.col("text"))).alias("token")
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-    h1 = h % F.lit(_CMS_W * 4096)
-    h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
+    h1, h2 = cms_h1_h2(F.col("token"))
     cells = F.array(*[
         F.struct(
             F.lit(r).alias("r"),

@@ -510,3 +510,112 @@ def hll_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CMS_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("cells", T.ArrayType(T.LongType()))]
+)
+
+
+def cms_freq_stream(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming frequency estimation per group via the count-min sketch
+    (operators/sketch.py — the ext_sketch_cms kernel): state per key is
+    the d·w = 1024 int64 cells, folded by cell-wise SUM each micro-batch
+    (CMS's merge op), and every batch emits (group, value, est_count)
+    for each DISTINCT value seen in that batch — the estimate taken
+    AFTER folding the batch, i.e. the running heavy-hitter loop: a
+    downstream filter on est_count ≥ threshold is the streaming top-k
+    candidate feed. Because cells merge by sum, the estimate for a value
+    after batch k equals the batch CMS estimate over the union of
+    batches 1..k EXACTLY (pinned in tests/test_streaming_cms.py against
+    a pure-Python reference sharing cms_indices_py), and it inherits
+    CMS's one-sided guarantee: est ≥ true count, overshoot ≤ εN.
+
+    State is a CONSTANT 8 KB per key no matter how many distinct values
+    flow through — the same unbounded-stream property as
+    hll_distinct_stream, for frequencies instead of cardinality. The md5
+    h1/h2 derivation runs JVM-side before the stateful exchange; the
+    Python stage only folds integer indices (vectorized np.add.at).
+    NULL values are dropped (NULL is not a value). Output mode: update."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.operators.sketch import CMS_D, CMS_W, cms_h1_h2
+
+    h1, h2 = cms_h1_h2(F.col(value_col))
+    proj = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(value_col).cast("string").alias(value_col),
+            h1.alias("h1"),
+            h2.alias("h2"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField(value_col, T.StringType()),
+            T.StructField("est_count", T.LongType()),
+        ]
+    )
+    n_cells = CMS_D * CMS_W
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cells = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_cells, dtype=np.int64)
+        )
+        # batch occurrence counts per distinct (value, h1, h2)
+        seen: dict[str, tuple[int, int, int]] = {}
+        for pdf in pdfs:
+            g = pdf.groupby([value_col, "h1", "h2"]).size()
+            for (v, a, b), cnt in g.items():
+                a, b, cnt = int(a), int(b), int(cnt)
+                if v in seen:
+                    seen[v] = (a, b, seen[v][2] + cnt)
+                else:
+                    seen[v] = (a, b, cnt)
+        if not seen:
+            return
+        # fold the batch into the cells (np.add.at handles the colliding
+        # indices an ordinary fancy-assign would silently drop)
+        for r in range(CMS_D):
+            idx = np.fromiter(
+                ((a + r * b) % CMS_W + r * CMS_W
+                 for (a, b, _) in seen.values()),
+                dtype=np.int64, count=len(seen),
+            )
+            np.add.at(
+                cells, idx,
+                np.fromiter((c for (_, _, c) in seen.values()),
+                            dtype=np.int64, count=len(seen)),
+            )
+        state.update((cells.tolist(),))
+        ests = [
+            int(min(cells[(a + r * b) % CMS_W + r * CMS_W]
+                    for r in range(CMS_D)))
+            for (a, b, _) in seen.values()
+        ]
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]] * len(seen),
+                value_col: list(seen.keys()),
+                "est_count": ests,
+            }
+        )
+
+    return proj.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_CMS_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
