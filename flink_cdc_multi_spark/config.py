@@ -70,6 +70,13 @@ class JobConfig:
     # {"db.tbl" (sanitized spec key): [primary key columns]} — which tables
     # to compact and the key to materialize on
     table_key_columns: dict[str, list[str]] = field(default_factory=dict)
+    # optional Z-order clustering for the compacted output (r16; exactly
+    # two column names — the operators/layout.py Morton interleave, what
+    # Delta's OPTIMIZE ZORDER BY does): files then carry tight min/max
+    # rectangles in BOTH columns, so stats-aware readers prune on either.
+    # Tables missing a listed column fall back to the plain key layout
+    # with a warning (the option is global across heterogeneous tables).
+    compaction_zorder_columns: list[str] = field(default_factory=list)
     debug: bool = False  # --debug print sink (FlinkCDCMulti.java:148-154)
     # one-pass streaming control plane: when a job has ≤ this many data
     # tables (and no name maps / snapshot-only / debug), the per-batch
@@ -116,6 +123,17 @@ class JobConfig:
         source_type = str(cfg["source.type"]).lower()
         if source_type not in SOURCE_TYPES:
             raise ConfigError(f"unknown source.type: {source_type}")
+        zc = cfg.get("compaction.zorder.columns")
+        if zc is not None and not isinstance(zc, str) and len(list(zc)) != 2:
+            raise ConfigError(
+                "compaction.zorder.columns needs exactly two column names "
+                "(the Morton interleave is 2-D)"
+            )
+        if isinstance(zc, str):
+            raise ConfigError(
+                "compaction.zorder.columns needs exactly two column names, "
+                f"got one: {zc!r}"
+            )
 
         if source_type == "mongodb":
             # System DBs cannot be streamed (MongoDBStreamer.java:74-79);
@@ -200,6 +218,9 @@ class JobConfig:
                 k: ([v] if isinstance(v, str) else list(v))
                 for k, v in (cfg.get("table.key.columns") or {}).items()
             },
+            compaction_zorder_columns=list(
+                cfg.get("compaction.zorder.columns") or []
+            ),
             debug=str(cfg.get("debug", "false")).lower() == "true",
             onepass_max_tables=int(cfg.get("streaming.onepass.max.tables", 16)),
             dedup_redelivery_suppress=str(

@@ -16,10 +16,14 @@ micro-batch small-file buildup.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_cdc_multi_spark.envelope import OP_DELETE
+
+LOG = logging.getLogger(__name__)
 
 
 def latest_image(
@@ -119,6 +123,8 @@ def compact_table(
     max_records_per_file: int = 5_000_000,
     target_partition_bytes: int = 128 << 20,
     drop_deletes: bool = True,
+    zorder_by: list[str] | None = None,
+    zorder_buckets: int = 64,
 ) -> int:
     """Rewrite a change-log table as its materialized state, dt-partitioned,
     coalescing the micro-batch small files. Returns the row count of the
@@ -180,15 +186,57 @@ def compact_table(
     state = latest_image(df, key_cols, order_cols, drop_deletes=drop_deletes).observe(
         obs, F.count(F.lit(1)).alias("n")
     )
+    if zorder_by and not set(zorder_by) <= set(df.columns):
+        # the option is one global pair across heterogeneous tables —
+        # a table without the columns keeps the plain key layout
+        LOG.warning(
+            "compact %s: zorder columns %s not all present; plain layout",
+            table_path, zorder_by,
+        )
+        zorder_by = None
+    if zorder_by:
+        # Z-order the compacted output WITHIN each dt partition (r16 —
+        # what Delta's OPTIMIZE ZORDER BY does on compaction): quantile
+        # boundaries come from the RAW change log (scan-only; the
+        # materialized state's quantiles would cost a second full
+        # latest_image shuffle, and boundary placement only affects
+        # bucket BALANCE, never correctness), the key itself from the
+        # vectorized layout kernel. Files then carry tight min/max
+        # rectangles in both columns — stats-aware readers prune scans
+        # on either (operators/layout.py; sf10 evidence in PERF.md r16).
+        from flink_cdc_multi_spark.operators.layout import (
+            _zkey_pandas_udf,
+            zorder_bounds,
+        )
+
+        bounds = zorder_bounds(df, list(zorder_by), zorder_buckets)
+        zk = _zkey_pandas_udf(bounds[zorder_by[0]], bounds[zorder_by[1]])
+        laid = (
+            state.withColumn(
+                "__zkey", zk(F.col(zorder_by[0]), F.col(zorder_by[1]))
+            )
+            .repartitionByRange(num_partitions, "dt", "__zkey")
+            .sortWithinPartitions("dt", "__zkey")
+            .drop("__zkey")
+        )
+    else:
+        laid = state.repartition(num_partitions, "dt", *key_cols)
     tmp = f"{table_path}__compact"
     (
-        state.repartition(num_partitions, "dt", *key_cols)
+        laid
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("dt")
         .parquet(tmp)
     )
-    n = int(obs.get["n"])
+    if zorder_by:
+        # repartitionByRange runs a SAMPLING job over the observed
+        # subtree before the write, so the Observation double-counts on
+        # this path — take the exact count from the written footers
+        # instead (metadata-only, no data scan)
+        n = spark.read.parquet(tmp).count()
+    else:
+        n = int(obs.get["n"])
 
     _, tmp_p = _hadoop_fs(spark, tmp)
     old = spark._jvm.org.apache.hadoop.fs.Path(f"{table_path}__old")

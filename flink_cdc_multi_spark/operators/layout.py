@@ -178,6 +178,24 @@ def _zkey_pandas_udf(bounds_a: list[float], bounds_b: list[float]):
     return zkey
 
 
+def zorder_bounds(
+    df: DataFrame, cols: list[str], n_buckets: int
+) -> dict[str, list[float]]:
+    """Per-column quantile boundaries for the bucket step — ONE
+    distributed ``approxQuantile`` pass per column collecting
+    ≤ n_buckets-1 doubles to the driver (the documented eager-boundary
+    pattern; relativeError 1/(4·n_buckets) keeps bucket populations
+    near-uniform without a full sort). Equal boundaries (low-cardinality
+    columns) dedup, so the effective bucket count may be smaller."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    err = 1.0 / (4 * n_buckets)
+    return {
+        c: sorted(set(df.selectExpr(f"cast({c} as double) as x")
+                      .approxQuantile("x", probs, err)))
+        for c in cols
+    }
+
+
 def zorder_layout(
     df: DataFrame,
     cols: list[str],
@@ -207,13 +225,7 @@ def zorder_layout(
         # withColumn would silently OVERWRITE user data and the final
         # drop would then delete it (the dedup_stream reserved-column rule)
         raise ValueError(f"input already has reserved column(s) {reserved}")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    err = 1.0 / (4 * n_buckets)
-    bounds = {
-        c: sorted(set(df.selectExpr(f"cast({c} as double) as x")
-                      .approxQuantile("x", probs, err)))
-        for c in cols
-    }
+    bounds = zorder_bounds(df, cols, n_buckets)
     if use_numpy:
         # the default write path: one Arrow-batched vectorized kernel
         # (see _zkey_pandas_udf — the expression form pays interpreted

@@ -828,7 +828,10 @@ class CDCPipeline:
                     path + COMPACTED_KEY_MARKER,
                     json.dumps({"folded_key": str(folded_key)}),
                 )
-            results[key] = compact_table(spark, path, key_cols, order_cols)
+            results[key] = compact_table(
+                spark, path, key_cols, order_cols,
+                zorder_by=cfg.compaction_zorder_columns or None,
+            )
             LOG.info("compacted %s -> %d rows", key, results[key])
         return results
 

@@ -114,6 +114,31 @@ def test_compact_table_multi_dt_parallel_write(spark, tmp_path):
     assert len(task_ids) > 1
 
 
+def test_compact_table_zorder_layout(spark, tmp_path):
+    """r16: compaction with zorder_by clusters the rewritten files by the
+    Morton key of two columns (Delta OPTIMIZE ZORDER BY shape) while
+    preserving the materialized state EXACTLY; a table missing a listed
+    column falls back to the plain layout with a warning, never an
+    error (the config option is global across heterogeneous tables)."""
+    path = _write_multi_dt_changes(spark, tmp_path)
+    n = compact_table(
+        spark, path, ["id"], ORDER,
+        max_records_per_file=5, target_partition_bytes=2048,
+        zorder_by=["id", "_ts"], zorder_buckets=8,
+    )
+    assert n == 40
+    compacted = spark.read.parquet(path)
+    assert compacted.count() == 40
+    assert {r["id"] for r in compacted.select("id").collect()} == {
+        d * 1000 + k for d in range(2) for k in range(20)
+    }
+    # same table again with a bogus column: plain layout, same state
+    n2 = compact_table(
+        spark, path, ["id"], ORDER, zorder_by=["id", "no_such_col"],
+    )
+    assert n2 == 40
+
+
 def test_compact_swap_recovery(spark, tmp_path):
     import os
 

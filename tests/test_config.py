@@ -45,3 +45,19 @@ def test_defaults():
     assert cfg.checkpoint_interval_s == 30  # FlinkCDCMulti.java:418
     assert cfg.mongodb_deserialization_mode == "top-level-type"
     assert cfg.table_name_map == {}
+
+
+def test_compaction_zorder_columns_validation():
+    base = {"source.id": "x", "source.type": "mysql", "sink.path": "/t"}
+    cfg = JobConfig.from_dict(
+        {**base, "compaction.zorder.columns": ["id", "_ts"]}
+    )
+    assert cfg.compaction_zorder_columns == ["id", "_ts"]
+    assert JobConfig.from_dict(base).compaction_zorder_columns == []
+    # the Morton interleave is 2-D: one or three columns are config errors
+    with pytest.raises(ConfigError, match="exactly two"):
+        JobConfig.from_dict({**base, "compaction.zorder.columns": "id"})
+    with pytest.raises(ConfigError, match="exactly two"):
+        JobConfig.from_dict(
+            {**base, "compaction.zorder.columns": ["a", "b", "c"]}
+        )
