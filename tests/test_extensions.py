@@ -843,6 +843,25 @@ def test_labelprop_majority_beats_min_and_paths_agree(spark):
         assert got == want, (bcast, got)
 
 
+def test_labelprop_negative_ids(spark):
+    """Negative node ids (real at the gate: hostile doc_ids pass the
+    < 500 filter) flow through the -lbl struct-max trick and the
+    oracle's max-count-then-min replay identically — this expected map
+    was cross-verified against the DuckDB form once and is pinned here
+    on the Spark side."""
+    from flink_cdc_multi_spark.plans.extensions import graph_labelprop_over
+
+    pairs = spark.createDataFrame(
+        [(-5, -3), (-5, -1), (-3, -1), (-3, 7), (-1, 7)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r["doc_id"]: r["lbl"]
+        for r in graph_labelprop_over(pairs, iters=2).collect()
+    }
+    assert got == {-5: -5, -3: -3, -1: -3, 7: -5}
+
+
 def test_hll_merge_equals_direct_sketch(spark):
     """Mergeability is EXACT: per-(lang, source) shard sketches merged by
     max-of-maxes must equal the direct one-level lang sketch bit-for-bit
