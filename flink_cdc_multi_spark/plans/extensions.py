@@ -2354,6 +2354,60 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap estimation from KMV sketches (r16) — the
+    set-OPERATION face of k-minimum-values (Beyer et al. 2007 §4):
+    where ext_sketch_kmv estimates each set's cardinality, this
+    estimates the Jaccard similarity of every language pair's token
+    sets from the SKETCHES ALONE — at 100 TB you measure corpus overlap
+    (dedup planning, contamination triage, mixture design) without ever
+    joining the corpora: J ≈ |U ∩ A_k ∩ B_k| / |U| where U is the k
+    smallest of A_k ∪ B_k. Everything after the sketch build runs on
+    |langs| rows of 64 int64s.
+
+    Exact-integer contract (ratio rule): output (lang_a, lang_b, k_u,
+    n_match) — the estimate n_match/k_u never crosses the engine
+    boundary. The hashes are the portable md5-hash60, so A_k/B_k/U are
+    bit-identical cross-engine and the gate hashes the whole estimator
+    input. Pairs are ordered lang_a < lang_b; a NULL-lang group drops
+    from pairing on BOTH engines (NULL comparison → no row), pinned by
+    the adversarial sweep.
+
+    Scale shape: the sketch build is ext_sketch_kmv's (distinct on the
+    8-byte hash, WindowGroupLimit caps each map task at k rows per lang
+    before the lang exchange); the pairing is a self-join of the
+    |langs|-row sketch table — broadcast-trivial at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    distinct_h = toks.select("lang", h.alias("h")).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    sketches = (
+        distinct_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("lang")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    a, b = sketches.alias("a"), sketches.alias("b")
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("a.hs"), F.col("b.hs"))), 1, 64
+    )
+    n_match = F.size(
+        F.array_intersect(F.array_intersect(u, F.col("a.hs")), F.col("b.hs"))
+    )
+    return (
+        a.join(b, F.col("a.lang") < F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.size(u).cast("bigint").alias("k_u"),
+            n_match.cast("bigint").alias("n_match"),
+        )
+    )
+
+
 # Count-min sketch geometry (ext_sketch_cms): d hash rows × w columns.
 # Kirsch–Mitzenmacher double hashing derives the d row-columns from ONE
 # md5-hash60 — col_r = (h1 + r·h2) mod w with h2 forced odd — so the
@@ -3122,6 +3176,7 @@ EXT_QUERIES = {
     "ext_sketch_kmv": ext_sketch_kmv,
     "ext_sketch_hll": ext_sketch_hll,
     "ext_sketch_hll_merge": ext_sketch_hll_merge,
+    "ext_sketch_kmv_jaccard": ext_sketch_kmv_jaccard,
     "ext_sketch_cms": ext_sketch_cms,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
@@ -4325,6 +4380,36 @@ EXT_ORACLE_SQL = {
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_eff,
                CAST(MAX(h) AS BIGINT) AS kth_min
         FROM r WHERE rn <= 64 GROUP BY lang
+    """,
+    # KMV set-operation replay (r16): per-lang k-smallest hash LISTS,
+    # pair them (lang_a < lang_b — NULL langs drop on both engines),
+    # U = k smallest of the union, n_match = |U ∩ A_k ∩ B_k| — the
+    # Beyer et al. Jaccard estimator input as exact integers.
+    "ext_sketch_kmv_jaccard": r"""
+        WITH t AS (
+          SELECT DISTINCT lang,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM (SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) <> '') u
+        ), r AS (
+          SELECT lang, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM t
+        ), s AS (
+          SELECT lang, list(h ORDER BY h) AS hs
+          FROM r WHERE rn <= 64 GROUP BY lang
+        ), p AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b,
+                 a.hs AS ha, b.hs AS hb,
+                 list_sort(list_distinct(a.hs || b.hs))[1:64] AS u
+          FROM s a JOIN s b ON a.lang < b.lang
+        )
+        SELECT lang_a, lang_b,
+               CAST(len(u) AS BIGINT) AS k_u,
+               CAST(len(list_intersect(list_intersect(u, ha), hb))
+                    AS BIGINT) AS n_match
+        FROM p ORDER BY lang_a, lang_b
     """,
     "ext_sketch_hll": rf"""
         -- portable HLL (r16): register index = top 6 of the 60-bit md5

@@ -78,6 +78,11 @@ ADVERSARIAL_QUERIES = [
     # the cross-source duplicate texts make shard sketches OVERLAP, so
     # the max-of-maxes merge (not a sum) is what keeps both engines equal
     "ext_sketch_hll_merge",
+    # r16: KMV Jaccard — the NULL-lang group must drop from pairing on
+    # both engines (NULL < comparison), single-doc langs give tiny exact
+    # sketches, unicode tokens exercise md5 parity, and duplicate texts
+    # across sources raise cross-lang overlap
+    "ext_sketch_kmv_jaccard",
     # r16: count-min — the hostile duplicate texts inflate true counts,
     # unicode tokens exercise md5 parity, and the negative doc_ids sit
     # outside the probe scope on both sides identically

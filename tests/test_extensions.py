@@ -843,6 +843,37 @@ def test_labelprop_majority_beats_min_and_paths_agree(spark):
         assert got == want, (bcast, got)
 
 
+def test_kmv_jaccard_exact_when_sets_fit_in_sketch(spark, tmp_path):
+    """When both languages have ≤ k distinct tokens the KMV sketches ARE
+    the sets, so the estimator must return the EXACT Jaccard: en =
+    {a..j} (10), fr = {f..j, x..} (5 shared / 10 total) → J = 5/15;
+    U = all 15 hashes, n_match = 5."""
+    import pandas as pd
+
+    from flink_cdc_multi_spark.plans.extensions import ext_sketch_kmv_jaccard
+
+    en = " ".join(f"tok{i}" for i in range(10))
+    fr = " ".join([f"tok{i}" for i in range(5, 10)]
+                  + [f"mot{i}" for i in range(5)])
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [en, fr],
+            "lang": ["en", "fr"],
+            "source": ["s", "s"],
+            "n_chars": [len(en), len(fr)],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    rows = ext_sketch_kmv_jaccard(spark, str(sf)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["lang_a"], r["lang_b"]) == ("en", "fr")
+    assert (r["k_u"], r["n_match"]) == (15, 5)  # exact J = 5/15
+
+
 def test_labelprop_negative_ids(spark):
     """Negative node ids (real at the gate: hostile doc_ids pass the
     < 500 filter) flow through the -lbl struct-max trick and the

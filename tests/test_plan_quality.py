@@ -333,6 +333,15 @@ def test_ext_text_tfidf_hash_agg_and_group_limit(spark):
     assert "n_chars" not in plan and "source" not in plan
 
 
+def test_ext_sketch_kmv_jaccard_group_limit_no_cartesian_blowup(spark):
+    """r16: the sketch build must pre-reduce map-side (WindowGroupLimit,
+    the KMV merge); the pairing self-join runs on sketch-sized rows and
+    must be a broadcast join, never a shuffle of anything corpus-sized."""
+    plan = plan_of(spark, "ext_sketch_kmv_jaccard")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_ext_sketch_hll_merge_partial_agg_no_expand(spark):
     """r16: the shard build must keep the mergeable-sketch shape —
     partial_max collapses map tasks before the one corpus exchange; the

@@ -179,6 +179,20 @@ def main() -> None:
             "CAST(SUM(est_distinct) AS BIGINT)",
         )
 
+    if want("kmv_jaccard_500k"):
+        ab(
+            "kmv_jaccard_500k",
+            ALL_QUERIES["ext_sketch_kmv_jaccard"](spark, sf_dir),
+            con,
+            ALL_ORACLE_SQL["ext_sketch_kmv_jaccard"],
+            lambda p: tuple(
+                p.agg(
+                    F.count("*"), F.sum("k_u"), F.sum("n_match")
+                ).collect()[0]
+            ),
+            "CAST(SUM(k_u) AS BIGINT), CAST(SUM(n_match) AS BIGINT)",
+        )
+
     if want("zorder_10m"):
         con.execute(
             f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
