@@ -232,9 +232,17 @@ def compact_table(
     if zorder_by:
         # repartitionByRange runs a SAMPLING job over the observed
         # subtree before the write, so the Observation double-counts on
-        # this path — take the exact count from the written footers
-        # instead (metadata-only, no data scan)
-        n = spark.read.parquet(tmp).count()
+        # this path (and exactly-2x is NOT guaranteed — a single-range
+        # plan can skip the sample job) — take the exact count from the
+        # written footers instead (metadata-only, no data scan)
+        from pyspark.errors import AnalysisException
+
+        try:
+            n = spark.read.parquet(tmp).count()
+        except AnalysisException:
+            # a fully-deleted table writes no part files (only _SUCCESS)
+            # and schema inference fails — that IS the zero-row case
+            n = 0
     else:
         n = int(obs.get["n"])
 

@@ -139,6 +139,21 @@ def test_compact_table_zorder_layout(spark, tmp_path):
     assert n2 == 40
 
 
+def test_compact_table_zorder_fully_deleted_table(spark, tmp_path):
+    """Zero-row edge on the zorder path: a table whose every key is
+    deleted compacts to an empty dir (no part files) — the footer count
+    must report 0, not crash on schema inference."""
+    lines = [
+        make_mysql_row(op="c", after={"id": 1, "v": "a"}, pos=10,
+                       ts_ms=1700000001000),
+        make_mysql_row(op="d", before={"id": 1, "v": "a"}, after=None,
+                       pos=20, ts_ms=1700000002000),
+    ]
+    path = _write_changes(spark, tmp_path, lines)
+    n = compact_table(spark, path, ["id"], ORDER, zorder_by=["id", "_ts"])
+    assert n == 0
+
+
 def test_compact_swap_recovery(spark, tmp_path):
     import os
 
