@@ -619,3 +619,100 @@ def cms_freq_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HIST_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def histogram_stream(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid: int = 16,
+) -> DataFrame:
+    """Streaming quantile sketch per group — the fixed-grid histogram of
+    ext_sketch_histogram as per-key state (the fourth streaming sketch
+    next to exact dedup / HLL / count-min): state is the SPARSE
+    (bucket, count) vector, folded by bucket-count addition each
+    micro-batch (the histogram's merge op), and every batch emits
+    (group, n_docs, p50_lb, p90_lb, p99_lb) under the batch query's
+    exact contract — bucket = value div grid, quantile = grid·(first
+    bucket whose cumulative count reaches ceil(q·n)) — so the stream
+    after any batch split equals the batch sketch over the union
+    (pinned in tests/test_streaming_histogram.py against
+    ext_sketch_histogram itself on the same rows).
+
+    State is bounded by the VALUE RANGE (|buckets| ≤ max_value/grid),
+    not the stream length — fine for length-like metrics; pick ``grid``
+    to bound it for wide domains. NULL values are dropped. The bucket
+    projection runs JVM-side; Python folds integer pairs. Output mode:
+    update."""
+    from pyspark.sql import functions as F
+
+    proj = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.expr(
+                f"CAST({value_col} AS BIGINT) div {int(grid)}"
+            ).alias("bucket"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("p50_lb", T.LongType()),
+            T.StructField("p90_lb", T.LongType()),
+            T.StructField("p99_lb", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hist: dict[int, int] = {}
+        if state.exists:
+            bks, cts = state.get
+            hist = dict(zip(bks, cts))
+        got_rows = False
+        for pdf in pdfs:
+            for b, c in pdf.groupby("bucket").size().items():
+                hist[int(b)] = hist.get(int(b), 0) + int(c)
+                got_rows = True
+        if not got_rows:
+            return
+        bks = sorted(hist)
+        state.update((bks, [hist[b] for b in bks]))
+        n = sum(hist.values())
+
+        def q_lb(q_num: int, q_den: int) -> int:
+            cum = 0
+            for b in bks:
+                cum += hist[b]
+                if cum * q_den >= n * q_num:
+                    return b * grid
+            return bks[-1] * grid  # unreachable: cum==n covers q<=1
+
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_docs": [n],
+                "p50_lb": [q_lb(1, 2)],
+                "p90_lb": [q_lb(9, 10)],
+                "p99_lb": [q_lb(99, 100)],
+            }
+        )
+
+    return proj.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_HIST_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
