@@ -2243,6 +2243,54 @@ def ext_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (r16) — the deterministic form of
+    weighted random sampling (Duffield/Lund/Thorup priority sampling;
+    the A-ES family): keep the k=100 documents with the smallest
+    h/weight, where h is the portable md5-hash60 of the doc id and
+    weight = n_chars + 1 — inclusion probability rises with document
+    length, the standard size-biased sample mixture construction wants
+    ("sample 100 docs, long docs proportionally more likely"), yet the
+    selection replays bit-for-bit: h/w is ONE IEEE-754 division
+    (exactly specified cross-engine — the tfidf rank rule; the
+    classical exponential/ln formulation is banned by the no-libm
+    rule), ties broken by doc_id.
+
+    NULL guard: rows with NULL n_chars are filtered EXPLICITLY — a NULL
+    priority would sort NULLS FIRST in Spark and NULLS LAST in DuckDB
+    (the sessionize trap), silently diverging the selected set on any
+    fixture with < k valid docs. Output: (rnk, doc_id, h, w) — exact
+    integers; the priority itself never crosses the gate (ratio rule).
+
+    Scale shape: scan-local hash + one TakeOrderedAndProject (plan-
+    pinned) — the global top-k never sorts the corpus; each map task
+    forwards ≤ k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .select(
+            "doc_id",
+            h.alias("h"),
+            (F.col("n_chars") + 1).cast("bigint").alias("w"),
+        )
+        .withColumn(
+            "pri", F.col("h").cast("double") / F.col("w").cast("double")
+        )
+        .orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    rw = Window.orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+    return (
+        base.withColumn("rnk", F.row_number().over(rw))
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"), "doc_id", "h", "w"
+        )
+    )
+
+
 def ext_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget subsampling: per source, take documents in doc_id
     order until a 600-token budget is exhausted (the first doc may
@@ -3177,6 +3225,7 @@ EXT_QUERIES = {
     "ext_sketch_hll": ext_sketch_hll,
     "ext_sketch_hll_merge": ext_sketch_hll_merge,
     "ext_sketch_kmv_jaccard": ext_sketch_kmv_jaccard,
+    "ext_sample_weighted": ext_sample_weighted,
     "ext_sketch_cms": ext_sketch_cms,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
@@ -4380,6 +4429,27 @@ EXT_ORACLE_SQL = {
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_eff,
                CAST(MAX(h) AS BIGINT) AS kth_min
         FROM r WHERE rn <= 64 GROUP BY lang
+    """,
+    # Weighted priority sampling replay (r16): rank = one IEEE division
+    # h/w (exactly specified cross-engine), NULL n_chars filtered
+    # EXPLICITLY on both sides (NULLS FIRST/LAST divergence trap).
+    "ext_sample_weighted": r"""
+        WITH base AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h,
+                 CAST(n_chars + 1 AS BIGINT) AS w
+          FROM documents WHERE n_chars IS NOT NULL
+        ), top AS (
+          SELECT doc_id, h, w,
+                 row_number() OVER (
+                   ORDER BY CAST(h AS DOUBLE) / CAST(w AS DOUBLE) ASC,
+                            doc_id ASC
+                 ) AS rnk
+          FROM base
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, h, w
+        FROM top WHERE rnk <= 100 ORDER BY rnk
     """,
     # KMV set-operation replay (r16): per-lang k-smallest hash LISTS,
     # pair them (lang_a < lang_b — NULL langs drop on both engines),

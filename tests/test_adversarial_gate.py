@@ -78,6 +78,10 @@ ADVERSARIAL_QUERIES = [
     # the cross-source duplicate texts make shard sketches OVERLAP, so
     # the max-of-maxes merge (not a sum) is what keeps both engines equal
     "ext_sketch_hll_merge",
+    # r16: weighted priority sampling — the hostile NULL-n_chars rows
+    # pin the explicit filter (NULLS FIRST/LAST divergence otherwise),
+    # negative doc_ids flow through the string-cast hash identically
+    "ext_sample_weighted",
     # r16: KMV Jaccard — the NULL-lang group must drop from pairing on
     # both engines (NULL < comparison), single-doc langs give tiny exact
     # sketches, unicode tokens exercise md5 parity, and duplicate texts

@@ -843,6 +843,46 @@ def test_labelprop_majority_beats_min_and_paths_agree(spark):
         assert got == want, (bcast, got)
 
 
+def test_sample_weighted_replica_and_size_bias(spark, tmp_path):
+    """The selection must equal an independent Python replica of the
+    h/w rank (same md5-hash60, same IEEE division), and the sample must
+    be SIZE-BIASED: with 200 docs of weight 1001 and 200 of weight 11,
+    the heavy class must take well over half the 100 slots."""
+    import hashlib
+
+    import pandas as pd
+
+    from flink_cdc_multi_spark.plans.extensions import ext_sample_weighted
+
+    n_chars = [1000] * 200 + [10] * 200 + [None]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(401)),
+            "text": ["x"] * 401,
+            "lang": ["en"] * 401,
+            "source": ["s"] * 401,
+            "n_chars": pd.array(n_chars, dtype="Int64"),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    rows = ext_sample_weighted(spark, str(sf)).collect()
+    got = [(r["rnk"], r["doc_id"], r["h"], r["w"]) for r in rows]
+
+    def h60(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+
+    ref = sorted(
+        ((h60(d) / (w + 1), d, h60(d), w + 1)
+         for d, w in zip(range(401), n_chars) if w is not None),
+    )[:100]
+    want = [(i + 1, d, h, w) for i, (_, d, h, w) in enumerate(ref)]
+    assert got == want
+    heavy = sum(1 for _, d, _, _ in got if d < 200)
+    assert heavy > 75  # weight ratio ~91x -> heavy class dominates
+
+
 def test_kmv_jaccard_exact_when_sets_fit_in_sketch(spark, tmp_path):
     """When both languages have ≤ k distinct tokens the KMV sketches ARE
     the sets, so the estimator must return the EXACT Jaccard: en =

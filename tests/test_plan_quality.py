@@ -333,6 +333,18 @@ def test_ext_text_tfidf_hash_agg_and_group_limit(spark):
     assert "n_chars" not in plan and "source" not in plan
 
 
+def test_ext_sample_weighted_take_ordered_no_exchange(spark):
+    """r16: the global top-k must be TakeOrderedAndProject (each map
+    task forwards ≤ k rows — never a corpus sort), the n_chars filter
+    must reach the scan, and only (doc_id, n_chars) are read; the rank
+    window runs on the collected 100 rows with no further exchange."""
+    plan = plan_of(spark, "ext_sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "+- Exchange" not in plan
+    assert "PushedFilters: [IsNotNull(n_chars)]" in plan
+    assert "text" not in plan
+
+
 def test_ext_sketch_kmv_jaccard_group_limit_no_cartesian_blowup(spark):
     """r16: the sketch build must pre-reduce map-side (WindowGroupLimit,
     the KMV merge); the pairing self-join runs on sketch-sized rows and
