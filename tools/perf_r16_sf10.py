@@ -193,6 +193,24 @@ def main() -> None:
             "CAST(SUM(k_u) AS BIGINT), CAST(SUM(n_match) AS BIGINT)",
         )
 
+    if want("weighted_500k"):
+        ab(
+            "weighted_500k",
+            ALL_QUERIES["ext_sample_weighted"](spark, sf_dir),
+            con,
+            ALL_ORACLE_SQL["ext_sample_weighted"],
+            lambda p: tuple(
+                p.agg(
+                    F.count("*"),
+                    F.sum("doc_id"),
+                    F.sum(F.col("h") % 1000000007),
+                    F.sum("w"),
+                ).collect()[0]
+            ),
+            "CAST(SUM(doc_id) AS BIGINT), "
+            "CAST(SUM(h % 1000000007) AS BIGINT), CAST(SUM(w) AS BIGINT)",
+        )
+
     if want("zorder_10m"):
         con.execute(
             f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
