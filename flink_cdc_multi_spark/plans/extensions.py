@@ -801,6 +801,104 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interval-join bin width (ext_events_interval_join): 1 hour in ms.
+_IJOIN_BUCKET_MS = 3_600_000
+
+
+def ext_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join (r16) — the scalable RANGE-join pattern next
+    to ext_asof_join's point-in-time lookup: for every user session
+    (the ext_sessionize gap rule), count ALL events — any user — whose
+    timestamp falls inside the session's [start, end] (a concurrency /
+    system-load measure per session). A naive `ON ts BETWEEN s AND e`
+    non-equi join plans as BroadcastNestedLoopJoin — quadratic, the
+    100 TB killer — so intervals explode to the 1-hour buckets they
+    cover (F.sequence over bucket ids; the fan-out is PROVABLY bounded:
+    a session's span is ≤ gap·n_events by the 30-minute gap rule, so
+    even a hostile extreme timestamp can only open a new SESSION, never
+    a monster sequence — pinned by the adversarial sweep's pre-epoch/
+    extreme rows) and the probe joins EQUI on its single bucket id, with
+    the exact containment as a post-join filter. Each event lands in
+    exactly ONE bucket, so no pair is double-counted and no dedup
+    exchange exists. DuckDB's oracle runs the same join as a plain
+    non-equi predicate (its IEJoin handles it natively at gate scale) —
+    an independent formulation, like asof's.
+
+    NULL contracts pinned by the adversarial sweep: NULL-ts events are
+    excluded from BOTH sides (sessionize's rule); NULL user_id remains
+    one session group on both engines. Output: (user_id, session_no,
+    n_events, n_concurrent) — n_concurrent includes the session's own
+    events by contract.
+
+    Scale shape: sessions are a window over the user partition (high
+    cardinality, no hot key); the join is one equi exchange on the
+    int64 bucket id — peak-hour buckets are the skew to watch, which is
+    exactly what AQE skew-join splits (and bucket width is the knob)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap_ms = 30 * 60 * 1000
+    new_session = (
+        F.col("ts_ms") - F.lag("ts_ms", 1).over(w) > gap_ms
+    ).cast("int")
+    sess = (
+        ev.withColumn("new_s", F.coalesce(new_session, F.lit(0)))
+        .withColumn(
+            "session_no",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts_ms").alias("s_start"),
+            F.max("ts_ms").alias("s_end"),
+        )
+    )
+    b = _IJOIN_BUCKET_MS
+    ivl = sess.select(
+        "user_id",
+        "session_no",
+        "n_events",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {b}"), F.expr(f"s_end div {b}")
+            )
+        ).alias("bucket"),
+    )
+    # aggregate-before-join: events with identical (bucket, ts) collapse
+    # to one weighted probe row BEFORE the join, so the join fan-out is
+    # |distinct timestamps per bucket| x |intervals|, not |events| x
+    # |intervals| — exact (n_concurrent = Σ cnt) and the difference is
+    # enormous on temporally dense streams (sf10: 2.58B joined pairs →
+    # 26M; 55 s → measured in PERF.md r16)
+    probe = (
+        ev.select(
+            F.col("ts_ms").alias("p_ts"),
+            F.expr(f"ts_ms div {b}").alias("bucket"),
+        )
+        .groupBy("bucket", "p_ts")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        ivl.join(probe, "bucket")
+        .filter(F.col("p_ts").between(F.col("s_start"), F.col("s_end")))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.sum("cnt").cast("bigint").alias("n_concurrent"),
+        )
+    )
+
+
 # -- CDC history / point-in-time / sampling ---------------------------------
 
 
@@ -3226,6 +3324,7 @@ EXT_QUERIES = {
     "ext_sketch_hll_merge": ext_sketch_hll_merge,
     "ext_sketch_kmv_jaccard": ext_sketch_kmv_jaccard,
     "ext_sample_weighted": ext_sample_weighted,
+    "ext_events_interval_join": ext_events_interval_join,
     "ext_sketch_cms": ext_sketch_cms,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
@@ -4429,6 +4528,39 @@ EXT_ORACLE_SQL = {
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_eff,
                CAST(MAX(h) AS BIGINT) AS kth_min
         FROM r WHERE rn <= 64 GROUP BY lang
+    """,
+    # Interval-join replay (r16): DuckDB runs the containment as a plain
+    # non-equi join (native IEJoin) — an independent formulation of the
+    # Spark side's binned equi-join, the asof-oracle pattern.
+    "ext_events_interval_join": """
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+          WHERE ts IS NOT NULL
+        ), flagged AS (
+          SELECT user_id, event_id, ts_ms,
+                 COALESCE(CAST(ts_ms - LAG(ts_ms, 1) OVER w > 1800000
+                               AS INT), 0) AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        ), sess AS (
+          SELECT user_id, ts_ms,
+                 CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_no
+          FROM flagged
+        ), ivl AS (
+          SELECT user_id, session_no,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MIN(ts_ms) AS s_start, MAX(ts_ms) AS s_end
+          FROM sess GROUP BY user_id, session_no
+        )
+        SELECT ivl.user_id, ivl.session_no,
+               ANY_VALUE(ivl.n_events) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_concurrent
+        FROM ivl JOIN ev ON ev.ts_ms BETWEEN ivl.s_start AND ivl.s_end
+        GROUP BY ivl.user_id, ivl.session_no
+        ORDER BY ivl.user_id, ivl.session_no
     """,
     # Weighted priority sampling replay (r16): rank = one IEEE division
     # h/w (exactly specified cross-engine), NULL n_chars filtered

@@ -78,6 +78,10 @@ ADVERSARIAL_QUERIES = [
     # the cross-source duplicate texts make shard sketches OVERLAP, so
     # the max-of-maxes merge (not a sum) is what keeps both engines equal
     "ext_sketch_hll_merge",
+    # r16: binned interval join — NULL-ts rows excluded on both sides
+    # (the sessionize rule), NULL user_id stays one session group, and
+    # pre-epoch/extreme timestamps exercise the integer bucket math
+    "ext_events_interval_join",
     # r16: weighted priority sampling — the hostile NULL-n_chars rows
     # pin the explicit filter (NULLS FIRST/LAST divergence otherwise),
     # negative doc_ids flow through the string-cast hash identically

@@ -333,6 +333,18 @@ def test_ext_text_tfidf_hash_agg_and_group_limit(spark):
     assert "n_chars" not in plan and "source" not in plan
 
 
+def test_ext_events_interval_join_is_binned_equi_never_nested_loop(spark):
+    """r16: the range join must run as an EQUI join on the bucket id
+    (containment as a residual filter) — a naive BETWEEN-only join plans
+    BroadcastNestedLoopJoin, the quadratic 100 TB killer."""
+    plan = plan_of(spark, "ext_events_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+            or "SortMergeJoin" in plan)
+    assert "Generate" in plan  # the interval→bucket explode
+
+
 def test_ext_sample_weighted_take_ordered_no_exchange(spark):
     """r16: the global top-k must be TakeOrderedAndProject (each map
     task forwards ≤ k rows — never a corpus sort), the n_chars filter

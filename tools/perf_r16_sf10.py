@@ -211,9 +211,24 @@ def main() -> None:
             "CAST(SUM(h % 1000000007) AS BIGINT), CAST(SUM(w) AS BIGINT)",
         )
 
-    if want("zorder_10m"):
+    if want("ijoin_10m") or want("zorder_10m"):
         con.execute(
             f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+
+    if want("ijoin_10m"):
+        ab(
+            "ijoin_10m",
+            ALL_QUERIES["ext_events_interval_join"](spark, sf_dir),
+            con,
+            ALL_ORACLE_SQL["ext_events_interval_join"],
+            lambda p: tuple(
+                p.agg(
+                    F.count("*"), F.sum("n_events"), F.sum("n_concurrent")
+                ).collect()[0]
+            ),
+            "CAST(SUM(n_events) AS BIGINT), "
+            "CAST(SUM(n_concurrent) AS BIGINT)",
         )
         ab(
             "zorder_10m",
