@@ -124,15 +124,18 @@ class JobConfig:
         if source_type not in SOURCE_TYPES:
             raise ConfigError(f"unknown source.type: {source_type}")
         zc = cfg.get("compaction.zorder.columns")
-        if zc is not None and not isinstance(zc, str) and len(list(zc)) != 2:
-            raise ConfigError(
-                "compaction.zorder.columns needs exactly two column names "
-                "(the Morton interleave is 2-D)"
-            )
         if isinstance(zc, str):
             raise ConfigError(
                 "compaction.zorder.columns needs exactly two column names, "
                 f"got one: {zc!r}"
+            )
+        # [] is the natural "disabled" spelling (and what the default
+        # produces) — treat it like an absent key; the exactly-two rule
+        # applies only to a non-empty list (ADVICE r16)
+        if zc is not None and len(list(zc)) not in (0, 2):
+            raise ConfigError(
+                "compaction.zorder.columns needs exactly two column names "
+                "(the Morton interleave is 2-D)"
             )
 
         if source_type == "mongodb":

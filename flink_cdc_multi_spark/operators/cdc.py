@@ -195,6 +195,24 @@ def compact_table(
         )
         zorder_by = None
     if zorder_by:
+        # presence is not enough (ADVICE r16): a present-but-non-numeric
+        # column (varchar PK, timestamp) passes the name check and then
+        # crashes INSIDE the write job's _zkey_pandas_udf
+        # (to_numpy(dtype=float) on strings), failing the whole
+        # maintenance run — degrade to the plain key layout instead,
+        # same contract as the missing-column case
+        from pyspark.sql.types import NumericType
+
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bad = [c for c in zorder_by if not isinstance(types[c], NumericType)]
+        if bad:
+            LOG.warning(
+                "compact %s: zorder columns %s are non-numeric (%s); "
+                "plain layout",
+                table_path, bad, [str(types[c]) for c in bad],
+            )
+            zorder_by = None
+    if zorder_by:
         # Z-order the compacted output WITHIN each dt partition (r16 —
         # what Delta's OPTIMIZE ZORDER BY does on compaction): quantile
         # boundaries come from the RAW change log (scan-only; the

@@ -1246,9 +1246,9 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword extraction (r16): the classic
     sparse-retrieval / topic-labeling primitive next to
     ext_text_commonness (which rolls corpus frequency UP per doc; this
-    ranks terms WITHIN each doc). Output: the top-%d terms of every
-    document as (doc_id, rnk, token, tf, df) — term frequency and
-    document frequency as exact integers per the ratio rule.
+    ranks terms WITHIN each doc). Output: the top-k (k = _TFIDF_TOP_K)
+    terms of every document as (doc_id, rnk, token, tf, df) — term
+    frequency and document frequency as exact integers per the ratio rule.
 
     Rank contract (cross-engine exact, no libm): classic tf-idf ranks by
     tf·ln(N/df); ln is libm- not IEEE-specified and must never execute
@@ -1276,9 +1276,7 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC materializations (max_by rule) the partition key here is the
     HIGH-cardinality doc_id, so there is no hot-key skew wall; Spark's
     WindowGroupLimit additionally caps each map task to k rows per doc
-    BEFORE the window exchange (plan-pinned).""" % (
-        _TFIDF_TOP_K
-    )
+    BEFORE the window exchange (plan-pinned)."""
     from flink_cdc_multi_spark.operators.text import widen_narrow_scan
 
     docs = load_table(spark, sf_dir, "documents")

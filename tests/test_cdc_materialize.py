@@ -137,6 +137,15 @@ def test_compact_table_zorder_layout(spark, tmp_path):
         spark, path, ["id"], ORDER, zorder_by=["id", "no_such_col"],
     )
     assert n2 == 40
+    # a PRESENT but non-numeric column (varchar PK — common for CDC
+    # tables) must also degrade to the plain layout, not crash inside
+    # the write job's pandas_udf (ADVICE r16: the guard checked only
+    # presence, so strings passed and to_numpy(dtype=float) raised
+    # mid-maintenance)
+    n3 = compact_table(
+        spark, path, ["id"], ORDER, zorder_by=["id", "v"],
+    )
+    assert n3 == 40
 
 
 def test_compact_table_zorder_fully_deleted_table(spark, tmp_path):

@@ -61,3 +61,9 @@ def test_compaction_zorder_columns_validation():
         JobConfig.from_dict(
             {**base, "compaction.zorder.columns": ["a", "b", "c"]}
         )
+    # an explicit empty list is the natural "disabled" spelling and must
+    # behave like an absent key, not raise (ADVICE r16)
+    cfg_empty = JobConfig.from_dict(
+        {**base, "compaction.zorder.columns": []}
+    )
+    assert cfg_empty.compaction_zorder_columns == []
