@@ -151,13 +151,25 @@ def hll_estimate_py(regs: list[int]) -> tuple[int, int, int]:
 CMS_D, CMS_W = 4, 256
 
 
-def cms_h1_h2(value_col: Column) -> tuple[Column, Column]:
-    """(h1, h2) columns for the Kirsch–Mitzenmacher row-column derivation
-    — the md5-hash60 contract hash, split exactly as ext_sketch_cms's
-    oracle replays it."""
-    h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
-    h1 = h % F.lit(CMS_W * 4096)
-    h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
+def cms_h1_h2(value_col: Column, use_xxhash: bool = False) -> tuple[Column, Column]:
+    """(h1, h2) columns for the Kirsch–Mitzenmacher row-column derivation,
+    split exactly as ext_sketch_cms's oracle replays it.
+
+    ``use_xxhash=True`` (the r17 gate default — one JVM xxhash64 call,
+    replayed in DuckDB by the generated XXH64 chain in
+    functions/xxh64_sql) takes h1/h2 from the unsigned 64-bit pattern:
+    low 20 bits and bits 30.. via shiftrightUNSIGNED (the hash is signed
+    on the Spark side, so arithmetic %/>> would diverge from the
+    oracle's unsigned ``%``/``//``; the bit ops are sign-free on both).
+    ``use_xxhash=False`` keeps the original md5-hash60 contract."""
+    if use_xxhash:
+        h = F.xxhash64(value_col)
+        h1 = h.bitwiseAND(F.lit(CMS_W * 4096 - 1))
+        h2 = F.shiftrightunsigned(h, 30).bitwiseOR(F.lit(1))
+    else:
+        h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
+        h1 = h % F.lit(CMS_W * 4096)
+        h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
     return h1, h2
 
 

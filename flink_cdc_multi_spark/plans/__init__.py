@@ -48,6 +48,15 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # is what lets a pin coexist with the PREVIOUS round's green row for the same
 # query — pin round N's plan changes as (name, N) and never clear by hand.
 _REGATE: list[tuple[str, int]] = [
+    # r17: the five sketch gate queries switched their portable-hash
+    # contract from md5-hash60 to xxhash64 (Spark F.xxhash64 + the
+    # generated DuckDB XXH64 chain in functions/xxh64_sql) — every
+    # register/hash value in the results changed
+    ("ext_sketch_hll", 17),
+    ("ext_sketch_hll_merge", 17),
+    ("ext_sketch_kmv", 17),
+    ("ext_sketch_kmv_jaccard", 17),
+    ("ext_sketch_cms", 17),
     # r16: ext_layout_zorder's dims now cross a Generate barrier before
     # the spread chain (plan changed after first registration this round)
     ("ext_layout_zorder", 16),

@@ -2487,7 +2487,11 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.trim("text") != "").select(
         "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    # r17 portable-hash fast lane: ONE JVM xxhash64 call per token (the
+    # md5+conv pair was the measured sf10 scan wall); the oracle replays
+    # the exact bits via the generated XXH64 chain (functions/xxh64_sql)
+    # and reinterprets them SIGNED, so the k-smallest order matches.
+    h = F.xxhash64("token")
     distinct_h = toks.select("lang", h.alias("h")).distinct()
     w = Window.partitionBy("lang").orderBy("h")
     return (
@@ -2525,7 +2529,9 @@ def ext_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.trim("text") != "").select(
         "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    # r17: same xxhash64 fast lane + signed-order contract as
+    # ext_sketch_kmv (the sketch build is shared)
+    h = F.xxhash64("token")
     distinct_h = toks.select("lang", h.alias("h")).distinct()
     w = Window.partitionBy("lang").orderBy("h")
     sketches = (
@@ -2594,7 +2600,7 @@ def ext_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = base.select(
         F.explode(X.tokens(F.col("text"))).alias("token")
     )
-    h1, h2 = cms_h1_h2(F.col("token"))
+    h1, h2 = cms_h1_h2(F.col("token"), use_xxhash=True)  # r17 fast lane
     cells = F.array(*[
         F.struct(
             F.lit(r).alias("r"),
@@ -2632,6 +2638,14 @@ from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
 from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
     hll_finalize,
     hll_j_rho,
+)
+
+# r17 portable-hash fast lane: the sketch oracles replay Spark's
+# xxhash64 bit-exact through the generated DuckDB XXH64 CTE chain — the
+# md5+conv scan wall no longer taxes the gated sketch queries.
+from flink_cdc_multi_spark.functions.xxh64_sql import (  # noqa: E402
+    xxh64_cte,
+    xxh64_signed_expr,
 )
 
 
@@ -2680,7 +2694,11 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.trim("text") != "").select(
         "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
     )
-    return hll_sketch_over(toks, ["lang"], "token")
+    # r17: the gated form IS the production fast path now — the oracle
+    # replays xxhash64 exactly via the generated XXH64 chain
+    # (functions/xxh64_sql), so the md5+conv tax is no longer the price
+    # of replayability; use_xxhash=False keeps the md5 contract available.
+    return hll_sketch_over(toks, ["lang"], "token", use_xxhash=True)
 
 
 def hll_sketch_over(
@@ -2746,7 +2764,7 @@ def ext_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token"),
     )
-    j, rho = hll_j_rho(F.col("token"), use_xxhash=False)
+    j, rho = hll_j_rho(F.col("token"), use_xxhash=True)  # r17 fast lane
     shard_regs = (
         toks.select("lang", "source", j.alias("j"), rho.alias("rho"))
         .groupBy("lang", "source", "j")
@@ -4511,13 +4529,24 @@ EXT_ORACLE_SQL = {
         SELECT doc_id, source, n_tokens, tokens_before
         FROM c WHERE tokens_before < 600
     """,
-    "ext_sketch_kmv": r"""
-        WITH t AS (
-          SELECT DISTINCT lang,
-                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    # r17 fast lane: the hash is Spark's xxhash64 (seed 42), replayed
+    # bit-exact by the generated XXH64 chain and reinterpreted SIGNED so
+    # the k-smallest order matches Spark's BIGINT sort. DISTINCT
+    # (lang, token) runs BEFORE the hash chain (value-identical — the
+    # hash is a pure function of the token; the Spark side dedups AFTER
+    # hashing, on the compact 8-byte key: each engine dedups where it is
+    # cheapest). The post-hash DISTINCT stays: a cross-token hash
+    # collision must collapse to one row on BOTH engines.
+    "ext_sketch_kmv": rf"""
+        WITH kmv_tok AS (
+          SELECT DISTINCT lang, token
           FROM (SELECT lang,
                        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                 FROM documents WHERE trim(text) <> '') u
+        ),
+        {xxh64_cte('kmv_tok', ['lang'], 'token', prefix='kmv')},
+        t AS (
+          SELECT DISTINCT lang, {xxh64_signed_expr('h')} AS h FROM kmv_h
         ), r AS (
           SELECT lang, h,
                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
@@ -4585,13 +4614,16 @@ EXT_ORACLE_SQL = {
     # pair them (lang_a < lang_b — NULL langs drop on both engines),
     # U = k smallest of the union, n_match = |U ∩ A_k ∩ B_k| — the
     # Beyer et al. Jaccard estimator input as exact integers.
-    "ext_sketch_kmv_jaccard": r"""
-        WITH t AS (
-          SELECT DISTINCT lang,
-                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    "ext_sketch_kmv_jaccard": rf"""
+        WITH kj_tok AS (
+          SELECT DISTINCT lang, token
           FROM (SELECT lang,
                        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                 FROM documents WHERE trim(text) <> '') u
+        ),
+        {xxh64_cte('kj_tok', ['lang'], 'token', prefix='kj')},
+        t AS (
+          SELECT DISTINCT lang, {xxh64_signed_expr('h')} AS h FROM kj_h
         ), r AS (
           SELECT lang, h,
                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
@@ -4612,30 +4644,34 @@ EXT_ORACLE_SQL = {
         FROM p ORDER BY lang_a, lang_b
     """,
     "ext_sketch_hll": rf"""
-        -- portable HLL (r16): register index = top 6 of the 60-bit md5
-        -- hash, rho = first-'1' STRING position over the padded binary
-        -- rendering of the remaining 54 bits (exact integer/string
-        -- logic — no float log2); harmonic sum on the 2^55 fixed-point
-        -- scale stays in BIGINT; the single floating op (C / harmonic)
-        -- uses the shared decimal literal and IEEE division, identical
-        -- to the Spark side bit for bit
-        WITH occ AS (
-          -- list_distinct = the Spark side's per-doc array_distinct:
-          -- dedup-before-hash, distinct-set invariant
-          SELECT lang, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        -- portable HLL over the r17 xxhash64 fast lane: register index
+        -- = top 6 of the unsigned 64-bit hash (h // 2^58 replays
+        -- shiftrightunsigned), rho = first-'1' STRING position over the
+        -- padded binary rendering of the remaining 58 bits capped at 55
+        -- (the fixed-point scale guard — Spark's F.least arm); harmonic
+        -- sum on the 2^55 fixed-point scale stays in BIGINT; the single
+        -- floating op (C / harmonic) uses the shared decimal literal
+        -- and IEEE division, identical to the Spark side bit for bit.
+        -- DISTINCT (lang, token) runs BEFORE the hash chain: the
+        -- register MAX absorbs duplicates anyway (value-identical), so
+        -- the XXH64 chain prices per corpus-distinct pair.
+        WITH hll_tok AS (
+          SELECT DISTINCT lang, token
           FROM (SELECT lang,
-                       unnest(list_distinct(
-                         regexp_split_to_array(trim(text), '\s+'))) AS token
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                 FROM documents WHERE trim(text) <> '') u
-        ), reg AS (
-          SELECT lang, h >> 54 AS j,
-                 CASE WHEN strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
-                                       54, '0'), '1') = 0
+        ),
+        {xxh64_cte('hll_tok', ['lang'], 'token', prefix='hll')},
+        reg AS (
+          SELECT lang, CAST(h // 288230376151711744::UBIGINT AS BIGINT) AS j,
+                 CASE WHEN strpos(lpad(bin(CAST(h % 288230376151711744::UBIGINT
+                                               AS BIGINT)), 58, '0'), '1') = 0
                       THEN 55
-                      ELSE strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
-                                       54, '0'), '1')
+                      ELSE least(strpos(lpad(bin(CAST(h % 288230376151711744::UBIGINT
+                                                     AS BIGINT)), 58, '0'), '1'),
+                                 55)
                  END AS rho
-          FROM occ
+          FROM hll_h
         ), m AS (
           SELECT lang, j, MAX(rho) AS mr FROM reg GROUP BY lang, j
         ), s AS (
@@ -4665,22 +4701,24 @@ EXT_ORACLE_SQL = {
     # shard registers, then max-of-maxes per lang — the mergeability
     # contract. Same hash/rho/estimator arms as ext_sketch_hll above.
     "ext_sketch_hll_merge": rf"""
-        WITH occ AS (
-          SELECT lang, source,
-                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        WITH hm_tok AS (
+          SELECT DISTINCT lang, source, token
           FROM (SELECT lang, source,
-                       unnest(list_distinct(
-                         regexp_split_to_array(trim(text), '\s+'))) AS token
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                 FROM documents WHERE trim(text) <> '') u
-        ), reg AS (
-          SELECT lang, source, h >> 54 AS j,
-                 CASE WHEN strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
-                                       54, '0'), '1') = 0
+        ),
+        {xxh64_cte('hm_tok', ['lang', 'source'], 'token', prefix='hm')},
+        reg AS (
+          SELECT lang, source,
+                 CAST(h // 288230376151711744::UBIGINT AS BIGINT) AS j,
+                 CASE WHEN strpos(lpad(bin(CAST(h % 288230376151711744::UBIGINT
+                                               AS BIGINT)), 58, '0'), '1') = 0
                       THEN 55
-                      ELSE strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)),
-                                       54, '0'), '1')
+                      ELSE least(strpos(lpad(bin(CAST(h % 288230376151711744::UBIGINT
+                                                     AS BIGINT)), 58, '0'), '1'),
+                                 55)
                  END AS rho
-          FROM occ
+          FROM hm_h
         ), shard AS (
           SELECT lang, source, j, MAX(rho) AS mr
           FROM reg GROUP BY lang, source, j
@@ -4711,33 +4749,41 @@ EXT_ORACLE_SQL = {
         FROM r JOIN nsh ON r.lang IS NOT DISTINCT FROM nsh.lang
         ORDER BY r.lang
     """,
-    "ext_sketch_cms": r"""
-        -- count-min sketch: d=4 rows x w=256 cols, Kirsch-Mitzenmacher
-        -- double hashing off ONE md5-hash60 (col_r = (h1 + r*h2) mod w,
-        -- h2 forced odd) — all exact integer arithmetic, so the sketch
-        -- and the point estimates replay the Spark side bit-for-bit
-        WITH tok AS (
+    # count-min sketch: d=4 rows x w=256 cols, Kirsch-Mitzenmacher
+    # double hashing off ONE hash (col_r = (h1 + r*h2) mod w, h2 forced
+    # odd) — r17: the hash is the xxhash64 fast lane; h1 = low 20 bits
+    # (h % 2^20 on the unsigned pattern = Spark's bitwiseAND mask) and
+    # h2 = bits 30.. (h // 2^30 = shiftrightunsigned) — all exact
+    # integer arithmetic, so the sketch and the point estimates replay
+    # the Spark side bit-for-bit. CMS counts OCCURRENCES, so the main
+    # chain hashes every token (no distinct pre-pass possible).
+    "ext_sketch_cms": rf"""
+        WITH cms_tok AS (
           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
           FROM documents WHERE trim(text) <> ''
-        ), hh AS (
-          SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
-          FROM tok
-        ), cell AS (
+        ),
+        {xxh64_cte('cms_tok', [], 'token', prefix='cms')},
+        cell AS (
           SELECT rr.r AS r,
-                 ((h % 1048576) + rr.r * ((h >> 30) | 1)) % 256 AS c
-          FROM hh, (SELECT unnest(range(4)) AS r) rr
+                 ((CAST(h % 1048576::UBIGINT AS BIGINT))
+                  + rr.r * ((CAST(h // 1073741824::UBIGINT AS BIGINT)) | 1))
+                 % 256 AS c
+          FROM cms_h, (SELECT unnest(range(4)) AS r) rr
         ), sk AS (
           SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n FROM cell GROUP BY r, c
-        ), probe AS (
-          SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+'))
-                   AS token
-          FROM documents WHERE trim(text) <> '' AND doc_id < 5
-        ), pc AS (
-          SELECT p.token, rr.r AS r,
-                 (((('0x' || substr(md5(p.token), 1, 15))::BIGINT % 1048576)
-                   + rr.r * ((('0x' || substr(md5(p.token), 1, 15))::BIGINT
-                              >> 30) | 1)) % 256) AS c
-          FROM probe p, (SELECT unnest(range(4)) AS r) rr
+        ), probe0 AS (
+          SELECT DISTINCT token
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS token
+                FROM documents WHERE trim(text) <> '' AND doc_id < 5) u
+        ),
+        {xxh64_cte('probe0', ['token'], 'token', prefix='pr')},
+        pc AS (
+          SELECT token, rr.r AS r,
+                 ((CAST(h % 1048576::UBIGINT AS BIGINT))
+                  + rr.r * ((CAST(h // 1073741824::UBIGINT AS BIGINT)) | 1))
+                 % 256 AS c
+          FROM pr_h, (SELECT unnest(range(4)) AS r) rr
         )
         SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
         FROM pc JOIN sk USING (r, c)
