@@ -13,10 +13,11 @@ streaming sketch over the same values are BIT-IDENTICAL (pinned in
 tests/test_streaming_hll.py and the ext_sketch_hll_merge oracle).
 
 Hash contract (see ext_sketch_hll's docstring for the full rationale):
-``use_xxhash=False`` routes through the repo's portable md5-hash60 so
-DuckDB replays the sketch exactly; ``use_xxhash=True`` is the production
-fast path (one JVM xxhash64 call — 3.0 → 1.7 s over 500k sf10 docs,
-PERF.md r16). rho is computed by a 6-step integer binary search (no float
+``use_xxhash=True`` is the production fast path (one JVM xxhash64 call —
+3.0 → 1.7 s over 500k sf10 docs, PERF.md r16) and, since r17, ALSO the
+oracle-gated form: DuckDB replays the exact xxhash64 bits through the
+generated XXH64 chain in functions/xxh64_sql. ``use_xxhash=False`` keeps
+the original md5-hash60 portable contract. rho is computed by a 6-step integer binary search (no float
 log2 whose libm rounding could diverge engines, no per-token string
 alloc). The estimator's one floating op — floor(C / harmonic) — is IEEE
 division of a shared decimal constant, identical cross-engine; the
@@ -178,3 +179,49 @@ def cms_indices_py(h1: int, h2: int) -> list[int]:
     pure-Python replica of the engine-side derivation (streaming state
     updates and test references share it)."""
     return [r * CMS_W + (h1 + r * h2) % CMS_W for r in range(CMS_D)]
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries bounded top-k kernel (r17, VERDICT r16 item 1): the
+# CONSTANT-state heavy-hitter maintainer that turns cms_freq_stream's
+# unbounded per-batch candidate feed into an actual streaming top-k set.
+#
+# The classic formulation is a sequential stream scan; the distributed /
+# mergeable form (Agarwal et al., "Mergeable Summaries") is what both the
+# batch query and the streaming state use:
+#
+# - COMPRESS a count vector to <= k counters by subtracting the (k+1)-th
+#   largest count from every counter and dropping non-positives — pure
+#   deterministic integer arithmetic (ties broken by value ASC), so the
+#   DuckDB oracle replays it exactly.
+# - MERGE two summaries by counter-wise SUM, then compress again.
+#
+# Guarantee: every surviving counter is a LOWER BOUND on the true count,
+# and the total undercount is bounded by the sum of subtracted
+# thresholds <= N/(k+1) per compress level — the Misra–Gries invariant,
+# pinned in tests against exact counts.
+MG_K = 32
+
+
+def mg_compress_py(counters: dict[str, int], k: int = MG_K) -> dict[str, int]:
+    """Compress a value→count map to at most ``k`` positive counters by
+    the (k+1)-th-largest-count decrement. Deterministic: the threshold
+    row is picked under (count DESC, value ASC) — the exact ordering the
+    batch query and its oracle use."""
+    if len(counters) <= k:
+        return {v: c for v, c in counters.items() if c > 0}
+    ordered = sorted(counters.items(), key=lambda vc: (-vc[1], vc[0]))
+    thr = ordered[k][1]
+    return {v: c - thr for v, c in ordered[:k] if c > thr}
+
+
+def mg_merge_py(
+    a: dict[str, int], b: dict[str, int], k: int = MG_K
+) -> dict[str, int]:
+    """Merge two Misra–Gries summaries: counter-wise sum, then compress.
+    The streaming state fold (topk_freq_stream) is exactly
+    ``mg_merge_py(state, batch_counts)`` per micro-batch."""
+    m = dict(a)
+    for v, c in b.items():
+        m[v] = m.get(v, 0) + c
+    return mg_compress_py(m, k)

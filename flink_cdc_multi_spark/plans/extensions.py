@@ -2468,12 +2468,14 @@ def ext_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-cardinality sketch per language:
-    the k=64 smallest md5-hash60 values of the distinct token set. The
+    the k=64 smallest xxhash64 values of the distinct token set. The
     consumer estimates |distinct| ≈ (k_eff-1)·2^60 / kth_min — the
     mergeable-sketch path for distinct counting at 100 TB, where exact
     per-group count_distinct shuffles every distinct value and HLL±
     (approx_count_distinct) is engine-local and can't be oracle-gated.
-    This md5-derived KMV is DETERMINISTIC and portable, so the sketch
+    This xxhash64-derived KMV is DETERMINISTIC and portable (the r17
+    fast-lane contract: Spark hashes with one JVM xxhash64 call, the
+    oracle replays the bits via functions/xxh64_sql), so the sketch
     itself is hash-checked cross-engine (output: lang, k_eff, kth_min —
     exact integers; the float estimate never crosses the engine
     boundary, ratio rule).
@@ -2515,7 +2517,8 @@ def ext_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-integer contract (ratio rule): output (lang_a, lang_b, k_u,
     n_match) — the estimate n_match/k_u never crosses the engine
-    boundary. The hashes are the portable md5-hash60, so A_k/B_k/U are
+    boundary. The hashes are the portable signed xxhash64 (r17 fast
+    lane, replayed by functions/xxh64_sql), so A_k/B_k/U are
     bit-identical cross-engine and the gate hashes the whole estimator
     input. Pairs are ordered lang_a < lang_b; a NULL-lang group drops
     from pairing on BOTH engines (NULL comparison → no row), pinned by
@@ -2560,11 +2563,12 @@ def ext_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Count-min sketch geometry (ext_sketch_cms): d hash rows × w columns.
 # Kirsch–Mitzenmacher double hashing derives the d row-columns from ONE
-# md5-hash60 — col_r = (h1 + r·h2) mod w with h2 forced odd — so the
-# scan pays a single md5 per occurrence (the measured HLL wall) and both
-# engines replay the identical integer arithmetic. r16: the kernel lives
-# in operators/sketch.py (shared with the streaming heavy-hitter
-# estimator); these aliases keep the oracle-side names.
+# base hash — col_r = (h1 + r·h2) mod w with h2 forced odd — so the
+# scan pays a single hash per occurrence (xxhash64 since r17; md5-hash60
+# available via use_xxhash=False) and both engines replay the identical
+# integer arithmetic. r16: the kernel lives in operators/sketch.py
+# (shared with the streaming heavy-hitter estimator); these aliases keep
+# the oracle-side names.
 from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
     CMS_D as _CMS_D,
 )
@@ -2591,10 +2595,11 @@ def ext_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Probe set = the distinct tokens of doc_id < 5 (the contamination
     probe idiom); output (token, est_count) with est = min over the d
-    rows. Everything is exact integer arithmetic on the shared
-    md5-hash60, so the sketch AND the estimates replay bit-for-bit in
-    DuckDB; the ≥-truth guarantee is pinned by a unit test against
-    exact counts."""
+    rows. Everything is exact integer arithmetic on the shared hash
+    (xxhash64 since r17 — the oracle replays the bits via
+    functions/xxh64_sql), so the sketch AND the estimates replay
+    bit-for-bit in DuckDB; the ≥-truth guarantee is pinned by a unit
+    test against exact counts."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.trim("text") != "")
     toks = base.select(
@@ -2648,6 +2653,97 @@ from flink_cdc_multi_spark.functions.xxh64_sql import (  # noqa: E402
     xxh64_signed_expr,
 )
 
+from flink_cdc_multi_spark.operators.sketch import (  # noqa: E402
+    MG_K as _MG_K,
+)
+
+
+def mg_topk_over(
+    df: DataFrame, value_col: str, shard_col: str, k: int = _MG_K
+) -> DataFrame:
+    """Bounded top-k frequency summary — the mergeable (shard-wise)
+    Misra–Gries form (r17, VERDICT r16 item 1; operators/sketch.py holds
+    the kernel rationale + the Python twin the streaming state uses).
+
+    Per shard: exact counts (order-free, so the result is DETERMINISTIC
+    — the classic sequential MG scan is order-dependent and could never
+    be oracle-gated), then COMPRESS to ≤ k counters by subtracting the
+    (k+1)-th largest count (ties value ASC). MERGE across shards:
+    counter-wise sum, compress again. Output (rnk, value, est_lb) —
+    est_lb is a LOWER bound on the true count, undercount ≤ N/(k+1) per
+    compress level (the MG invariant, test-pinned vs exact counts).
+
+    Scale shape: the per-shard count is one partial-agg'd exchange on
+    (shard, value); the per-shard top-(k+1) is a row_number window that
+    compiles to WindowGroupLimit (each map task forwards ≤ k+1 rows per
+    shard BEFORE the window exchange — the kmv selection shape); the
+    threshold table is |shards| rows (broadcast), and everything after
+    the compress runs on ≤ |shards|·k rows, so the global windows are
+    single-partition ON PURPOSE (sketch-sized input — the 100 TB corpus
+    never reaches them). NULL shard keys drop at the threshold join on
+    BOTH engines (equi-join vs USING — the adversarial-gate NULL-key
+    convention)."""
+    cnt = df.groupBy(shard_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("c").desc(), F.col(value_col).asc()
+    )
+    rk = cnt.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k + 1
+    )
+    thr = rk.groupBy(shard_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("c"))),
+            F.lit(0).cast("bigint"),
+        ).alias("t")
+    )
+    surv = (
+        rk.filter(F.col("rn") <= k)
+        .join(F.broadcast(thr), shard_col)
+        .filter(F.col("c") > F.col("t"))
+        .select(value_col, (F.col("c") - F.col("t")).alias("cc"))
+    )
+    merged = surv.groupBy(value_col).agg(
+        F.sum("cc").cast("bigint").alias("cnt")
+    )
+    w2 = Window.orderBy(F.col("cnt").desc(), F.col(value_col).asc())
+    rk2 = merged.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k + 1
+    )
+    thr2 = rk2.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))),
+            F.lit(0).cast("bigint"),
+        ).alias("t2")
+    )
+    out = (
+        rk2.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(thr2))
+        .filter(F.col("cnt") > F.col("t2"))
+        .select(value_col, (F.col("cnt") - F.col("t2")).alias("est_lb"))
+    )
+    w3 = Window.orderBy(F.col("est_lb").desc(), F.col(value_col).asc())
+    return (
+        out.withColumn("rnk", F.row_number().over(w3).cast("bigint"))
+        .select("rnk", value_col, F.col("est_lb").cast("bigint").alias("est_lb"))
+    )
+
+
+def ext_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters with bounded state (r17): the top-32
+    tokens of the documents corpus by Misra–Gries lower-bound counters,
+    sharded by source — the batch twin of topk_freq_stream and the
+    consumer the CMS candidate feed was missing. Every value is exact
+    integer arithmetic (counts, ranked thresholds, decrements), so the
+    oracle replays it bit-for-bit; rnk is the deterministic
+    (est_lb DESC, token ASC) ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    return mg_topk_over(toks, "token", "source", _MG_K)
+
 
 def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-token sketch per language (r16) —
@@ -2662,13 +2758,18 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's own approx_count_distinct is HLL± with an engine-private
     hash — correct but not oracle-gateable. This form is DETERMINISTIC
-    and portable: md5-hash60 (the repo's cross-engine hash contract),
-    register index = top 6 bits, rho = leading-zero rank of the
-    remaining 54 bits — the oracle renders it as a string position
-    (lpad(bin(rem)) then first '1'), the Spark side as a value-identical
-    6-step integer binary search (no float log2 whose libm rounding
-    could diverge engines; no per-token string alloc — the measured
-    sf10 scan wall, PERF.md r16). The sketch fields (v_filled,
+    and portable: the hash is ONE JVM xxhash64 call (seed 42) — since
+    r17 the ORACLE replays those exact bits through the generated
+    DuckDB XXH64 chain (functions/xxh64_sql), so the production fast
+    path IS the gated path (the md5-hash60 contract it replaces cost
+    md5 + base-16 conv per distinct token, the measured sf10 scan wall:
+    3.0 vs 1.7 s over 500k docs, PERF.md r16). Register index = top 6
+    bits (shiftrightunsigned = unsigned ``//2^58`` in the oracle),
+    rho = leading-zero rank of the remaining 58 bits capped at 55 — the
+    oracle renders it as a string position (lpad(bin(rem)) then first
+    '1'), the Spark side as a value-identical 6-step integer binary
+    search (no float log2 whose libm rounding could diverge engines; no
+    per-token string alloc). The sketch fields (v_filled,
     harmonic_scaled = Σ 2^(55−M[j]) + empties·2^55, exact int64) cross
     the gate as integers per the ratio rule; the estimate adds ONE
     floating op — floor(C / CAST(harmonic AS DOUBLE)) with C a shared
@@ -2679,25 +2780,25 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     m·ln(m/V_empty)) is applied through the _HLL_LC table of 63
     PRE-COMPUTED integers shared verbatim by both engines — ln() is
     libm- not IEEE-specified and must never execute inside either
-    engine (est 61 → 29 against exact 31 on the gate fixture).
+    engine.
 
-    Production fast path: hll_sketch_over(use_xxhash=True) swaps the
-    md5 contract hash for one JVM xxhash64 call — 3.0 → 1.7 s at sf10,
-    DuckDB-parity (PERF.md r16); same register/rho/estimator machinery,
-    the minhash dual-path pattern."""
+    hll_sketch_over(use_xxhash=False) keeps the md5-hash60 portable
+    contract available (the original r16 gated form)."""
     docs = load_table(spark, sf_dir, "documents")
-    # per-DOC array_distinct (the kmv form): dedup-before-hash is a free
-    # scan-local reduction that cannot change the corpus distinct set, so
-    # the sketch is value-identical while md5+conv (the measured scan
-    # wall, PERF.md r16) runs once per per-doc-distinct token instead of
-    # once per occurrence; mirrored in the oracle (list_distinct)
-    toks = docs.filter(F.trim("text") != "").select(
-        "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
-    )
     # r17: the gated form IS the production fast path now — the oracle
     # replays xxhash64 exactly via the generated XXH64 chain
     # (functions/xxh64_sql), so the md5+conv tax is no longer the price
     # of replayability; use_xxhash=False keeps the md5 contract available.
+    # The r16 per-doc array_distinct pre-pass is GONE with it: it paid
+    # for itself only while the hash was expensive (md5+conv per
+    # occurrence); with one cheap JVM hash per occurrence the register
+    # MAX absorbs duplicates for free and the array build/dedup is pure
+    # overhead (same-session ABAB at sf10: 1.68 → 1.50 s, bit-equal
+    # results). The oracle dedups (lang, token) globally instead —
+    # value-identical, each engine dedups where it is cheapest.
+    toks = docs.filter(F.trim("text") != "").select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
     return hll_sketch_over(toks, ["lang"], "token", use_xxhash=True)
 
 
@@ -2709,15 +2810,15 @@ def hll_sketch_over(
 ) -> DataFrame:
     """HLL distinct sketch of ``value_col`` per ``group_cols`` — the
     value-parameterized core of ext_sketch_hll (the graph_pagerank_over
-    factoring). ``use_xxhash=False`` (the gated default) hashes through
-    the portable md5-hash60 contract so DuckDB replays the sketch
-    bit-for-bit; ``use_xxhash=True`` is the PRODUCTION fast path — one
-    JVM xxhash64 call instead of md5 + base-16 conv (the two measured
-    scan walls at sf10: 3.0 → 1.7 s over 500k docs, DuckDB-parity,
-    PERF.md r16), same 64 registers / rho / fixed-point harmonic sum /
-    shared-table linear counting, statistically identical estimates
-    (different hash ⇒ different register values, so only the md5 form
-    is oracle-gated — the minhash_lsh_pairs dual-path pattern).
+    factoring). ``use_xxhash=True`` (the r17 gated form) is one JVM
+    xxhash64 call, replayed bit-exact by the oracle's generated DuckDB
+    XXH64 chain (functions/xxh64_sql); ``use_xxhash=False`` keeps the
+    original md5-hash60 portable contract (md5 + base-16 conv — the two
+    measured scan walls at sf10: 3.0 vs 1.7 s over 500k docs, PERF.md
+    r16). Both paths share the 64 registers / rho / fixed-point
+    harmonic sum / shared-table linear counting; estimates are
+    statistically identical (different hash ⇒ different register
+    values).
 
     NULL values are dropped (r16 review): md5(NULL) is NULL, and a NULL
     register index would land a phantom 65th register in the group
@@ -2759,10 +2860,12 @@ def ext_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand fan-out rule for corpus-sized mixed aggregates does not
     apply (and it is the ONLY aggregate in its groupBy)."""
     docs = load_table(spark, sf_dir, "documents")
+    # r17: no array_distinct pre-pass (see ext_sketch_hll — MAX absorbs
+    # duplicates; the dedup only paid for itself under the md5 contract)
     toks = docs.filter(F.trim("text") != "").select(
         "lang",
         "source",
-        F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token"),
+        F.explode(X.tokens(F.col("text"))).alias("token"),
     )
     j, rho = hll_j_rho(F.col("token"), use_xxhash=True)  # r17 fast lane
     shard_regs = (
@@ -3342,6 +3445,7 @@ EXT_QUERIES = {
     "ext_sample_weighted": ext_sample_weighted,
     "ext_events_interval_join": ext_events_interval_join,
     "ext_sketch_cms": ext_sketch_cms,
+    "ext_topk_freq": ext_topk_freq,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
     "ext_sample_kcenter": ext_sample_kcenter,
@@ -4788,6 +4892,53 @@ EXT_ORACLE_SQL = {
         SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
         FROM pc JOIN sk USING (r, c)
         GROUP BY pc.token ORDER BY pc.token
+    """,
+    # Misra–Gries bounded top-k replay (r17): shard-wise exact counts →
+    # compress to k=32 counters by the (k+1)-th-largest decrement (ties
+    # value ASC) → counter-sum merge → compress again. Pure integer
+    # arithmetic + deterministic ranking, so the lower-bound counters
+    # replay bit-for-bit. NULL source shards drop at the USING join on
+    # both engines (the adversarial NULL-key convention).
+    "ext_topk_freq": rf"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ), cnt AS (
+          SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY source, token
+        ), rk AS (
+          SELECT source, token, c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY c DESC, token ASC
+                 ) AS rn
+          FROM cnt
+        ), thr AS (
+          SELECT source,
+                 COALESCE(MAX(CASE WHEN rn = {_MG_K + 1} THEN c END),
+                          0) AS t
+          FROM rk WHERE rn <= {_MG_K + 1} GROUP BY source
+        ), surv AS (
+          SELECT rk.token, rk.c - thr.t AS cc
+          FROM rk JOIN thr USING (source)
+          WHERE rk.rn <= {_MG_K} AND rk.c > thr.t
+        ), merged AS (
+          SELECT token, CAST(SUM(cc) AS BIGINT) AS cnt
+          FROM surv GROUP BY token
+        ), rk2 AS (
+          SELECT token, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rn
+          FROM merged
+        ), thr2 AS (
+          SELECT COALESCE(MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt END),
+                          0) AS t2
+          FROM rk2
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt - t2 DESC, token ASC)
+                    AS BIGINT) AS rnk,
+               token, CAST(cnt - t2 AS BIGINT) AS est_lb
+        FROM rk2, thr2 WHERE rk2.rn <= {_MG_K} AND cnt > t2
+        ORDER BY rnk
     """,
     "ext_split_by_content": r"""
         -- split bucket keyed on the md5 of the TEXT (NULL -> '', the

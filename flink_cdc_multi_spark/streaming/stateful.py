@@ -424,6 +424,51 @@ def dedup_stream(
     )
 
 
+def _fold_state_stream(
+    proj: DataFrame,
+    group_col: str,
+    out_schema: T.StructType,
+    state_schema: T.StructType,
+    step,
+) -> DataFrame:
+    """Shared frame for the streaming sketches (r17, VERDICT r16 item 6):
+    the HLL / CMS / histogram / top-k streams are all the same shape —
+    a JVM-side projection, then per-key state folded by the sketch's
+    merge op each micro-batch, then an emit — and differ only in the
+    fold itself. ``step(key, state_tuple_or_None, pdfs)`` returns
+    ``None`` to skip the batch untouched (no usable rows: state is NOT
+    updated and nothing is emitted — the dedup-stream rule that a batch
+    of unusable rows must not burn state), or
+    ``(new_state_tuple, out_pdf_or_None)``.
+
+    Everything engine-visible is fixed here once: update output mode
+    (one row set per key per batch in which the key received data),
+    NoTimeout (sketch state lives for the stream's lifetime by design —
+    bounded per key, the whole point of a sketch; TTL'd operators like
+    dedup_stream manage expiry in state instead, the stored-TTL rule),
+    and the state write happening BEFORE emit."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur = tuple(state.get) if state.exists else None
+        res = step(key, cur, pdfs)
+        if res is None:
+            return
+        new_state, out = res
+        state.update(new_state)
+        if out is not None:
+            yield out
+
+    return proj.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _HLL_STREAM_STATE_SCHEMA = T.StructType(
     [T.StructField("regs", T.ArrayType(T.LongType()))]
 )
@@ -483,18 +528,15 @@ def hll_distinct_stream(
         ]
     )
 
-    def update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        regs = list(state.get[0]) if state.exists else [0] * HLL_REGISTERS
+    def step(key, cur, pdfs):
+        regs = list(cur[0]) if cur else [0] * HLL_REGISTERS
         for pdf in pdfs:
             for jj, rr in pdf.groupby("j")["rho"].max().items():
                 jj, rr = int(jj), int(rr)
                 if rr > regs[jj]:
                     regs[jj] = rr
-        state.update((regs,))
         v_filled, harmonic, est = hll_estimate_py(regs)
-        yield pd.DataFrame(
+        return (regs,), pd.DataFrame(
             {
                 group_col: [key[0]],
                 "v_filled": [v_filled],
@@ -503,12 +545,8 @@ def hll_distinct_stream(
             }
         )
 
-    return proj.groupBy(group_col).applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=_HLL_STREAM_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _fold_state_stream(
+        proj, group_col, out_schema, _HLL_STREAM_STATE_SCHEMA, step
     )
 
 
@@ -529,7 +567,8 @@ def cms_freq_stream(
     for each DISTINCT value seen in that batch — the estimate taken
     AFTER folding the batch, i.e. the running heavy-hitter loop: a
     downstream filter on est_count ≥ threshold is the streaming top-k
-    candidate feed. Because cells merge by sum, the estimate for a value
+    candidate feed, and topk_freq_stream (r17) is the bounded-state
+    maintainer that turns it into an actual top-k set. Because cells merge by sum, the estimate for a value
     after batch k equals the batch CMS estimate over the union of
     batches 1..k EXACTLY (pinned in tests/test_streaming_cms.py against
     a pure-Python reference sharing cms_indices_py), and it inherits
@@ -565,12 +604,10 @@ def cms_freq_stream(
     )
     n_cells = CMS_D * CMS_W
 
-    def update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def step(key, cur, pdfs):
         cells = (
-            np.array(state.get[0], dtype=np.int64)
-            if state.exists
+            np.array(cur[0], dtype=np.int64)
+            if cur
             else np.zeros(n_cells, dtype=np.int64)
         )
         # batch occurrence counts per distinct (value, h1, h2)
@@ -584,7 +621,7 @@ def cms_freq_stream(
                 else:
                     seen[v] = (a, b, cnt)
         if not seen:
-            return
+            return None
         # fold the batch into the cells (np.add.at handles the colliding
         # indices an ordinary fancy-assign would silently drop)
         for r in range(CMS_D):
@@ -598,13 +635,12 @@ def cms_freq_stream(
                 np.fromiter((c for (_, _, c) in seen.values()),
                             dtype=np.int64, count=len(seen)),
             )
-        state.update((cells.tolist(),))
         ests = [
             int(min(cells[(a + r * b) % CMS_W + r * CMS_W]
                     for r in range(CMS_D)))
             for (a, b, _) in seen.values()
         ]
-        yield pd.DataFrame(
+        return (cells.tolist(),), pd.DataFrame(
             {
                 group_col: [key[0]] * len(seen),
                 value_col: list(seen.keys()),
@@ -612,12 +648,96 @@ def cms_freq_stream(
             }
         )
 
-    return proj.groupBy(group_col).applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=_CMS_STREAM_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _fold_state_stream(
+        proj, group_col, out_schema, _CMS_STREAM_STATE_SCHEMA, step
+    )
+
+
+_TOPK_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.StringType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def topk_freq_stream(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int | None = None,
+) -> DataFrame:
+    """Streaming bounded top-k heavy hitters per group (r17, VERDICT r16
+    item 1) — the CONSTANT-state consumer the CMS candidate feed was
+    missing: cms_freq_stream emits per-batch distinct values with
+    estimates (unbounded per batch), this maintains an actual ≤ k-entry
+    top-k set per key via Misra–Gries counters.
+
+    State per key is ≤ k (value, counter) pairs, folded each micro-batch
+    by the standard MG merge — exact batch counts summed counter-wise,
+    then compressed by the (k+1)-th-largest decrement
+    (operators/sketch.mg_merge_py, the SAME kernel the batch query
+    ext_topk_freq's shard compress replays in SQL). Every surviving
+    counter is a LOWER bound on the value's true count since stream
+    start, undercount ≤ N/(k+1) per compress — so a value that exceeds
+    that mass is GUARANTEED present (the classic MG promise), which is
+    what a 100 TB token-statistics stream needs: the state never grows,
+    no matter how many distinct values flow through.
+
+    Emission per batch per active key: the current summary as
+    (group, rnk, value, est_lb), ranked (est_lb DESC, value ASC) — the
+    batch query's deterministic order. Because MG compress is LOSSY, the
+    fold result depends on the batch-split tree (unlike the max/sum
+    sketches) — so the cross-split pin is against the shared Python
+    kernel replaying the same splits, plus single-batch == batch-query
+    compress, plus checkpoint-restart bit-equality
+    (tests/test_streaming_topk.py). NULL values are dropped (NULL is
+    not a value). Output mode: update."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_multi_spark.operators.sketch import MG_K, mg_merge_py
+
+    kk = MG_K if k is None else k
+    proj = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(value_col).cast("string").alias(value_col),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("rnk", T.LongType()),
+            T.StructField(value_col, T.StringType()),
+            T.StructField("est_lb", T.LongType()),
+        ]
+    )
+
+    def step(key, cur, pdfs):
+        counters = dict(zip(cur[0], map(int, cur[1]))) if cur else {}
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for v, c in pdf.groupby(value_col).size().items():
+                batch[v] = batch.get(v, 0) + int(c)
+        if not batch:
+            return None
+        counters = mg_merge_py(counters, batch, kk)
+        # canonical state order (value ASC) so a restarted query's state
+        # round-trips bit-identically regardless of dict insertion order
+        vals = sorted(counters)
+        top = sorted(counters.items(), key=lambda vc: (-vc[1], vc[0]))
+        return (vals, [counters[v] for v in vals]), pd.DataFrame(
+            {
+                group_col: [key[0]] * len(top),
+                "rnk": range(1, len(top) + 1),
+                value_col: [v for v, _ in top],
+                "est_lb": [c for _, c in top],
+            }
+        )
+
+    return _fold_state_stream(
+        proj, group_col, out_schema, _TOPK_STREAM_STATE_SCHEMA, step
     )
 
 
@@ -673,22 +793,16 @@ def histogram_stream(
         ]
     )
 
-    def update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        hist: dict[int, int] = {}
-        if state.exists:
-            bks, cts = state.get
-            hist = dict(zip(bks, cts))
+    def step(key, cur, pdfs):
+        hist: dict[int, int] = dict(zip(cur[0], cur[1])) if cur else {}
         got_rows = False
         for pdf in pdfs:
             for b, c in pdf.groupby("bucket").size().items():
                 hist[int(b)] = hist.get(int(b), 0) + int(c)
                 got_rows = True
         if not got_rows:
-            return
+            return None
         bks = sorted(hist)
-        state.update((bks, [hist[b] for b in bks]))
         n = sum(hist.values())
 
         def q_lb(q_num: int, q_den: int) -> int:
@@ -699,7 +813,7 @@ def histogram_stream(
                     return b * grid
             return bks[-1] * grid  # unreachable: cum==n covers q<=1
 
-        yield pd.DataFrame(
+        return (bks, [hist[b] for b in bks]), pd.DataFrame(
             {
                 group_col: [key[0]],
                 "n_docs": [n],
@@ -709,10 +823,6 @@ def histogram_stream(
             }
         )
 
-    return proj.groupBy(group_col).applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=_HIST_STREAM_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _fold_state_stream(
+        proj, group_col, out_schema, _HIST_STREAM_STATE_SCHEMA, step
     )
