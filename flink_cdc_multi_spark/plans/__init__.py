@@ -57,6 +57,12 @@ _REGATE: list[tuple[str, int]] = [
     ("ext_sketch_kmv", 17),
     ("ext_sketch_kmv_jaccard", 17),
     ("ext_sketch_cms", 17),
+    # r17: binned join rebuilt on operators/intervals.interval_join and
+    # the probe pre-agg keys on p_ts alone (bucket is derived) — plan
+    # changed, values must not
+    ("ext_events_interval_join", 17),
+    # r17: array_distinct pre-pass removed from both HLL token feeds
+    # (covered by the hll pins above, noted for the record)
     # r16: ext_layout_zorder's dims now cross a Generate barrier before
     # the spread chain (plan changed after first registration this round)
     ("ext_layout_zorder", 16),

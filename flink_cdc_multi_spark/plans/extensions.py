@@ -861,36 +861,28 @@ def ext_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_ms").alias("s_end"),
         )
     )
-    b = _IJOIN_BUCKET_MS
-    ivl = sess.select(
-        "user_id",
-        "session_no",
-        "n_events",
-        "s_start",
-        "s_end",
-        F.explode(
-            F.sequence(
-                F.expr(f"s_start div {b}"), F.expr(f"s_end div {b}")
-            )
-        ).alias("bucket"),
-    )
-    # aggregate-before-join: events with identical (bucket, ts) collapse
-    # to one weighted probe row BEFORE the join, so the join fan-out is
-    # |distinct timestamps per bucket| x |intervals|, not |events| x
+    # r17: the binned join is the operators/intervals.interval_join API
+    # now (promoted per VERDICT r16 item 5 — same plan). Sessionize's
+    # gap rule structurally bounds the span (≤ gap·n_events), so no
+    # explicit bucket limit is needed here; aggregate-before-join stays
+    # the caller pattern: events with identical (bucket-implied) ts
+    # collapse to one weighted probe row BEFORE the join, so the join
+    # fan-out is |distinct timestamps| x |intervals|, not |events| x
     # |intervals| — exact (n_concurrent = Σ cnt) and the difference is
     # enormous on temporally dense streams (sf10: 2.58B joined pairs →
-    # 26M; 55 s → measured in PERF.md r16)
+    # 26M; 55.3 → 4.1 s, PERF.md r16)
+    from flink_cdc_multi_spark.operators.intervals import interval_join
+
     probe = (
-        ev.select(
-            F.col("ts_ms").alias("p_ts"),
-            F.expr(f"ts_ms div {b}").alias("bucket"),
-        )
-        .groupBy("bucket", "p_ts")
+        ev.select(F.col("ts_ms").alias("p_ts"))
+        .groupBy("p_ts")
         .agg(F.count("*").alias("cnt"))
     )
     return (
-        ivl.join(probe, "bucket")
-        .filter(F.col("p_ts").between(F.col("s_start"), F.col("s_end")))
+        interval_join(
+            sess, probe, "s_start", "s_end", "p_ts",
+            bucket_width=_IJOIN_BUCKET_MS,
+        )
         .groupBy("user_id", "session_no")
         .agg(
             F.max("n_events").alias("n_events"),
