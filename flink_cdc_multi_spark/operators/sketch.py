@@ -182,6 +182,40 @@ def cms_indices_py(h1: int, h2: int) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter kernel (r17): the mergeable MEMBERSHIP sketch completing
+# the family — HLL answers "how many distinct", KMV "how similar two
+# sets", CMS "how often", the histogram "how distributed", Bloom "is x
+# present" in fixed space with NO false negatives (one-sided, like CMS).
+# Filters merge by cell-wise bit OR — like HLL's max, the cheapest
+# possible combine, so per-partition filters ARE the partial aggregate
+# and shards/days union for free.
+#
+# Geometry: BLOOM_M bits as 32-bit words stored in BIGINT cells (32, not
+# 64: DuckDB's `1 << 63` overflow-errors and a sign bit would poison
+# bit_count parity — positive masks sidestep every sign trap), probed at
+# BLOOM_K positions derived Kirsch–Mitzenmacher-style off ONE xxhash64
+# (the r17 portable-hash contract): pos_i = (h1 + i·h2) mod M, h2 odd.
+BLOOM_M = 1 << 18  # 262144 bits = 8192 words/group: ~0.5% fp at 20k keys
+BLOOM_K = 4
+BLOOM_WORD = 32
+
+
+def bloom_h1_h2(value_col: Column) -> tuple[Column, Column]:
+    """(h1, h2) for the Bloom probe derivation, from the unsigned
+    xxhash64 bit pattern (bit ops, not arithmetic %/>>: the hash is
+    signed on the Spark side — the cms_h1_h2 rule). The DuckDB oracle
+    replays as ``h % M`` / ``(h // M) % M | 1`` on the unsigned chain
+    output."""
+    h = F.xxhash64(value_col)
+    h1 = h.bitwiseAND(F.lit(BLOOM_M - 1))
+    h2 = (
+        F.shiftrightunsigned(h, 18).bitwiseAND(F.lit(BLOOM_M - 1))
+        .bitwiseOR(F.lit(1))
+    )
+    return h1, h2
+
+
+# ---------------------------------------------------------------------------
 # Misra–Gries bounded top-k kernel (r17, VERDICT r16 item 1): the
 # CONSTANT-state heavy-hitter maintainer that turns cms_freq_stream's
 # unbounded per-batch candidate feed into an actual streaming top-k set.

@@ -2722,6 +2722,100 @@ def mg_topk_over(
     )
 
 
+def ext_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch per language (r17) — the fifth
+    mergeable sketch, completing the family: HLL (how many distinct),
+    KMV (how similar), CMS (how often), histogram (how distributed),
+    Bloom (IS x PRESENT) — in fixed space with NO false negatives. At
+    100 TB this is the contamination / allowlist / join-pruning
+    primitive: a 32 KB filter per shard answers "did this shard ever
+    see token x" without touching the shard again, and filters from
+    different days/sources union by cell-wise bit OR — like HLL's max,
+    the cheapest combine, so per-partition filters ARE the partial
+    aggregate (plan: partial_bit_or collapses each map task to ≤
+    |langs|·8192 word rows before the ONE exchange).
+
+    Geometry (operators/sketch.py): M = 2^18 bits as 32-bit words in
+    BIGINT cells (positive masks — no sign traps in bit_or/bit_count on
+    either engine; DuckDB overflow-errors on 1<<63), K = 4 probes
+    Kirsch–Mitzenmacher-derived from ONE xxhash64 (the r17 portable
+    contract, replayed by the generated XXH64 chain). Probe set = the
+    distinct tokens of doc_id < 5 (the contamination idiom) tested
+    against EVERY language's filter; membership = all 4 bits set,
+    counted as 4 joined bit-hit rows so even self-colliding probe
+    positions need no distinct. Output per lang: (lang, n_bits_set,
+    n_probe_hits, n_probes) — exact integers, bit-for-bit
+    cross-engine. The no-false-negative guarantee (every probe token
+    actually present in a lang's corpus MUST hit its filter) is pinned
+    by a unit test; NULL langs keep their sketch row (eqNullSafe /
+    IS NOT DISTINCT FROM, the hll_merge rule)."""
+    from flink_cdc_multi_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_WORD,
+        bloom_h1_h2,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.trim("text") != "")
+    toks = base.select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+
+    def positions(df):
+        h1, h2 = bloom_h1_h2(F.col("token"))
+        pos = F.explode(
+            F.array(*[((h1 + F.lit(i) * h2) % BLOOM_M) for i in range(BLOOM_K)])
+        ).alias("p")
+        return df.select(*df.columns, pos).select(
+            *df.columns,
+            F.expr(f"p div {BLOOM_WORD}").alias("word"),
+            # expr form: F.shiftleft only takes a literal shift count
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p % {BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+
+    sketch = (
+        positions(toks.select("lang", "token"))
+        .groupBy("lang", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    nb = sketch.groupBy("lang").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_bits_set")
+    )
+    probes = (
+        base.filter(F.col("doc_id") < 5)
+        .select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    n_probes = probes.agg(F.count("*").cast("bigint").alias("n_probes"))
+    hits = (
+        positions(probes)
+        .join(F.broadcast(sketch), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("nhit"))
+        .filter(F.col("nhit") == BLOOM_K)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_probe_hits"))
+        .withColumnRenamed("lang", "h_lang")
+    )
+    return (
+        nb.join(hits, nb["lang"].eqNullSafe(hits["h_lang"]), "left")
+        .crossJoin(F.broadcast(n_probes))
+        .select(
+            "lang",
+            "n_bits_set",
+            F.coalesce(F.col("n_probe_hits"), F.lit(0).cast("bigint")).alias(
+                "n_probe_hits"
+            ),
+            "n_probes",
+        )
+    )
+
+
 def ext_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy hitters with bounded state (r17): the top-32
     tokens of the documents corpus by Misra–Gries lower-bound counters,
@@ -3438,6 +3532,7 @@ EXT_QUERIES = {
     "ext_events_interval_join": ext_events_interval_join,
     "ext_sketch_cms": ext_sketch_cms,
     "ext_topk_freq": ext_topk_freq,
+    "ext_sketch_bloom": ext_sketch_bloom,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
     "ext_sample_kcenter": ext_sample_kcenter,
@@ -4884,6 +4979,72 @@ EXT_ORACLE_SQL = {
         SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
         FROM pc JOIN sk USING (r, c)
         GROUP BY pc.token ORDER BY pc.token
+    """,
+    # Bloom membership replay (r17): M=2^18 bits as 32-bit words in
+    # BIGINT (positive masks — no sign traps; DuckDB errors on 1<<63),
+    # K=4 Kirsch–Mitzenmacher probes off the xxhash64 chain; membership
+    # = 4 joined bit-hit rows (self-colliding probe positions produce 4
+    # rows regardless). NULL langs ride IS NOT DISTINCT FROM.
+    "ext_sketch_bloom": rf"""
+        WITH bl_tok AS (
+          -- global distinct before the chain: bit OR absorbs duplicates
+          -- (the hll oracle rule), the chain prices per distinct pair
+          SELECT DISTINCT lang, token
+          FROM (SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) <> '') u
+        ),
+        {xxh64_cte('bl_tok', ['lang'], 'token', prefix='bl')},
+        bh AS (
+          SELECT lang, CAST(h % 262144::UBIGINT AS BIGINT) AS h1,
+                 (CAST((h // 262144::UBIGINT) % 262144::UBIGINT AS BIGINT)
+                  | 1) AS h2
+          FROM bl_h
+        ), bpos AS (
+          SELECT lang, (h1 + rr.i * h2) % 262144 AS p
+          FROM bh, (SELECT unnest(range(4)) AS i) rr
+        ), sk AS (
+          SELECT lang, p // 32 AS word,
+                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+          FROM bpos GROUP BY lang, word
+        ), nb AS (
+          SELECT lang, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bits_set
+          FROM sk GROUP BY lang
+        ), pr0 AS (
+          SELECT DISTINCT token
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS token
+                FROM documents WHERE trim(text) <> '' AND doc_id < 5) u
+        ),
+        {xxh64_cte('pr0', ['token'], 'token', prefix='bp')},
+        ph AS (
+          SELECT token, CAST(h % 262144::UBIGINT AS BIGINT) AS h1,
+                 (CAST((h // 262144::UBIGINT) % 262144::UBIGINT AS BIGINT)
+                  | 1) AS h2
+          FROM bp_h
+        ), ppos AS (
+          SELECT token, (h1 + rr.i * h2) % 262144 AS p
+          FROM ph, (SELECT unnest(range(4)) AS i) rr
+        ), hits AS (
+          SELECT sk.lang, ppos.token, COUNT(*) AS nhit
+          FROM ppos JOIN sk
+            ON sk.word = ppos.p // 32
+           AND (sk.bits & (1::BIGINT << CAST(ppos.p % 32 AS INT))) =
+               (1::BIGINT << CAST(ppos.p % 32 AS INT))
+          GROUP BY sk.lang, ppos.token
+        ), hc AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_probe_hits
+          FROM hits WHERE nhit = 4 GROUP BY lang
+        ), np AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pr0
+        )
+        SELECT nb.lang, nb.n_bits_set,
+               CAST(COALESCE(hc.n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
+               np.n_probes
+        FROM nb
+        LEFT JOIN hc ON nb.lang IS NOT DISTINCT FROM hc.lang
+        CROSS JOIN np
+        ORDER BY nb.lang
     """,
     # Misra–Gries bounded top-k replay (r17): shard-wise exact counts →
     # compress to k=32 counters by the (k+1)-th-largest decrement (ties

@@ -9,6 +9,18 @@ Prints one JSON line. n_tables > 1 shards events across that many tables
 onepass_max overrides streaming.onepass.max.tables (0 forces the general
 path, a large value forces one-pass) — used by the crossover sweep in
 PERF.md.
+
+Stateful-sketch mode (r17, VERDICT r16 item 2):
+
+    python tools/bench_streaming.py --stateful [sf_dir] [n_files]
+
+streams the sf documents TOKENS (exploded, (lang, token) rows — the
+sketch feeds' real shape) through each stateful operator — dedup / HLL /
+CMS / top-k / histogram — one at a time over a fresh file feed, and
+prints one JSON line of rows/sec per op (best-of-2; first run pays JVM
+warmup, same policy as the pipeline mode). The sink is a foreachBatch
+counter: the number measures the OPERATOR (projection + stateful
+exchange + Python fold), not a writer.
 """
 
 from __future__ import annotations
@@ -39,6 +51,87 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def stateful_main() -> None:
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from flink_cdc_multi_spark.streaming.stateful import (
+        cms_freq_stream,
+        dedup_stream,
+        hll_distinct_stream,
+        histogram_stream,
+        topk_freq_stream,
+    )
+
+    spark = get_spark("stateful-bench")
+    work = tempfile.mkdtemp(prefix="stateful_bench_")
+    feed = os.path.join(work, "feed")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .withColumn("n", F.length("token").cast("bigint"))
+    )
+    toks.repartition(n_files).write.mode("overwrite").json(feed)
+    n_rows = spark.read.json(feed).count()
+
+    ops = {
+        # dedup keys on the token content; length() plays the order col
+        "dedup": lambda df: dedup_stream(df, ["token"], "n"),
+        "hll": lambda df: hll_distinct_stream(df, "lang", "token"),
+        "cms": lambda df: cms_freq_stream(df, "lang", "token"),
+        "topk": lambda df: topk_freq_stream(df, "lang", "token"),
+        "histogram": lambda df: histogram_stream(df, "lang", "n"),
+    }
+    out: dict = {
+        "metric": "stateful sketch stream rows/sec (per operator)",
+        "unit": "rows/sec",
+        "input_rows": n_rows,
+        "n_files": n_files,
+        "sf_dir": sf_dir,
+    }
+    per_op: dict = {}
+    for name, make in ops.items():
+        best = None
+        for _attempt in range(2):
+            ckpt = os.path.join(work, f"ckpt_{name}_{_attempt}")
+            stream = (
+                spark.readStream.schema("lang string, token string, n long")
+                .option("maxFilesPerTrigger", "1")
+                .json(feed)
+            )
+            emitted = []
+            q = (
+                make(stream)
+                .writeStream.foreachBatch(
+                    lambda df, b: emitted.append(df.count())
+                )
+                .outputMode(
+                    "append" if name == "dedup" else "update"
+                )
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0
+            q.stop()
+            rate = round(n_rows / wall, 1)
+            if best is None or rate > best["rows_per_sec"]:
+                best = {
+                    "rows_per_sec": rate,
+                    "wall_sec": round(wall, 2),
+                    "emitted_rows": int(sum(emitted)),
+                }
+        per_op[name] = best
+    out["ops"] = per_op
+    print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -162,4 +255,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--stateful":
+        stateful_main()
+    else:
+        main()
