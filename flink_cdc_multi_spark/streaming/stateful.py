@@ -653,6 +653,76 @@ def cms_freq_stream(
     )
 
 
+_MINHASH_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("sig", T.ArrayType(T.LongType()))]
+)
+
+
+def minhash_sig_stream(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Streaming MinHash signature per group (r17) — the sixth stateful
+    sketch, and the frame's proof-of-point: ~30 lines on
+    _fold_state_stream. State per key is the K-long signature
+    sig[k] = min over all values seen of xxhash64(k, value) — the batch
+    kernel's exact hash family (operators/dedup.minhash_signatures:
+    ``xxhash64(lit(k), value)``), so two streamed corpora's signatures
+    estimate their Jaccard overlap exactly like the batch LSH path's.
+    MIN is lossless-mergeable (the HLL-max property): the state after
+    ANY batch split equals the batch signature over the union —
+    bit-for-bit, pinned in tests/test_streaming_minhash.py incl. a
+    checkpoint restart. The K hashes run JVM-side before the stateful
+    exchange (one array column); Python folds elementwise min. NULL
+    values are dropped. Output mode: update — (group, sig) per active
+    key per batch."""
+    from pyspark.sql import functions as F
+
+    proj = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.array(
+                *[
+                    F.xxhash64(F.lit(k), F.col(value_col))
+                    for k in range(num_hashes)
+                ]
+            ).alias("hs"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def step(key, cur, pdfs):
+        import numpy as np
+
+        sig = (
+            np.array(cur[0], dtype=np.int64)
+            if cur
+            else np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+        )
+        got = False
+        for pdf in pdfs:
+            if len(pdf):
+                got = True
+                batch_min = np.vstack(pdf["hs"].to_numpy()).min(axis=0)
+                sig = np.minimum(sig, batch_min)
+        if not got:
+            return None
+        out = sig.tolist()
+        return (out,), pd.DataFrame({group_col: [key[0]], "sig": [out]})
+
+    return _fold_state_stream(
+        proj, group_col, out_schema, _MINHASH_STREAM_STATE_SCHEMA, step
+    )
+
+
 _TOPK_STREAM_STATE_SCHEMA = T.StructType(
     [
         T.StructField("vals", T.ArrayType(T.StringType())),

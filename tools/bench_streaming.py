@@ -62,6 +62,7 @@ def stateful_main() -> None:
         dedup_stream,
         hll_distinct_stream,
         histogram_stream,
+        minhash_sig_stream,
         topk_freq_stream,
     )
 
@@ -86,6 +87,7 @@ def stateful_main() -> None:
         "hll": lambda df: hll_distinct_stream(df, "lang", "token"),
         "cms": lambda df: cms_freq_stream(df, "lang", "token"),
         "topk": lambda df: topk_freq_stream(df, "lang", "token"),
+        "minhash": lambda df: minhash_sig_stream(df, "lang", "token"),
         "histogram": lambda df: histogram_stream(df, "lang", "n"),
     }
     out: dict = {
