@@ -2722,6 +2722,115 @@ def mg_topk_over(
     )
 
 
+def ext_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (r17) — the Deequ/Great-Expectations
+    primitive a CDC lake runs after every load: declarative rules
+    (range / domain / not-null / format / referential integrity) checked
+    in bulk, emitting (rule, n_checked, n_violations) as exact integers.
+    Thresholds are deliberately tight enough to FLAG real rows (an
+    all-zero report is a vacuous gate — the q08 lesson).
+
+    NULL contract (identical cross-engine by construction): a NULL value
+    PASSES every rule except its own not-null rule — `CASE WHEN NOT
+    (pred) THEN 1` is NULL-neutral in both engines; the not-null rule
+    tests IS NULL directly. RI orphan contract: a NULL foreign key IS an
+    orphan (equality anti-join / NOT EXISTS never matches NULL on either
+    engine — the adversarial NULL-key convention).
+
+    Scale shape: ONE pass per table — every scalar rule on a table rides
+    a single conditional-sum aggregate (no Expand; the counters unpivot
+    from one row AFTER the agg), so a 100-rule suite still scans each
+    table once. Each RI rule is one anti-join count: dimension-sized
+    sides broadcast under AQE; the fact-fact leg (lineitem → orders) is
+    the q21 shuffle shape. The format rule's regex uses \\z, never $
+    (Java $ matches before a trailing newline, RE2's does not)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def viol(cond) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    def unpivot(agg_df, rules: list[tuple[str, str]]):
+        return agg_df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        F.col("n").alias("n_checked"),
+                        F.col(vcol).alias("n_violations"),
+                    )
+                    for rule, vcol in rules
+                ])
+            ).alias("r")
+        ).select("r.*")
+
+    li_rows = unpivot(
+        li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            viol(~F.col("l_quantity").between(1, 45)).alias("v_qty"),
+            viol(F.col("l_discount") > 0.05).alias("v_disc"),
+            viol(~F.col("l_returnflag").isin("A", "R")).alias("v_flag"),
+        ),
+        [
+            ("range: lineitem.l_quantity in [1,45]", "v_qty"),
+            ("range: lineitem.l_discount <= 0.05", "v_disc"),
+            ("domain: lineitem.l_returnflag in (A,R)", "v_flag"),
+        ],
+    )
+    o_rows = unpivot(
+        orders.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            viol(F.col("o_totalprice") < 1000).alias("v_price"),
+            viol(F.col("o_orderdate").isNull()).alias("v_null"),
+        ),
+        [
+            ("range: orders.o_totalprice >= 1000", "v_price"),
+            ("not_null: orders.o_orderdate", "v_null"),
+        ],
+    )
+    c_rows = unpivot(
+        cust.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            viol(F.col("c_acctbal") < 0).alias("v_bal"),
+            viol(~F.col("c_name").rlike(r"^Customer#[0-9]+\z")).alias(
+                "v_name"
+            ),
+        ),
+        [
+            ("range: customer.c_acctbal >= 0", "v_bal"),
+            ("format: customer.c_name", "v_name"),
+        ],
+    )
+
+    def ri_row(rule, fact, fk, dim, pk):
+        n = fact.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
+        v = (
+            fact.select(fk)
+            .join(dim.select(pk), F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        )
+        return n.crossJoin(v).select(
+            F.lit(rule).alias("rule"), "n_checked", "n_violations"
+        )
+
+    ri1 = ri_row(
+        "ri: orders.o_custkey -> customer.c_custkey",
+        orders, "o_custkey", cust, "c_custkey",
+    )
+    ri2 = ri_row(
+        "ri: lineitem.l_orderkey -> orders.o_orderkey",
+        li, "l_orderkey", orders, "o_orderkey",
+    )
+    return (
+        li_rows.unionByName(o_rows)
+        .unionByName(c_rows)
+        .unionByName(ri1)
+        .unionByName(ri2)
+        .orderBy("rule")
+    )
+
+
 def ext_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership sketch per language (r17) — the fifth
     mergeable sketch, completing the family: HLL (how many distinct),
@@ -3533,6 +3642,7 @@ EXT_QUERIES = {
     "ext_sketch_cms": ext_sketch_cms,
     "ext_topk_freq": ext_topk_freq,
     "ext_sketch_bloom": ext_sketch_bloom,
+    "ext_quality_expectations": ext_quality_expectations,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
     "ext_sample_kcenter": ext_sample_kcenter,
@@ -4979,6 +5089,66 @@ EXT_ORACLE_SQL = {
         SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
         FROM pc JOIN sk USING (r, c)
         GROUP BY pc.token ORDER BY pc.token
+    """,
+    # Expectation-suite replay (r17): one conditional-sum pass per table
+    # (CASE WHEN NOT pred — NULL-neutral on both engines), NOT EXISTS
+    # for the RI orphans (equality never matches NULL — the anti-join
+    # convention), \z never $ in the format regex.
+    "ext_quality_expectations": r"""
+        WITH li AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+                 CAST(SUM(CASE WHEN l_discount > 0.05
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+                 CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'R'))
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+          FROM lineitem
+        ), o AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN o_totalprice < 1000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                 CAST(SUM(CASE WHEN o_orderdate IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_null
+          FROM orders
+        ), c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN c_acctbal < 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_bal,
+                 CAST(SUM(CASE WHEN NOT regexp_matches(
+                                    c_name, '^Customer#[0-9]+\z')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_name
+          FROM customer
+        )
+        SELECT * FROM (
+          SELECT 'range: lineitem.l_quantity in [1,45]' AS rule,
+                 n AS n_checked, v_qty AS n_violations FROM li
+          UNION ALL
+          SELECT 'range: lineitem.l_discount <= 0.05', n, v_disc FROM li
+          UNION ALL
+          SELECT 'domain: lineitem.l_returnflag in (A,R)', n, v_flag
+          FROM li
+          UNION ALL
+          SELECT 'range: orders.o_totalprice >= 1000', n, v_price FROM o
+          UNION ALL
+          SELECT 'not_null: orders.o_orderdate', n, v_null FROM o
+          UNION ALL
+          SELECT 'range: customer.c_acctbal >= 0', n, v_bal FROM c
+          UNION ALL
+          SELECT 'format: customer.c_name', n, v_name FROM c
+          UNION ALL
+          SELECT 'ri: orders.o_custkey -> customer.c_custkey',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o2
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c2
+                                    WHERE c2.c_custkey = o2.o_custkey))
+          UNION ALL
+          SELECT 'ri: lineitem.l_orderkey -> orders.o_orderkey',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l2
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o3
+                                    WHERE o3.o_orderkey = l2.l_orderkey))
+        ) ORDER BY rule
     """,
     # Bloom membership replay (r17): M=2^18 bits as 32-bit words in
     # BIGINT (positive masks — no sign traps; DuckDB errors on 1<<63),
