@@ -2740,10 +2740,17 @@ def ext_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE pass per table — every scalar rule on a table rides
     a single conditional-sum aggregate (no Expand; the counters unpivot
     from one row AFTER the agg), so a 100-rule suite still scans each
-    table once. Each RI rule is one anti-join count: dimension-sized
-    sides broadcast under AQE; the fact-fact leg (lineitem → orders) is
-    the q21 shuffle shape. The format rule's regex uses \\z, never $
-    (Java $ matches before a trailing newline, RE2's does not)."""
+    table once. Each RI rule is one anti-join count on the q21
+    shuffle_hash form — the sf10 audit measured every alternative worse
+    (SMJ two-sort slowest; aggregate-before-join 3.35 s vs SHJ 2.85 s —
+    1.5M distinct keys barely collapse map-side; broadcast 8.34 s — a
+    1.5M-key hash table built and shipped per thread; partition sweep:
+    32 optimal). The residual vs DuckDB (~3.4 s vs 0.6 s at sf10) is
+    the engine constant of one 6M-row key exchange; a DEPLOYED suite
+    runs the RI legs over co-bucketed layouts (operators/bucketing.py)
+    where the SHJ drops both exchanges — the q28 measured path
+    (3.5 → 1.25 s). The format rule's regex uses \\z, never $ (Java $
+    matches before a trailing newline, RE2's does not)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -2765,25 +2772,27 @@ def ext_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         ).select("r.*")
 
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        viol(~F.col("l_quantity").between(1, 45)).alias("v_qty"),
+        viol(F.col("l_discount") > 0.05).alias("v_disc"),
+        viol(~F.col("l_returnflag").isin("A", "R")).alias("v_flag"),
+    )
     li_rows = unpivot(
-        li.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            viol(~F.col("l_quantity").between(1, 45)).alias("v_qty"),
-            viol(F.col("l_discount") > 0.05).alias("v_disc"),
-            viol(~F.col("l_returnflag").isin("A", "R")).alias("v_flag"),
-        ),
+        li_agg,
         [
             ("range: lineitem.l_quantity in [1,45]", "v_qty"),
             ("range: lineitem.l_discount <= 0.05", "v_disc"),
             ("domain: lineitem.l_returnflag in (A,R)", "v_flag"),
         ],
     )
+    o_agg = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        viol(F.col("o_totalprice") < 1000).alias("v_price"),
+        viol(F.col("o_orderdate").isNull()).alias("v_null"),
+    )
     o_rows = unpivot(
-        orders.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            viol(F.col("o_totalprice") < 1000).alias("v_price"),
-            viol(F.col("o_orderdate").isNull()).alias("v_null"),
-        ),
+        o_agg,
         [
             ("range: orders.o_totalprice >= 1000", "v_price"),
             ("not_null: orders.o_orderdate", "v_null"),
@@ -2803,24 +2812,40 @@ def ext_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def ri_row(rule, fact, fk, dim, pk):
-        n = fact.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
+    def ri_row(rule, n_df, fact, fk, dim, pk):
+        # n_checked reuses the table's rules aggregate (identical
+        # aggregate subtrees execute once under AQE's ReuseExchange —
+        # the r16 note — so the fact scans once for rules + count).
+        # shuffle_hash on the (smaller) key side — the q21 rule: a plain
+        # fact-fact anti join plans SMJ and pays two full sorts; sf10
+        # A/B on the lineitem->orders leg: SMJ slowest, hinted SHJ
+        # 2.85 s, aggregate-before-join 3.35 s (1.5M distinct keys
+        # barely collapse map-side), broadcast 8.34 s (1.5M-key hash
+        # table built and shipped to every thread) — SHJ wins.
         v = (
             fact.select(fk)
-            .join(dim.select(pk), F.col(fk) == F.col(pk), "left_anti")
+            .join(
+                dim.select(pk).hint("shuffle_hash"),
+                F.col(fk) == F.col(pk),
+                "left_anti",
+            )
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
         )
-        return n.crossJoin(v).select(
-            F.lit(rule).alias("rule"), "n_checked", "n_violations"
+        return (
+            n_df.select(F.col("n").alias("n_checked"))
+            .crossJoin(v)
+            .select(
+                F.lit(rule).alias("rule"), "n_checked", "n_violations"
+            )
         )
 
     ri1 = ri_row(
         "ri: orders.o_custkey -> customer.c_custkey",
-        orders, "o_custkey", cust, "c_custkey",
+        o_agg, orders, "o_custkey", cust, "c_custkey",
     )
     ri2 = ri_row(
         "ri: lineitem.l_orderkey -> orders.o_orderkey",
-        li, "l_orderkey", orders, "o_orderkey",
+        li_agg, li, "l_orderkey", orders, "o_orderkey",
     )
     return (
         li_rows.unionByName(o_rows)

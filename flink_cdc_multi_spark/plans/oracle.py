@@ -278,4 +278,21 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
         ORDER BY k
     """,
+    # r17 ROLLUP replay: GROUPING() indicators disambiguate subtotal
+    # NULLs from genuine NULL group values; revenue per-row quantized to
+    # integer cents (floor(p*(1-d)*100 + 0.5), the same IEEE sequence as
+    # the Spark side) because double SUMs are addition-order-dependent.
+    "q30": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                   * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_rev_cents,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
 }

@@ -844,6 +844,48 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finished.subtract(open_)
 
 
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (r17) — the multi-level aggregate face of §2.8
+    the q-series didn't cover: TPC-H Q1's flag/status revenue rollup
+    with per-level subtotals and a grand total in ONE pass. GROUPING()
+    indicator columns ride the output BY CONTRACT: a subtotal row's
+    NULL group key is otherwise indistinguishable from a genuine NULL
+    data value (the classic rollup ambiguity — pinned cross-engine).
+
+    Ratio-rule floats: revenue is per-row quantized to integer cents —
+    floor(p·(1−d)·100 + 0.5), one IEEE-exact per-row sequence shared by
+    both engines — because a DOUBLE SUM's value depends on addition
+    order and can never hash-match across engines; integer sums are
+    order-insensitive (the centroid rule).
+
+    Scale: Catalyst compiles rollup to ONE Expand (3 levels) over the
+    scan with partial aggs — the deliberate |levels|× fan-out of a
+    6-value grouping key, nothing like the mixed-distinct Expand trap
+    (the fan-out rides compact keys into a ≤18-row aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            rev_c.alias("rev_c"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            F.sum("rev_c").cast("bigint").alias("sum_rev_cents"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01": q01,
     "q02": q02,
@@ -874,4 +916,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27": q27,
     "q28": q28,
     "q29": q29,
+    "q30": q30,
 }

@@ -80,9 +80,10 @@ def main() -> None:
         "perf-r17", extra_conf={"spark.sql.files.maxPartitionBytes": "16m"}
     )
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
+    for t in ("documents", "lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
     n_docs = load_table(spark, sf_dir, "documents").count()
     print(json.dumps({"sf_dir": sf_dir, "n_docs": n_docs}), flush=True)
 
@@ -147,6 +148,29 @@ def main() -> None:
             ).collect()[0]),
             "CAST(SUM(est_count) AS BIGINT), "
             "CAST(SUM(length(token)) AS BIGINT)",
+        ),
+        "topk_500k": (
+            "ext_topk_freq",
+            lambda p: tuple(p.agg(
+                F.count("*"), F.sum("est_lb"), F.sum("rnk")
+            ).collect()[0]),
+            "CAST(SUM(est_lb) AS BIGINT), CAST(SUM(rnk) AS BIGINT)",
+        ),
+        "bloom_500k": (
+            "ext_sketch_bloom",
+            lambda p: tuple(p.agg(
+                F.count("*"), F.sum("n_bits_set"), F.sum("n_probe_hits")
+            ).collect()[0]),
+            "CAST(SUM(n_bits_set) AS BIGINT), "
+            "CAST(SUM(n_probe_hits) AS BIGINT)",
+        ),
+        "qe_6M": (
+            "ext_quality_expectations",
+            lambda p: tuple(p.agg(
+                F.count("*"), F.sum("n_checked"), F.sum("n_violations")
+            ).collect()[0]),
+            "CAST(SUM(n_checked) AS BIGINT), "
+            "CAST(SUM(n_violations) AS BIGINT)",
         ),
     }
     for name, (qname, s_chk, d_chk) in checks.items():
