@@ -2722,6 +2722,69 @@ def mg_topk_over(
     )
 
 
+def ext_text_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script detection per document (r17) — the curation signal
+    next to ext_text_langid: langid guesses the LANGUAGE from n-gram
+    statistics; this measures which WRITING SYSTEMS the characters
+    actually belong to (Latin / CJK / Cyrillic / digits), flags
+    mixed-script documents (a classic spam / encoding-mojibake /
+    prompt-injection signal in web corpora), and rolls up per (lang,
+    dominant script).
+
+    Contract: per-class character counts via
+    length(regexp_replace(text, '[^<class>]', '')) — plain codepoint
+    ranges behave identically in Java regex and RE2 (no shorthand
+    classes, no anchors — the adversarial regex rules); length() counts
+    CODEPOINTS in both engines. Dominant script is a fixed-priority
+    CASE chain (latin > cjk > cyrillic > digit > other) — deterministic
+    by construction and mirrored verbatim in SQL, not an argmax whose
+    tie semantics could diverge. mixed = ≥ 2 letter-script classes
+    present. NULL-safe: the empty-text filter drops blanks; counts of
+    0 fall through to 'other'.
+
+    Scale: scan-local per-row regex counts (4 codegen'd passes over the
+    text column, no UDF) + one partial-agg'd groupBy on the tiny
+    (lang, script) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.trim("text") != "")
+    classes = {
+        "l": "A-Za-z",
+        "c": "一-鿿",
+        "y": "Ѐ-ӿ",
+        "d": "0-9",
+    }
+    proj = base.select(
+        "lang",
+        *[
+            F.length(
+                F.regexp_replace(F.col("text"), f"[^{rng}]", "")
+            ).cast("bigint").alias(name)
+            for name, rng in classes.items()
+        ],
+    )
+    l, c, y, d = (F.col(n) for n in ("l", "c", "y", "d"))
+    script = (
+        F.when((l >= c) & (l >= y) & (l >= d) & (l > 0), "latin")
+        .when((c >= y) & (c >= d) & (c > 0), "cjk")
+        .when((y >= d) & (y > 0), "cyrillic")
+        .when(d > 0, "digit")
+        .otherwise("other")
+    )
+    mixed = (
+        (l > 0).cast("int") + (c > 0).cast("int") + (y > 0).cast("int")
+        >= 2
+    ).cast("int")
+    return (
+        proj.select("lang", script.alias("script"), mixed.alias("mixed"))
+        .groupBy("lang", "script")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("mixed").cast("bigint").alias("n_mixed"),
+        )
+        .orderBy("lang", "script")
+    )
+
+
 def ext_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (r17) — the Deequ/Great-Expectations
     primitive a CDC lake runs after every load: declarative rules
@@ -3668,6 +3731,7 @@ EXT_QUERIES = {
     "ext_topk_freq": ext_topk_freq,
     "ext_sketch_bloom": ext_sketch_bloom,
     "ext_quality_expectations": ext_quality_expectations,
+    "ext_text_scripts": ext_text_scripts,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
     "ext_sample_kcenter": ext_sample_kcenter,
@@ -5114,6 +5178,38 @@ EXT_ORACLE_SQL = {
         SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
         FROM pc JOIN sk USING (r, c)
         GROUP BY pc.token ORDER BY pc.token
+    """,
+    # Script-detection replay (r17): plain codepoint-range classes (Java
+    # regex == RE2 on literal ranges), 'g' flag mandatory, the
+    # fixed-priority CASE chain mirrored verbatim.
+    "ext_text_scripts": r"""
+        WITH s AS (
+          SELECT lang,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS BIGINT) AS l,
+                 CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                      AS BIGINT) AS c,
+                 CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+                      AS BIGINT) AS y,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      AS BIGINT) AS d
+          FROM documents WHERE trim(text) <> ''
+        ), cls AS (
+          SELECT lang,
+                 CASE WHEN l >= c AND l >= y AND l >= d AND l > 0
+                        THEN 'latin'
+                      WHEN c >= y AND c >= d AND c > 0 THEN 'cjk'
+                      WHEN y >= d AND y > 0 THEN 'cyrillic'
+                      WHEN d > 0 THEN 'digit'
+                      ELSE 'other' END AS script,
+                 CASE WHEN CAST(l > 0 AS INT) + CAST(c > 0 AS INT)
+                           + CAST(y > 0 AS INT) >= 2
+                      THEN 1 ELSE 0 END AS mixed
+          FROM s
+        )
+        SELECT lang, script, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(mixed) AS BIGINT) AS n_mixed
+        FROM cls GROUP BY lang, script ORDER BY lang, script
     """,
     # Expectation-suite replay (r17): one conditional-sum pass per table
     # (CASE WHEN NOT pred — NULL-neutral on both engines), NOT EXISTS
