@@ -169,6 +169,26 @@ ADVERSARIAL_QUERIES = [
     # EXCEPT with a NULL key reaching the set-op (NULL-custkey 'F' order)
     "q29",
     "ext_profile_orders",
+    # r17: ROLLUP — the NULL l_returnflag/l_linestatus DATA rows collide
+    # with subtotal NULLs; the GROUPING() indicator columns are the
+    # disambiguation contract this sweep pins
+    "q30",
+    # r17: Misra–Gries top-k — the NULL-source doc drops its tokens at
+    # the shard-threshold join on BOTH engines (equi vs USING, the
+    # funnel/retention convention); dup texts inflate shard counts
+    "ext_topk_freq",
+    # r17: Bloom membership — NULL-lang filter row survives via
+    # eqNullSafe / IS NOT DISTINCT FROM (the hll_merge rule); unicode
+    # tokens ride the xxhash64 chain's multibyte path
+    "ext_sketch_bloom",
+    # r17: expectation suite — NULL rule columns pass range rules and
+    # fail the not-null rule identically; the l_orderkey=-2 lineitem
+    # rows are REAL RI orphans; c_name='x' and NULL c_name split the
+    # format rule's violate-vs-NULL-pass arms
+    "ext_quality_expectations",
+    # r17: script detection — unicode text ("xé Ω"), NULL/empty/
+    # whitespace text, and the fixed-priority tie chain on hostile rows
+    "ext_text_scripts",
 ]
 
 
