@@ -2726,6 +2726,83 @@ def mg_topk_over(
     )
 
 
+def ext_events_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence motif counting (r17) — the MATCH_RECOGNIZE /
+    sequence-pattern niche next to ext_events_funnel: the funnel counts
+    one fixed stage LADDER per user; this renders each user's full
+    time-ordered event history as a compact type string (V/C/P/S/E/X,
+    one char per event) and counts arbitrary ADJACENT motifs by regex —
+    view→click conversions, error pairs (EE — the reliability signal),
+    signup→view activation, view→click→purchase chains. Output per
+    motif: (motif, n_users, n_hits) — users whose history contains it,
+    and total non-overlapping occurrences (Java find() and RE2
+    extract_all share left-to-right non-overlap semantics).
+
+    Determinism: the per-user string is built from sort_array over
+    (ts_ms, event_id, ch) structs — a TOTAL order (event_id unique), so
+    collect_list's arrival order never leaks; the oracle replays it as
+    string_agg(... ORDER BY ts_ms, event_id). NULL-ts events are
+    excluded (the sessionize rule); a NULL user_id stays ONE group on
+    both engines (groupBy semantics); NULL/unknown event types render
+    as 'X' (CASE equality — NULL matches no arm).
+
+    Scale: one groupBy on the high-cardinality user key (no hot key);
+    per-user state is the bounded per-user history string (a
+    pathological single-user firehose would need windowed chunking —
+    out of scope, noted). All four motif counters ride ONE aggregate
+    over the sequence table (the expectation-suite unpivot pattern),
+    so the corpus scans once and the regexes run once per USER, not
+    per event."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.when(F.col("event_type") == "view", "V")
+            .when(F.col("event_type") == "click", "C")
+            .when(F.col("event_type") == "purchase", "P")
+            .when(F.col("event_type") == "signup", "S")
+            .when(F.col("event_type") == "error", "E")
+            .otherwise("X")
+            .alias("ch"),
+        )
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts_ms", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+        ).alias("s")
+    )
+    motifs = ["VC", "VCP", "EE", "SV"]
+    aggs = []
+    for m in motifs:
+        cnt = F.regexp_count(F.col("s"), F.lit(m))
+        aggs.append(
+            F.sum((cnt > 0).cast("int")).cast("bigint").alias(f"u_{m}")
+        )
+        aggs.append(F.sum(cnt.cast("bigint")).cast("bigint").alias(f"h_{m}"))
+    agg = seq.agg(*aggs)
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("motif"),
+                    F.col(f"u_{m}").alias("n_users"),
+                    F.col(f"h_{m}").alias("n_hits"),
+                )
+                for m in motifs
+            ])
+        ).alias("r")
+    ).select("r.*").orderBy("motif")
+
+
 def ext_text_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script detection per document (r17) — the curation signal
     next to ext_text_langid: langid guesses the LANGUAGE from n-gram
@@ -3736,6 +3813,7 @@ EXT_QUERIES = {
     "ext_sketch_bloom": ext_sketch_bloom,
     "ext_quality_expectations": ext_quality_expectations,
     "ext_text_scripts": ext_text_scripts,
+    "ext_events_motif": ext_events_motif,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
     "ext_sample_kcenter": ext_sample_kcenter,
@@ -5182,6 +5260,48 @@ EXT_ORACLE_SQL = {
         SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
         FROM pc JOIN sk USING (r, c)
         GROUP BY pc.token ORDER BY pc.token
+    """,
+    # Motif replay (r17): per-user type string via ORDER BY string_agg
+    # (the Spark side sorts (ts_ms, event_id, ch) structs — same total
+    # order), non-overlapping regex counts via regexp_extract_all.
+    "ext_events_motif": r"""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                 CASE event_type WHEN 'view' THEN 'V'
+                      WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+                      WHEN 'signup' THEN 'S' WHEN 'error' THEN 'E'
+                      ELSE 'X' END AS ch
+          FROM events WHERE ts IS NOT NULL
+        ), seq AS (
+          SELECT user_id,
+                 string_agg(ch, '' ORDER BY ts_ms, event_id) AS s
+          FROM ev GROUP BY user_id
+        ), agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN len(regexp_extract_all(s, 'VC')) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS u_vc,
+            CAST(SUM(len(regexp_extract_all(s, 'VC'))) AS BIGINT) AS h_vc,
+            CAST(SUM(CASE WHEN len(regexp_extract_all(s, 'VCP')) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS u_vcp,
+            CAST(SUM(len(regexp_extract_all(s, 'VCP'))) AS BIGINT)
+              AS h_vcp,
+            CAST(SUM(CASE WHEN len(regexp_extract_all(s, 'EE')) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS u_ee,
+            CAST(SUM(len(regexp_extract_all(s, 'EE'))) AS BIGINT) AS h_ee,
+            CAST(SUM(CASE WHEN len(regexp_extract_all(s, 'SV')) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS u_sv,
+            CAST(SUM(len(regexp_extract_all(s, 'SV'))) AS BIGINT) AS h_sv
+          FROM seq
+        )
+        SELECT * FROM (
+          SELECT 'VC' AS motif, u_vc AS n_users, h_vc AS n_hits FROM agg
+          UNION ALL
+          SELECT 'VCP', u_vcp, h_vcp FROM agg
+          UNION ALL
+          SELECT 'EE', u_ee, h_ee FROM agg
+          UNION ALL
+          SELECT 'SV', u_sv, h_sv FROM agg
+        ) ORDER BY motif
     """,
     # Script-detection replay (r17): plain codepoint-range classes (Java
     # regex == RE2 on literal ranges), 'g' flag mandatory, the

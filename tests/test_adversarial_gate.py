@@ -189,6 +189,10 @@ ADVERSARIAL_QUERIES = [
     # r17: script detection — unicode text ("xé Ω"), NULL/empty/
     # whitespace text, and the fixed-priority tie chain on hostile rows
     "ext_text_scripts",
+    # r17: sequence motifs — NULL-ts rows excluded, NULL user_id is ONE
+    # group whose hostile view+purchase events render into a real
+    # sequence, pre-epoch timestamps order before everything
+    "ext_events_motif",
 ]
 
 
