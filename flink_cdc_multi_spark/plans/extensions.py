@@ -2726,6 +2726,75 @@ def mg_topk_over(
     )
 
 
+def ext_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3σ outlier counting (r17) — the anomaly-detection
+    primitive over the events stream, under an EXACT integer/decimal
+    contract: classic z-score needs mean/stddev (float sums whose value
+    depends on addition order, sqrt from libm — both banned by the
+    cross-engine rules), so the test is cross-multiplied into pure
+    integer arithmetic: x is an outlier of its event_type iff
+
+        (n·x − S)² > 9·(n·Q − S²)   and   n·Q − S² > 0
+
+    where S = Σx, Q = Σx² over the group — algebraically identical to
+    (x − μ)² > 9·Var (σ² scaled by n²), zero float ops. Magnitude
+    proof: values clamp to ±10⁵ before quantization (floor(v+0.5) —
+    the hostile 10⁹ row lands on the clamp rail, not in an overflow),
+    so S,Q fit int64 (Q ≤ n·10¹⁰) and every product fits the exact
+    wide domain — DECIMAL(38,0) on Spark, HUGEINT in DuckDB, both
+    exact ≤ 10²⁵ ≪ 10³⁸. Var = 0 groups (all-equal values) emit no
+    outliers BY CONTRACT (z-score undefined), via the second conjunct.
+    NULL values are excluded; NULL event_type stays one group.
+
+    Scale: one partial-agg'd pass builds the |event_types|-row moment
+    table; the flagging pass broadcast-joins it — the corpus scans
+    twice, shuffles never (the moment table is sketch-sized)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    x = (
+        F.least(
+            F.greatest(F.floor(F.col("value") + F.lit(0.5)), F.lit(-100000)),
+            F.lit(100000),
+        )
+    ).cast("bigint")
+    obs = ev.select("event_type", x.alias("x"))
+    mom = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    dec = "decimal(38,0)"
+    # eqNullSafe: a NULL event_type is ONE legitimate group and must
+    # meet its own moments (plain equality would drop it; the oracle
+    # joins IS NOT DISTINCT FROM — the hll_merge rule)
+    m = mom.withColumnRenamed("event_type", "m_type")
+    j = obs.join(
+        F.broadcast(m), obs["event_type"].eqNullSafe(m["m_type"])
+    )
+    nd, sd, qd, xd = (
+        F.col("n").cast(dec),
+        F.col("s").cast(dec),
+        F.col("q").cast(dec),
+        F.col("x").cast(dec),
+    )
+    d = nd * xd - sd
+    nvar = nd * qd - sd * sd
+    return (
+        j.select(
+            "event_type",
+            F.col("n"),
+            ((d * d > F.lit(9) * nvar) & (nvar > 0)).cast("int").alias("o"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("o").cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def ext_events_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-sequence motif counting (r17) — the MATCH_RECOGNIZE /
     sequence-pattern niche next to ext_events_funnel: the funnel counts
@@ -3814,6 +3883,7 @@ EXT_QUERIES = {
     "ext_quality_expectations": ext_quality_expectations,
     "ext_text_scripts": ext_text_scripts,
     "ext_events_motif": ext_events_motif,
+    "ext_events_outliers": ext_events_outliers,
     "ext_sketch_histogram": ext_sketch_histogram,
     "ext_split_by_content": ext_split_by_content,
     "ext_sample_kcenter": ext_sample_kcenter,
@@ -5260,6 +5330,36 @@ EXT_ORACLE_SQL = {
         SELECT pc.token, CAST(MIN(sk.n) AS BIGINT) AS est_count
         FROM pc JOIN sk USING (r, c)
         GROUP BY pc.token ORDER BY pc.token
+    """,
+    # Outlier replay (r17): the cross-multiplied 3-sigma test in exact
+    # HUGEINT (the Spark side uses DECIMAL(38,0) — both exact at the
+    # clamp-bounded magnitudes); var=0 groups emit nothing by contract.
+    "ext_events_outliers": r"""
+        WITH obs AS (
+          SELECT event_type,
+                 CAST(least(greatest(floor(value + 0.5), -100000), 100000)
+                      AS BIGINT) AS x
+          FROM events WHERE value IS NOT NULL
+        ), mom AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(SUM(x * x) AS BIGINT) AS q
+          FROM obs GROUP BY event_type
+        ), flagged AS (
+          SELECT obs.event_type, mom.n,
+                 CASE WHEN (mom.n::HUGEINT * obs.x - mom.s)
+                           * (mom.n::HUGEINT * obs.x - mom.s)
+                        > 9 * (mom.n::HUGEINT * mom.q
+                               - mom.s::HUGEINT * mom.s)
+                       AND (mom.n::HUGEINT * mom.q
+                            - mom.s::HUGEINT * mom.s) > 0
+                      THEN 1 ELSE 0 END AS o
+          FROM obs JOIN mom
+            ON obs.event_type IS NOT DISTINCT FROM mom.event_type
+        )
+        SELECT event_type, MAX(n) AS n,
+               CAST(SUM(o) AS BIGINT) AS n_outliers
+        FROM flagged GROUP BY event_type ORDER BY event_type
     """,
     # Motif replay (r17): per-user type string via ORDER BY string_agg
     # (the Spark side sorts (ts_ms, event_id, ch) structs — same total

@@ -193,6 +193,10 @@ ADVERSARIAL_QUERIES = [
     # group whose hostile view+purchase events render into a real
     # sequence, pre-epoch timestamps order before everything
     "ext_events_motif",
+    # r17: exact 3σ outliers — the hostile 1e9 value rides the clamp
+    # rail (not an overflow), NULL values drop, NULL event_type is one
+    # group through the eqNullSafe moment join
+    "ext_events_outliers",
 ]
 
 
