@@ -653,6 +653,92 @@ def cms_freq_stream(
     )
 
 
+_MOMENTS_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("q", T.LongType()),
+    ]
+)
+
+
+def outlier_moments_stream(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    clamp: int = 100_000,
+) -> DataFrame:
+    """Streaming per-group moment maintenance for the exact 3σ outlier
+    test (r17) — the seventh stateful op on _fold_state_stream, and the
+    streaming twin of ext_events_outliers' moment table: state per key
+    is (n, S=Σx, Q=Σx²) over the clamped integer quantization — sums
+    are LOSSLESS-mergeable, so the state after any batch split equals
+    the batch moments over the union bit-for-bit (the HLL/minhash pin
+    class; tests/test_streaming_outliers.py incl. restart). Each batch
+    emits (group, n, s, q, n_batch_outliers): the count of THIS batch's
+    values that are 3σ outliers against the RUNNING moments after the
+    fold — the (n·x−S)² > 9·(n·Q−S²) cross-multiplied integer test
+    (exact in Python's arbitrary ints; the batch query's
+    DECIMAL/HUGEINT contract), var=0 emits none. The clamp (the batch
+    op's ±10⁵ rail) bounds Q so int64 state survives ~10¹² rows per
+    key. NULL values drop; the quantization floor(v+0.5) is computed
+    JVM-side so Python folds plain ints."""
+    from pyspark.sql import functions as F
+
+    x = (
+        F.least(
+            F.greatest(F.floor(F.col(value_col) + F.lit(0.5)),
+                       F.lit(-clamp)),
+            F.lit(clamp),
+        )
+    ).cast("bigint")
+    proj = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias(group_col),
+            x.alias("x"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("q", T.LongType()),
+            T.StructField("n_batch_outliers", T.LongType()),
+        ]
+    )
+
+    def step(key, cur, pdfs):
+        n, s, q = (int(cur[0]), int(cur[1]), int(cur[2])) if cur else (0, 0, 0)
+        xs = []
+        for pdf in pdfs:
+            xs.extend(int(v) for v in pdf["x"])
+        if not xs:
+            return None
+        for v in xs:
+            n += 1
+            s += v
+            q += v * v
+        nvar = n * q - s * s
+        out = 0
+        if nvar > 0:
+            out = sum(1 for v in xs if (n * v - s) ** 2 > 9 * nvar)
+        return (n, s, q), pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n": [n],
+                "s": [s],
+                "q": [q],
+                "n_batch_outliers": [out],
+            }
+        )
+
+    return _fold_state_stream(
+        proj, group_col, out_schema, _MOMENTS_STREAM_STATE_SCHEMA, step
+    )
+
+
 _MINHASH_STREAM_STATE_SCHEMA = T.StructType(
     [T.StructField("sig", T.ArrayType(T.LongType()))]
 )

@@ -63,6 +63,7 @@ def stateful_main() -> None:
         hll_distinct_stream,
         histogram_stream,
         minhash_sig_stream,
+        outlier_moments_stream,
         topk_freq_stream,
     )
 
@@ -89,6 +90,7 @@ def stateful_main() -> None:
         "topk": lambda df: topk_freq_stream(df, "lang", "token"),
         "minhash": lambda df: minhash_sig_stream(df, "lang", "token"),
         "histogram": lambda df: histogram_stream(df, "lang", "n"),
+        "outliers": lambda df: outlier_moments_stream(df, "lang", "n"),
     }
     out: dict = {
         "metric": "stateful sketch stream rows/sec (per operator)",
