@@ -80,7 +80,7 @@ def main() -> None:
         "perf-r17", extra_conf={"spark.sql.files.maxPartitionBytes": "16m"}
     )
     con = duckdb.connect()
-    for t in ("documents", "lineitem", "orders", "customer"):
+    for t in ("documents", "lineitem", "orders", "customer", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
@@ -171,6 +171,27 @@ def main() -> None:
             ).collect()[0]),
             "CAST(SUM(n_checked) AS BIGINT), "
             "CAST(SUM(n_violations) AS BIGINT)",
+        ),
+        "motif_10M": (
+            "ext_events_motif",
+            lambda p: tuple(p.agg(
+                F.count("*"), F.sum("n_users"), F.sum("n_hits")
+            ).collect()[0]),
+            "CAST(SUM(n_users) AS BIGINT), CAST(SUM(n_hits) AS BIGINT)",
+        ),
+        "outliers_10M": (
+            "ext_events_outliers",
+            lambda p: tuple(p.agg(
+                F.count("*"), F.sum("n"), F.sum("n_outliers")
+            ).collect()[0]),
+            "CAST(SUM(n) AS BIGINT), CAST(SUM(n_outliers) AS BIGINT)",
+        ),
+        "scripts_500k": (
+            "ext_text_scripts",
+            lambda p: tuple(p.agg(
+                F.count("*"), F.sum("n_docs"), F.sum("n_mixed")
+            ).collect()[0]),
+            "CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_mixed) AS BIGINT)",
         ),
     }
     for name, (qname, s_chk, d_chk) in checks.items():
