@@ -63,6 +63,14 @@ _REGATE: list[tuple[str, int]] = [
     ("ext_events_interval_join", 17),
     # r17: array_distinct pre-pass removed from both HLL token feeds
     # (covered by the hll pins above, noted for the record)
+    # r17 optimization round: graph iteration refactor (explode
+    # symmetrization; pagerank's per-iteration pr⨝deg join folded into
+    # the contribution aggregate) — plans changed, values bit-identical
+    ("ext_graph_pagerank", 17),
+    ("ext_graph_labelprop", 17),
+    # r17 optimization round: triangle joins shuffle_hash-hinted
+    # (SortMergeJoin×2 → SHJ, no sorts) — plan changed, values identical
+    ("ext_graph_triangles", 17),
     # r16: ext_layout_zorder's dims now cross a Generate barrier before
     # the spread chain (plan changed after first registration this round)
     ("ext_layout_zorder", 16),

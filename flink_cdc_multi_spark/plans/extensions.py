@@ -3504,12 +3504,23 @@ def graph_triangles_over(pairs: DataFrame) -> DataFrame:
     the sf10 harness can drive it over the LSH pair graph directly."""
     e = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
     uv, vw = e.alias("uv"), e.alias("vw")
-    # wedges u<v<w, then close with the (u, w) edge
-    wedge = uv.join(vw, F.col("uv.v") == F.col("vw.u")).select(
+    # wedges u<v<w, then close with the (u, w) edge. Both joins are
+    # edge-list equi-joins with no useful size estimate, so the planner
+    # picks SortMergeJoin and pays full sorts of every side (r17
+    # optimization round, plan-audited: SortMergeJoin×2); shuffle_hash
+    # hints on the edge-list build sides skip the sorts — the q21
+    # filtered-fact-join rule. Build sides are the ORIENTED edge list
+    # (≤ |E| rows/partition after the exchange), the bounded side of
+    # the wedge fan-out.
+    wedge = uv.join(
+        vw.hint("shuffle_hash"), F.col("uv.v") == F.col("vw.u")
+    ).select(
         F.col("uv.u").alias("u"), F.col("uv.v").alias("v"), F.col("vw.v").alias("w")
     )
     tri = wedge.join(
-        e.select(F.col("u").alias("cu"), F.col("v").alias("cw")),
+        e.select(F.col("u").alias("cu"), F.col("v").alias("cw")).hint(
+            "shuffle_hash"
+        ),
         (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
     ).select("u", "v", "w")
     per_vertex = (
@@ -3556,6 +3567,27 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrize an oriented (a_id, b_id) pair frame into (u, v) edges —
+    as ONE explode, not a self-union (r17 optimization round): the union
+    form hangs TWO copies of the whole upstream pair pipeline (shingle
+    explode + self-join + jaccard agg) under every `edges` reference, so
+    an unrolled iterative plan replicates the pair subtree 2× per
+    iteration (ext_graph_pagerank's physical plan carried 28 parquet
+    scans; runtime ReuseExchange dedups some, but every broadcast build
+    still re-derives its own copy). The explode emits the same two rows
+    per pair from a single upstream subtree — same rows, same types,
+    half the plan."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("u"), F.col("b_id").alias("v")),
+                F.struct(F.col("b_id").alias("u"), F.col("a_id").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
 def graph_pagerank_over(pairs: DataFrame, iters: int = 3,
                         broadcast_ranks: bool = False) -> DataFrame:
     """Integer PageRank over an (a_id, b_id) pair frame — the
@@ -3571,45 +3603,52 @@ def graph_pagerank_over(pairs: DataFrame, iters: int = 3,
     100-clique graph (3.36× → 1.76× DuckDB, same-session interleaved,
     checksum-matched). Caller-guarded like the commonness broadcast:
     sound while n_nodes·16B fits executor memory; at billion-node scale
-    leave False and pay the shuffle_hash form."""
-    e = pairs.select("a_id", "b_id")
-    edges = e.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).unionByName(e.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).select(
-        F.col("u").alias("node"), "deg"
-    )
-    pr = deg.select(
-        F.col("node").alias("id"), F.lit(1_000_000).cast("bigint").alias("pr")
+    leave False and pay the shuffle_hash form.
+
+    r17 optimization round — two structural deletions, values
+    bit-identical (same integer arithmetic, verified row-equal at
+    sf0.1):
+    (a) `_sym_edges` explode-symmetrization (see its docstring), and
+    (b) the per-iteration pr⨝deg join is GONE: in the symmetrized graph
+    deg(v) equals the row count arriving at v in the very groupBy that
+    sums the contributions (contrib carries exactly one row per node,
+    so every edge joins exactly once), so the state frame carries
+    (node, pr, deg) and each iteration is ONE join + ONE aggregate.
+    The old form's contrib side nested pr's whole history under every
+    deg join — plan copies grew quadratically with the iteration count
+    (28 parquet scans, 21 executed broadcast builds at sf0.1; now
+    linear). Same-session ABAB at sf0.1: median 3.42 → 2.54 s."""
+    edges = _sym_edges(pairs.select("a_id", "b_id"))
+    # state carries (node, pr, deg); the contribution pr div deg is
+    # row-local on it, so no join ever touches deg again
+    state = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .select("node", F.lit(1_000_000).cast("bigint").alias("pr"), "deg")
     )
     for _ in range(iters):
-        # dataset aliases: everything descends from the same edge scan,
-        # so unqualified columns are ambiguous self-join references.
-        # shuffle_hash hints (ADVICE r13): both joins are equi-joins
-        # where the rank/contrib side is node-cardinality (<< edges) —
-        # sort-merge would pay full sorts per unrolled iteration (the
-        # filtered-fact-join rule; hint the SMALLER side only)
-        contrib = (
-            pr.alias("p").hint("shuffle_hash")
-            .join(deg.alias("d"), F.col("p.id") == F.col("d.node"))
-            .select(F.col("d.node").alias("src"),
-                    F.expr("pr div deg").alias("cv"))
+        contrib = state.select(
+            F.col("node").alias("src"), F.expr("pr div deg").alias("cv")
         )
         if broadcast_ranks:
             contrib = F.broadcast(contrib)
         else:
+            # shuffle_hash on the node-cardinality side (ADVICE r13):
+            # sort-merge would pay full sorts per unrolled iteration
+            # (the filtered-fact-join rule; hint the SMALLER side only)
             contrib = contrib.hint("shuffle_hash")
-        pr = (
+        state = (
             edges.alias("e")
             .join(contrib.alias("c"), F.col("e.u") == F.col("c.src"))
-            .groupBy(F.col("e.v").alias("id"))
+            .groupBy(F.col("e.v").alias("node"))
             .agg(
                 (F.lit(150_000) + F.expr("(85 * sum(cv)) div 100"))
                 .cast("bigint")
-                .alias("pr")
+                .alias("pr"),
+                F.count("*").alias("deg"),
             )
         )
-    return pr.select(F.col("id").alias("doc_id"), "pr")
+    return state.select(F.col("node").alias("doc_id"), "pr")
 
 
 def ext_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3651,11 +3690,13 @@ def graph_labelprop_over(pairs: DataFrame, iters: int = 3,
     LSH pair graphs directly). ``broadcast_labels`` follows
     graph_pagerank_over's contract: the label vector is node-cardinality
     (16 bytes/node), so broadcasting it deletes the per-round edge-side
-    exchange; caller-guarded, leave False at billion-node scale."""
-    e = pairs.select("a_id", "b_id")
-    edges = e.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).unionByName(e.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    exchange; caller-guarded, leave False at billion-node scale.
+
+    r17 optimization round: `_sym_edges` explode-symmetrization (one
+    pair-pipeline copy per edge reference instead of two — see its
+    docstring); values bit-identical, same-session ABAB at sf0.1
+    median 3.04 → 2.81 s."""
+    edges = _sym_edges(pairs.select("a_id", "b_id"))
     labels = edges.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").cast("bigint").alias("lbl")
     )
