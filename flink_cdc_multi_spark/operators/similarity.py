@@ -1341,6 +1341,42 @@ def ivf_pq_topk_indexed(
     )
 
 
+def _kcenter_local(rows, k: int, id_col: str, vec_col: str,
+                   grid_scale: int) -> list[tuple[int, int]]:
+    """Driver-local k-center greedy over an already-collected small
+    corpus — the r17 fast path of kcenter_greedy. EXACTLY the
+    distributed kernel's arithmetic and tie-breaks: int64 grid
+    (floor(float64·grid_scale)), first pick = min id at dist 0, each
+    later pick maximizes the exact squared L2 distance to the nearest
+    earlier pick with ties to the smaller id, rows whose id is already
+    picked are excluded (the duplicate-grid-point rule). The nearest-
+    center minimum is maintained incrementally (min is associative —
+    identical ints to the distributed per-round full recompute)."""
+    if not rows:
+        return []
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    G = np.floor(
+        np.asarray([r[vec_col] for r in rows], dtype=np.float64) * grid_scale
+    ).astype(np.int64)
+    w = int(np.argmin(ids))
+    picks: list[tuple[int, int]] = [(int(ids[w]), 0)]
+    diff = G - G[w]
+    md = np.einsum("ij,ij->i", diff, diff)
+    excluded = ~np.isin(ids, np.asarray([p for p, _ in picks], dtype=np.int64))
+    for _ in range(1, k):
+        if not excluded.any():
+            break  # corpus exhausted (fewer than k distinct candidates)
+        cand = np.where(excluded, md, -1)
+        top = cand.max()
+        ti = np.flatnonzero(cand == top)
+        w = int(ti[np.argmin(ids[ti])])  # tie → smaller id
+        picks.append((int(ids[w]), int(top)))
+        excluded &= ids != ids[w]
+        diff = G - G[w]
+        md = np.minimum(md, np.einsum("ij,ij->i", diff, diff))
+    return picks
+
+
 def kcenter_greedy(
     df: DataFrame,
     k: int,
@@ -1348,6 +1384,7 @@ def kcenter_greedy(
     vec_col: str = "embedding",
     dim: int = 64,
     grid_scale: int = 1 << 20,
+    local_max: int = 65536,
 ) -> list[tuple[int, int]]:
     """Exact k-center (farthest-point / maximin) greedy selection — the
     classic diversity-aware coreset picker for training-data curation
@@ -1373,8 +1410,24 @@ def kcenter_greedy(
     collected, or re-gridded (grid rides the scan), and round cost is
     O(n·dim) scan-local work — k rounds = k scans, the standard
     distributed k-center layout. NULL/ragged vectors are dropped by the
-    valid_vectors contract."""
+    valid_vectors contract.
+
+    r17 optimization round — small-corpus serving fast path: when the
+    valid corpus has ≤ ``local_max`` rows (probed with ONE
+    limit(local_max+1) job), the whole greedy loop runs driver-local on
+    the collected rows with the IDENTICAL int64-grid kernel and
+    tie-breaks — k rounds collapse from k full mapInPandas scans + k
+    Python-worker spin-ups (8 Spark jobs at the gate) into ONE job.
+    Driver memory is bounded by the gate (local_max·dim float64 ≈ 34 MB
+    at the default); larger corpora take the unchanged distributed
+    path. Same picks bit-exactly: the kernel is the same exact-integer
+    arithmetic and the same (max d, then min id) selection, and grid
+    rounding is row-local, so WHERE it runs cannot change it."""
     vecs = valid_vectors(df, dim, vec_col).select(id_col, vec_col)
+    if local_max > 0:
+        head = vecs.limit(local_max + 1).collect()
+        if len(head) <= local_max:
+            return _kcenter_local(head, k, id_col, vec_col, grid_scale)
     first = vecs.orderBy(id_col).limit(1).collect()
     if not first:
         return []

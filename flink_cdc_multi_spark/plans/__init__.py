@@ -71,6 +71,18 @@ _REGATE: list[tuple[str, int]] = [
     # r17 optimization round: triangle joins shuffle_hash-hinted
     # (SortMergeJoin×2 → SHJ, no sorts) — plan changed, values identical
     ("ext_graph_triangles", 17),
+    # r17 optimization round: rollup queries aggregate to the
+    # (flag, status) base BEFORE rolling up — Catalyst's Expand fan-out
+    # moves from |lineitem| to |groups| rows (guide §2.3). Plans
+    # changed, values bit-identical (decomposable sums; integral qty)
+    ("ext_rollup_agg", 17),
+    ("q30", 17),
+    # r17 optimization round: kcenter_greedy small-corpus driver-local
+    # fast path — the driver-visible plan (LocalTableScan of the picks)
+    # is unchanged, but the value-computing path is new at the gate SF;
+    # conservative re-gate (picks pinned bit-equal to the distributed
+    # kernel in tests/test_extensions.py)
+    ("ext_sample_kcenter", 17),
     # r16: ext_layout_zorder's dims now cross a Generate barrier before
     # the spread chain (plan changed after first registration this round)
     ("ext_layout_zorder", 16),

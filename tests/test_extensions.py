@@ -3387,6 +3387,35 @@ def test_kcenter_greedy_semantics(spark):
     assert [d for _, d in picks2] == [0, 0, 0]
 
 
+def test_kcenter_local_fast_path_matches_distributed(spark):
+    """r17 optimization round: kcenter_greedy's small-corpus driver-local
+    fast path (default local_max gate) must pick BIT-IDENTICAL
+    (id, dist) sequences to the distributed k-round mapInPandas path
+    (forced with local_max=0) — including max-distance ties resolved to
+    the smaller id, duplicate grid points, excluded already-picked ids,
+    and the corpus-exhausted truncation."""
+    from flink_cdc_multi_spark.operators.similarity import kcenter_greedy
+
+    dim = 4
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    rows = (
+        # symmetric tie pair (±7) equidistant from the origin seed,
+        # duplicate grid points (two copies of v(3)), near-grid values
+        # exercising the floor, and a dropped NULL
+        [(1, v(0)), (2, v(7)), (3, v(-7)), (4, v(3)), (5, v(3)),
+         (6, v(0.0000057)), (7, None)]
+        + [(10 + i, v(i % 5, (i * 3) % 7)) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for k in (1, 3, 8, 60):  # 60 > corpus: exhaustion truncates both
+        local = kcenter_greedy(df, k=k, dim=dim)
+        dist = kcenter_greedy(df, k=k, dim=dim, local_max=0)
+        assert local == dist, f"k={k}: {local} != {dist}"
+
+
 def test_hll_xxhash_fast_path(spark, tmp_path):
     """hll_sketch_over(use_xxhash=True) (r16): the production fast path —
     one JVM xxhash64 call replaces md5 + base-16 conv (the two measured
