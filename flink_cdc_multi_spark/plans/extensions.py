@@ -737,13 +737,28 @@ def ext_text_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets family). NULL group markers are
-    real NULLs in both engines; grouping_id disambiguates."""
+    real NULLs in both engines; grouping_id disambiguates.
+
+    Scale (r17 optimization round, guide §2.3 aggregate-before-expand):
+    Catalyst compiles rollup(a, b) to an Expand — a |levels|× row
+    fan-out of its INPUT. Rolling up the raw scan expands every lineitem
+    row 3× before the partial agg; aggregating to the (flag, status)
+    base FIRST and rolling up the base moves the Expand onto a
+    ≤|groups|-row stream (plan diff: Expand input |lineitem| → |groups|,
+    one extra — group-count-sized — exchange). Bit-equal: count/sum are
+    decomposable, l_quantity is integral-valued (TPC-H 1..50) so the
+    double re-association is IEEE-exact, and a real NULL group value
+    stays a distinct base group that rollup's own Expand handles
+    (grouping_id disambiguates exactly as before)."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"), F.sum("l_quantity").alias("_sq")
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_sq"), 2).alias("sum_qty"),
             F.grouping_id().cast("bigint").alias("gid"),
         )
     )

@@ -858,27 +858,39 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and can never hash-match across engines; integer sums are
     order-insensitive (the centroid rule).
 
-    Scale: Catalyst compiles rollup to ONE Expand (3 levels) over the
-    scan with partial aggs — the deliberate |levels|× fan-out of a
-    6-value grouping key, nothing like the mixed-distinct Expand trap
-    (the fan-out rides compact keys into a ≤18-row aggregate)."""
+    Scale (r17 optimization round, guide §2.3 aggregate-before-expand):
+    Catalyst compiles rollup to ONE Expand (3 levels) over its INPUT —
+    so aggregate to the (flag, status) base FIRST and roll the base up:
+    the 3× fan-out then rides a ≤|groups|-row stream instead of every
+    lineitem row (plan diff: Expand input |lineitem| → |groups|, one
+    extra group-count-sized exchange). Bit-equal: integer sums are
+    decomposable and a real NULL group value stays a distinct base
+    group (GROUPING() disambiguates exactly as before)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev_c = F.floor(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         * F.lit(100) + F.lit(0.5)
     ).cast("bigint")
-    return (
+    base = (
         li.select(
             "l_returnflag",
             "l_linestatus",
             rev_c.alias("rev_c"),
             F.col("l_quantity").cast("bigint").alias("qty"),
         )
-        .rollup("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.sum("qty").cast("bigint").alias("sum_qty"),
-            F.sum("rev_c").cast("bigint").alias("sum_rev_cents"),
+            F.count("*").alias("_n"),
+            F.sum("qty").alias("_sq"),
+            F.sum("rev_c").alias("_sr"),
+        )
+    )
+    return (
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.sum("_sq").cast("bigint").alias("sum_qty"),
+            F.sum("_sr").cast("bigint").alias("sum_rev_cents"),
             F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
             F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         )

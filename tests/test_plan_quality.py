@@ -691,3 +691,20 @@ def test_ext_ann_ivfpq_broadcast_probe_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_rollup_expand_rides_preagg(spark):
+    """r17 optimization round (guide §2.3 aggregate-before-expand):
+    Catalyst compiles rollup to an Expand — a |levels|× fan-out of its
+    INPUT. Both rollup gate queries must expand the PRE-AGGREGATED
+    (flag, status) base, never the raw lineitem scan: the Expand node's
+    input must carry the base-agg counter (_n), and a HashAggregate
+    must sit below it (ABAB: q30 2.97→1.75 s, rollup_agg 2.25→1.48 s
+    at sf10)."""
+    import re as _re
+
+    for q in ("ext_rollup_agg", "q30"):
+        plan = plan_of(spark, q)
+        m = _re.search(r"\(\d+\) Expand\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert m is not None, q
+        assert "_n#" in m.group(1), (q, m.group(1))
