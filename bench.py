@@ -246,7 +246,8 @@ def main() -> None:
 
     # Prepare every plan once. Plans are lazy DataFrames for all but three
     # index-building queries, which do real work here by design:
-    # ext_ann_ivf collects its 16 centroids (model build), ext_ann_topk
+    # ext_ann_ivf collects its 16 centroids (model build) and, since the
+    # r17 fused form, its 20 query vectors, ext_ann_topk
     # collects its 20 query vectors (the broadcast side — the numpy
     # scoring kernel needs them driver-side, like FAISS loading the query
     # batch), ext_ann_pq / ext_ann_ivfpq / ext_ann_ivfpq_res collect their 16-codeword

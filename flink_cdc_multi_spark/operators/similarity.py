@@ -434,6 +434,7 @@ def ivf_topk_fixed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fused: bool = True,
 ) -> DataFrame:
     """IVF top-k with a DETERMINISTIC, engine-portable coarse quantizer.
 
@@ -453,6 +454,27 @@ def ivf_topk_fixed(
     - final scoring is the cosine fold brute_force_topk already
       hash-matches with.
 
+    ``fused=True`` (default, r17) is the brute_force_topk shape: the query
+    set is collected ONCE at plan-construction time (broadcast-side,
+    control-plane-sized by contract — inventoried with the centroid collect
+    in bench.py's eager-plans note), its probe sets are computed driver-side
+    with the SAME int64 kernel, and ONE mapInPandas pass over the corpus
+    assigns cells, masks candidates per query, and scores them — emitting
+    only the per-batch top-k per query under the final (cos desc, nid)
+    total order. vs the unfused plan this deletes one ArrowEvalPython hop
+    on the query side, the corpus-side DOUBLE cell_of evaluation (the
+    optimizer pushes the join's isnotnull(cell) below the UDF and then
+    re-evaluates it — guide §4.4's duplication trap, visible in
+    plans/r17/ext_ann_ivf_before.txt nodes (3)/(7)), the BroadcastHashJoin,
+    and — the scale item — the per-candidate-pair INTERPRETED zip_with/
+    aggregate cosine fold, replaced by vectorized numpy with bit-identical
+    left-to-right fold order (each step one IEEE multiply+add in the same
+    sequence, so cos carries the exact bits of cosine_sim; zero-norm pairs
+    drop exactly where try_divide yields NULL). Candidate set per batch is
+    |batch|·n_probe/n_clusters rows per query; only |Q|·k rows per batch
+    leave the task. ``fused=False`` keeps the lazy two-kernel + broadcast
+    join form (no plan-time query collect).
+
     Output: (qid, rank, nid) like brute_force_topk.
     """
     arr = F.col(vec_col).cast("array<double>")
@@ -467,8 +489,92 @@ def ivf_topk_fixed(
         [np.floor(np.asarray(r["cv"], dtype=np.float64) * LSH_QUANT).astype(np.int64)
          for r in cent_rows]
     )
-    corpus = valid_vectors(corpus, C.shape[1], vec_col)
-    queries = valid_vectors(queries, C.shape[1], vec_col)
+    dim = C.shape[1]
+    corpus = valid_vectors(corpus, dim, vec_col)
+    queries = valid_vectors(queries, dim, vec_col)
+
+    if fused:
+        qrows = queries.select(
+            F.col(id_col).alias("qid"), arr.alias("qv")
+        ).collect()
+        if not qrows:
+            spark = corpus.sparkSession
+            return spark.createDataFrame([], "qid long, rank long, nid long")
+        qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+        # probe sets: the probes_of kernel, run once driver-side — same
+        # int64 quantized d2, same stable argsort (ties to the lower cid)
+        qz = np.floor(qmat * LSH_QUANT).astype(np.int64)
+        dq = qz[:, None, :] - C[None, :, :]
+        order = np.argsort((dq * dq).sum(axis=2), axis=1, kind="stable")[:, :n_probe]
+        probe_sets = [cids[row] for row in order]
+        # query norms in cosine_sim's LEFT-TO-RIGHT fold order: each step
+        # is s + (v*v), one IEEE multiply then one add — same bit sequence
+        # as F.aggregate(a, 0.0, s + v*v), vectorized across queries
+        qacc = np.zeros(qmat.shape[0])
+        for j in range(dim):
+            v = qmat[:, j]
+            qacc = qacc + v * v
+        qn = np.sqrt(qacc)
+
+        def score(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["cv"].to_numpy())
+                nids = pdf["nid"].to_numpy().astype(np.int64)
+                # cell assignment: cell_of's kernel (argmin = first min;
+                # C is cid-ascending so ties break to the lower cid)
+                cz = np.floor(mat * LSH_QUANT).astype(np.int64)
+                dc = cz[:, None, :] - C[None, :, :]
+                cells = cids[np.argmin((dc * dc).sum(axis=2), axis=1)]
+                cols = np.ascontiguousarray(mat.T)  # dim × B for the folds
+                acc = np.zeros(mat.shape[0])
+                for j in range(dim):
+                    v = cols[j]
+                    acc = acc + v * v
+                cn = np.sqrt(acc)
+                out_q, out_n, out_c = [], [], []
+                for qi in range(qids.size):
+                    mask = np.isin(cells, probe_sets[qi])
+                    if not mask.any():
+                        continue
+                    sub = cols[:, mask]
+                    qv = qmat[qi]
+                    dot = np.zeros(sub.shape[1])
+                    for j in range(dim):
+                        dot = dot + qv[j] * sub[j]
+                    denom = qn[qi] * cn[mask]
+                    # try_divide contract: divisor 0 → NULL → dropped by
+                    # _rank_topk's isNotNull (zero-norm pairs drop in all
+                    # engines); NaN cos (NaN inputs only) drops like the
+                    # brute_force_topk kernel and the oracles' guards
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dot / denom
+                    live = (denom != 0.0) & ~np.isnan(cos)
+                    if not live.any():
+                        continue
+                    cos = cos[live]
+                    nn = nids[mask][live]
+                    # per-batch top-k under the FINAL total order
+                    # (cos desc, nid asc) — lexsort is ascending
+                    sel = np.lexsort((nn, -cos))[: min(k, cos.size)]
+                    out_q.append(np.full(sel.size, qids[qi]))
+                    out_n.append(nn[sel])
+                    out_c.append(cos[sel])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            "nid": np.concatenate(out_n),
+                            "cos": np.concatenate(out_c),
+                        }
+                    )
+
+        scored = corpus.select(
+            F.col(id_col).alias("nid"), arr.alias("cv")
+        ).mapInPandas(score, "qid long, nid long, cos double")
+        return _rank_topk(scored, k)
 
     def _d2(vs: pd.Series) -> np.ndarray:
         # exact int64 squared-L2 to every centroid: floor(x·1e6) is the

@@ -83,6 +83,15 @@ _REGATE: list[tuple[str, int]] = [
     # conservative re-gate (picks pinned bit-equal to the distributed
     # kernel in tests/test_extensions.py)
     ("ext_sample_kcenter", 17),
+    # r17 optimization round: ivf_topk_fixed fused — query set collected
+    # at plan time (the brute_force_topk shape), cells + candidate masks
+    # + cosine scored in ONE mapInPandas pass with bit-identical
+    # left-to-right fold arithmetic; deletes the duplicated corpus-side
+    # cell_of ArrowEvalPython pair, the probes_of hop, the broadcast
+    # join, and the interpreted per-pair cosine fold. Plan changed,
+    # values bit-identical (fused==unfused pinned in tests + the ABAB
+    # tool's 4-dir sorted-collect equality incl. adversarial)
+    ("ext_ann_ivf", 17),
     # r16: ext_layout_zorder's dims now cross a Generate barrier before
     # the spread chain (plan changed after first registration this round)
     ("ext_layout_zorder", 16),

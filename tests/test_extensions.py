@@ -3416,6 +3416,53 @@ def test_kcenter_local_fast_path_matches_distributed(spark):
         assert local == dist, f"k={k}: {local} != {dist}"
 
 
+def test_ivf_fused_matches_unfused(spark):
+    """r17 optimization round: ivf_topk_fixed's fused one-pass kernel
+    (plan-time query collect + in-kernel cells/mask/cosine with
+    left-to-right fold arithmetic) must return EXACTLY the rows of the
+    unfused two-kernel + broadcast-join form — including zero-norm
+    corpus rows dropped where try_divide yields NULL, a zero-norm query
+    yielding no rows, ragged/NULL vectors dropped by valid_vectors,
+    equidistant-centroid ties breaking to the lower cid, and cosine
+    ties breaking to the lower nid (duplicate corpus vectors)."""
+    from flink_cdc_multi_spark.operators.similarity import ivf_topk_fixed
+
+    dim = 4
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    corpus_rows = (
+        [(20, v(1)), (21, v(0, 1)), (22, v(-1)), (23, v(0, -1))]  # centroids
+        + [(30, v(0.9, 0.1)), (31, v(0.9, 0.1)),   # duplicates: nid tie
+           (32, v(0)),                             # zero-norm: drops
+           (33, v(0.5, 0.5)),                      # equidistant cells
+           (34, None), (35, v(1, 2, 3, 4, 5))]     # NULL / ragged: drop
+        + [(40 + i, v((i % 7) - 3, (i % 5) - 2)) for i in range(30)]
+    )
+    query_rows = [(1, v(1, 0.01)), (2, v(0)), (3, v(-0.5, -0.5)),
+                  (4, None), (5, [1.0, 2.0, 3.0])]  # genuinely ragged
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        query_rows, "vec_id long, embedding array<float>")
+    centroids = corpus.filter("vec_id < 24")
+    for k, n_probe in ((3, 2), (5, 4)):
+        a = sorted(map(tuple, ivf_topk_fixed(
+            corpus, queries, centroids, k=k, n_probe=n_probe,
+            fused=False).collect()))
+        b = sorted(map(tuple, ivf_topk_fixed(
+            corpus, queries, centroids, k=k, n_probe=n_probe,
+            fused=True).collect()))
+        assert a == b and len(b) > 0, f"k={k} n_probe={n_probe}: {a} != {b}"
+    # all-hostile query set: fused returns an empty typed frame, not a
+    # plan-time stack error (the brute_force_topk ADVICE r12 contract)
+    hostile = queries.filter("vec_id >= 4")
+    out = ivf_topk_fixed(corpus, hostile, centroids, k=3, fused=True)
+    assert out.collect() == [] and [f.name for f in out.schema.fields] == [
+        "qid", "rank", "nid"]
+
+
 def test_hll_xxhash_fast_path(spark, tmp_path):
     """hll_sketch_over(use_xxhash=True) (r16): the production fast path —
     one JVM xxhash64 call replaces md5 + base-16 conv (the two measured

@@ -206,6 +206,21 @@ def test_ext_ann_topk_vectorized_kernel_and_group_limit(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ext_ann_ivf_fused_one_pass(spark):
+    """IVF (r17 optimization round): the fused form runs cells +
+    candidate masks + cosine in ONE MapInPandas pass over the corpus —
+    no ArrowEvalPython hops (the unfused plan paid the corpus-side
+    cell_of TWICE via the pushed isnotnull(cell) filter — guide §4.4's
+    duplication trap), no broadcast join, no interpreted per-pair fold;
+    the final rank stays a WindowGroupLimit top-k heap."""
+    plan = plan_of(spark, "ext_ann_ivf")
+    # formatted explain prints each node in the tree AND detail section,
+    # so ONE MapInPandas node appears exactly twice
+    assert plan.count("MapInPandas") == 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" not in plan and "WindowGroupLimit" in plan
+
+
 def test_ext_dedup_semantic_no_all_pairs(spark):
     """SemDeDup (r12): the quadratic lives INSIDE the per-cell Gram
     kernel — the Spark plan must carry no join of any kind (the oracle's
