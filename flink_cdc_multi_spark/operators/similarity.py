@@ -308,12 +308,109 @@ def lsh_topk(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fused: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose signature matches
     the query's (or differs by one bit with multiprobe). Recall/cost is
-    tuned by n_planes; candidates join on a compact long key."""
+    tuned by n_planes; candidates join on a compact long key.
+
+    ``fused=True`` (default, r17) is the ivf_topk_fixed/brute_force_topk
+    shape: the control-plane-sized query set is collected at plan time,
+    its buckets + multiprobe sets computed driver-side with the SAME
+    exact-int64 signature kernel, and ONE mapInPandas pass over the
+    corpus computes signatures, masks candidates per query (membership
+    in the probe set — inherently deduplicated, so the pair-key
+    dropDuplicates exchange disappears), and scores them with
+    bit-identical left-to-right cosine fold arithmetic, emitting only
+    the per-batch top-k per query. vs the unfused plan this deletes the
+    corpus-side DOUBLE sig evaluation (the pushed isnotnull(bucket)
+    filter re-evaluates the UDF — guide §4.4, the same trap
+    ivf_topk_fixed had), the query-side sig hop + 13-way probe explode +
+    BroadcastExchange, the join + dropDuplicates SortAggregate pair, and
+    the interpreted per-candidate zip_with/aggregate cosine fold.
+    ``fused=False`` keeps the lazy join form (no plan-time collect)."""
     corpus = valid_vectors(corpus, dim, vec_col)
     queries = valid_vectors(queries, dim, vec_col)
+    if fused:
+        arr = F.col(vec_col).cast("array<double>")
+        qrows = queries.select(
+            F.col(id_col).alias("qid"), arr.alias("qv")
+        ).collect()
+        if not qrows:
+            spark = corpus.sparkSession
+            return spark.createDataFrame([], "qid long, rank long, nid long")
+        qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+        # query buckets: the sig kernel, run once driver-side (exact
+        # int64 — same bits as the corpus-side kernel below)
+        S = md5_sign_matrix(dim, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        qz = np.floor(qmat * LSH_QUANT).astype(np.int64)
+        qbuckets = (((qz @ S) > 0) @ weights).astype(np.int64)
+        if multiprobe:
+            probe_sets = [np.concatenate(([b], b ^ weights)) for b in qbuckets]
+        else:
+            probe_sets = [np.array([b], dtype=np.int64) for b in qbuckets]
+        # query norms in cosine_sim's LEFT-TO-RIGHT fold order
+        qacc = np.zeros(qmat.shape[0])
+        for j in range(dim):
+            v = qmat[:, j]
+            qacc = qacc + v * v
+        qn = np.sqrt(qacc)
+
+        def score(it):
+            S_t = md5_sign_matrix(dim, n_planes)  # once per task
+            w_t = 1 << np.arange(n_planes, dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["cv"].to_numpy())
+                nids = pdf["nid"].to_numpy().astype(np.int64)
+                cz = np.floor(mat * LSH_QUANT).astype(np.int64)
+                csig = (((cz @ S_t) > 0) @ w_t).astype(np.int64)
+                cols = np.ascontiguousarray(mat.T)
+                acc = np.zeros(mat.shape[0])
+                for j in range(dim):
+                    v = cols[j]
+                    acc = acc + v * v
+                cn = np.sqrt(acc)
+                out_q, out_n, out_c = [], [], []
+                for qi in range(qids.size):
+                    mask = np.isin(csig, probe_sets[qi])
+                    if not mask.any():
+                        continue
+                    sub = cols[:, mask]
+                    qv = qmat[qi]
+                    dot = np.zeros(sub.shape[1])
+                    for j in range(dim):
+                        dot = dot + qv[j] * sub[j]
+                    denom = qn[qi] * cn[mask]
+                    # try_divide contract: divisor 0 → NULL → dropped;
+                    # NaN (NaN inputs only) drops like brute_force_topk
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dot / denom
+                    live = (denom != 0.0) & ~np.isnan(cos)
+                    if not live.any():
+                        continue
+                    cos = cos[live]
+                    nn = nids[mask][live]
+                    sel = np.lexsort((nn, -cos))[: min(k, cos.size)]
+                    out_q.append(np.full(sel.size, qids[qi]))
+                    out_n.append(nn[sel])
+                    out_c.append(cos[sel])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            "nid": np.concatenate(out_n),
+                            "cos": np.concatenate(out_c),
+                        }
+                    )
+
+        scored = corpus.select(
+            F.col(id_col).alias("nid"), arr.alias("cv")
+        ).mapInPandas(score, "qid long, nid long, cos double")
+        return _rank_topk(scored, k)
     c = hyperplane_signature(corpus, dim, n_planes, id_col, vec_col).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("cv"),

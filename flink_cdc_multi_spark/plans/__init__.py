@@ -92,6 +92,11 @@ _REGATE: list[tuple[str, int]] = [
     # values bit-identical (fused==unfused pinned in tests + the ABAB
     # tool's 4-dir sorted-collect equality incl. adversarial)
     ("ext_ann_ivf", 17),
+    # r17 optimization round: lsh_topk fused the same way (the corpus-side
+    # sig UDF was ALSO double-evaluated; membership masks replace the
+    # probe-explode join + pair-key dropDuplicates). Values bit-identical
+    # (same fused==unfused pins + 4-dir equality incl. adversarial)
+    ("ext_ann_lsh", 17),
     # r16: ext_layout_zorder's dims now cross a Generate barrier before
     # the spread chain (plan changed after first registration this round)
     ("ext_layout_zorder", 16),

@@ -3463,6 +3463,49 @@ def test_ivf_fused_matches_unfused(spark):
         "qid", "rank", "nid"]
 
 
+def test_lsh_fused_matches_unfused(spark):
+    """r17 optimization round, the lsh_topk twin of
+    test_ivf_fused_matches_unfused: the fused one-pass kernel (plan-time
+    query collect + driver-side bucket/probe sets + in-kernel sig/mask/
+    cosine) must return EXACTLY the rows of the unfused sig-join +
+    dropDuplicates form — multiprobe membership dedup included — on the
+    same hostile shapes (zero-norm both sides, ragged, NULL, duplicate
+    corpus vectors for the nid tie), for both multiprobe settings."""
+    from flink_cdc_multi_spark.operators.similarity import lsh_topk
+
+    dim = 4
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    corpus_rows = (
+        [(30, v(0.9, 0.1)), (31, v(0.9, 0.1)),   # duplicates: nid tie
+         (32, v(0)),                             # zero-norm: drops
+         (34, None), (35, [1.0, 2.0, 3.0, 4.0, 5.0])]  # NULL/ragged drop
+        + [(40 + i, v((i % 7) - 3, (i % 5) - 2, (i % 3) - 1))
+           for i in range(40)]
+    )
+    query_rows = [(1, v(1, 0.01)), (2, v(0)), (3, v(-0.5, -0.5, 0.25)),
+                  (4, None), (5, [1.0, 2.0, 3.0])]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        query_rows, "vec_id long, embedding array<float>")
+    for multiprobe in (True, False):
+        a = sorted(map(tuple, lsh_topk(
+            corpus, queries, dim=dim, k=3, n_planes=6,
+            multiprobe=multiprobe, fused=False).collect()))
+        b = sorted(map(tuple, lsh_topk(
+            corpus, queries, dim=dim, k=3, n_planes=6,
+            multiprobe=multiprobe, fused=True).collect()))
+        assert a == b and len(b) > 0, f"multiprobe={multiprobe}: {a} != {b}"
+    # all-hostile query set → empty typed frame at plan time
+    hostile = queries.filter("vec_id >= 4")
+    out = lsh_topk(corpus, hostile, dim=dim, k=3, n_planes=6, fused=True)
+    assert out.collect() == [] and [f.name for f in out.schema.fields] == [
+        "qid", "rank", "nid"]
+
+
 def test_hll_xxhash_fast_path(spark, tmp_path):
     """hll_sketch_over(use_xxhash=True) (r16): the production fast path —
     one JVM xxhash64 call replaces md5 + base-16 conv (the two measured

@@ -221,6 +221,21 @@ def test_ext_ann_ivf_fused_one_pass(spark):
     assert "BroadcastHashJoin" not in plan and "WindowGroupLimit" in plan
 
 
+def test_ext_ann_lsh_fused_one_pass(spark):
+    """LSH ANN (r17 optimization round): same fused contract as
+    ext_ann_ivf — ONE MapInPandas pass (the unfused plan double-evaluated
+    the corpus-side sig UDF and paid a probe-explode broadcast join plus
+    a pair-key dropDuplicates SortAggregate pair); membership masks
+    dedup inherently, so no aggregate remains between the kernel and the
+    WindowGroupLimit rank tail."""
+    plan = plan_of(spark, "ext_ann_lsh")
+    # tree + detail: one node = two occurrences
+    assert plan.count("MapInPandas") == 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" not in plan and "SortAggregate" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_ext_dedup_semantic_no_all_pairs(spark):
     """SemDeDup (r12): the quadratic lives INSIDE the per-cell Gram
     kernel — the Spark plan must carry no join of any kind (the oracle's
