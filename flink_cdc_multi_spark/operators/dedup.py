@@ -865,6 +865,7 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    shingle_key=None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word
     n-gram shingle with a probe set (eval benchmarks, held-out suites) —
@@ -880,14 +881,15 @@ def contamination_report(
     and never re-shuffled on the raw shingle. Shingling reuses the
     posexplode+lead shape (tokenize once — see shingle_rows' perf note).
 
-    Every wide operation moves the 8-byte md5-hash60 of the shingle, not
+    Every wide operation moves the 8-byte xxhash64 of the shingle, not
     the shingle STRING (shuffle-keys-are-compact rule): the r6 sf10
     profile showed a `.distinct()` over (id, shingle-string) rows costing
     7 s to dedupe ~0.1% — pure shuffle-payload overhead. The counts are
     distinct-HASH counts, identical to distinct-shingle counts unless two
-    of a doc's shingles collide in 60 bits (engine-identical either way —
-    the DuckDB oracle computes the same md5-hash60, the minhash/simhash
-    portability pattern). Topology (r6, doc-local first): per-doc
+    of a doc's shingles collide in 64 bits (engine-identical either way —
+    the DuckDB oracle computes the same xxhash64 via the generated XXH64
+    chain, the sketch-gate portability pattern). Topology (r6, doc-local
+    first): per-doc
     DISTINCT hash arrays are built locally behind the tokenize barrier
     (no distinct shuffle, no window — see shingle_rows), explode to
     16-byte (id, h) rows, map-side broadcast hit-join, then ONE
@@ -895,12 +897,17 @@ def contamination_report(
     (string shuffles) → 9.4 s (compact two-level) → this single-shuffle
     form on 26M shingles at sf10."""
 
-    def h60(x):
-        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+    # r17 fast lane: xxhash64 replaces md5-hash60 as the shingle identity
+    # (the transform lambda is interpreted per element — one JVM hash call
+    # beats interpreted md5 + substring + base-16 conv; the DuckDB oracle
+    # replays it via the generated XXH64 chain per DISTINCT shingle).
+    # Override via ``shingle_key`` (the md5-hash60 legacy lane is
+    # F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")).
+    key = shingle_key if shingle_key is not None else (lambda c: F.xxhash64(c))
 
     def distinct_hash_rows(d: DataFrame) -> DataFrame:
         tok = _token_barrier(d, id_col, text_col)
-        hs = F.array_distinct(F.transform(_shingle_array(n), h60))
+        hs = F.array_distinct(F.transform(_shingle_array(n), key))
         return tok.select("id", F.explode(hs).alias("h"))
 
     c = distinct_hash_rows(corpus)
@@ -1055,6 +1062,7 @@ def drop_duplicate_spans(
     text_col: str = "text",
     n: int = 5,
     freq_broadcast: bool = False,
+    window_key=None,
 ) -> DataFrame:
     """Span REMOVAL (r14, VERDICT r13 item 3) — the surgery half of the
     Lee et al. 2022 exact-substring pipeline (arXiv:2107.06499 §3):
@@ -1065,7 +1073,9 @@ def drop_duplicate_spans(
     Contract (mirrored verbatim in the DuckDB oracle):
     - windows are the spans signal's positional n-token windows
       (_shingle_array: duplicates kept; docs with < n tokens contribute
-      ONE whole-text window), identified by md5-hash60 — the
+      ONE whole-text window), identified by xxhash64 (r17 fast lane —
+      the md5-hash60 form paid md5 + base-16 conv per window, ABAB in
+      tools/opt_r17_abab_xxh.py; override via ``window_key``) — the
       contamination hash contract, both sides move together;
     - the CANONICAL occurrence of a window is the globally first by
       (doc_id, pos) — min(struct(id, pos)), a partial-agg reduction,
@@ -1088,6 +1098,7 @@ def drop_duplicate_spans(
     doc-local array rebuild: the TEXT never shuffles with the windows,
     only (id, pos, h) triples do, and the rebuild's filter lambda runs
     on the already-materialized token array behind the Generate barrier."""
+    key = window_key if window_key is not None else (lambda c: F.xxhash64(c))
     tok = _token_barrier(
         df.filter(F.col(text_col).isNotNull()), id_col, text_col
     )
@@ -1097,7 +1108,7 @@ def drop_duplicate_spans(
             F.size("toks").alias("n_toks"),
             F.posexplode(_shingle_array(n)).alias("pos", "s"),
         )
-        .select("id", "n_toks", "pos", _md5_hash60(F.col("s")).alias("h"))
+        .select("id", "n_toks", "pos", key(F.col("s")).alias("h"))
     )
     freq = w.groupBy("h").agg(
         F.count("*").alias("tot"),

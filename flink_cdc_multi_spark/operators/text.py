@@ -386,11 +386,14 @@ QUALITY_WEIGHTS: list[int] = _quality_weights()
 
 
 def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bucket_of=None,
 ) -> DataFrame:
     """Linear n-gram-hash quality scorer: per document, the exact-integer
     dot product of its hashed token counts with the fixed QUALITY_WEIGHTS
-    table — sum over token OCCURRENCES of w[md5-hash60(token) % B] — plus
+    table — sum over token OCCURRENCES of w[bucket(token)] (bucket =
+    low 6 bits of xxhash64 since r17, replaying DuckDB's unsigned
+    ``h % 64``; was md5-hash60 % B — override via ``bucket_of``) — plus
     the token count, so a caller thresholds on score or on the
     length-normalized score/n_tokens without any float in the contract.
     Docs with no tokens have no row (the commonness contract).
@@ -408,7 +411,13 @@ def quality_score(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     )
-    b = (_md5_hash60(F.col("token")) % QUALITY_BUCKETS).cast("int")
+    b = (
+        bucket_of(F.col("token"))
+        if bucket_of is not None
+        # unsigned % 64 == low 6 bits (QUALITY_BUCKETS is a power of 2);
+        # arithmetic % on the SIGNED hash would diverge from DuckDB
+        else F.xxhash64(F.col("token")).bitwiseAND(F.lit(QUALITY_BUCKETS - 1))
+    ).cast("int")
     return (
         tok.select(F.col(id_col), F.element_at(w, b + 1).alias("wt"))
         .groupBy(id_col)
@@ -510,7 +519,8 @@ def redact(text: Column, patterns=None) -> tuple[Column, Column]:
 
 
 def line_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    line_key=None,
 ) -> DataFrame:
     """Corpus-wide exact LINE dedup (the C4/RefinedWeb/Dolma pass: a line
     appearing in multiple documents survives only at its FIRST occurrence
@@ -522,32 +532,37 @@ def line_dedup(
     the driver gate checks; the dedup semantics are exercised by the
     adversarial fixture's duplicate-line rows.
 
-    Contracts: line identity is md5-keyed (both engines group/join on
-    md5(line) — the contamination hash-contract pattern, collisions move
-    both sides together); whitespace-only lines NEVER dedup (removing
-    every blank separator but one would mangle formatting corpus-wide).
+    Contracts: line identity is hash-keyed (both engines group/join on
+    xxhash64(line) since r17 — was md5(line); the contamination
+    hash-contract pattern, collisions move both sides together;
+    ``line_key`` overrides the lane); whitespace-only lines NEVER dedup
+    (removing every blank separator but one would mangle formatting
+    corpus-wide).
 
     Scale shape: the winner per distinct line is a min-REDUCTION on the
-    md5 key (partial agg collapses a hot duplicated line map-side — the
+    hash key (partial agg collapses a hot duplicated line map-side — the
     boilerplate line appearing in 10M docs ships |partitions| candidates,
-    not 10M); the probe join hash-partitions both sides on the 32-char
-    digest (large-large, the commonness shape; the line stream is
+    not 10M); the probe join hash-partitions both sides on the 8-byte
+    key (was the 32-char md5 digest — guide §2.3 narrower shuffle
+    bytes; large-large, the commonness shape; the line stream is
     deliberately not cached — re-running the pruned scan+split is cheaper
     than holding corpus-sized lines resident). Reassembly is one
     partial-agg groupBy per doc; the in-doc sort is array_sort over that
     doc's lines only, never a global sort."""
+    key = line_key if line_key is not None else (lambda c: F.xxhash64(c))
     lines = widen_narrow_scan(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     content = lines.filter(F.trim(F.col("line")) != "")
     winners = (
-        content.select(F.md5("line").alias("h"), F.struct("doc_id", "pos").alias("w"))
+        content.select(key(F.col("line")).alias("h"),
+                       F.struct("doc_id", "pos").alias("w"))
         .groupBy("h")
         .agg(F.min("w").alias("w"))
     )
     tagged = lines.join(
-        winners, F.md5(lines["line"]) == winners["h"], "left"
+        winners, key(lines["line"]) == winners["h"], "left"
     ).withColumn(
         "kept",
         F.col("w").isNull()

@@ -97,6 +97,23 @@ _REGATE: list[tuple[str, int]] = [
     # probe-explode join + pair-key dropDuplicates). Values bit-identical
     # (same fused==unfused pins + 4-dir equality incl. adversarial)
     ("ext_ann_lsh", 17),
+    # r17 optimization round wave 7: the remaining md5-hash60 contract
+    # queries moved to the xxhash64 fast lane (Spark F.xxhash64 replayed
+    # by the generated DuckDB XXH64 chain per DISTINCT value, the
+    # sketch-gate pattern) — hash-keyed VALUES changed where hashes are
+    # load-bearing (quality_score buckets, canonical picks under
+    # collision), every query re-gated at sf0.001 + sf0.01 + adversarial
+    ("ext_text_commonness", 17),
+    ("ext_text_tfidf", 17),
+    ("ext_text_quality_score", 17),
+    ("ext_dedup_spans", 17),
+    ("ext_dedup_spans_drop", 17),
+    ("ext_dedup_lines", 17),
+    ("ext_contamination", 17),
+    # composes quality_score, so its best-pick scores ride the new
+    # bucket rule too (oracle's hand-rolled md5 replica fixed in the
+    # same commit — the r14 hand-copy finding strikes again)
+    ("ext_dedup_cluster_best", 17),
     # r16: ext_layout_zorder's dims now cross a Generate barrier before
     # the spread chain (plan changed after first registration this round)
     ("ext_layout_zorder", 16),

@@ -411,18 +411,19 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the commonness pattern on window keys: windows are
     positional k-gram shingles (operators/dedup._shingle_array — the
     zip_with form, duplicates kept; short docs contribute one whole-text
-    window, the contamination convention), hashed to 8-byte md5-hash60
-    AS A COLUMN OP below the first exchange (after the explode — NOT
-    inside the transform lambda: spans keep duplicates so nothing needs
-    the in-lambda array_distinct that forces contamination's placement,
-    and an interpreted per-element md5 is the repetition lesson). Window
-    identity is hash60 BY CONTRACT, mirrored in the oracle (the
-    move-together rule). One corpus-wide count exchange (partial agg
+    window, the contamination convention), hashed to 8-byte xxhash64
+    (r17 fast lane, was md5-hash60) AS A COLUMN OP below the first
+    exchange (after the explode — NOT inside the transform lambda: spans
+    keep duplicates so nothing needs the in-lambda array_distinct that
+    forces contamination's placement, and an interpreted per-element
+    hash is the repetition lesson). Window identity is the hash BY
+    CONTRACT, mirrored in the oracle (the move-together rule — the
+    DuckDB XXH64 chain prices per DISTINCT shingle, joined back by
+    string). One corpus-wide count exchange (partial agg
     collapses hot boilerplate windows map-side), one large-large join on
     the 8-byte key with the commonness broadcast-when-small fail-closed
     guard, one per-doc rollup."""
     from flink_cdc_multi_spark.operators.dedup import (
-        _md5_hash60,
         _shingle_array,
         _token_barrier,
     )
@@ -432,7 +433,7 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         tok.select(F.col("id").alias("doc_id"),
                    F.explode(_shingle_array(5)).alias("s"))
-        .select("doc_id", _md5_hash60(F.col("s")).alias("h"))
+        .select("doc_id", F.xxhash64(F.col("s")).alias("h"))
     )
     freq = w.groupBy("h").agg(F.count("*").alias("tot"))
     if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
@@ -1192,13 +1193,17 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's term-frequency table is itself huge (no broadcast), so both
     sides hash-partition on the join key and sort-merge/hash join at
     full width; the per-doc rollup is one more partial-aggregated
-    shuffle. Since r7 (VERDICT item 4) the join key is the 8-byte
-    md5-hash60 of the token, never the token STRING: the occurrence
-    stream through the join shuffle is (doc_id, h) = 16 bytes/row, the
-    frequency build's shuffle is (h, cnt). Term frequencies are
-    hash60-grouped counts BY CONTRACT, mirrored in the DuckDB oracle, so
-    a 60-bit collision cannot diverge the engines (the shingle-distinct
-    contract pattern). The exploded token stream is deliberately NOT
+    shuffle. Since r7 (VERDICT item 4) the join key is an 8-byte token
+    hash, never the token STRING: the occurrence stream through the join
+    shuffle is (doc_id, h) = 16 bytes/row, the frequency build's shuffle
+    is (h, cnt). Since r17 the hash rides the xxhash64 fast lane (ONE
+    codegen JVM call; the md5-hash60 form paid md5 + base-16 conv per
+    occurrence — ABAB 1.44x at sf1, tools/opt_r17_abab_xxh.py), replayed
+    bit-exact by the generated DuckDB XXH64 chain per DISTINCT token.
+    Term frequencies are hash-grouped counts BY CONTRACT, mirrored in
+    the DuckDB oracle, so a 64-bit collision cannot diverge the engines
+    (the shingle-distinct contract pattern). The exploded token stream
+    is deliberately NOT
     cached even though two branches consume it (frequency build + join
     probe): token rows are corpus-sized, so re-running the pruned
     scan+explode is cheaper than holding the token stream resident — the
@@ -1220,9 +1225,9 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_multi_spark.operators.text import widen_narrow_scan
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    h = F.xxhash64("token")
     tok = (
-        # the per-token md5 runs below the first exchange: widen narrow
+        # the per-token hash runs below the first exchange: widen narrow
         # scans so it gets full parallelism (see widen_narrow_scan)
         widen_narrow_scan(docs.filter(F.trim(F.col("text")) != ""))
         .select(
@@ -1270,12 +1275,13 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, token) builds tf as a pure HashAggregate (grouping by the
     token STRING keeps the agg buffer primitive — carrying the string
     through min() instead demotes the whole occurrence stream to a
-    SortAggregate, measured in this plan's first draft); the md5-hash60
-    h is projected AFTER the aggregate, so the hash runs once per
-    distinct (doc, term) row, never per occurrence. df is a SECOND
-    aggregate over those tf rows keyed by h, and the tf↔df join is on
-    the 8-byte h BY CONTRACT (the commonness collision-proof parity
-    pattern — a 60-bit collision folds df identically in both engines).
+    SortAggregate, measured in this plan's first draft); the xxhash64
+    h (r17 fast lane, was md5-hash60) is projected AFTER the aggregate,
+    so the hash runs once per distinct (doc, term) row, never per
+    occurrence. df is a SECOND aggregate over those tf rows keyed by h,
+    and the tf↔df join is on the 8-byte h BY CONTRACT (the commonness
+    collision-proof parity pattern — a 64-bit collision folds df
+    identically in both engines).
     Same broadcast-when-small guard as commonness: distinct hashes ≤
     total tokens ≤ uncompressed source bytes, so a provably small df
     table is broadcast and the doc×term stream never shuffles on h.
@@ -1287,7 +1293,7 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_multi_spark.operators.text import widen_narrow_scan
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    h = F.xxhash64("token")
     tok = (
         widen_narrow_scan(docs.filter(F.trim(F.col("text")) != ""))
         .select(
@@ -2247,10 +2253,10 @@ def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate lines) this gates the exact split→reassemble identity;
     the dedup semantics themselves are pinned by the adversarial
     fixture's cross-doc/in-doc duplicate-line rows (the q08 hostile-row
-    pattern). See operators/text.line_dedup for contracts (md5-keyed
-    line identity, whitespace-only lines never dedup) and the 100 TB
-    shape (min-reduction winners, large-large hash join on the
-    digest)."""
+    pattern). See operators/text.line_dedup for contracts (xxhash64-keyed
+    line identity since r17 — was md5; whitespace-only lines never dedup)
+    and the 100 TB shape (min-reduction winners, large-large hash join on
+    the 8-byte key)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.line_dedup(docs)
 
@@ -4033,7 +4039,7 @@ EXT_ORACLE_SQL = {
         HAVING COUNT(*) >= 2
         ORDER BY doc_freq DESC, token LIMIT 30
     """,
-    "ext_contamination": r"""
+    "ext_contamination": rf"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
           FROM documents
@@ -4044,13 +4050,22 @@ EXT_ORACLE_SQL = {
                              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
                  END sh
           FROM t
-        ), e AS (
-          -- distinct md5-hash60 per doc: mirrors the engine's
-          -- compact-shuffle form (counts are hash-distinct in BOTH
-          -- engines, so a 60-bit collision cannot diverge them)
-          SELECT DISTINCT doc_id,
-                 ('0x' || substr(md5(sh2.shingle), 1, 15))::BIGINT AS h
+        ), shx AS (
+          SELECT doc_id, sh2.shingle AS shingle
           FROM s, unnest(s.sh) AS sh2(shingle)
+        ), dsh AS (
+          SELECT DISTINCT shingle FROM shx
+        ),
+        {xxh64_cte('dsh', ['shingle'], 'shingle', prefix='ct')},
+        cmap AS (
+          SELECT shingle, {xxh64_signed_expr('h')} AS h FROM ct_h
+        ), e AS (
+          -- distinct xxhash64 per doc (r17 fast lane, was md5-hash60):
+          -- mirrors the engine's compact-shuffle form (counts are
+          -- hash-distinct in BOTH engines, so a 64-bit collision cannot
+          -- diverge them); the chain prices per DISTINCT shingle
+          SELECT DISTINCT shx.doc_id, cmap.h
+          FROM shx JOIN cmap USING (shingle)
         ), n AS (
           SELECT doc_id, COUNT(*) AS n_sh FROM e GROUP BY doc_id
         ), probe AS (
@@ -4786,15 +4801,25 @@ EXT_ORACLE_SQL = {
         FROM p GROUP BY pair
         ORDER BY cnt DESC, pair LIMIT 30
     """,
-    "ext_text_commonness": r"""
-        WITH tok AS (
-          -- term frequencies are md5-hash60 counts BY CONTRACT, mirroring
-          -- the Spark side's 8-byte join key (collision-proof parity)
-          SELECT doc_id,
-                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    "ext_text_commonness": rf"""
+        -- term frequencies are xxhash64 counts BY CONTRACT (r17 fast
+        -- lane, was md5-hash60), mirroring the Spark side's 8-byte join
+        -- key (collision-proof parity). The XXH64 chain prices per
+        -- DISTINCT token; occurrences re-attach by string
+        -- (value-identical: the hash is a function of the token).
+        WITH rawtok AS (
+          SELECT doc_id, token
           FROM (SELECT doc_id,
                        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                 FROM documents WHERE trim(text) <> '') u
+        ), dtok AS (
+          SELECT DISTINCT token FROM rawtok
+        ),
+        {xxh64_cte('dtok', ['token'], 'token', prefix='cm')},
+        hmap AS (
+          SELECT token, {xxh64_signed_expr('h')} AS h FROM cm_h
+        ), tok AS (
+          SELECT r.doc_id, m.h FROM rawtok r JOIN hmap m USING (token)
         ), freq AS (
           SELECT h, COUNT(*) AS tf FROM tok GROUP BY h
         )
@@ -4806,17 +4831,26 @@ EXT_ORACLE_SQL = {
     """,
     # Rank key tf/df is ONE IEEE-exact double division (linear-IDF
     # contract — see the Spark docstring; no libm ln on either engine);
-    # the join/df identity is md5-hash60 BY CONTRACT (commonness
-    # pattern), token strings ride as min(token) per (doc, h).
+    # the join/df identity is xxhash64 BY CONTRACT (r17 fast lane —
+    # commonness pattern; the XXH64 chain prices per distinct token,
+    # (doc, term) rows re-attach by string).
     "ext_text_tfidf": rf"""
         WITH tok AS (
           SELECT doc_id,
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
           FROM documents WHERE trim(text) <> ''
-        ), tf AS (
-          SELECT doc_id, token, COUNT(*) AS tf,
-                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        ), tf0 AS (
+          SELECT doc_id, token, COUNT(*) AS tf
           FROM tok GROUP BY doc_id, token
+        ), dtok AS (
+          SELECT DISTINCT token FROM tf0
+        ),
+        {xxh64_cte('dtok', ['token'], 'token', prefix='tfi')},
+        hmap AS (
+          SELECT token, {xxh64_signed_expr('h')} AS h FROM tfi_h
+        ), tf AS (
+          SELECT tf0.doc_id, tf0.token, tf0.tf, hmap.h
+          FROM tf0 JOIN hmap USING (token)
         ), dfq AS (
           SELECT h, COUNT(*) AS df FROM tf GROUP BY h
         ), scored AS (
@@ -6234,7 +6268,11 @@ EXT_ORACLE_SQL["ext_layout_zorder"] = _zorder_oracle_sql()
 
 def _quality_score_oracle_sql() -> str:
     """Replay of quality_score: the weight VALUES list is generated from
-    the same QUALITY_WEIGHTS table, so the two sides can never drift."""
+    the same QUALITY_WEIGHTS table, so the two sides can never drift.
+    Bucket = unsigned xxhash64 % 64 (r17 fast lane — replays Spark's
+    ``xxhash64 & 63`` low-bits extraction; was md5-hash60 % 64); the
+    XXH64 chain prices per DISTINCT token, occurrences re-attach by
+    string."""
     values = ", ".join(f"({b}, {w})" for b, w in enumerate(X.QUALITY_WEIGHTS))
     return f"""
         WITH w(b, wt) AS (VALUES {values}),
@@ -6242,10 +6280,15 @@ def _quality_score_oracle_sql() -> str:
           SELECT doc_id,
                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
           FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ), dtok AS (
+          SELECT DISTINCT token FROM tok
+        ),
+        {xxh64_cte('dtok', ['token'], 'token', prefix='qs')},
+        qmap AS (
+          SELECT token, CAST(h % {X.QUALITY_BUCKETS} AS BIGINT) AS b
+          FROM qs_h
         ), h AS (
-          SELECT doc_id,
-                 ('0x' || substr(md5(token), 1, 15))::BIGINT % {X.QUALITY_BUCKETS} AS b
-          FROM tok
+          SELECT tok.doc_id, qmap.b FROM tok JOIN qmap USING (token)
         )
         SELECT doc_id, CAST(SUM(w.wt) AS BIGINT) AS score,
                CAST(COUNT(*) AS BIGINT) AS n_tokens
@@ -6259,7 +6302,9 @@ EXT_ORACLE_SQL["ext_text_quality_score"] = _quality_score_oracle_sql()
 def _cluster_best_oracle_sql() -> str:
     """Replay of ext_dedup_cluster_best: the ext_dedup_clusters recursive
     reachability closure composed with the QUALITY_WEIGHTS-generated
-    scorer (both sides move together with the weight table); selection
+    scorer (both sides move together with the weight table; the bucket
+    rule is the r17 xxhash64 fast lane, unsigned h % 64 per DISTINCT
+    token — the same chain _quality_score_oracle_sql replays); selection
     is the (score desc NULLS-as-sentinel, doc_id asc) rank-1 — the twin
     of Spark's max_by(struct(coalesce(score, -2^62), -doc_id))."""
     values = ", ".join(f"({b}, {w})" for b, w in enumerate(X.QUALITY_WEIGHTS))
@@ -6272,10 +6317,15 @@ def _cluster_best_oracle_sql() -> str:
           SELECT doc_id,
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
           FROM t WHERE text IS NOT NULL AND trim(text) <> ''
+        ), cbtok AS (
+          SELECT DISTINCT token FROM tok
+        ),
+        {xxh64_cte('cbtok', ['token'], 'token', prefix='cb')},
+        cbmap AS (
+          SELECT token, CAST(h % {X.QUALITY_BUCKETS} AS BIGINT) AS b
+          FROM cb_h
         ), h AS (
-          SELECT doc_id,
-                 ('0x' || substr(md5(token), 1, 15))::BIGINT % {X.QUALITY_BUCKETS} AS b
-          FROM tok
+          SELECT tok.doc_id, cbmap.b FROM tok JOIN cbmap USING (token)
         ), sc AS (
           SELECT doc_id, CAST(SUM(w2.wt) AS BIGINT) AS score
           FROM h JOIN w2 USING (b) GROUP BY doc_id
@@ -6561,7 +6611,10 @@ EXT_ORACLE_SQL["ext_text_bpe_learn"] = r"""
 # md5-hash60 window identity BY CONTRACT on both sides, duplicates kept;
 # n_dup_windows counts window occurrences whose corpus-wide hash count is
 # >= 2 (a doc's own repeats count — span dedup removes all copies).
-EXT_ORACLE_SQL["ext_dedup_spans"] = r"""
+EXT_ORACLE_SQL["ext_dedup_spans"] = rf"""
+    -- window identity is xxhash64 BY CONTRACT (r17 fast lane, was
+    -- md5-hash60); the XXH64 chain prices per DISTINCT window string,
+    -- occurrences re-attach by string (value-identical)
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
       FROM documents WHERE text IS NOT NULL
@@ -6573,10 +6626,17 @@ EXT_ORACLE_SQL["ext_dedup_spans"] = r"""
                               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
              END sh
       FROM t
-    ), w AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(sh2.shingle), 1, 15))::BIGINT AS h
+    ), shx AS (
+      SELECT doc_id, sh2.shingle AS shingle
       FROM s, unnest(s.sh) AS sh2(shingle)
+    ), dsh AS (
+      SELECT DISTINCT shingle FROM shx
+    ),
+    {xxh64_cte('dsh', ['shingle'], 'shingle', prefix='sp')},
+    smap AS (
+      SELECT shingle, {xxh64_signed_expr('h')} AS h FROM sp_h
+    ), w AS (
+      SELECT shx.doc_id, smap.h FROM shx JOIN smap USING (shingle)
     ), f AS (
       SELECT h, COUNT(*) AS tot FROM w GROUP BY h
     )
@@ -6593,8 +6653,10 @@ EXT_ORACLE_SQL["ext_dedup_spans"] = r"""
 # positional form), canonical occurrence via the (doc_id, pos) window
 # rank — rn = 1 IS min(struct(doc_id, pos)), the Spark side's reduction —
 # and the rebuild as list_filter over token positions. COALESCE(removed,
-# []) mirrors the Spark left join's NULL-removal-set docs.
-EXT_ORACLE_SQL["ext_dedup_spans_drop"] = r"""
+# []) mirrors the Spark left join's NULL-removal-set docs. Window
+# identity is xxhash64 (r17 fast lane, was md5-hash60); the chain prices
+# per DISTINCT window, positions re-attach by string.
+EXT_ORACLE_SQL["ext_dedup_spans_drop"] = rf"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
       FROM documents WHERE text IS NOT NULL
@@ -6606,11 +6668,20 @@ EXT_ORACLE_SQL["ext_dedup_spans_drop"] = r"""
                               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
              END sh
       FROM t
-    ), w AS (
+    ), w0 AS (
       SELECT doc_id, n_toks, CAST(u.p.pos AS BIGINT) AS pos,
-             ('0x' || substr(md5(u.p.s), 1, 15))::BIGINT AS h
+             u.p.s AS shingle
       FROM s, unnest(list_transform(range(len(sh)),
-                       i -> {'pos': i, 's': sh[i+1]})) AS u(p)
+                       i -> {{'pos': i, 's': sh[i+1]}})) AS u(p)
+    ), dsh AS (
+      SELECT DISTINCT shingle FROM w0
+    ),
+    {xxh64_cte('dsh', ['shingle'], 'shingle', prefix='sd')},
+    smap AS (
+      SELECT shingle, {xxh64_signed_expr('h')} AS h FROM sd_h
+    ), w AS (
+      SELECT w0.doc_id, w0.n_toks, w0.pos, smap.h
+      FROM w0 JOIN smap USING (shingle)
     ), m AS (
       SELECT doc_id, n_toks, pos,
              COUNT(*) OVER (PARTITION BY h) AS tot,
@@ -6683,11 +6754,13 @@ EXT_ORACLE_SQL["ext_dedup_images"] = """
     WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
-# Line-dedup replay: same md5-keyed winner rule (ROW_NUMBER over
+# Line-dedup replay: same hash-keyed winner rule (ROW_NUMBER over
 # (doc_id, pos) mirrors Spark's min(struct) reduction), same
 # whitespace-only exemption, string_agg ORDER BY pos mirrors the
-# array_sort reassembly.
-EXT_ORACLE_SQL["ext_dedup_lines"] = """
+# array_sort reassembly. Line identity is xxhash64 (r17 fast lane, was
+# md5): the chain prices per DISTINCT content line; whitespace-only
+# lines never enter the map, so they keep unconditionally as before.
+EXT_ORACLE_SQL["ext_dedup_lines"] = rf"""
     WITH ls AS (
       SELECT doc_id, string_split(text, chr(10)) AS arr
       FROM documents WHERE text IS NOT NULL
@@ -6696,16 +6769,24 @@ EXT_ORACLE_SQL["ext_dedup_lines"] = """
       FROM ls
     ), l AS (
       SELECT doc_id, pos, arr[pos + 1] AS line FROM lp
+    ), dl AS (
+      SELECT DISTINCT line FROM l WHERE trim(line) <> ''
+    ),
+    {xxh64_cte('dl', ['line'], 'line', prefix='ld')},
+    lmap AS (
+      SELECT line, {xxh64_signed_expr('h')} AS h FROM ld_h
     ), w AS (
       SELECT h, doc_id AS wdoc, pos AS wpos FROM (
-        SELECT md5(line) AS h, doc_id, pos,
-               ROW_NUMBER() OVER (PARTITION BY md5(line)
-                                  ORDER BY doc_id, pos) AS rn
-        FROM l WHERE trim(line) <> '') WHERE rn = 1
+        SELECT lm.h AS h, l.doc_id, l.pos,
+               ROW_NUMBER() OVER (PARTITION BY lm.h
+                                  ORDER BY l.doc_id, l.pos) AS rn
+        FROM l JOIN lmap lm USING (line)
+        WHERE trim(l.line) <> '') WHERE rn = 1
     ), k AS (
       SELECT l.doc_id, l.pos, l.line,
              (w.h IS NULL OR (l.doc_id = w.wdoc AND l.pos = w.wpos)) AS kept
-      FROM l LEFT JOIN w ON md5(l.line) = w.h
+      FROM l LEFT JOIN lmap lm USING (line)
+             LEFT JOIN w ON lm.h = w.h
     )
     SELECT doc_id,
            CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

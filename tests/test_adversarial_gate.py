@@ -56,6 +56,13 @@ ADVERSARIAL_QUERIES = [
     # tokenize/rejoin contract
     "ext_dedup_spans_drop",
     "ext_dedup_ngram",
+    # r17: the xxhash64 fast-lane swap moved these two md5-hash60
+    # contract queries onto the generated XXH64 chain — unicode tokens /
+    # shingles through the chain, NULL/empty/whitespace text filtered
+    # identically, duplicate texts across sources inflate term and
+    # shingle frequencies on both sides
+    "ext_text_commonness",
+    "ext_contamination",
     # r15: URL-level dedup — the hostile NEGATIVE doc_ids stress the
     # sign-of-dividend % parity the residue branches (and the oracle's
     # CASE arms) rely on; r16: the synthesis also emits the multi-param

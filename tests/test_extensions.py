@@ -2540,9 +2540,11 @@ def test_quality_score_threshold_budget_composition(spark):
     """The full classifier-filtered curation pipeline (VERDICT r11 item
     8): quality_score → threshold → per-source token-budget sample. Pins
     (a) the integer score against a pure-Python reference of the hashed
-    linear model, and (b) that the budget stage sees only
-    threshold-surviving docs and cuts at the exact integer boundary."""
-    import hashlib
+    linear model (bucket = unsigned xxh64 % 64 since the r17 fast lane —
+    the reference reuses test_xxh64_sql's independent implementation),
+    and (b) that the budget stage sees only threshold-surviving docs and
+    cuts at the exact integer boundary."""
+    from test_xxh64_sql import xxh64_py
 
     from pyspark.sql import Window
 
@@ -2568,9 +2570,7 @@ def test_quality_score_threshold_budget_composition(spark):
     def py_score(text):
         toks = text.strip().split()
         s = sum(
-            QUALITY_WEIGHTS[
-                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % QUALITY_BUCKETS
-            ]
+            QUALITY_WEIGHTS[xxh64_py(t.encode()) % QUALITY_BUCKETS]
             for t in toks
         )
         return s, len(toks)
