@@ -1063,6 +1063,7 @@ def drop_duplicate_spans(
     n: int = 5,
     freq_broadcast: bool = False,
     window_key=None,
+    onepass: bool = True,
 ) -> DataFrame:
     """Span REMOVAL (r14, VERDICT r13 item 3) — the surgery half of the
     Lee et al. 2022 exact-substring pipeline (arXiv:2107.06499 §3):
@@ -1091,11 +1092,19 @@ def drop_duplicate_spans(
       earlier doc holds the window; cross-doc, only the earliest doc's
       first occurrence survives.
 
-    Scale shape: the spans query's commonness pattern (one corpus-wide
-    window agg — partial agg collapses hot boilerplate windows map-side —
-    one large-large join on the 8-byte hash key with the caller-supplied
-    broadcast-when-small guard) plus one doc-keyed removal-set agg and a
-    doc-local array rebuild: the TEXT never shuffles with the windows,
+    Scale shape (``onepass=True``, r17 optimization round wave 8): the
+    window stream is derived ONCE and repartitioned on the 8-byte hash —
+    the frequency aggregate and the join probe both consume that single
+    exchange (runtime ReusedExchange; the old shape re-derived the whole
+    tokenize+shingle+hash Generate subtree for each consumer, and at
+    100 TB each re-derivation is a full corpus pass), the canonical-pick
+    agg rides the exchange's partitioning (no second window exchange),
+    and the h join is an exchange-free in-partition shuffled-hash join
+    (build = the ≤|distinct h| freq side). ``onepass=False`` keeps the
+    r14 commonness topology (freq aggregated map-side then
+    broadcast-when-small via ``freq_broadcast``, probe re-derived) —
+    the ABAB lane. Both forms: one doc-keyed removal-set agg and a
+    doc-local array rebuild — the TEXT never shuffles with the windows,
     only (id, pos, h) triples do, and the rebuild's filter lambda runs
     on the already-materialized token array behind the Generate barrier."""
     key = window_key if window_key is not None else (lambda c: F.xxhash64(c))
@@ -1110,12 +1119,27 @@ def drop_duplicate_spans(
         )
         .select("id", "n_toks", "pos", key(F.col("s")).alias("h"))
     )
+    if onepass:
+        w = w.repartition(F.col("h"))
+    # the canonical struct carries n_toks as a THIRD field purely so the
+    # freq branch reads every column of w: column pruning would otherwise
+    # project n_toks away below the repartition exchange, making the two
+    # w subtrees differ and defeating ReuseExchange (the whole point of
+    # onepass — verified on the explain dump: pruned = two Generate
+    # chains, aligned = one chain + ReusedExchange). (id, pos) is unique
+    # per occurrence, so the extra field can never change the min.
     freq = w.groupBy("h").agg(
         F.count("*").alias("tot"),
         F.min(F.struct(F.col("id").alias("cid"),
-                       F.col("pos").alias("cpos"))).alias("canon"),
+                       F.col("pos").alias("cpos"),
+                       F.col("n_toks").alias("cnt"))).alias("canon"),
     )
-    if freq_broadcast:
+    if onepass:
+        # both join children already carry the w exchange's
+        # hashpartitioning(h); the hint picks the sort-free SHJ with the
+        # distinct-h-cardinality freq side as build
+        freq = freq.hint("shuffle_hash")
+    elif freq_broadcast:
         freq = F.broadcast(freq)
     removed = (
         w.join(freq, "h")
@@ -1136,6 +1160,17 @@ def drop_duplicate_spans(
         .groupBy("id")
         .agg(F.collect_set("rp").alias("removed"))
     )
+    if onepass:
+        # Generate barrier over the doc-cardinality removal sets: the
+        # rebuild LeftOuter join infers isnotnull(id) on its build side,
+        # and without the barrier that filter pushes all the way into the
+        # PROBE copy of w's scan (and only that copy — freq's columns
+        # don't derive id), de-identifying the two w subtrees and
+        # defeating ReuseExchange exactly like the n_toks pruning did.
+        # Behind the explode it stays a post-agg filter on ≤|docs| rows.
+        removed = removed.select(
+            F.explode(F.array(F.struct("id", "removed"))).alias("_r")
+        ).select("_r.id", "_r.removed")
     empty = F.array().cast("array<int>")
     keep = F.filter(
         "toks",

@@ -106,6 +106,12 @@ _REGATE: list[tuple[str, int]] = [
     ("ext_text_commonness", 17),
     ("ext_text_tfidf", 17),
     ("ext_text_quality_score", 17),
+    # …and wave 8 changed their topology again under the same pins:
+    # ext_dedup_spans is the unique-complement form (no h join;
+    # n_dup = n_windows − owned-unique count) and drop_duplicate_spans
+    # derives the window stream ONCE (repartition(h) + ReusedExchange +
+    # SHJ) — values identical both times (ABAB sorted-collect equality
+    # at 5 dirs incl. adversarial; oracle SQL untouched)
     ("ext_dedup_spans", 17),
     ("ext_dedup_spans_drop", 17),
     ("ext_dedup_lines", 17),

@@ -408,21 +408,32 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, n_windows, n_dup_windows) exact integers — the dup
     RATIO is left to the consumer (the ratio-metrics invariant).
 
-    Scale shape — the commonness pattern on window keys: windows are
-    positional k-gram shingles (operators/dedup._shingle_array — the
-    zip_with form, duplicates kept; short docs contribute one whole-text
-    window, the contamination convention), hashed to 8-byte xxhash64
-    (r17 fast lane, was md5-hash60) AS A COLUMN OP below the first
-    exchange (after the explode — NOT inside the transform lambda: spans
-    keep duplicates so nothing needs the in-lambda array_distinct that
-    forces contamination's placement, and an interpreted per-element
-    hash is the repetition lesson). Window identity is the hash BY
-    CONTRACT, mirrored in the oracle (the move-together rule — the
-    DuckDB XXH64 chain prices per DISTINCT shingle, joined back by
-    string). One corpus-wide count exchange (partial agg
-    collapses hot boilerplate windows map-side), one large-large join on
-    the 8-byte key with the commonness broadcast-when-small fail-closed
-    guard, one per-doc rollup."""
+    Scale shape — the unique-complement form (r17 optimization round,
+    wave 8; was the commonness join pattern): windows are positional
+    k-gram shingles (operators/dedup._shingle_array — the zip_with form,
+    duplicates kept; short docs contribute one whole-text window, the
+    contamination convention), hashed to 8-byte xxhash64 (r17 fast lane,
+    was md5-hash60) AS A COLUMN OP below the first exchange. Window
+    identity is the hash BY CONTRACT, mirrored in the oracle (the
+    move-together rule — the DuckDB XXH64 chain prices per DISTINCT
+    shingle, joined back by string).
+
+    The old shape derived the window stream TWICE (once feeding the freq
+    aggregate, once as the join probe — two full tokenize+shingle+hash
+    Generate passes) and joined them corpus-wide on h. The identity
+    n_dup(doc) = n_windows(doc) − #windows-with-corpus-count-1-owned-by-
+    doc deletes both: a window occurrence either repeats somewhere
+    (tot ≥ 2) or is globally unique (tot == 1), and a unique window's
+    single occurrence pins its owning doc, so min(doc_id) IS the owner —
+    an all-numeric agg buffer (HashAggregate, no demotion). One Generate
+    pass, one partial-agg'd ≤|distinct h| exchange (hot boilerplate
+    windows still collapse map-side), one ≤|docs| owner rollup, and
+    n_windows(doc) comes from a split-free regexp_count scan
+    (#\\s+-separators + 1 ≡ split(trim(text), '\\s+', -1) cardinality,
+    limit -1 keeping trailing empties — greatest(n_tokens − 4, 1) is
+    exactly the exploded-window count incl. the short-doc whole-text
+    window). The large-large h join and its broadcast guard are GONE —
+    at 100 TB the old fallback was a full window-stream shuffle."""
     from flink_cdc_multi_spark.operators.dedup import (
         _shingle_array,
         _token_barrier,
@@ -435,18 +446,34 @@ def ext_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.explode(_shingle_array(5)).alias("s"))
         .select("doc_id", F.xxhash64(F.col("s")).alias("h"))
     )
-    freq = w.groupBy("h").agg(F.count("*").alias("tot"))
+    uniq = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("tot"), F.min("doc_id").alias("owner"))
+        .filter(F.col("tot") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").alias("n_uniq"))
+    )
     if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
-        freq = F.broadcast(freq)
+        uniq = F.broadcast(uniq)
+    else:
+        # doc-cardinality side of a doc-keyed left join: shuffled-hash,
+        # never a full-corpus sort-merge (the filtered-fact-join rule)
+        uniq = uniq.hint("shuffle_hash")
+    base = docs.select(
+        "doc_id",
+        F.greatest(
+            F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + F.lit(1) - F.lit(4),
+            F.lit(1),
+        ).cast("bigint").alias("n_windows"),
+    )
     return (
-        w.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_windows"),
-            F.sum(F.when(F.col("tot") >= 2, 1).otherwise(0))
+        base.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            (F.col("n_windows") - F.coalesce(F.col("n_uniq"), F.lit(0)))
             .cast("bigint").alias("n_dup_windows"),
         )
-        .select("doc_id", "n_windows", "n_dup_windows")
     )
 
 

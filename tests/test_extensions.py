@@ -2992,6 +2992,35 @@ def test_drop_duplicate_spans_planted_fixture(spark):
     }
 
 
+def test_drop_duplicate_spans_onepass_matches_join_form(spark):
+    """r17 wave 8: the onepass form (single window-stream derivation via
+    repartition(h) + ReusedExchange, SHJ) must be row-identical to the
+    r14 commonness topology (freq broadcast, probe re-derived) — the
+    restructure is physical only. Hostile shapes: tab/newline
+    whitespace (trim strips spaces ONLY), short docs sharing whole-text
+    windows, a doc whose every window repeats, canonical ties across
+    docs, NULL text, and a doc with exactly n tokens (one window)."""
+    rows = [
+        (1, "a b c d e f g a b c d e f g"),
+        (2, "a b c d e f g"),
+        (3, "\t a\nb c d e \t"),
+        (4, "\t a\nb c d e \t"),
+        (5, None),
+        (6, "one two three four five"),
+        (7, "one two three four five"),
+        (8, "solo"),
+        (9, ""),
+        (10, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for broadcast in (False, True):
+        a = sorted(map(tuple, D.drop_duplicate_spans(
+            df, onepass=False, freq_broadcast=broadcast).collect()))
+        b = sorted(map(tuple, D.drop_duplicate_spans(
+            df, onepass=True).collect()))
+        assert a == b, (a, b)
+
+
 def test_ext_ann_ivfpq_trained_artifact_contract(spark):
     """The gated trained-ANN query (r14, VERDICT r13 item 2): its
     artifact path is sf-INDEPENDENT (the static oracle SQL names it as a

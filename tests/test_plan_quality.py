@@ -3,6 +3,7 @@ documents must survive future edits (pushdown reaching the scan, broadcast
 joins on dims, TakeOrderedAndProject for top-k, partial aggregation)."""
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -581,31 +582,72 @@ def test_ext_dedup_simhash_fused_pair_dedup(spark):
 
 
 def test_ext_dedup_spans_plan_shape(spark):
-    """ext_dedup_spans (r13): the commonness shape on window keys — the
-    text IS NOT NULL filter reaches the scan, the small-input broadcast
-    guard fires at the test SF (window-frequency side broadcast, the
-    corpus window stream never shuffles on h), and aggregation is
-    partial (map-side combine collapses hot boilerplate windows)."""
+    """ext_dedup_spans (r13; rewritten r17 wave 8): the unique-complement
+    form — the window stream is derived ONCE (exactly one xxhash64
+    projection: the old commonness join re-derived the whole
+    tokenize+shingle+hash subtree for the probe), there is NO h join at
+    all (the only join is the doc-keyed left join of the regexp_count
+    base against the owned-unique counts), every aggregate is a
+    HashAggregate (min(doc_id) owner is an all-numeric buffer — no
+    SortAggregate demotion), and the text filter reaches the scan."""
     plan = plan_of(spark, "ext_dedup_spans")
     assert "IsNotNull(text)" in plan  # pushdown at the scan
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("xxhash64") == 1  # single window-stream derivation
+    assert plan.count("split(trim(") == 1  # exactly one tokenize pass
+    # n_windows needs no second tokenize: regexp_count compiles to
+    # size(regexp_extract_all(...)) — a count, not a token array
+    assert "regexp_extract_all" in plan
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 1, joins  # only the doc-keyed rollup join
     assert "SortMergeJoin" not in plan
+    assert "SortAggregate" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final on both aggs
 
 
 def test_ext_dedup_spans_drop_plan_shape(spark):
-    """ext_dedup_spans_drop (r14): the spans commonness shape plus the
-    removal legs — text filter pushed to the scan, the small-input
-    broadcast guard fires for the frequency side at the test SF, the
+    """ext_dedup_spans_drop (r14; onepass r17 wave 8): the window stream
+    is derived once and repartitioned on h — the freq aggregate and the
+    join probe share that exchange (runtime ReusedExchange; the static
+    initial plan under AQE shows two textually identical subtrees, so
+    the pin checks the REPARTITION_BY_COL exchange is present and the
+    h join is in-partition shuffled-hash, sort-free on the probe), the
     canonical pick is a min(struct) REDUCTION (no row_number Window —
     the materialization skew rule), and the doc-keyed removal join is
     shuffled-hash, never a full-corpus sort-merge."""
     plan = plan_of(spark, "ext_dedup_spans_drop")
     assert "IsNotNull(text)" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "REPARTITION_BY_COL" in plan  # the shared h exchange
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
-    assert "ShuffledHashJoin" in plan
+    assert plan.count("ShuffledHashJoin") >= 2  # h join + rebuild join
+    assert "BroadcastHashJoin" not in plan  # freq broadcast topology gone
+
+
+def test_ext_dedup_spans_drop_onepass_reuses_window_exchange(spark):
+    """The onepass claim, checked at RUNTIME (CLAUDE.md: AQE reuse never
+    shows in the static initial plan): executing the onepass form must
+    reuse the hashpartitioning(h) window exchange — i.e. the
+    tokenize+shingle+hash Generate subtree runs ONCE, not once per
+    consumer. Guards the two subtree-identity traps found while
+    building it (n_toks column pruning; the inferred isnotnull(id)
+    pushed into only the probe copy)."""
+    from flink_cdc_multi_spark.operators.dedup import drop_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f a b c d e f"), (2, "a b c d e f"), (3, "x y")],
+        "doc_id bigint, text string",
+    )
+    out = drop_duplicate_spans(docs, onepass=True)
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    import re as _re
+
+    reused_h = [
+        ln for ln in executed.splitlines()
+        if "ReusedExchange" in ln and _re.search(r"hashpartitioning\(h#", ln)
+    ]
+    assert reused_h, executed
 
 
 def test_ext_graph_pagerank_plan_shape(spark):
