@@ -1263,6 +1263,17 @@ def ext_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", h.alias("h"))
     )
+    # r17 optimization round wave 9, candidate MEASURED AND REJECTED: a
+    # (doc_id, h) -> c pre-aggregate whose exchange both branches share
+    # (the tfidf wave-9 shape; Σ_occ tf ≡ Σ_h c·tf keeps every integer)
+    # deletes the second tokenize pass — but LOSES 0.71x at sf10 (ABAB,
+    # tools/opt_r17_abab_tfidf.py TFIDF_ONLY=commonness; 0.88-1.03x at
+    # smaller SFs): unlike tfidf, no (doc, token) exchange exists here
+    # to reuse — the candidate ADDS one, and post-wave-7 the duplicated
+    # per-occurrence work is a single codegen xxhash64, cheaper than
+    # shuffling |distinct (doc, h)| rows. The two-pass broadcast form
+    # below stays the winner (the docstring's not-cached trade, now
+    # measured from both sides).
     freq = tok.groupBy("h").agg(F.count("*").alias("tf"))
     if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
         freq = F.broadcast(freq)
@@ -1333,7 +1344,20 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .withColumn("h", h)
     )
-    dfq = tf.groupBy("h").agg(F.count("*").alias("df"))
+    # sum(when(tf >= 1, 1)), NOT count("*") (r17 optimization round,
+    # wave 9): tf >= 1 always holds, so the value IS the row count — but
+    # count("*") (and count("tf"), which Catalyst rewrites to count(1)
+    # because tf is provably non-null) lets column pruning drop tf's
+    # count buffer from this branch's partial aggregate, de-identifying
+    # the two (doc_id, token) exchange subtrees — Catalyst then plans a
+    # SECOND full tokenize+explode+distinct pass just for df
+    # (plan-audited: two split Generates, two |distinct(doc,term)|-row
+    # exchanges). The guarded sum must READ tf, keeping the subtrees
+    # byte-identical, so the exchange is built once and reused at
+    # runtime (ReusedExchange, pinned by the plan test).
+    dfq = tf.groupBy("h").agg(
+        F.sum(F.when(F.col("tf") >= 1, F.lit(1))).alias("df")
+    )
     if _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES:
         dfq = F.broadcast(dfq)
     win = Window.partitionBy("doc_id").orderBy(

@@ -362,6 +362,26 @@ def test_ext_text_tfidf_hash_agg_and_group_limit(spark):
     assert "BroadcastHashJoin" in plan
     # only (doc_id, text) are ever read
     assert "n_chars" not in plan and "source" not in plan
+    # r17 wave 9: the df branch's partial aggregate must carry tf's count
+    # buffer (the guarded sum reads tf) so BOTH (doc_id, token) exchange
+    # subtrees stay identical — a regression to count(*) re-plans the
+    # whole tokenize pass twice (Functions: [] distinct-agg branch)
+    assert "Functions: []" not in plan
+
+
+def test_ext_text_tfidf_reuses_tf_exchange(spark):
+    """r17 wave 9, the runtime half (AQE reuse never shows statically):
+    executing tfidf must reuse the (doc_id, token) exchange — the
+    tokenize+explode+partial-count pass runs ONCE for both the tf and
+    df branches."""
+    df = ALL_QUERIES["ext_text_tfidf"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    reused = [
+        ln for ln in executed.splitlines()
+        if "ReusedExchange" in ln and "hashpartitioning(doc_id" in ln
+    ]
+    assert reused, executed
 
 
 def test_ext_events_interval_join_is_binned_equi_never_nested_loop(spark):
