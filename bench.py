@@ -227,6 +227,34 @@ def sf1_crossover(spark, base_dir: str) -> dict:
     # rewards whichever side had the noisier fast outlier — the final r15
     # run measured min/min 1.04 vs median 0.73 off ONE fast DuckDB pass
     out["interleaved_ratio"] = out["interleaved"]["ratio_median"]
+    # r18 scaling row (VERDICT r17 item 5): the driver's 8-vs-32-core
+    # comparison at sf0.1 only measures the ~0.15-0.2 s/job scheduling
+    # floor (r17 ratios 0.91-1.39 against a 4x core delta — uninformative,
+    # not serial code). At sf1 the gate actually parallelizes, so ONE
+    # low-core gate wave here makes the scaling block meaningful. Local
+    # task slots are fixed at session creation, so the low-core wave runs
+    # in a child process honoring the same $SPARK_GRAFT_CPUS mechanism
+    # (tools/gate_wave.py reuses prepare_gate_run/gate_concurrent_best —
+    # identical methodology, a quarter of the cores). Additive field
+    # only; a failure records an error instead of sinking the sf1 block.
+    try:
+        hi_cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        lo_cores = max(2, hi_cores // 4)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(lo_cores))
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "gate_wave.py"),
+             sf1_dir],
+            check=True, capture_output=True, timeout=900, env=env, text=True,
+        )
+        lo = json.loads(r.stdout.strip().splitlines()[-1])
+        out["scaling"] = {
+            "hi_cores": hi_cores, "hi_sec": best,
+            "lo_cores": lo["cores"], "lo_sec": lo["gate_wave_sec"],
+            "speedup_hi_over_lo": round(lo["gate_wave_sec"] / best, 3)
+            if best else None,
+        }
+    except Exception as e:  # noqa: BLE001
+        out["scaling"] = {"error": str(e)[:200]}
     return out
 
 
@@ -530,12 +558,18 @@ def main() -> None:
     if isinstance(sf1, dict) and "ratio_vs_duckdb" in sf1:
         compact["sf1_ratio"] = sf1["ratio_vs_duckdb"]
         compact["sf1_interleaved"] = sf1.get("interleaved_ratio")
+        # r18: the sf1 low-core scaling row (additive; dropped FIRST
+        # under the 1900-char pressure so the established drop order is
+        # untouched)
+        if isinstance(sf1.get("scaling"), dict) and "lo_sec" in sf1["scaling"]:
+            compact["scaling_sf1"] = sf1["scaling"]
     # Degrade gracefully instead of asserting: a dead assert here would
     # leave the driver with NO stdout JSON at all (the exact perf-blind
     # failure this compact line exists to prevent). Drop optional fields
     # until the line fits the driver's 2000-char stdout tail.
     line = json.dumps(compact)
-    for droppable in ("queries", "duckdb_version", "duckdb_rerun_spread",
+    for droppable in ("scaling_sf1",
+                      "queries", "duckdb_version", "duckdb_rerun_spread",
                       "ext_duckdb_total", "ext_concurrent",
                       "ext_cached", "n_gate_waves", "n_ext_waves",
                       "sequential_total", "detail"):

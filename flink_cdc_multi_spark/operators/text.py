@@ -520,7 +520,7 @@ def redact(text: Column, patterns=None) -> tuple[Column, Column]:
 
 def line_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    line_key=None,
+    line_key=None, onepass: bool = True,
 ) -> DataFrame:
     """Corpus-wide exact LINE dedup (the C4/RefinedWeb/Dolma pass: a line
     appearing in multiple documents survives only at its FIRST occurrence
@@ -537,37 +537,91 @@ def line_dedup(
     hash-contract pattern, collisions move both sides together;
     ``line_key`` overrides the lane); whitespace-only lines NEVER dedup
     (removing every blank separator but one would mangle formatting
-    corpus-wide).
+    corpus-wide). r18: whitespace-only lines are also kept OUT of the
+    content hash space (ADVICE r17: the DuckDB oracle's lmap holds
+    content lines only, so a 64-bit whitespace↔content collision used
+    to be the one spot where 'collisions move both sides together'
+    failed) — the onepass lane joins on (is_ws, h) so the key spaces
+    are disjoint by construction; the broadcast lane NULLs the probe
+    key on whitespace rows.
 
-    Scale shape: the winner per distinct line is a min-REDUCTION on the
-    hash key (partial agg collapses a hot duplicated line map-side — the
-    boilerplate line appearing in 10M docs ships |partitions| candidates,
-    not 10M); the probe join hash-partitions both sides on the 8-byte
-    key (was the 32-char md5 digest — guide §2.3 narrower shuffle
-    bytes; large-large, the commonness shape; the line stream is
-    deliberately not cached — re-running the pruned scan+split is cheaper
-    than holding corpus-sized lines resident). Reassembly is one
-    partial-agg groupBy per doc; the in-doc sort is array_sort over that
-    doc's lines only, never a global sort."""
+    Scale shape (``onepass=True``, r18 wave 2 — the spans_drop wave-8
+    topology; VERDICT r17 item 2): the line stream is derived ONCE and
+    repartitioned on the 8-byte hash — the winner aggregate rides that
+    exchange's partitioning (complete mode, no second line exchange)
+    and the probe is an exchange-free in-partition shuffled-hash join
+    against it, so the corpus text shuffles exactly once before the
+    doc-keyed reassembly (the old shape re-ran the full scan+split
+    Generate pass per consumer and sort-merge-joined the streams — two
+    corpus passes + two sorts at 100 TB where the winners side outgrows
+    the broadcast threshold). Subtree-identity discipline (the r17
+    wave-8/9 traps, pinned by executed-plan test): the winner struct
+    carries ``line`` as a tie-dead third field so the freq branch reads
+    every exchanged column (pruning would de-identify), the winner agg
+    takes the NULL-free (is_ws, h) groups WITHOUT a pre-filter (a
+    content filter would push below the shared exchange), and every
+    join key is non-nullable so no one-sided isnotnull inference can
+    fire. ``onepass=False`` keeps the r12 commonness topology (winner
+    min-reduction broadcast-when-small, probe re-derived) — the
+    broadcast-regime lane. Both lanes: reassembly is one partial-agg
+    groupBy per doc; the in-doc sort is array_sort over that doc's
+    lines only, never a global sort."""
     key = line_key if line_key is not None else (lambda c: F.xxhash64(c))
     lines = widen_narrow_scan(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    content = lines.filter(F.trim(F.col("line")) != "")
-    winners = (
-        content.select(key(F.col("line")).alias("h"),
-                       F.struct("doc_id", "pos").alias("w"))
-        .groupBy("h")
-        .agg(F.min("w").alias("w"))
-    )
-    tagged = lines.join(
-        winners, key(lines["line"]) == winners["h"], "left"
-    ).withColumn(
-        "kept",
-        F.col("w").isNull()
-        | ((F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))),
-    )
+    if onepass:
+        # repartition on BOTH join keys: requireAllClusterKeysForCoPartition
+        # (default true) demands all-key partitioning on both join sides —
+        # a bare repartition(h) gets rewritten to (is_ws, h) on the probe
+        # side only, de-identifying the subtrees AND stacking an
+        # ENSURE_REQUIREMENTS exchange on the winners side (measured: 2
+        # Generate passes + 3 exchanges). is_ws is a function of line, so
+        # the row distribution is identical to hash(h).
+        lines = lines.select(
+            "doc_id", "pos", "line",
+            (F.trim(F.col("line")) == "").alias("is_ws"),
+            key(F.col("line")).alias("h"),
+        ).repartition(F.col("is_ws"), F.col("h"))
+        winners = (
+            lines.groupBy("is_ws", "h")
+            .agg(F.min(F.struct("doc_id", "pos", "line")).alias("w"))
+            .select(F.col("is_ws").alias("w_ws"), F.col("h").alias("wh"),
+                    "w")
+        )
+        tagged = lines.join(
+            winners.hint("shuffle_hash"),
+            (lines["is_ws"] == F.col("w_ws")) & (lines["h"] == F.col("wh")),
+            "left",
+        ).withColumn(
+            "kept",
+            # is_ws first: a whitespace line always matches its own
+            # (is_ws=true, h) group's winner but is kept unconditionally
+            F.col("is_ws")
+            | F.col("w").isNull()
+            | ((F.col("doc_id") == F.col("w.doc_id"))
+               & (F.col("pos") == F.col("w.pos"))),
+        )
+    else:
+        content = lines.filter(F.trim(F.col("line")) != "")
+        winners = (
+            content.select(key(F.col("line")).alias("h"),
+                           F.struct("doc_id", "pos").alias("w"))
+            .groupBy("h")
+            .agg(F.min("w").alias("w"))
+        )
+        # probe key NULL on whitespace rows (ADVICE r17): they must
+        # never join a content winner, not even on a 64-bit collision
+        probe_key = F.when(F.trim(lines["line"]) != "", key(lines["line"]))
+        tagged = lines.join(
+            winners, probe_key == winners["h"], "left"
+        ).withColumn(
+            "kept",
+            F.col("w").isNull()
+            | ((F.col("doc_id") == F.col("w.doc_id"))
+               & (F.col("pos") == F.col("w.pos"))),
+        )
     return tagged.groupBy("doc_id").agg(
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),

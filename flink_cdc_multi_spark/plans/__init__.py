@@ -48,6 +48,15 @@ from flink_cdc_multi_spark.plans.queries import QUERIES, load_table
 # is what lets a pin coexist with the PREVIOUS round's green row for the same
 # query — pin round N's plan changes as (name, N) and never clear by hand.
 _REGATE: list[tuple[str, int]] = [
+    # r18 optimization round wave 1: labelprop's broadcast lane folds
+    # each round's two-aggregate argmax chain into ONE
+    # mode(lbl, deterministic=true) aggregate — plan changed, labels
+    # bit-identical (tie contract pinned in tests + ABAB tool)
+    ("ext_graph_labelprop", 18),
+    # r18 optimization round wave 2: line_dedup onepass lane (shared
+    # h-repartition exchange, (is_ws, h) SHJ probe) + the ADVICE r17
+    # whitespace-key guard in both lanes — plan changed, rows identical
+    ("ext_dedup_lines", 18),
     # r17: the five sketch gate queries switched their portable-hash
     # contract from md5-hash60 to xxhash64 (Spark F.xxhash64 + the
     # generated DuckDB XXH64 chain in functions/xxh64_sql) — every

@@ -486,14 +486,13 @@ def ext_dedup_spans_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_tokens, n_removed, cleaned) — exact integers plus the
     cleaned text, so the value hash pins the canonical-selection
     tie-break, the overlapping-span position union, AND the rebuilt
-    string. Same broadcast guard as ext_dedup_spans (fail-closed)."""
+    string. Topology (onepass default since r17 wave 8 — ADVICE r18
+    hygiene: the retired broadcast guard's freq_broadcast computation is
+    gone from this call site): one window stream repartitioned on h,
+    freq aggregate riding that exchange, sort-free in-partition SHJ
+    probe + doc-keyed SHJ rebuild; the freq side never broadcasts."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return D.drop_duplicate_spans(
-        docs, id_col="doc_id", text_col="text", n=5,
-        freq_broadcast=(
-            _local_input_bytes(sf_dir, "documents") <= _COMMONNESS_BCAST_BYTES
-        ),
-    )
+    return D.drop_duplicate_spans(docs, id_col="doc_id", text_col="text", n=5)
 
 
 # Registry hygiene note (r13, VERDICT r12 item 8): the signature-only
@@ -2305,9 +2304,12 @@ def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup semantics themselves are pinned by the adversarial
     fixture's cross-doc/in-doc duplicate-line rows (the q08 hostile-row
     pattern). See operators/text.line_dedup for contracts (xxhash64-keyed
-    line identity since r17 — was md5; whitespace-only lines never dedup)
-    and the 100 TB shape (min-reduction winners, large-large hash join on
-    the 8-byte key)."""
+    line identity since r17 — was md5; whitespace-only lines never dedup,
+    and since r18 never share the content key space) and the 100 TB
+    shape (r18 wave 2 onepass: one scan+split pass repartitioned on
+    (is_ws, h), winner reduction riding that exchange, in-partition SHJ
+    probe — ABAB 1.45x sf0.1, 1.15-1.22x sf10 incl. the forced
+    non-broadcast regime, tools/opt_r18_abab_lines.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.line_dedup(docs)
 
@@ -3767,17 +3769,42 @@ def graph_labelprop_over(pairs: DataFrame, iters: int = 3,
     r17 optimization round: `_sym_edges` explode-symmetrization (one
     pair-pipeline copy per edge reference instead of two — see its
     docstring); values bit-identical, same-session ABAB at sf0.1
-    median 3.04 → 2.81 s."""
+    median 3.04 → 2.81 s.
+
+    r18 wave 1 (VERDICT r17 item 1 — the iteration fold): in the
+    BROADCAST lane each round is now ONE aggregate,
+    groupBy(v).agg(mode(lbl, deterministic=true)) — Spark 4's
+    deterministic mode IS this operator's tie contract (most frequent
+    value, ties broken by MIN; pinned against the two-agg reduction on
+    a tie-hostile fixture across partial-merge boundaries in
+    tools/opt_r18_abab_labelprop.py) — deleting the per-round
+    (v, nl)-count groupBy and its exchange (2 exchanges/round → 1).
+    ABAB both orders: sf0.1 1.21×/1.20×, sf10-e100 1.73×/1.08×,
+    bit-identical labels + checksum. The SHUFFLE lane keeps the
+    two-agg shape: the same fold measured 0.78×/0.61× there (sf10
+    both orders) — mode's TypedImperativeAggregate ships per-node
+    label→count map buffers through the exchange, which loses to two
+    codegen'd partial-agg exchanges once the label vector itself
+    shuffles; at billion-node scale the two-agg form stands."""
     edges = _sym_edges(pairs.select("a_id", "b_id"))
     labels = edges.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").cast("bigint").alias("lbl")
     )
     for _ in range(iters):
-        lbls = F.broadcast(labels) if broadcast_labels \
-            else labels.hint("shuffle_hash")
+        if broadcast_labels:
+            labels = (
+                edges.alias("e")
+                .join(F.broadcast(labels).alias("l"),
+                      F.col("e.u") == F.col("l.id"))
+                .groupBy(F.col("e.v").alias("id"))
+                .agg(F.mode(F.col("l.lbl"), True).cast("bigint")
+                     .alias("lbl"))
+            )
+            continue
         cnt = (
             edges.alias("e")
-            .join(lbls.alias("l"), F.col("e.u") == F.col("l.id"))
+            .join(labels.hint("shuffle_hash").alias("l"),
+                  F.col("e.u") == F.col("l.id"))
             .groupBy(F.col("e.v").alias("v"), F.col("l.lbl").alias("nl"))
             .agg(F.count("*").alias("c"))
         )

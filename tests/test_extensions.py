@@ -843,6 +843,39 @@ def test_labelprop_majority_beats_min_and_paths_agree(spark):
         assert got == want, (bcast, got)
 
 
+def test_labelprop_mode_lane_matches_two_agg_on_ties(spark):
+    """r18 wave 1: the broadcast lane's deterministic-mode fold must
+    replay the two-agg max-count-then-min-label reduction EXACTLY on a
+    tie-heavy multigraph, across partial-merge boundaries (the pair
+    frame is spread over 8 partitions so mode's map buffers merge).
+    Duplicate pair rows are deliberate — LPA over an LSH pair stream
+    counts every edge occurrence, and equal-count label ties are where
+    a wrong tie-break would diverge."""
+    from flink_cdc_multi_spark.plans.extensions import graph_labelprop_over
+
+    pairs = spark.createDataFrame(
+        # node 10: neighbors 2,2,4,4 (two-way count tie -> min 2 after
+        # round 1); node 20: 3-way tie 5/6/7; node 5..7 interlink
+        [(10, 2), (10, 2), (10, 4), (10, 4),
+         (20, 5), (20, 6), (20, 7),
+         (5, 6), (6, 7), (5, 7), (2, 4)],
+        "a_id long, b_id long",
+    ).repartition(8)
+    a = {
+        r["doc_id"]: r["lbl"]
+        for r in graph_labelprop_over(
+            pairs, iters=3, broadcast_labels=True
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["lbl"]
+        for r in graph_labelprop_over(
+            pairs, iters=3, broadcast_labels=False
+        ).collect()
+    }
+    assert a == b
+
+
 def test_sample_weighted_replica_and_size_bias(spark, tmp_path):
     """The selection must equal an independent Python replica of the
     h/w rank (same md5-hash60, same IEEE division), and the sample must

@@ -670,6 +670,53 @@ def test_ext_dedup_spans_drop_onepass_reuses_window_exchange(spark):
     assert reused_h, executed
 
 
+def test_ext_dedup_lines_plan_shape(spark):
+    """ext_dedup_lines (onepass r18 wave 2): the line stream is derived
+    once and repartitioned on (is_ws, h) — BOTH join keys, because
+    requireAllClusterKeysForCoPartition (default true) rewrites a bare
+    repartition(h) on the probe side only, de-identifying the subtrees
+    (measured: 2 Generate passes + a stacked ENSURE exchange; ABAB
+    0.9x) — the winner aggregate rides that exchange's partitioning and
+    the probe is an in-partition SHJ: no SMJ, no Window, no broadcast
+    topology, and no ENSURE_REQUIREMENTS exchange between the
+    repartition and the join."""
+    plan = plan_of(spark, "ext_dedup_lines")
+    assert "REPARTITION_BY_COL" in plan  # the shared (is_ws, h) exchange
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_ext_dedup_lines_onepass_reuses_line_exchange(spark):
+    """The onepass claim at RUNTIME (CLAUDE.md: AQE reuse never shows in
+    the static plan): executing line_dedup(onepass=True) must reuse the
+    hashpartitioning(is_ws, h) line exchange — scan+split+hash runs
+    ONCE, not once per consumer. Guards the identity discipline: the
+    winner struct carries `line` (pruning trap), the winner agg has no
+    content pre-filter (pushdown trap), and all join keys are
+    non-nullable (inferred-isnotnull trap)."""
+    import re as _re
+
+    from flink_cdc_multi_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\n\na"), (2, "b\n \nc"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = line_dedup(docs, onepass=True)
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    reused = [
+        ln for ln in final.splitlines()
+        if "ReusedExchange" in ln
+        and _re.search(r"hashpartitioning\(is_ws#\d+, h#", ln)
+    ]
+    assert reused, final
+    assert final.count("Generate") == 1, final  # one split pass
+
+
 def test_ext_graph_pagerank_plan_shape(spark):
     """ext_graph_pagerank (r13): the 3 unrolled iterations must stay
     plain equi-join + partial-agg stages — no cartesian product, no
@@ -691,14 +738,20 @@ def test_ext_graph_pagerank_plan_shape(spark):
 
 def test_ext_graph_labelprop_plan_shape(spark):
     """ext_graph_labelprop (r16): same Pregel-as-joins contract as
-    pagerank — no cartesian, no Expand, no window (the argmax is a
-    max(struct) reduction), no SMJ (shuffle_hash/broadcast hints), and
-    at gate SF the guarded broadcast_labels form."""
+    pagerank — no cartesian, no Expand, no window, no SMJ
+    (shuffle_hash/broadcast hints), and at gate SF the guarded
+    broadcast_labels form. r18 wave 1: the broadcast lane's per-round
+    argmax is ONE deterministic-mode aggregate (1 exchange/round), not
+    the two-aggregate count→max(struct) chain (2/round) — pinned by
+    the mode node and the exchange budget (3 rounds + init distinct +
+    final = 4 exchanges; the two-agg form had 7)."""
     plan = plan_of(spark, "ext_graph_labelprop")
     assert "CartesianProduct" not in plan
     assert "Expand" not in plan and "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    assert "mode(" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
 
 
 def test_ext_graph_pagerank_guard_fails_closed(spark):
