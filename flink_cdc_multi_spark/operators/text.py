@@ -119,17 +119,29 @@ def bpe_normalize(text: Column) -> Column:
 MAX_CHAINED_MERGES = 256
 
 
-def bpe_encode_table(text: Column, merges) -> Column:
+def bpe_encode_table(text: Column, merges, kernel: bool | None = None) -> Column:
     """bpe_encode with an ARBITRARY rank-ordered merge table (r13).
-    ≤ MAX_CHAINED_MERGES: the pure-Column chained-replace form (codegen,
-    JVM-side, the ext_text_bpe plan). Above: an Arrow-batched pandas_udf
-    running the identical symbol-string algorithm per document — the
-    measured driver-stack bound makes the chain impossible there, and a
-    32k-merge production table belongs in a kernel anyway. Both paths
-    share bpe_normalize (the Column form) so normalization can never
-    diverge between them."""
+    ``kernel=None`` keeps the r13 auto rule — ≤ MAX_CHAINED_MERGES takes
+    the pure-Column chained-replace form (codegen, JVM-side), above it
+    the Arrow rank-dict kernel (the measured driver-stack bound makes
+    the chain impossible there). ``kernel=True`` forces the Arrow kernel
+    at ANY table size (r18 wave 3, guide §4.2: the 16-merge chain is 16
+    full-string scan+allocation passes per document, while the kernel
+    pays one boundary crossing and a per-word encode amortized by the
+    word cache — ABAB both orders: 1.9× sf0.1, 5.0× sf1, 4.2-4.5× sf10,
+    bit-identical outputs, tools/opt_r18_abab_bpe.py). Both paths share
+    bpe_normalize (the Column form) so normalization can never diverge,
+    and the kernel is pinned bit-identical to the chain for arbitrary
+    tables in test_bpe_encode_table_fallback_matches_chain."""
     norm = bpe_normalize(text)
-    if len(merges) <= MAX_CHAINED_MERGES:
+    use_chain = (len(merges) <= MAX_CHAINED_MERGES) if kernel is None \
+        else not kernel
+    if use_chain and len(merges) > MAX_CHAINED_MERGES:
+        raise ValueError(
+            f"kernel=False with {len(merges)} merges: the replace chain "
+            f"overflows the driver stack above {MAX_CHAINED_MERGES}"
+        )
+    if use_chain:
         seq = F.regexp_replace(norm, "(.)", " $1 ")
         for a, b in merges:
             seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
@@ -314,7 +326,7 @@ def learn_bpe_merges(
         seg.unpersist()
 
 
-def bpe_encode(text: Column) -> Column:
+def bpe_encode(text: Column, kernel: bool | None = None) -> Column:
     """REAL greedy BPE encoding (VERDICT r11 item 2) with the fixed
     BPE_MERGES table, as a pure Column expression — no Python in the hot
     path, and bit-identical in DuckDB.
@@ -347,17 +359,21 @@ def bpe_encode(text: Column) -> Column:
     text); count tokens with ``size(split(.., ' '))`` behind a Generate
     barrier (see token_barrier / PERF.md CollapseProject lesson).
     Merge-table scale bound + fallback: see bpe_encode_table /
-    MAX_CHAINED_MERGES (r13)."""
-    return bpe_encode_table(text, BPE_MERGES)
+    MAX_CHAINED_MERGES (r13). ``kernel=True`` (r18 wave 3) forces the
+    bit-identical Arrow rank-dict kernel — the fast lane for bulk
+    encoding (the chain stays the definitional form the DuckDB oracle
+    is generated from)."""
+    return bpe_encode_table(text, BPE_MERGES, kernel=kernel)
 
 
-def bpe_token_count(text: Column) -> Column:
+def bpe_token_count(text: Column, kernel: bool | None = None) -> Column:
     """REAL BPE token count (symbols after the full merge chain) — the
     unit actual pretraining batches are budgeted in, vs token_count's
     whitespace words and bpe_token_estimate's chars/4. Single use of the
     encode chain per document (one projection — no Generate barrier
-    needed when nothing else derives from the same expression)."""
-    enc = bpe_encode(text)
+    needed when nothing else derives from the same expression).
+    ``kernel`` as in bpe_encode."""
+    enc = bpe_encode(text, kernel=kernel)
     return (
         F.when(enc == "", F.lit(0)).otherwise(F.size(F.split(enc, " ")))
         .cast("bigint")
@@ -771,8 +787,18 @@ def pack_offsets(
     n_tok = (
         count_expr if count_expr is not None else token_count(F.col(text_col))
     ).cast("bigint")
+    # r18 wave 3b: the count rides a Generate barrier (explode(array))
+    # so it evaluates ONCE per document — the n_tokens > 0 filter below
+    # otherwise duplicates the whole count expression (pushdown
+    # re-derives it for the predicate), and for ext_pack_bpe that
+    # expression is the 17-step encode: the unbarriered cached-frame
+    # build carried ~20 inlined replace-chain copies (326 replace()
+    # nodes in the nocache plan; measured 4.2 s vs 0.9 s at sf0.1).
+    # Behind the barrier a pandas_udf count also extracts exactly once
+    # (both references inside when/otherwise share the extracted slot).
     base_rows = df.select(
-        F.col(id_col), order.alias("_ord"), n_tok.alias("n_tokens")
+        F.col(id_col), order.alias("_ord"),
+        F.explode(F.array(n_tok)).alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     if cache:
         base_rows = base_rows.persist()

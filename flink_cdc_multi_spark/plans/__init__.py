@@ -57,6 +57,14 @@ _REGATE: list[tuple[str, int]] = [
     # h-repartition exchange, (is_ws, h) SHJ probe) + the ADVICE r17
     # whitespace-key guard in both lanes — plan changed, rows identical
     ("ext_dedup_lines", 18),
+    # r18 optimization round wave 3: the BPE encode rides the Arrow
+    # rank-dict kernel (bit-identical to the chain by pinned contract);
+    # wave 3b adds pack_offsets' count barrier (count evaluates once per
+    # doc — also reshapes ext_pack_sequences' counted frame). Plans
+    # changed, values identical at every SF (checksummed sf0.1/1/10)
+    ("ext_text_bpe", 18),
+    ("ext_pack_bpe", 18),
+    ("ext_pack_sequences", 18),
     # r17: the five sketch gate queries switched their portable-hash
     # contract from md5-hash60 to xxhash64 (Spark F.xxhash64 + the
     # generated DuckDB XXH64 chain in functions/xxh64_sql) — every

@@ -2170,15 +2170,18 @@ def ext_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-EXACT sequence packing (r12): the ext_pack_sequences layout
     with n_tokens = the real greedy-BPE symbol count (bpe_token_count) —
     the unit actual pretraining batches are budgeted in, composing the
-    two operators end to end. Same distributed-prefix-sum shape; the
-    17-step encode chain evaluates once per document into the persisted
-    counted frame (the tokenize-once contract). Oracle: the packing
-    running sum over the generated BPE chain SQL — both sides move with
-    BPE_MERGES."""
+    two operators end to end. Same distributed-prefix-sum shape; r18
+    wave 3b: the count rides the Arrow rank-dict kernel (kernel=True,
+    bit-identical to the chain) and pack_offsets' count barrier makes it
+    evaluate ONCE per document into the persisted counted frame — the
+    unbarriered chain form inlined ~20 chain copies across the filter
+    and prefix-sum branches (measured 4.2 s → 0.9 s cold at sf0.1).
+    Oracle: the packing running sum over the generated BPE chain SQL —
+    both sides move with BPE_MERGES."""
     docs = load_table(spark, sf_dir, "documents")
     return X.pack_offsets(
         docs, "doc_id", "text", block_tokens=256,
-        count_expr=X.bpe_token_count(F.col("text")),
+        count_expr=X.bpe_token_count(F.col("text"), kernel=True),
     )
 
 
@@ -2337,13 +2340,21 @@ def ext_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle runs the literally identical chain. NULL texts excluded
     on both sides (the ext_dedup_priority contract).
 
-    Scale: scan-side map, zero exchanges, zero Python — the count goes
-    through a Generate barrier so the encode chain evaluates once per
-    document (CollapseProject would otherwise re-inline it into both
-    output columns, PERF.md lesson)."""
+    Scale: scan-side map, zero exchanges. r18 wave 3 (guide §4.2): the
+    encode rides the Arrow rank-dict KERNEL (kernel=True), not the
+    16-replace codegen chain — each replace() is a full-string scan +
+    allocation per document, so the chain pays 16 corpus passes where
+    the kernel pays one Arrow crossing + cache-amortized per-word
+    encodes; ABAB both orders 1.9×/5.0×/4.2-4.5× at sf0.1/sf1/sf10,
+    outputs bit-identical (the chain stays the definitional form the
+    DuckDB oracle SQL is generated from — both move with BPE_MERGES).
+    The count still goes through a Generate barrier so the encode
+    evaluates once per document (CollapseProject would otherwise
+    re-inline it into both output columns, PERF.md lesson)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     enc = docs.select(
-        "doc_id", F.explode(F.array(X.bpe_encode(F.col("text")))).alias("bpe")
+        "doc_id",
+        F.explode(F.array(X.bpe_encode(F.col("text"), kernel=True))).alias("bpe"),
     )
     return enc.select(
         "doc_id",

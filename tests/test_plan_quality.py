@@ -197,6 +197,30 @@ def test_ext_pack_sequences_distributed_prefix_sum(spark):
         assert "_bkt" in m.group(0), m.group(0)
 
 
+def test_ext_text_bpe_rides_arrow_kernel(spark):
+    """r18 wave 3: the registered BPE encode must ride the Arrow
+    rank-dict kernel, not the 16-replace codegen chain — each replace()
+    is a full-string scan+allocation per document (ABAB 1.9x/5.0x/4.2x
+    at sf0.1/1/10, bit-identical by the pinned kernel==chain contract).
+    The chain remains the definitional form the DuckDB oracle SQL is
+    generated from."""
+    plan = plan_of(spark, "ext_text_bpe")
+    assert "ArrowEvalPython" in plan
+    assert " replace(" not in plan
+
+
+def test_ext_pack_bpe_kernel_count_single_eval(spark):
+    """r18 wave 3b: ext_pack_bpe's count rides the Arrow kernel behind
+    pack_offsets' count barrier — no replace chain anywhere in the plan
+    (the unbarriered form inlined ~20 chain copies across the filter and
+    prefix-sum branches: 326 replace() nodes, 42 s at sf1 vs 2.2 s), and
+    the counted frame still reads from cache (tokenize-once)."""
+    plan = plan_of(spark, "ext_pack_bpe")
+    assert "ArrowEvalPython" in plan
+    assert " replace(" not in plan
+    assert "InMemoryTableScan" in plan
+
+
 def test_ext_ann_topk_vectorized_kernel_and_group_limit(spark):
     """Brute-force ANN must score through the Arrow kernel (MapInPandas)
     with the final rank as a WindowGroupLimit (per-partition top-k heap),
