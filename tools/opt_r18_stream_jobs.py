@@ -69,16 +69,17 @@ def main() -> None:
     orig = CDCPipeline.process_batch
 
     def wrapped(self, env, bid):
+        # count via the GLOBAL job-id counter: the multi-table path
+        # submits writes from pool threads, which don't inherit a job
+        # group — the group-scoped count is blind there
         sc = env.sparkSession.sparkContext
-        grp = f"probe-b{bid}-{len(counts)}"
-        sc.setJobGroup(grp, f"batch {bid}")
+        j0 = sc._jsc.sc().dagScheduler().nextJobId()
         t0 = time.perf_counter()
         try:
             orig(self, env, bid)
         finally:
-            ids = sc.statusTracker().getJobIdsForGroup(grp)
-            counts.append((bid, len(ids), round(time.perf_counter() - t0, 3)))
-            sc.setJobGroup("", "")
+            j1 = sc._jsc.sc().dagScheduler().nextJobId()
+            counts.append((bid, j1 - j0, round(time.perf_counter() - t0, 3)))
 
     CDCPipeline.process_batch = wrapped
 
