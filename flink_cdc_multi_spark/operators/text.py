@@ -600,9 +600,17 @@ def line_dedup(
             (F.trim(F.col("line")) == "").alias("is_ws"),
             key(F.col("line")).alias("h"),
         ).repartition(F.col("is_ws"), F.col("h"))
+        # the third struct field exists ONLY so this branch reads the
+        # exchanged `line` column (pruning identity — see docstring);
+        # length(line) reads it while buffering an INT, so the SHJ build
+        # side never holds distinct-line TEXT (at 100 TB the build table
+        # is (bool, int64, {int64,int,int}) per distinct line, not the
+        # corpus text). (doc_id, pos) is unique per row, so the extra
+        # field can never change the min.
         winners = (
             lines.groupBy("is_ws", "h")
-            .agg(F.min(F.struct("doc_id", "pos", "line")).alias("w"))
+            .agg(F.min(F.struct("doc_id", "pos",
+                                F.length("line").alias("ln"))).alias("w"))
             .select(F.col("is_ws").alias("w_ws"), F.col("h").alias("wh"),
                     "w")
         )
